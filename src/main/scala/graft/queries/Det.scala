@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic floating-point aggregation helpers.
+  *
+  * Double summation is order-dependent, and Spark (partition-parallel,
+  * AQE-rearranged) will not sum in the same order as the DuckDB oracle —
+  * or even as its own previous run. Routing sums through a fixed-scale
+  * decimal makes them exact and order-independent on BOTH engines, so the
+  * driver's value-hash compare is stable. Cast back to double at the end.
+  *
+  * Oracle-side equivalents (DuckDB):
+  *   dsum(x)  = CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+  *   davg(x)  = CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x)
+  *   dstddev  = explicit moment formula over decimal sums
+  */
+object Det {
+  private val dec = DecimalType(38, 6)
+  private val dec12 = DecimalType(38, 12)
+
+  /** Order-independent SUM(double) — exact decimal accumulation. */
+  def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** Order-independent AVG(double): double division of exact sum by count. */
+  def davg(c: Column): Column = sum(c.cast(dec)).cast("double") / count(c)
+
+  /** Order-independent sample stddev via exact decimal moments.
+    * sqrt((n*Σx² − (Σx)²) / (n(n−1))) computed in double at the end. */
+  def dstddev(c: Column): Column = {
+    val n = count(c).cast("double")
+    val sx = sum(c.cast(dec)).cast("double")
+    val sx2 = sum((c * c).cast(dec12)).cast("double")
+    when(n > 1, sqrt(greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0))))
+  }
+
+  /** Order-independent sample variance (same moments as dstddev). */
+  def dvariance(c: Column): Column = {
+    val n = count(c).cast("double")
+    val sx = sum(c.cast(dec)).cast("double")
+    val sx2 = sum((c * c).cast(dec12)).cast("double")
+    when(n > 1, greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0)))
+  }
+
+  /** SQL snippets for oracle strings. */
+  def sqlSum(x: String): String = s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+  def sqlAvg(x: String): String = s"(${sqlSum(x)} / COUNT($x))"
+  def sqlSum12(x: String): String = s"CAST(SUM(CAST(($x) AS DECIMAL(38,12))) AS DOUBLE)"
+  def sqlStddev(x: String): String = {
+    val n = s"CAST(COUNT($x) AS DOUBLE)"
+    val sx = sqlSum(x)
+    val sx2 = sqlSum12(s"($x)*($x)")
+    s"CASE WHEN COUNT($x) > 1 THEN sqrt(greatest(($n*$sx2 - $sx*$sx)/($n*($n-1.0)), 0.0)) END"
+  }
+}
