@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Det._
+
+/** Aggregation + scalar-function operators from SURVEY.md §2.4/§2.12:
+  * statistical summary (etl/time_series_analyzer.py:279-337), performance
+  * summary with conditional sums (etl/database_manager.py:3417-3480),
+  * vectorized quality check (etl/yfinance_extractor.py:123-150),
+  * missing-data profile (etl/time_series_analyzer.py:121-183), distinct
+  * census, rollup reporting, JSON-in-TEXT access, calendar flags, and
+  * SHA-256 content hashing (etl/checkpoint_manager.py:107-121).
+  *
+  * All double aggregates route through decimal accumulation ([[Det]]) so
+  * results are partition-order independent at any scale.
+  */
+object AggQueries extends QueryModule {
+
+  override def queries: Map[String, QFn] = Map(
+    // count/mean/std/min/max/skew/kurt per ticker — explicit exact moments.
+    "q20_stats_summary" -> ((s, dir) => {
+      import s.implicits._
+      val x = $"price"
+      val n = count(x).cast("double")
+      val sx = sum(x.cast("decimal(38,6)")).cast("double")
+      val sx2 = sum((x * x).cast("decimal(38,9)")).cast("double")
+      val sx3 = sum((x * x * x).cast("decimal(38,9)")).cast("double")
+      val sx4 = sum((x * x * x * x).cast("decimal(38,9)")).cast("double")
+      val mean = sx / n
+      val m2 = sx2 / n - mean * mean
+      val m3 = sx3 / n - lit(3.0) * mean * sx2 / n + lit(2.0) * mean * mean * mean
+      val m4 = sx4 / n - lit(4.0) * mean * sx3 / n +
+        lit(6.0) * mean * mean * sx2 / n - lit(3.0) * mean * mean * mean * mean
+      Bars.of(s, dir).groupBy($"ticker").agg(
+        count(x).as("n"),
+        mean.as("mean"),
+        dstddev(x).as("std"),
+        min(x).as("min"),
+        max(x).as("max"),
+        (m3 / pow(m2, 1.5)).as("skew"),
+        (m4 / (m2 * m2) - 3.0).as("kurt"))
+    }),
+
+    // win_rate / profit_factor / avg+largest win/loss over signed pnl.
+    "q21_perf_summary" -> ((s, dir) => {
+      import s.implicits._
+      val pnl = $"price" - lit(100.0)
+      val wins = sum(when(pnl > 0, pnl).otherwise(lit(0.0)).cast("decimal(38,6)")).cast("double")
+      val losses = sum(when(pnl < 0, pnl).otherwise(lit(0.0)).cast("decimal(38,6)")).cast("double")
+      Bars.of(s, dir).groupBy($"ticker").agg(
+        count(lit(1)).as("n_trades"),
+        (sum(when(pnl > 0, 1).otherwise(0)).cast("double") / count(lit(1))).as("win_rate"),
+        (wins / abs(losses)).as("profit_factor"),
+        (wins / sum(when(pnl > 0, 1).otherwise(0))).as("avg_win"),
+        (losses / sum(when(pnl < 0, 1).otherwise(0))).as("avg_loss"),
+        max(pnl).as("largest_win"),
+        min(pnl).as("largest_loss"))
+    }),
+
+    // distinct census: exact per-group + percent share.
+    "q22_distinct" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "events").groupBy($"event_type").agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+    }),
+
+    // ROLLUP reporting over (ticker, dow) with decimal sums.
+    "q23_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Bars.of(s, dir)
+        .withColumn("dow", dayofweek($"ts") - 1)
+        .rollup($"ticker", $"dow")
+        .agg(count(lit(1)).as("n"), dsum($"price").as("sum_price"))
+    }),
+
+    // missing-data profile after synthetic null injection (value > 400 → NULL).
+    "q24_missing_profile" -> ((s, dir) => {
+      import s.implicits._
+      val v = when($"price" > 400, lit(null)).otherwise($"price")
+      Bars.of(s, dir).groupBy($"ticker").agg(
+        count(lit(1)).as("n"),
+        sum(when(v.isNull, 1).otherwise(0)).as("n_missing"),
+        (sum(when(v.isNull, 1).otherwise(0)).cast("double") / count(lit(1))).as("missing_ratio"))
+    }),
+
+    // single-pass vectorized quality check.
+    "q25_quality_check" -> ((s, dir) => {
+      import s.implicits._
+      val neg = sum(when($"price" <= 0, 1).otherwise(0))
+      val zero = sum(when($"price" === lit(0.0), 1).otherwise(0))
+      Bars.of(s, dir).groupBy($"ticker").agg(
+        neg.as("n_nonpositive"),
+        zero.as("n_zero"),
+        (lit(1.0) - neg.cast("double") / count(lit(1))).as("quality_score"))
+    }),
+
+    // JSON-in-TEXT access (props -> k) + grouped agg on the extracted key.
+    "q26_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "events")
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k"))
+        .groupBy(($"k" % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), max($"k").as("max_k"))
+    }),
+
+    // calendar flags: month-end / quarter-end per distinct day.
+    "q27_calendar" -> ((s, dir) => {
+      import s.implicits._
+      // d stays TimestampType: pandas renders parquet date32 as datetime.date
+      // but DuckDB DATE as Timestamp — the driver's cell normalizer would
+      // then never match. Timestamps normalize identically on both sides.
+      Bars.of(s, dir)
+        .select($"day".as("d")).distinct()
+        .select($"d",
+          (last_day(to_date($"d")) === to_date($"d")).cast("int").as("is_month_end"),
+          ((last_day(to_date($"d")) === to_date($"d")) &&
+            month($"d").isin(3, 6, 9, 12)).cast("int").as("is_quarter_end"),
+          month($"d").as("month"), quarter($"d").as("quarter"))
+    }),
+
+    // SHA-256 content hash per document (checkpoint/dataset-id hashing).
+    "q28_content_hash" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", sha2($"text", 256).as("text_sha"),
+          upper(trim($"source")).as("source_norm"))
+    })
+  )
+
+  override def oracles: Map[String, String] = {
+    val sx = "CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)"
+    val sx2 = "CAST(SUM(CAST(price*price AS DECIMAL(38,9))) AS DOUBLE)"
+    val sx3 = "CAST(SUM(CAST(price*price*price AS DECIMAL(38,9))) AS DOUBLE)"
+    val sx4 = "CAST(SUM(CAST(price*price*price*price AS DECIMAL(38,9))) AS DOUBLE)"
+    Map(
+      "q20_stats_summary" ->
+        s"""${Bars.sql}
+           |SELECT ticker, COUNT(price) AS n,
+           |  $sx / CAST(COUNT(price) AS DOUBLE) AS mean,
+           |  ${sqlStddev("price")} AS std,
+           |  MIN(price) AS min, MAX(price) AS max,
+           |  (($sx3/CAST(COUNT(price) AS DOUBLE)
+           |    - 3.0*($sx/CAST(COUNT(price) AS DOUBLE))*$sx2/CAST(COUNT(price) AS DOUBLE)
+           |    + 2.0*($sx/CAST(COUNT(price) AS DOUBLE))*($sx/CAST(COUNT(price) AS DOUBLE))*($sx/CAST(COUNT(price) AS DOUBLE)))
+           |   / pow($sx2/CAST(COUNT(price) AS DOUBLE) - ($sx/CAST(COUNT(price) AS DOUBLE))*($sx/CAST(COUNT(price) AS DOUBLE)), 1.5)) AS skew,
+           |  (($sx4/CAST(COUNT(price) AS DOUBLE)
+           |    - 4.0*($sx/CAST(COUNT(price) AS DOUBLE))*$sx3/CAST(COUNT(price) AS DOUBLE)
+           |    + 6.0*($sx/CAST(COUNT(price) AS DOUBLE))*($sx/CAST(COUNT(price) AS DOUBLE))*$sx2/CAST(COUNT(price) AS DOUBLE)
+           |    - 3.0*($sx/CAST(COUNT(price) AS DOUBLE))*($sx/CAST(COUNT(price) AS DOUBLE))*($sx/CAST(COUNT(price) AS DOUBLE))*($sx/CAST(COUNT(price) AS DOUBLE)))
+           |   / (($sx2/CAST(COUNT(price) AS DOUBLE) - ($sx/CAST(COUNT(price) AS DOUBLE))*($sx/CAST(COUNT(price) AS DOUBLE)))
+           |      * ($sx2/CAST(COUNT(price) AS DOUBLE) - ($sx/CAST(COUNT(price) AS DOUBLE))*($sx/CAST(COUNT(price) AS DOUBLE)))) - 3.0) AS kurt
+           |FROM bars GROUP BY ticker""".stripMargin,
+      "q21_perf_summary" -> {
+        val wins = "CAST(SUM(CAST(CASE WHEN price - 100.0 > 0 THEN price - 100.0 ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)"
+        val losses = "CAST(SUM(CAST(CASE WHEN price - 100.0 < 0 THEN price - 100.0 ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)"
+        s"""${Bars.sql}
+           |SELECT ticker, COUNT(*) AS n_trades,
+           |  CAST(SUM(CASE WHEN price - 100.0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS win_rate,
+           |  $wins / abs($losses) AS profit_factor,
+           |  $wins / SUM(CASE WHEN price - 100.0 > 0 THEN 1 ELSE 0 END) AS avg_win,
+           |  $losses / SUM(CASE WHEN price - 100.0 < 0 THEN 1 ELSE 0 END) AS avg_loss,
+           |  MAX(price - 100.0) AS largest_win,
+           |  MIN(price - 100.0) AS largest_loss
+           |FROM bars GROUP BY ticker""".stripMargin
+      },
+      "q22_distinct" ->
+        """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+          |FROM events GROUP BY 1""".stripMargin,
+      "q23_rollup" ->
+        s"""${Bars.sql}
+           |SELECT ticker, date_part('dow', ts) AS dow, COUNT(*) AS n,
+           |  ${sqlSum("price")} AS sum_price
+           |FROM bars GROUP BY ROLLUP(ticker, dow)""".stripMargin,
+      "q24_missing_profile" ->
+        s"""${Bars.sql}
+           |SELECT ticker, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN price > 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           |  CAST(SUM(CASE WHEN price > 400 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS missing_ratio
+           |FROM bars GROUP BY ticker""".stripMargin,
+      "q25_quality_check" ->
+        s"""${Bars.sql}
+           |SELECT ticker,
+           |  CAST(SUM(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive,
+           |  CAST(SUM(CASE WHEN price = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           |  1.0 - CAST(SUM(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS quality_score
+           |FROM bars GROUP BY ticker""".stripMargin,
+      "q26_json_extract" ->
+        """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+          |  COUNT(*) AS n,
+          |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+          |FROM events GROUP BY 1""".stripMargin,
+      "q27_calendar" ->
+        s"""${Bars.sql}
+           |SELECT DISTINCT day AS d,
+           |  CAST(last_day(CAST(day AS DATE)) = CAST(day AS DATE) AS INT) AS is_month_end,
+           |  CAST(last_day(CAST(day AS DATE)) = CAST(day AS DATE)
+           |       AND date_part('month', day) IN (3,6,9,12) AS INT) AS is_quarter_end,
+           |  date_part('month', day) AS month,
+           |  date_part('quarter', day) AS quarter
+           |FROM bars""".stripMargin,
+      "q28_content_hash" ->
+        """SELECT doc_id, sha256(text) AS text_sha, upper(trim(source)) AS source_norm
+          |FROM documents""".stripMargin
+    )
+  }
+}

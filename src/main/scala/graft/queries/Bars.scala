@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A bar-series view derived deterministically from the `events` table so
+  * the per-ticker window operators of the reference feature engine
+  * (/root/reference/etl/time_series_feature_builder.py:71-290) can be
+  * exercised and DuckDB-oracled on driver testdata:
+  * ticker = event_type, time = (ts, event_id) [event_id breaks ties],
+  * price = value, day = date_trunc('day', ts) for cross-sectional ops.
+  *
+  * Scale note: partitioned by ticker → every per-ticker window is a
+  * single narrow shuffle on ticker; cross-sectional ops shuffle on day.
+  */
+object Bars {
+  def of(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "events")
+      .select(
+        col("event_type").as("ticker"),
+        col("ts"),
+        col("event_id").as("seq"),
+        col("value").as("price"),
+        date_trunc("day", col("ts")).as("day"))
+
+  /** DuckDB CTE mirroring [[of]] — prepend to oracle SQL. */
+  val sql: String =
+    """WITH bars AS (
+      |  SELECT event_type AS ticker, ts, event_id AS seq, value AS price,
+      |         date_trunc('day', ts) AS day
+      |  FROM events
+      |)""".stripMargin
+}

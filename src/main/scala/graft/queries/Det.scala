@@ -44,6 +44,22 @@ object Det {
     when(n > 1, greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0)))
   }
 
+  import org.apache.spark.sql.expressions.WindowSpec
+
+  /** Window variants — exact decimal accumulation inside the frame. */
+  def dsumOver(c: Column, w: WindowSpec): Column =
+    sum(c.cast(dec)).over(w).cast("double")
+
+  def davgOver(c: Column, w: WindowSpec): Column =
+    sum(c.cast(dec)).over(w).cast("double") / count(c).over(w)
+
+  def dstddevOver(c: Column, w: WindowSpec): Column = {
+    val n = count(c).over(w).cast("double")
+    val sx = sum(c.cast(dec)).over(w).cast("double")
+    val sx2 = sum((c * c).cast(dec12)).over(w).cast("double")
+    when(n > 1, sqrt(greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0))))
+  }
+
   /** SQL snippets for oracle strings. */
   def sqlSum(x: String): String = s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
   def sqlAvg(x: String): String = s"(${sqlSum(x)} / COUNT($x))"

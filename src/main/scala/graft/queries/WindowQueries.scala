@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Det._
+
+/** Window-function operators — the heart of the reference's feature engine
+  * (/root/reference/etl/time_series_feature_builder.py:71-290) and its
+  * equity/drawdown analytics (etl/database_manager.py:3240-3273,
+  * etl/portfolio_math.py:432-440), re-expressed on [[Bars]].
+  *
+  * Scale design: every per-ticker window shares ONE shuffle
+  * (partitionBy ticker, orderBy ts/seq); cross-sectional features
+  * shuffle by day only. No driver-side loops.
+  */
+object WindowQueries extends QueryModule {
+
+  override def queries: Map[String, QFn] = Map(
+    // lags / pct-change returns / differencing (feature_builder :105-119)
+    "q10_win_lag_returns" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      Bars.of(s, dir).select(
+        $"ticker", $"seq", $"price",
+        lag($"price", 1).over(w).as("lag1"),
+        lag($"price", 5).over(w).as("lag5"),
+        ($"price" / lag($"price", 1).over(w) - 1).as("ret1"),
+        ($"price" - lag($"price", 1).over(w)).as("diff1"))
+    }),
+
+    // rolling mean/std over 20 bars, min_periods=1 (feature_builder :110-116)
+    "q11_win_rolling" -> ((s, dir) => {
+      import s.implicits._
+      val w20 = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+        .rowsBetween(-19, 0)
+      Bars.of(s, dir).select(
+        $"ticker", $"seq", $"price",
+        davgOver($"price", w20).as("roll_mean20"),
+        dstddevOver($"price", w20).as("roll_std20"))
+    }),
+
+    // cumulative equity + running max + drawdown (portfolio_math :432-440)
+    "q12_win_equity_drawdown" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = dsumOver($"price", w)
+      val runmax = max(cum).over(w)
+      Bars.of(s, dir).select(
+        $"ticker", $"seq",
+        cum.as("equity"),
+        runmax.as("peak"),
+        (cum / runmax - 1).as("drawdown"))
+    }),
+
+    // cross-sectional per-day percent_rank + z-score (feature_builder :158-177)
+    "q13_win_xsec" -> ((s, dir) => {
+      import s.implicits._
+      val wDay = Window.partitionBy($"day")
+      val wRank = wDay.orderBy($"price", $"seq")
+      val mu = sum($"price".cast("decimal(38,6)")).over(wDay).cast("double") /
+        count($"price").over(wDay)
+      Bars.of(s, dir).select(
+        $"ticker", $"seq",
+        percent_rank().over(wRank).as("xsec_rank"),
+        (($"price" - mu) / dstddevOver($"price", wDay)).as("xsec_z"))
+    }),
+
+    // gaps-and-islands run length of low-price flags (feature_builder :121-129)
+    "q14_win_runlength" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val flag = when($"price" < 50, 1).otherwise(0)
+      val change = when(flag =!= lag(flag, 1, 0).over(w), 1).otherwise(0)
+      val grp = sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0))
+      Bars.of(s, dir)
+        .select($"ticker", $"seq", flag.as("flag"), grp.as("grp"))
+        .withColumn("run_len",
+          count(lit(1)).over(Window.partitionBy($"ticker", $"grp")))
+        .select($"ticker", $"seq", $"flag", $"run_len")
+    }),
+
+    // top-1 per group via row_number (database_manager :3379-3416)
+    "q15_win_top1" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"price".desc, $"seq")
+      Bars.of(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"ticker", $"seq", $"price")
+    }),
+
+    // ATR-shaped greatest-of-lag-diffs + rolling mean 14 (feature_builder :184-195)
+    "q16_win_atr" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val w14 = w.rowsBetween(-13, 0)
+      val tr = greatest(
+        abs($"price" - lag($"price", 1).over(w)),
+        abs(lag($"price", 1).over(w) - lag($"price", 2).over(w)))
+      Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", tr.as("tr"))
+        .select($"ticker", $"seq", $"tr",
+          davgOver($"tr", w14).as("atr14"))
+    })
+  )
+
+  private val over = "PARTITION BY ticker ORDER BY ts, seq"
+  private def dsumW(x: String, frame: String): String =
+    s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) OVER ($over $frame) AS DOUBLE)"
+  private def dsum2W(x: String, frame: String): String =
+    s"CAST(SUM(CAST(($x)*($x) AS DECIMAL(38,12))) OVER ($over $frame) AS DOUBLE)"
+  private def cntW(x: String, frame: String): String =
+    s"COUNT($x) OVER ($over $frame)"
+  private def stddevW(x: String, frame: String): String = {
+    val n = s"CAST(${cntW(x, frame)} AS DOUBLE)"
+    val sx = dsumW(x, frame)
+    val sx2 = dsum2W(x, frame)
+    s"CASE WHEN ${cntW(x, frame)} > 1 THEN sqrt(greatest(($n*$sx2 - $sx*$sx)/($n*($n-1.0)), 0.0)) END"
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "q10_win_lag_returns" ->
+      s"""${Bars.sql}
+         |SELECT ticker, seq, price,
+         |  lag(price, 1) OVER ($over) AS lag1,
+         |  lag(price, 5) OVER ($over) AS lag5,
+         |  price / lag(price, 1) OVER ($over) - 1 AS ret1,
+         |  price - lag(price, 1) OVER ($over) AS diff1
+         |FROM bars""".stripMargin,
+    "q11_win_rolling" -> {
+      val f = "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW"
+      s"""${Bars.sql}
+         |SELECT ticker, seq, price,
+         |  ${dsumW("price", f)} / ${cntW("price", f)} AS roll_mean20,
+         |  ${stddevW("price", f)} AS roll_std20
+         |FROM bars""".stripMargin
+    },
+    "q12_win_equity_drawdown" -> {
+      val f = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+      val cum = dsumW("price", f)
+      s"""${Bars.sql},
+         |cums AS (SELECT ticker, seq, ts, $cum AS equity FROM bars)
+         |SELECT ticker, seq, equity,
+         |  max(equity) OVER ($over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+         |  equity / max(equity) OVER ($over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS drawdown
+         |FROM cums""".stripMargin
+    },
+    "q13_win_xsec" -> {
+      val sx = "CAST(SUM(CAST(price AS DECIMAL(38,6))) OVER (PARTITION BY day) AS DOUBLE)"
+      val sx2 = "CAST(SUM(CAST(price*price AS DECIMAL(38,12))) OVER (PARTITION BY day) AS DOUBLE)"
+      val n = "CAST(COUNT(price) OVER (PARTITION BY day) AS DOUBLE)"
+      val sd = s"CASE WHEN COUNT(price) OVER (PARTITION BY day) > 1 THEN sqrt(greatest(($n*$sx2 - $sx*$sx)/($n*($n-1.0)), 0.0)) END"
+      s"""${Bars.sql}
+         |SELECT ticker, seq,
+         |  percent_rank() OVER (PARTITION BY day ORDER BY price, seq) AS xsec_rank,
+         |  (price - $sx / $n) / ($sd) AS xsec_z
+         |FROM bars""".stripMargin
+    },
+    "q14_win_runlength" ->
+      s"""${Bars.sql},
+         |flags AS (
+         |  SELECT ticker, seq, ts,
+         |    CASE WHEN price < 50 THEN 1 ELSE 0 END AS flag
+         |  FROM bars),
+         |chg AS (
+         |  SELECT ticker, seq, flag,
+         |    CASE WHEN flag <> COALESCE(lag(flag, 1) OVER ($over), 0) THEN 1 ELSE 0 END AS change,
+         |    ts
+         |  FROM flags),
+         |grps AS (
+         |  SELECT ticker, seq, flag,
+         |    SUM(change) OVER ($over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM chg)
+         |SELECT ticker, seq, flag,
+         |  COUNT(*) OVER (PARTITION BY ticker, grp) AS run_len
+         |FROM grps""".stripMargin,
+    "q15_win_top1" ->
+      s"""${Bars.sql},
+         |ranked AS (
+         |  SELECT ticker, seq, price,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY price DESC, seq) AS rn
+         |  FROM bars)
+         |SELECT ticker, seq, price FROM ranked WHERE rn = 1""".stripMargin,
+    "q16_win_atr" -> {
+      val f = "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW"
+      s"""${Bars.sql},
+         |trs AS (
+         |  SELECT ticker, seq, ts,
+         |    greatest(abs(price - lag(price, 1) OVER ($over)),
+         |             abs(lag(price, 1) OVER ($over) - lag(price, 2) OVER ($over))) AS tr
+         |  FROM bars)
+         |SELECT ticker, seq, tr,
+         |  ${dsumW("tr", f)} / ${cntW("tr", f)} AS atr14
+         |FROM trs""".stripMargin
+    }
+  )
+}
