@@ -17,7 +17,9 @@ object SparkEntry {
     RelationalQueries,
     WindowQueries,
     AggQueries,
-    JoinQueries
+    JoinQueries,
+    MetricsQueries,
+    DedupTextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

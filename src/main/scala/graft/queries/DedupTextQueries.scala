@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` and `embeddings`
+  * tables: deduplication (exact + n-gram Jaccard near-dup + MinHash/LSH +
+  * SimHash), text analysis (language-ID heuristic, quality scoring, token
+  * counting, fingerprinting), and similarity search (brute-force cosine
+  * top-k; LSH-bucketed scale path in q52).
+  *
+  * Scale design notes:
+  *  - q51 exact Jaccard joins on raw shingles — correct but skew-prone at
+  *    100 TB (hot shingles fan out). q52 is the scale path: MinHash
+  *    band-bucket join; candidates are then verified with exact Jaccard
+  *    only on the (tiny) candidate set.
+  *  - q54 broadcasts the query set so the big side is never shuffled.
+  *  - Cosine sums are order-fixed (array fold) and rounded to 6 decimals
+  *    before compare/rank so engine-side summation order cannot flip the
+  *    driver's value hash.
+  */
+object DedupTextQueries extends QueryModule {
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopSql = stop.map(s => s"'$s'").mkString(", ")
+
+  override def queries: Map[String, QFn] = Map(
+    // Exact dedup census via content hash (hash-groupBy; one agg pass).
+    "q50_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2($"text", 256)).as("n_distinct"),
+        (count(lit(1)) - countDistinct(sha2($"text", 256))).as("n_exact_dups"))
+    }),
+
+    // Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.5.
+    "q51_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val toks = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+      val sh = toks.select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"))
+        .as("sh")).distinct()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val pairs = a.join(b, $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .withColumn("jaccard", $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+        .where($"jaccard" >= 0.5)
+        .select($"da", $"db", $"jaccard")
+    }),
+
+    // MinHash (32 perms) + LSH banding (8 bands × 4 rows): candidate
+    // near-dup pairs via band-bucket join — the 100 TB-safe dedup path.
+    // No SQL oracle (engine-specific 64-bit hash); properties are
+    // spec-tested against exact Jaccard in MinHashSpec.
+    "q52_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val toks = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+      val sh = toks.select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"))
+        .as("sh")).distinct()
+        .withColumn("h", xxhash64($"sh"))
+      // 32 universal-hash permutations h_i = (a_i*x + b_i) mod (2^31-1);
+      // modular form keeps every intermediate < 2^62 (ANSI-safe, no
+      // wrapping overflow, identical on any engine).
+      val perms = sh.select($"doc_id",
+          explode(expr(
+            """transform(sequence(0, 31), i ->
+              |  named_struct('perm', i,
+              |               'ph', pmod((40503L * i + 12345L) * pmod(h, 2147483647L)
+              |                          + 2971215073L * i + 1L, 2147483647L)))"""
+              .stripMargin)).as("p"))
+        .select($"doc_id", $"p.perm".as("perm"), $"p.ph".as("ph"))
+      val sig = perms.groupBy($"doc_id", $"perm").agg(min($"ph").as("mh"))
+        .withColumn("band", $"perm" % 8)
+      val bandSig = sig.groupBy($"doc_id", $"band")
+        .agg(xxhash64(concat_ws(",", sort_array(collect_list(
+          concat_ws(":", $"perm", $"mh"))))).as("band_key"))
+      bandSig.as("x").join(bandSig.as("y"),
+          $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("da"), $"y.doc_id".as("db")).distinct()
+    }),
+
+    // SimHash-64 signatures from token hashes (bitwise majority vote).
+    // No SQL oracle (engine-specific hash); spec-tested.
+    "q53_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val tok = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .withColumn("h", xxhash64($"tok"))
+      tok.select($"doc_id", explode(expr(
+          "transform(sequence(0, 63), j -> named_struct('j', j, 'w', CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END))"))
+          .as("b"))
+        .select($"doc_id", $"b.j".as("j"), $"b.w".as("w"))
+        .groupBy($"doc_id", $"j").agg(sum($"w").as("vote"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"vote" > 0, expr("shiftleft(1L, CAST(j AS INT))")).otherwise(0L))
+          .as("simhash"))
+    }),
+
+    // Brute-force cosine top-5 neighbors for query vectors (vec_id < 50).
+    // Query side broadcast; big side scanned once, never shuffled.
+    "q54_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      val q = broadcast(emb.where($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe")))
+      val dot = expr(
+        "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      val qn = expr(
+        "sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+      val en = expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+      val sims = q.join(emb, $"qid" =!= $"vec_id")
+        .select($"qid", $"vec_id",
+          round(dot / (qn * en), 6).as("cosine"))
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+      sims.withColumn("rn", row_number().over(w)).where($"rn" <= 5)
+        .select($"qid", $"vec_id", $"cosine", $"rn")
+    }),
+
+    // Language-ID heuristic: stopword share of tokens.
+    "q55_langid" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id",
+          (expr(s"size(filter(t, x -> x IN ($stopSql)))").cast("double") /
+            expr("size(t)")).as("stop_ratio"))
+        .withColumn("pred_lang", when($"stop_ratio" >= 0.05, "en").otherwise("und"))
+    }),
+
+    // Quality scoring: length / punctuation / stopword / token-length mix.
+    "q56_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text", split($"text", " ").as("t"))
+        .select($"doc_id",
+          length($"text").as("n_chars"),
+          expr("size(t)").as("n_tokens"),
+          (regexp_count($"text", lit("[^a-z0-9 ]")).cast("double") / length($"text"))
+            .as("punct_ratio"),
+          (expr(s"size(filter(t, x -> x IN ($stopSql)))").cast("double") /
+            expr("size(t)")).as("stop_ratio"),
+          (length($"text").cast("double") / expr("size(t)")).as("mean_tok_len"))
+        .withColumn("quality",
+          lit(0.4) * least($"n_tokens".cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - $"punct_ratio") +
+            lit(0.3) * least($"stop_ratio" * 10.0, lit(1.0)))
+    }),
+
+    // Token counting: whitespace vs BPE-ish regex segmentation.
+    "q57_token_count" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          size(split($"text", " ")).as("ws_tokens"),
+          regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("bpe_tokens"))
+    }),
+
+    // Document fingerprint: normalize → sha256 prefix (dataset-id style).
+    "q58_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+      graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", substring(sha2(norm, 256), 1, 16).as("fingerprint"))
+    }),
+
+    // Multimodal binary-column plumbing: opaque bytes + derived metadata.
+    // (Real decode is stubbed — see graft.multimodal.MultimodalPipeline.)
+    "q59_multimodal_bytes" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("bin"))
+        .select($"doc_id",
+          length($"bin").as("n_bytes"),
+          upper(substring(hex($"bin"), 1, 8)).as("magic"),
+          sha2($"bin", 256).as("content_sha"))
+    })
+  )
+
+  private val shingleSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM toks, (SELECT unnest(generate_series(1, 1000)) AS i) idx
+      |  WHERE i <= len(t) - 2)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q50_dedup_exact" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT sha256(text)) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_exact_dups
+        |FROM documents""".stripMargin,
+    "q51_ngram_jaccard" ->
+      s"""WITH $shingleSql,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db,
+         |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON da = sa.doc_id
+         |JOIN sizes sb ON db = sb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5""".stripMargin,
+    "q54_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
+        |sims AS (
+        |  SELECT qid, vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(qe, embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      6) AS cosine
+        |  FROM q JOIN embeddings ON qid <> vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM sims)
+        |SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    "q55_langid" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stop_ratio,
+         |  CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang
+         |FROM documents""".stripMargin,
+    "q56_quality_score" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stop_ratio,
+         |    CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_tok_len,
+         |  0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |  + 0.3 * (1.0 - punct_ratio)
+         |  + 0.3 * least(stop_ratio * 10.0, 1.0) AS quality
+         |FROM base""".stripMargin,
+    "q57_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "q58_fingerprint" ->
+      """SELECT doc_id,
+        |  substr(sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 16) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q59_multimodal_bytes" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  upper(substr(hex(encode(text)), 1, 8)) AS magic,
+        |  sha256(text) AS content_sha
+        |FROM documents""".stripMargin
+  )
+}

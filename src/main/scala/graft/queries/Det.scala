@@ -44,6 +44,17 @@ object Det {
     when(n > 1, greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0)))
   }
 
+  /** Higher-precision variants for small-magnitude values (returns). */
+  def dsum12(c: Column): Column = sum(c.cast(dec12)).cast("double")
+  def davg12(c: Column): Column = sum(c.cast(dec12)).cast("double") / count(c)
+
+  def dstddev12(c: Column): Column = {
+    val n = count(c).cast("double")
+    val sx = sum(c.cast(dec12)).cast("double")
+    val sx2 = sum((c * c).cast(DecimalType(38, 18))).cast("double")
+    when(n > 1, sqrt(greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0))))
+  }
+
   import org.apache.spark.sql.expressions.WindowSpec
 
   /** Window variants — exact decimal accumulation inside the frame. */
@@ -64,6 +75,14 @@ object Det {
   def sqlSum(x: String): String = s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
   def sqlAvg(x: String): String = s"(${sqlSum(x)} / COUNT($x))"
   def sqlSum12(x: String): String = s"CAST(SUM(CAST(($x) AS DECIMAL(38,12))) AS DOUBLE)"
+  def sqlAvg12(x: String): String = s"(${sqlSum12(x)} / COUNT($x))"
+  def sqlSum18(x: String): String = s"CAST(SUM(CAST(($x) AS DECIMAL(38,18))) AS DOUBLE)"
+  def sqlStddev12(x: String): String = {
+    val n = s"CAST(COUNT($x) AS DOUBLE)"
+    val sx = sqlSum12(x)
+    val sx2 = sqlSum18(s"($x)*($x)")
+    s"CASE WHEN COUNT($x) > 1 THEN sqrt(greatest(($n*$sx2 - $sx*$sx)/($n*($n-1.0)), 0.0)) END"
+  }
   def sqlStddev(x: String): String = {
     val n = s"CAST(COUNT($x) AS DOUBLE)"
     val sx = sqlSum(x)

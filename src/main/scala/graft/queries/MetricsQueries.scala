@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Det._
+
+/** Metrics/statistics operators from SURVEY.md §2.10:
+  * forecast regression metrics RMSE/sMAPE/DA (forcester_ts/metrics.py:39-212),
+  * Sharpe/Sortino (etl/portfolio_math.py:84-238), omega ratio (:540-851),
+  * fat-tail Kelly (:249-265, :1033-1082), PSI drift (etl/split_diagnostics
+  * .py:41-57), ACF (etl/time_series_analyzer.py:338-438), one/two-sample
+  * t-stats (etl/regime_detector.py:47-131), VaR backtest violations +
+  * Kupiec POF LR (forcester_ts/var_backtest.py:41-236).
+  *
+  * "Forecast" here is a rolling-mean-5 predictor over [[Bars]] so every
+  * metric has a closed-form DuckDB oracle; the real model kernels live in
+  * graft.forecast and are property-tested instead.
+  */
+object MetricsQueries extends QueryModule {
+
+  override def queries: Map[String, QFn] = Map(
+    // RMSE / sMAPE / 1-step directional accuracy of a rolling-mean forecast.
+    "q40_forecast_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val w5 = w.rowsBetween(-5, -1)
+      val pred = sum($"price".cast("decimal(38,6)")).over(w5).cast("double") /
+        count($"price").over(w5)
+      val prev = lag($"price", 1).over(w)
+      val base = Bars.of(s, dir)
+        .select($"ticker", $"price".as("actual"), pred.as("pred"), prev.as("prev"))
+        .where($"pred".isNotNull && $"prev".isNotNull)
+      val err = $"pred" - $"actual"
+      base.groupBy($"ticker").agg(
+        count(lit(1)).as("n"),
+        sqrt(davg12(err * err)).as("rmse"),
+        davg12(lit(2.0) * abs(err) / (abs($"pred") + abs($"actual"))).as("smape"),
+        davg(when(signum($"pred" - $"prev") === signum($"actual" - $"prev"), 1.0)
+          .otherwise(0.0)).as("da"))
+    }),
+
+    // Sharpe / Sortino / total return over 1-bar returns, annualized √252.
+    "q41_sharpe_sortino" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val ret = $"price" / lag($"price", 1).over(w) - 1
+      val base = Bars.of(s, dir)
+        .select($"ticker", ret.as("ret")).where($"ret".isNotNull)
+      val mu = davg12($"ret")
+      val sd = dstddev12($"ret")
+      val dn = dstddev12(when($"ret" < 0, $"ret").otherwise(lit(0.0)))
+      base.groupBy($"ticker").agg(
+        count(lit(1)).as("n"),
+        (mu / sd * sqrt(lit(252.0))).as("sharpe"),
+        (mu / dn * sqrt(lit(252.0))).as("sortino"),
+        dsum12($"ret").as("total_ret"))
+    }),
+
+    // Omega ratio at hurdle τ + fat-tail fractional Kelly (kurtosis dampener).
+    "q42_omega_kelly" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val tau = 0.0
+      val ret = $"price" / lag($"price", 1).over(w) - 1
+      val base = Bars.of(s, dir)
+        .select($"ticker", ret.as("r")).where($"r".isNotNull)
+      val n = count($"r").cast("double")
+      val sx = sum($"r".cast("decimal(38,12)")).cast("double")
+      val sx2 = sum(($"r" * $"r").cast("decimal(38,18)")).cast("double")
+      val sx3 = sum(($"r" * $"r" * $"r").cast("decimal(38,18)")).cast("double")
+      val sx4 = sum(($"r" * $"r" * $"r" * $"r").cast("decimal(38,18)")).cast("double")
+      val mean = sx / n
+      val m2 = sx2 / n - mean * mean
+      val m4 = sx4 / n - lit(4.0) * mean * sx3 / n +
+        lit(6.0) * mean * mean * sx2 / n - lit(3.0) * mean * mean * mean * mean
+      val kurt = m4 / (m2 * m2)
+      val kellyRaw = mean / m2
+      val damp = lit(1.0) / (lit(1.0) + greatest(kurt - 3.0, lit(0.0)) / lit(4.0))
+      base.groupBy($"ticker").agg(
+        (dsum12(greatest($"r" - tau, lit(0.0))) /
+          dsum12(greatest(lit(tau) - $"r", lit(0.0)))).as("omega"),
+        least(kellyRaw * damp * lit(0.5), lit(0.2)).as("kelly"))
+    }),
+
+    // PSI drift between chronological halves with fixed-width bins.
+    "q43_psi_drift" -> ((s, dir) => {
+      import s.implicits._
+      val eps = 1e-6
+      val binned = Bars.of(s, dir)
+        .withColumn("part", when($"ts" < lit("2024-01-16"), "train").otherwise("test"))
+        .withColumn("bin", floor($"price" / 50.0))
+      val counts = binned.groupBy($"ticker", $"bin").agg(
+        sum(when($"part" === "train", 1).otherwise(0)).as("n_train"),
+        sum(when($"part" === "test", 1).otherwise(0)).as("n_test"))
+      val tot = counts.groupBy($"ticker").agg(
+        sum($"n_train").as("t_train"), sum($"n_test").as("t_test"))
+      counts.join(tot, "ticker")
+        .withColumn("p", $"n_train".cast("double") / $"t_train" + eps)
+        .withColumn("q", $"n_test".cast("double") / $"t_test" + eps)
+        .groupBy($"ticker")
+        .agg(dsum12(($"p" - $"q") * log($"p" / $"q")).as("psi"))
+    }),
+
+    // ACF at lags 1/2/3 of the price series (Pearson on lag pairs).
+    "q44_acf" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val base = Bars.of(s, dir).select($"ticker", $"ts", $"seq", $"price",
+        lag($"price", 1).over(w).as("y1"),
+        lag($"price", 2).over(w).as("y2"),
+        lag($"price", 3).over(w).as("y3"))
+      def pearson(y: org.apache.spark.sql.Column) = {
+        val x = when(y.isNotNull, $"price")
+        val n = count(x).cast("double")
+        val sx = sum(x.cast("decimal(38,6)")).cast("double")
+        val sy = sum(y.cast("decimal(38,6)")).cast("double")
+        val sxy = sum((x * y).cast("decimal(38,9)")).cast("double")
+        val sx2 = sum((x * x).cast("decimal(38,9)")).cast("double")
+        val sy2 = sum((y * y).cast("decimal(38,9)")).cast("double")
+        (n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+      }
+      base.groupBy($"ticker").agg(
+        pearson($"y1").as("acf1"),
+        pearson($"y2").as("acf2"),
+        pearson($"y3").as("acf3"))
+    }),
+
+    // One-sample t-stat of returns vs 0 + two-sample t between halves.
+    "q45_ttest" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val ret = $"price" / lag($"price", 1).over(w) - 1
+      val base = Bars.of(s, dir)
+        .select($"ticker", $"ts", ret.as("r")).where($"r".isNotNull)
+        .withColumn("part", when($"ts" < lit("2024-01-16"), "a").otherwise("b"))
+      val rA = when($"part" === "a", $"r")
+      val rB = when($"part" === "b", $"r")
+      def m(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,12)")).cast("double") / count(c)
+      def v(c: org.apache.spark.sql.Column) = {
+        val n = count(c).cast("double")
+        val sx = sum(c.cast("decimal(38,12)")).cast("double")
+        val sx2 = sum((c * c).cast("decimal(38,18)")).cast("double")
+        (n * sx2 - sx * sx) / (n * (n - lit(1.0)))
+      }
+      base.groupBy($"ticker").agg(
+        (m($"r") / sqrt(v($"r") / count($"r"))).as("t_onesample"),
+        ((m(rA) - m(rB)) /
+          sqrt(v(rA) / count(rA) + v(rB) / count(rB))).as("t_twosample_welch"))
+    }),
+
+    // VaR violations at 95% (normal, rolling σ20) + Kupiec POF LR statistic.
+    "q46_var_backtest" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val ret = $"price" / lag($"price", 1).over(w) - 1
+      val w20 = Window.partitionBy($"ticker").orderBy($"ts", $"seq").rowsBetween(-20, -1)
+      val base = Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", ret.as("r"))
+        .withColumn("sigma", {
+          val c = $"r"
+          val n = count(c).over(w20).cast("double")
+          val sx = sum(c.cast("decimal(38,12)")).over(w20).cast("double")
+          val sx2 = sum((c * c).cast("decimal(38,18)")).over(w20).cast("double")
+          when(n > 1, sqrt(greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0))))
+        })
+        .where($"sigma".isNotNull && $"r".isNotNull)
+        .withColumn("violation", ($"r" < lit(-1.6448536269514722) * $"sigma").cast("int"))
+      val p = 0.05
+      base.groupBy($"ticker").agg(
+        count(lit(1)).as("n"),
+        sum($"violation").as("n_violations"),
+        {
+          val n = count(lit(1)).cast("double")
+          val x = sum($"violation").cast("double")
+          val pi = x / n
+          // x·ln(pi) and (n−x)·ln(1−pi) are 0 at the x=0 / x=n boundaries
+          // (lim t·ln t = 0) — guard so neither engine hits ln(0).
+          val tx = when(x === 0.0, lit(0.0)).otherwise(x * log(pi))
+          val tnx = when(n - x === 0.0, lit(0.0)).otherwise((n - x) * log(lit(1.0) - pi))
+          val lr = lit(-2.0) * ((n - x) * log(lit(1.0) - p) + x * log(lit(p))) +
+            lit(2.0) * (tnx + tx)
+          lr.as("kupiec_lr")
+        })
+    })
+  )
+
+  private val over = "PARTITION BY ticker ORDER BY ts, seq"
+
+  override def oracles: Map[String, String] = Map(
+    "q40_forecast_metrics" -> {
+      val f5 = "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING"
+      s"""${Bars.sql},
+         |aligned AS (
+         |  SELECT ticker,
+         |    price AS actual,
+         |    CAST(SUM(CAST(price AS DECIMAL(38,6))) OVER ($over $f5) AS DOUBLE)
+         |      / COUNT(price) OVER ($over $f5) AS pred,
+         |    lag(price, 1) OVER ($over) AS prev
+         |  FROM bars)
+         |SELECT ticker, COUNT(*) AS n,
+         |  sqrt(${sqlAvg12("(pred - actual)*(pred - actual)")}) AS rmse,
+         |  ${sqlAvg12("2.0 * abs(pred - actual) / (abs(pred) + abs(actual))")} AS smape,
+         |  ${sqlAvg("CASE WHEN sign(pred - prev) = sign(actual - prev) THEN 1.0 ELSE 0.0 END")} AS da
+         |FROM aligned WHERE pred IS NOT NULL AND prev IS NOT NULL
+         |GROUP BY ticker""".stripMargin
+    },
+    "q41_sharpe_sortino" ->
+      s"""${Bars.sql},
+         |rets AS (
+         |  SELECT ticker, price / lag(price, 1) OVER ($over) - 1 AS ret
+         |  FROM bars)
+         |SELECT ticker, COUNT(*) AS n,
+         |  ${sqlAvg12("ret")} / ${sqlStddev12("ret")} * sqrt(252.0) AS sharpe,
+         |  ${sqlAvg12("ret")} / ${sqlStddev12("CASE WHEN ret < 0 THEN ret ELSE 0.0 END")} * sqrt(252.0) AS sortino,
+         |  ${sqlSum12("ret")} AS total_ret
+         |FROM rets WHERE ret IS NOT NULL
+         |GROUP BY ticker""".stripMargin,
+    "q42_omega_kelly" -> {
+      val n = "CAST(COUNT(r) AS DOUBLE)"
+      val sx = sqlSum12("r")
+      val sx2 = sqlSum18("r*r")
+      val sx3 = sqlSum18("r*r*r")
+      val sx4 = sqlSum18("r*r*r*r")
+      val mean = s"($sx/$n)"
+      val m2 = s"($sx2/$n - $mean*$mean)"
+      val m4 = s"($sx4/$n - 4.0*$mean*$sx3/$n + 6.0*$mean*$mean*$sx2/$n - 3.0*$mean*$mean*$mean*$mean)"
+      s"""${Bars.sql},
+         |rets AS (
+         |  SELECT ticker, price / lag(price, 1) OVER ($over) - 1 AS r
+         |  FROM bars)
+         |SELECT ticker,
+         |  ${sqlSum12("greatest(r - 0.0, 0.0)")} / ${sqlSum12("greatest(0.0 - r, 0.0)")} AS omega,
+         |  least($mean / $m2 * (1.0 / (1.0 + greatest($m4/($m2*$m2) - 3.0, 0.0) / 4.0)) * 0.5, 0.2) AS kelly
+         |FROM rets WHERE r IS NOT NULL
+         |GROUP BY ticker""".stripMargin
+    },
+    "q43_psi_drift" ->
+      s"""${Bars.sql},
+         |binned AS (
+         |  SELECT ticker,
+         |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'train' ELSE 'test' END AS part,
+         |    floor(price / 50.0) AS bin
+         |  FROM bars),
+         |counts AS (
+         |  SELECT ticker, bin,
+         |    SUM(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS n_train,
+         |    SUM(CASE WHEN part = 'test' THEN 1 ELSE 0 END) AS n_test
+         |  FROM binned GROUP BY ticker, bin),
+         |tot AS (
+         |  SELECT ticker, SUM(n_train) AS t_train, SUM(n_test) AS t_test
+         |  FROM counts GROUP BY ticker),
+         |pq AS (
+         |  SELECT c.ticker,
+         |    CAST(n_train AS DOUBLE) / t_train + 1e-6 AS p,
+         |    CAST(n_test AS DOUBLE) / t_test + 1e-6 AS q
+         |  FROM counts c JOIN tot t ON c.ticker = t.ticker)
+         |SELECT ticker, ${sqlSum12("(p - q) * ln(p / q)")} AS psi
+         |FROM pq GROUP BY ticker""".stripMargin,
+    "q44_acf" -> {
+      def pearson(y: String): String = {
+        val x = s"CASE WHEN $y IS NOT NULL THEN price END"
+        val n = s"CAST(COUNT($x) AS DOUBLE)"
+        val sx = sqlSum(x)
+        val sy = sqlSum(y)
+        val sxy = s"CAST(SUM(CAST(($x)*($y) AS DECIMAL(38,9))) AS DOUBLE)"
+        val sx2 = s"CAST(SUM(CAST(($x)*($x) AS DECIMAL(38,9))) AS DOUBLE)"
+        val sy2 = s"CAST(SUM(CAST(($y)*($y) AS DECIMAL(38,9))) AS DOUBLE)"
+        s"($n*$sxy - $sx*$sy) / sqrt(($n*$sx2 - $sx*$sx) * ($n*$sy2 - $sy*$sy))"
+      }
+      s"""${Bars.sql},
+         |lagged AS (
+         |  SELECT ticker, price,
+         |    lag(price, 1) OVER ($over) AS y1,
+         |    lag(price, 2) OVER ($over) AS y2,
+         |    lag(price, 3) OVER ($over) AS y3
+         |  FROM bars)
+         |SELECT ticker,
+         |  ${pearson("y1")} AS acf1,
+         |  ${pearson("y2")} AS acf2,
+         |  ${pearson("y3")} AS acf3
+         |FROM lagged GROUP BY ticker""".stripMargin
+    },
+    "q45_ttest" -> {
+      def m(c: String) = s"(${sqlSum12(c)} / COUNT($c))"
+      def v(c: String) = {
+        val n = s"CAST(COUNT($c) AS DOUBLE)"
+        s"(($n*${sqlSum18(s"($c)*($c)")} - ${sqlSum12(c)}*${sqlSum12(c)}) / ($n*($n-1.0)))"
+      }
+      val rA = "CASE WHEN part = 'a' THEN r END"
+      val rB = "CASE WHEN part = 'b' THEN r END"
+      s"""${Bars.sql},
+         |rets AS (
+         |  SELECT ticker, ts, price / lag(price, 1) OVER ($over) - 1 AS r
+         |  FROM bars),
+         |parts AS (
+         |  SELECT ticker, r,
+         |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS part
+         |  FROM rets WHERE r IS NOT NULL)
+         |SELECT ticker,
+         |  ${m("r")} / sqrt(${v("r")} / COUNT(r)) AS t_onesample,
+         |  (${m(rA)} - ${m(rB)}) / sqrt(${v(rA)} / COUNT($rA) + ${v(rB)} / COUNT($rB)) AS t_twosample_welch
+         |FROM parts GROUP BY ticker""".stripMargin
+    },
+    "q46_var_backtest" -> {
+      val f20 = "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+      val n20 = s"COUNT(r) OVER ($over $f20)"
+      val sx20 = s"CAST(SUM(CAST(r AS DECIMAL(38,12))) OVER ($over $f20) AS DOUBLE)"
+      val sx220 = s"CAST(SUM(CAST(r*r AS DECIMAL(38,18))) OVER ($over $f20) AS DOUBLE)"
+      val sig = s"CASE WHEN $n20 > 1 THEN sqrt(greatest((CAST($n20 AS DOUBLE)*$sx220 - $sx20*$sx20) / (CAST($n20 AS DOUBLE)*(CAST($n20 AS DOUBLE)-1.0)), 0.0)) END"
+      s"""${Bars.sql},
+         |rets AS (
+         |  SELECT ticker, ts, seq, price / lag(price, 1) OVER ($over) - 1 AS r
+         |  FROM bars),
+         |sigd AS (
+         |  SELECT ticker, r, $sig AS sigma FROM rets),
+         |viol AS (
+         |  SELECT ticker,
+         |    CASE WHEN r < -1.6448536269514722 * sigma THEN 1 ELSE 0 END AS violation
+         |  FROM sigd WHERE sigma IS NOT NULL AND r IS NOT NULL)
+         |SELECT ticker, COUNT(*) AS n,
+         |  CAST(SUM(violation) AS BIGINT) AS n_violations,
+         |  -2.0 * ((CAST(COUNT(*) AS DOUBLE) - SUM(violation)) * ln(1.0 - 0.05) + SUM(violation) * ln(0.05))
+         |   + 2.0 * ((CASE WHEN COUNT(*) = SUM(violation) THEN 0.0
+         |             ELSE (CAST(COUNT(*) AS DOUBLE) - SUM(violation)) * ln(1.0 - CAST(SUM(violation) AS DOUBLE)/COUNT(*)) END)
+         |            + (CASE WHEN SUM(violation) = 0 THEN 0.0
+         |               ELSE SUM(violation) * ln(CAST(SUM(violation) AS DOUBLE)/COUNT(*)) END)) AS kupiec_lr
+         |FROM viol GROUP BY ticker""".stripMargin
+    }
+  )
+}
