@@ -1,0 +1,85 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Missing-data handling + leak-safe per-ticker normalization — rebuild of
+  * /root/reference/etl/preprocessor.py:
+  *  - handleMissing (:48-74): per-ticker causal forward fill (the live-mode
+  *    default forced by the pipeline, scripts/run_etl_pipeline.py:1402-1408),
+  *    optional backward fill for leading NaNs (research mode only), and
+  *    group-mean imputation for anything left.
+  *  - zscore fit/apply (:216-328): stats fitted on the TRAIN split only and
+  *    re-applied without refit to val/test (post-split normalization,
+  *    scripts/run_etl_pipeline.py:1463-1482). std==0 → 0 (not NaN/error).
+  *
+  * Scale design: ffill is `last(_, ignoreNulls)` over the per-ticker
+  * window — one shuffle by ticker shared by every filled column; z-score
+  * apply is a broadcast join of a tiny (nTickers × nCols) stats frame.
+  */
+object Preprocessor {
+
+  /** Causal forward fill per ticker; optionally backward-fill leading
+    * gaps (non-causal — research mode only), then group-mean impute. */
+  def handleMissing(
+      df: DataFrame,
+      cols: Seq[String],
+      backfill: Boolean = false,
+      groupMean: Boolean = true): DataFrame = {
+    val wAll = Window.partitionBy("ticker").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wFut = Window.partitionBy("ticker").orderBy("date")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val wGrp = Window.partitionBy("ticker")
+    cols.foldLeft(df) { (acc, c) =>
+      val ff = last(col(c), ignoreNulls = true).over(wAll)
+      val bf = if (backfill) coalesce(ff, first(col(c), ignoreNulls = true).over(wFut)) else ff
+      val gm = if (groupMean) coalesce(bf, avg(col(c)).over(wGrp)) else bf
+      acc.withColumn(c, gm)
+    }
+  }
+
+  /** Linear interpolation of interior gaps per ticker: previous and next
+    * non-null anchor values weighted by row distance (reference
+    * `interpolate` method option, etl/preprocessor.py:48-74). */
+  def interpolate(df: DataFrame, c: String): DataFrame = {
+    val w = Window.partitionBy("ticker").orderBy("date")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    val rn = row_number().over(w)
+    val df1 = df.withColumn("_rn", rn)
+    val prevVal = last(when(col(c).isNotNull, col(c)), ignoreNulls = true).over(wPrev)
+    val prevRn = last(when(col(c).isNotNull, col("_rn")), ignoreNulls = true).over(wPrev)
+    val nextVal = first(when(col(c).isNotNull, col(c)), ignoreNulls = true).over(wNext)
+    val nextRn = first(when(col(c).isNotNull, col("_rn")), ignoreNulls = true).over(wNext)
+    df1.withColumn(c,
+        when(col(c).isNotNull, col(c))
+          .when(prevVal.isNotNull && nextVal.isNotNull && nextRn =!= prevRn,
+            prevVal + (nextVal - prevVal) *
+              (col("_rn") - prevRn) / (nextRn - prevRn))
+          .otherwise(coalesce(col(c), prevVal, nextVal)))
+      .drop("_rn")
+  }
+
+  /** Fit per-ticker mean/std for `cols` — call on the TRAIN split only. */
+  def fitZScore(train: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      avg(col(c)).as(s"${c}__mean"),
+      stddev_samp(col(c)).as(s"${c}__std")))
+    train.groupBy("ticker").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Apply previously fitted stats (no refit — leak-safe). std==0 or
+    * null → 0.0, matching the reference's std==0→NaN→0 handling. */
+  def applyZScore(df: DataFrame, stats: DataFrame, cols: Seq[String]): DataFrame = {
+    val joined = df.join(broadcast(stats), Seq("ticker"), "left")
+    val out = cols.foldLeft(joined) { (acc, c) =>
+      val m = col(s"${c}__mean"); val sd = col(s"${c}__std")
+      acc.withColumn(c,
+        when(sd.isNull || sd === 0.0 || m.isNull, lit(0.0))
+          .otherwise((col(c) - m) / sd))
+    }
+    out.drop(cols.flatMap(c => Seq(s"${c}__mean", s"${c}__std")): _*)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.domain.QualityReport
+
+/** OHLCV validator — rebuild of the reference's predicate set
+  * (/root/reference/etl/data_validator.py:36-90: price positivity, volume
+  * non-negativity, per-column missing ratio vs threshold) plus the
+  * post-preprocess structural checks (etl/preprocessor.py:79-214:
+  * duplicate (ticker,date) keys, non-monotonic dates, non-finite values,
+  * residual NaNs, min-bar floor).
+  *
+  * Everything is ONE aggregation job over the frame (plus one windowed
+  * pass for monotonicity) — a full-scan report, the way a 100 TB table
+  * must be profiled. No collect of row-level data.
+  */
+object Validator {
+
+  val priceCols: Seq[String] = Seq("open", "high", "low", "close")
+
+  def validate(
+      df: DataFrame,
+      missingThreshold: Double = 0.05,
+      minBars: Int = 30): QualityReport = {
+    val w = Window.partitionBy("ticker").orderBy("date")
+    val nonFinite = priceCols
+      .map(c => sum(when(isnan(col(c)) || col(c) === Double.PositiveInfinity ||
+        col(c) === Double.NegativeInfinity, 1).otherwise(0)))
+      .reduce(_ + _)
+    val residualNulls = (priceCols :+ "volume")
+      .map(c => sum(when(col(c).isNull, 1).otherwise(0)))
+      .reduce(_ + _)
+    val nonPositive = priceCols
+      .map(c => sum(when(col(c) <= 0, 1).otherwise(0)))
+      .reduce(_ + _)
+    val missing = (priceCols :+ "volume")
+      .map(c => avg(col(c).isNull.cast("int")))
+      .reduce(_ + _) / (priceCols.size + 1)
+
+    val agged: Row = df
+      .withColumn("prev_date", lag(col("date"), 1).over(w))
+      .withColumn("key_cnt",
+        count(lit(1)).over(Window.partitionBy("ticker", "date")))
+      .withColumn("ticker_bars",
+        count(lit(1)).over(Window.partitionBy("ticker")))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("ticker")).as("n_tickers"),
+        sum(when(col("key_cnt") > 1, 1).otherwise(0)).as("n_dup"),
+        sum(when(col("prev_date").isNotNull && col("date") <= col("prev_date"), 1)
+          .otherwise(0)).as("n_nonmono"),
+        nonFinite.as("n_nonfinite"),
+        residualNulls.as("n_nulls"),
+        nonPositive.as("n_nonpos"),
+        sum(when(col("volume") < 0, 1).otherwise(0)).as("n_negvol"),
+        missing.as("missing_ratio"),
+        min(col("ticker_bars")).as("min_bars"))
+      .head()
+
+    // sums over an empty frame come back null — read defensively
+    def l(name: String): Long =
+      Option(agged.get(agged.fieldIndex(name))).map(_.asInstanceOf[Long]).getOrElse(0L)
+    def d(name: String): Double =
+      Option(agged.get(agged.fieldIndex(name))).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    val nRows = l("n_rows")
+    val report = QualityReport(
+      nRows = nRows,
+      nTickers = l("n_tickers"),
+      nDuplicateKeys = l("n_dup"),
+      nNonMonotonic = l("n_nonmono"),
+      nNonFinite = l("n_nonfinite"),
+      nResidualNulls = l("n_nulls"),
+      nNonPositivePrices = l("n_nonpos"),
+      nNegativeVolume = l("n_negvol"),
+      missingRatio = d("missing_ratio"),
+      status = "")
+    val fail = nRows == 0 || report.nDuplicateKeys > 0 || report.nNonMonotonic > 0 ||
+      report.nNonFinite > 0 || report.nNonPositivePrices > 0 ||
+      report.nNegativeVolume > 0 || l("min_bars") < minBars
+    val warn = report.missingRatio > missingThreshold || report.nResidualNulls > 0
+    report.copy(status = if (fail) "FAIL" else if (warn) "WARN" else "PASS")
+  }
+}

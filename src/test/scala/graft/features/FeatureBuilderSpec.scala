@@ -1,0 +1,93 @@
+package graft.features
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.SyntheticSource
+
+class FeatureBuilderSpec extends AnyFunSuite with TestSpark {
+
+  private lazy val bars = SyntheticSource
+    .generate(spark, Seq("AAPL", "MSFT"), nBars = 200, seed = 11).toDF().cache()
+  private lazy val feats = FeatureBuilder.build(bars, dropNa = false).cache()
+
+  test("lags and returns match hand-computed values") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = bars.where($"ticker" === "AAPL").orderBy("date")
+      .select("close").as[Double].collect()
+    val f = feats.where($"ticker" === "AAPL").orderBy("date")
+      .select("close_lag_1", "ret_1", "diff_1").collect()
+    assert(f(0).isNullAt(0))
+    (1 until a.length).foreach { i =>
+      assert(f(i).getDouble(0) === a(i - 1))
+      assert(math.abs(f(i).getDouble(1) - (a(i) / a(i - 1) - 1)) < 1e-12)
+      assert(math.abs(f(i).getDouble(2) - (a(i) - a(i - 1))) < 1e-12)
+    }
+  }
+
+  test("rolling mean over 5 matches a sliding average with min_periods=1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = bars.where($"ticker" === "MSFT").orderBy("date")
+      .select("close").as[Double].collect()
+    val f = feats.where($"ticker" === "MSFT").orderBy("date")
+      .select("roll_mean_5").as[Double].collect()
+    a.indices.foreach { i =>
+      val wnd = a.slice(math.max(0, i - 4), i + 1)
+      assert(math.abs(f(i) - wnd.sum / wnd.length) < 1e-9)
+    }
+  }
+
+  test("cross-sectional rank is a per-date percentile across tickers") {
+    val oneDate = feats.where(col("xsec_rank_ret5").isNotNull)
+      .groupBy("date").agg(min("xsec_rank_ret5").as("mn"), max("xsec_rank_ret5").as("mx"),
+        count(lit(1)).as("n"))
+      .where(col("n") === 2)
+    assert(oneDate.where(col("mn") =!= 0.0 || col("mx") =!= 1.0).isEmpty)
+  }
+
+  test("ATR is positive and drawdown non-positive") {
+    assert(feats.where(col("atr_14") < 0).isEmpty)
+    assert(feats.where(col("drawdown_60") > 1e-12).isEmpty)
+  }
+
+  test("cvar proxy equals exact quantile of the trailing window") {
+    val spark2 = spark
+    import spark2.implicits._
+    val r = feats.where($"ticker" === "AAPL").orderBy("date")
+      .select("ret_1", "cvar_95_60").collect()
+    val rets = r.map(x => if (x.isNullAt(0)) Double.NaN else x.getDouble(0))
+    (60 until r.length).foreach { i =>
+      val wnd = rets.slice(i - 59, i + 1).filterNot(_.isNaN).sorted
+      val idx = math.floor(0.05 * (wnd.length - 1)).toInt
+      assert(math.abs(r(i).getDouble(1) - math.abs(wnd(idx))) < 1e-12)
+    }
+  }
+
+  test("dropNa removes warmup rows only") {
+    val dropped = FeatureBuilder.build(bars, dropNa = true)
+    assert(dropped.where(col("ret_20").isNull).isEmpty)
+    assert(dropped.count() === bars.count() - 2 * 20)
+  }
+
+  test("macro as-of merge is causal (no future macro leaks)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val macroDf = Seq(
+      (Timestamp.valueOf("2024-01-05 00:00:00"), 1.0),
+      (Timestamp.valueOf("2024-01-20 00:00:00"), 2.0),
+      (Timestamp.valueOf("2030-01-01 00:00:00"), 99.0)) // beyond data → clipped
+      .toDF("date", "rate")
+    val merged = FeatureBuilder.mergeMacroAsOf(bars, macroDf, Seq("rate"))
+    assert(merged.where(col("date") < "2024-01-05" && col("rate").isNotNull).isEmpty)
+    assert(merged.where(col("date").between("2024-01-05", "2024-01-19 23:59:59")
+      && col("rate") =!= 1.0).isEmpty)
+    assert(merged.where(col("date") >= "2024-01-20" && col("rate") =!= 2.0).isEmpty)
+    assert(merged.where(col("rate") === 99.0).isEmpty)
+    assert(merged.count() === bars.count())
+  }
+}
