@@ -1,0 +1,93 @@
+package graft.forecast
+
+import breeze.linalg.{DenseMatrix, DenseVector, pinv}
+
+/** ARIMA-lite: differencing + AR(p) via OLS with an AIC order grid —
+  * the v1 stand-in for the reference's statsmodels SARIMAX stack
+  * (/root/reference/forcester_ts/sarimax.py:431-707 keeps the same
+  * SHAPE: stationarity-driven d, AIC-minimizing order search, fallback
+  * ladder to a drift model; full seasonal MLE is out of scope per
+  * SURVEY.md §7.5 risk 1).
+  */
+object Ar {
+
+  final case class Fit(p: Int, d: Int, intercept: Double, coefs: Array[Double],
+      sigma2: Double, aic: Double, n: Int)
+
+  /** Stationarity gate: difference once when the level series is
+    * near-unit-root, measured by lag-1 autocorrelation ρ₁ ≥ 0.95
+    * (stands in for the ADF gate, sarimax.py:225-270 — a random walk has
+    * ρ₁→1 while even a strongly autocorrelated stationary AR(0.8) stays
+    * well below the gate). */
+  def chooseD(x: Array[Double]): Int = {
+    if (x.length < 10) return 0
+    val m = x.sum / x.length
+    val denom = x.map(e => (e - m) * (e - m)).sum
+    if (denom <= 0) return 0
+    val num = (1 until x.length).map(i => (x(i) - m) * (x(i - 1) - m)).sum
+    if (num / denom >= 0.95) 1 else 0
+  }
+
+  def difference(x: Array[Double], d: Int): Array[Double] =
+    if (d == 0) x else difference(x.sliding(2).map(a => a(1) - a(0)).toArray, d - 1)
+
+  /** OLS AR(p) on a (stationary) series. */
+  def fitArP(x: Array[Double], p: Int, d: Int): Option[Fit] = {
+    val n = x.length - p
+    if (n <= p + 2) return None
+    val y = DenseVector(x.drop(p))
+    val xm = DenseMatrix.zeros[Double](n, p + 1)
+    (0 until n).foreach { i =>
+      xm(i, 0) = 1.0
+      (1 to p).foreach(j => xm(i, j) = x(p + i - j))
+    }
+    val beta = pinv(xm.t * xm) * (xm.t * y)
+    val resid = y - xm * beta
+    val sigma2 = math.max(1e-12, (resid.t * resid) / n.toDouble)
+    val k = p + 2.0 // intercept + p coefs + sigma
+    val ll = -0.5 * n * (math.log(2 * math.Pi * sigma2) + 1)
+    val aic = 2 * k - 2 * ll
+    Some(Fit(p, d, beta(0), beta.toArray.drop(1), sigma2, aic, n))
+  }
+
+  /** AIC grid over p=1..maxP at the chosen d; drift-model fallback when
+    * every candidate fails (the reference's fallback ladder shape). */
+  def fit(series: Array[Double], maxP: Int = 5): Fit = {
+    val d = chooseD(series)
+    val x = difference(series, d)
+    val candidates = (1 to math.min(maxP, x.length / 4)).flatMap(p => fitArP(x, p, d))
+    candidates.sortBy(_.aic).headOption.getOrElse {
+      val mean = if (x.isEmpty) 0.0 else x.sum / x.length
+      val v = if (x.length > 1) x.map(e => (e - mean) * (e - mean)).sum / (x.length - 1) else 1e-8
+      Fit(0, d, mean, Array.empty, math.max(v, 1e-12), Double.MaxValue, x.length)
+    }
+  }
+
+  /** Recursive h-step forecast on the ORIGINAL scale, with normal CIs
+    * whose width grows with cumulative forecast variance. */
+  def forecast(series: Array[Double], fit: Fit, horizon: Int, z: Double = 1.959963984540054)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val x = difference(series, fit.d)
+    val hist = scala.collection.mutable.ArrayBuffer(x.toSeq: _*)
+    val diffPreds = (1 to horizon).map { _ =>
+      val pred = fit.intercept + fit.coefs.zipWithIndex.map { case (c, j) =>
+        c * hist(hist.length - 1 - j)
+      }.sum
+      hist += pred
+      pred
+    }.toArray
+    // integrate back to levels
+    val levels = new Array[Double](horizon)
+    var lastLevel = series.last
+    diffPreds.zipWithIndex.foreach { case (dp, i) =>
+      lastLevel = if (fit.d == 0) dp else lastLevel + dp
+      levels(i) = lastLevel
+    }
+    // cumulative variance for d=1 (random-walk-style widening); flat for d=0
+    val se = (1 to horizon).map { h =>
+      if (fit.d == 0) math.sqrt(fit.sigma2) else math.sqrt(fit.sigma2 * h)
+    }.toArray
+    (levels, levels.zip(se).map { case (m, s) => m - z * s },
+      levels.zip(se).map { case (m, s) => m + z * s })
+  }
+}

@@ -1,0 +1,89 @@
+package graft.forecast
+
+import breeze.linalg.{svd, DenseMatrix, DenseVector}
+
+/** Singular Spectrum Analysis — rebuild of the reference's SAMoSSA core
+  * (/root/reference/forcester_ts/samossa.py:55-612): Hankel trajectory
+  * matrix (:116-134), truncated SVD with variance-target auto rank
+  * (:135-169), diagonal-averaging reconstruction (:185-197), recurrent
+  * R-forecast (:485-556).
+  *
+  * Series per ticker are small (≤ a few thousand points), so the SVD is
+  * a tiny dense problem inside the per-ticker kernel — the distribution
+  * axis is tickers, not the matrix.
+  */
+object Ssa {
+
+  final case class Decomposition(window: Int, rank: Int,
+      reconstruction: Array[Double], explainedVariance: Double)
+
+  def hankel(x: Array[Double], window: Int): DenseMatrix[Double] = {
+    val k = x.length - window + 1
+    DenseMatrix.tabulate(window, k)((i, j) => x(i + j))
+  }
+
+  /** Rank-r SSA reconstruction, r chosen to reach `varianceTarget` of
+    * the squared singular-value mass. */
+  def decompose(x: Array[Double], window: Int, varianceTarget: Double = 0.90): Decomposition = {
+    require(window >= 2 && window < x.length, s"bad SSA window $window for n=${x.length}")
+    val h = hankel(x, window)
+    val s = svd(h)
+    val ev = s.S.toArray.map(v => v * v)
+    val total = ev.sum
+    val rank = {
+      var acc = 0.0; var r = 0
+      while (r < ev.length && acc / total < varianceTarget) { acc += ev(r); r += 1 }
+      math.max(1, r)
+    }
+    // low-rank trajectory matrix
+    val u = s.U(::, 0 until rank)
+    val vt = s.Vt(0 until rank, ::)
+    val sv = DenseVector(s.S.toArray.take(rank))
+    val approx = u * breeze.linalg.diag(sv) * vt
+    // diagonal averaging back to a series
+    val n = x.length
+    val recon = new Array[Double](n)
+    val counts = new Array[Int](n)
+    (0 until approx.rows).foreach { i =>
+      (0 until approx.cols).foreach { j =>
+        recon(i + j) += approx(i, j)
+        counts(i + j) += 1
+      }
+    }
+    (0 until n).foreach(i => recon(i) /= counts(i))
+    Decomposition(window, rank, recon,
+      ev.take(rank).sum / math.max(total, 1e-300))
+  }
+
+  /** Recurrent SSA forecast: the last window row is projected through
+    * the linear recurrence implied by the leading eigenvectors
+    * (standard SSA R-forecasting). */
+  def forecast(x: Array[Double], horizon: Int, window: Int, varianceTarget: Double = 0.90)
+      : Array[Double] = {
+    val h = hankel(x, window)
+    val s = svd(h)
+    val ev = s.S.toArray.map(v => v * v)
+    val total = math.max(ev.sum, 1e-300)
+    var acc = 0.0; var rank = 0
+    while (rank < ev.length && acc / total < varianceTarget) { acc += ev(rank); rank += 1 }
+    rank = math.max(1, math.min(rank, window - 1))
+    // recurrence coefficients from leading left singular vectors
+    val pi = DenseVector((0 until rank).map(c => s.U(window - 1, c)).toArray)
+    val nu2 = pi.t * pi
+    if (nu2 >= 1.0 - 1e-9) {
+      // degenerate (verticality ~1): fall back to last-value forecast
+      return Array.fill(horizon)(x.last)
+    }
+    val uHead = s.U(0 until window - 1, 0 until rank)
+    val rCoef = (uHead * pi) * (1.0 / (1.0 - nu2)) // length window-1, oldest→newest
+    val recon = decompose(x, window, varianceTarget).reconstruction
+    val hist = scala.collection.mutable.ArrayBuffer(recon.toSeq: _*)
+    (1 to horizon).map { _ =>
+      val next = (0 until window - 1).map { j =>
+        rCoef(j) * hist(hist.length - (window - 1) + j)
+      }.sum
+      hist += next
+      next
+    }.toArray
+  }
+}

@@ -1,0 +1,154 @@
+package graft.forecast
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.SyntheticSource
+
+class ForecastSpec extends AnyFunSuite with TestSpark {
+
+  test("EWMA variance path matches the closed-form weighted sum") {
+    val rng = new Random(1)
+    val r = Array.fill(200)(rng.nextGaussian() * 0.01)
+    val path = Ewma.variancePath(r, 0.94)
+    // closed form: σ²_t = λ^{t-1} r²_1 + (1−λ) Σ_{i=2..t} λ^{t-i} r²_i
+    val t = r.length - 1
+    val closed = math.pow(0.94, t) * r(0) * r(0) +
+      (1 to t).map(i => 0.06 * math.pow(0.94, t - i) * r(i) * r(i)).sum
+    assert(math.abs(path.last - closed) < 1e-15)
+    assert(Ewma.forecastVol(r, 5).forall(_ == math.sqrt(path.last)))
+  }
+
+  test("GARCH(1,1) MLE recovers parameters from a simulated GARCH series") {
+    val rng = new Random(7)
+    val (om, al, be) = (2e-6, 0.10, 0.85)
+    var h = om / (1 - al - be)
+    val r = Array.fill(4000) {
+      val e = rng.nextGaussian()
+      val x = math.sqrt(h) * e
+      h = om + al * x * x + be * h
+      x
+    }
+    val fit = Garch.fit(r)
+    assert(!fit.usedEwma, "MLE should beat the EWMA fallback on true GARCH data")
+    assert(fit.persistence < 1.0)
+    assert(math.abs(fit.alpha - al) < 0.06, s"alpha=${fit.alpha}")
+    assert(math.abs(fit.beta - be) < 0.10, s"beta=${fit.beta}")
+    val vol = Garch.forecastVol(r, fit, 10)
+    assert(vol.forall(v => v > 0 && v < 0.2))
+  }
+
+  test("GARCH falls back to EWMA on short samples") {
+    val r = Array.fill(20)(0.01)
+    val fit = Garch.fit(r)
+    assert(fit.usedEwma)
+  }
+
+  test("AR fit recovers a strong AR(1) coefficient and forecasts sanely") {
+    val rng = new Random(3)
+    val phi = 0.8
+    var prev = 0.0
+    val x = Array.fill(1000) { prev = phi * prev + rng.nextGaussian(); prev }
+      .map(_ + 50) // shift to a level
+    val fit = Ar.fit(x)
+    assert(fit.p >= 1)
+    assert(math.abs(fit.coefs(0) - phi) < 0.1, s"phi=${fit.coefs(0)}")
+    val (fc, lo, hi) = Ar.forecast(x, fit, 5)
+    assert(fc.length == 5 && lo.zip(hi).forall { case (a, b) => a < b })
+  }
+
+  test("AR differencing triggers on a random walk, not on white noise") {
+    val rng = new Random(9)
+    val rw = Array.iterate(100.0, 500)(p => p + rng.nextGaussian())
+    assert(Ar.chooseD(rw) === 1)
+    val wn = Array.fill(500)(rng.nextGaussian())
+    assert(Ar.chooseD(wn) === 0)
+  }
+
+  test("SSA reconstructs and extrapolates a noiseless sine accurately") {
+    val x = Array.tabulate(200)(i => math.sin(2 * math.Pi * i / 25.0) + 5)
+    // the +5 offset component holds >90% of the spectral mass, so the
+    // rank target must be tight enough to keep the sine pair too
+    val dec = Ssa.decompose(x, window = 50, varianceTarget = 0.999999)
+    val maxErr = x.zip(dec.reconstruction).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 1e-8, s"reconstruction err $maxErr")
+    assert(dec.explainedVariance > 0.9999)
+    val fc = Ssa.forecast(x, horizon = 25, window = 50, varianceTarget = 0.999999)
+    val expected = Array.tabulate(25)(h => math.sin(2 * math.Pi * (200 + h) / 25.0) + 5)
+    val fcErr = fc.zip(expected).map { case (a, b) => math.abs(a - b) }.max
+    assert(fcErr < 1e-6, s"forecast err $fcErr")
+  }
+
+  test("regime detector separates trending from crisis series") {
+    val rng = new Random(5)
+    val trendy = Array.iterate(100.0, 300)(p => p * 1.003 + rng.nextGaussian() * 0.05)
+    assert(Set("STRONG_TRENDING", "MODERATE_TRENDING")
+      .contains(RegimeDetector.detect(trendy).regime))
+    val wild = Array.iterate(100.0, 300)(p =>
+      math.max(1.0, p * (1 + rng.nextGaussian() * 0.06 +
+        (if (rng.nextDouble() < 0.03) -0.2 else 0.0))))
+    val r = RegimeDetector.detect(wild)
+    assert(Set("CRISIS", "HIGH_VOLATILITY").contains(r.regime), r.regime)
+  }
+
+  test("ensemble normalizes weights, floors dust, prefers diversity") {
+    val w = Ensemble.normalize(Map("A" -> 0.9, "B" -> 0.08, "C" -> 0.02))
+    assert(!w.contains("C") && math.abs(w.values.sum - 1.0) < 1e-12)
+    val sel = Ensemble.select(
+      Seq(Ensemble.Candidate("solo", Map("A" -> 1.0)),
+        Ensemble.Candidate("duo", Map("A" -> 0.6, "B" -> 0.4))),
+      confidence = Map("A" -> 0.8, "B" -> 0.75))
+    assert(sel.candidate.name === "duo") // within tolerance of solo score
+    val blended = Ensemble.blend(
+      Map("A" -> Array(1.0, Double.NaN), "B" -> Array(3.0, 3.0)),
+      Map("A" -> 0.5, "B" -> 0.5))
+    assert(blended(0) === 2.0 && blended(1) === 3.0) // NaN-aware renorm
+  }
+
+  test("Monte Carlo is seed-deterministic with sane bands") {
+    val fc = Array(101.0, 102.0, 103.0)
+    val vol = Array(0.01, 0.01, 0.01)
+    val a = MonteCarlo.simulate(100.0, fc, vol, nPaths = 500, seed = 42)
+    val b = MonteCarlo.simulate(100.0, fc, vol, nPaths = 500, seed = 42)
+    assert(a.expected.sameElements(b.expected) && a.probUp === b.probUp)
+    (0 until 3).foreach { h =>
+      assert(a.p05(h) < a.median(h) && a.median(h) < a.p95(h))
+    }
+    assert(a.probUp > 0.5) // upward drift path
+  }
+
+  test("engine runs distributed per ticker and beats the random walk on trending data") {
+    val bars = SyntheticSource.generate(spark, Seq("T1", "T2", "T3"), 260, seed = 21).toDF()
+    val cfg = ForecastEngine.Config(horizon = 5, mcPaths = 100)
+    // holdout: fit on first 255, evaluate on last 5
+    val spark2 = spark
+    import spark2.implicits._
+    val perTicker = bars.select("ticker", "date", "close").as[(String, java.sql.Timestamp, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime).map(_._3)).toMap
+    val train = perTicker.view.mapValues(_.take(255)).toMap
+    val actual = perTicker.view.mapValues(_.takeRight(5)).toMap
+
+    // distributed run over the training prefix
+    val trainBars = bars.as[graft.domain.Bar].groupByKey(_.ticker)
+      .flatMapGroups((_, rows) => rows.toArray.sortBy(_.date.getTime).take(255).iterator)
+      .toDF()
+    val fc = ForecastEngine.fitForecast(trainBars, cfg)
+      .where($"model" === "ENSEMBLE").collect()
+    assert(fc.map(_.ticker).distinct.length === 3)
+    val rmse = fc.groupBy(_.ticker).map { case (t, rows) =>
+      val pred = rows.sortBy(_.horizonStep).map(_.forecast)
+      math.sqrt(pred.zip(actual(t)).map { case (p, a) => (p - a) * (p - a) }.sum / 5)
+    }
+    val rwRmse = actual.map { case (t, a) =>
+      val last = train(t).last
+      math.sqrt(a.map(x => (x - last) * (x - last)).sum / 5)
+    }
+    // ensemble should be in the same league as (not catastrophically worse
+    // than) the random-walk baseline on GBM-ish data — the reference pins
+    // the same kind of bound (test_forecaster_vs_random_walk_baseline.py)
+    assert(rmse.sum <= rwRmse.sum * 2.0, s"ensemble=${rmse.sum} rw=${rwRmse.sum}")
+    fc.foreach(r => assert(r.probUp >= 0 && r.probUp <= 1))
+  }
+}
