@@ -19,7 +19,10 @@ object SparkEntry {
     AggQueries,
     JoinQueries,
     MetricsQueries,
-    DedupTextQueries
+    DedupTextQueries,
+    TradeQueries,
+    StreamQueries,
+    KernelQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent forms of the streaming semantics in SURVEY.md §2.13,
+  * DuckDB-oracled here; the live Structured Streaming path (readStream +
+  * watermark + flatMapGroupsWithState) lives in graft.streaming and is
+  * spec-tested with MemoryStream.
+  *
+  *  - q60: sliding event-time window aggregation (1h window, 30min slide)
+  *    — the rolling-history aggregate of real_time_extractor.py:115-179
+  *  - q61: same-bar dedup gate (run_auto_trader.py:3970-3990) —
+  *    keep-first per (user, bucket), i.e. dropDuplicates semantics made
+  *    deterministic via row_number
+  *  - q62: volatility-spike alert (real_time_extractor.py:289-333):
+  *    |Δprice| > k·rolling σ over the prior 20 ticks
+  */
+object StreamQueries extends QueryModule {
+
+  override def queries: Map[String, QFn] = Map(
+    "q60_sliding_window" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_value"))
+        .select($"w.start".as("ws"), $"w.end".as("we"), $"event_type", $"n", $"sum_value")
+    }),
+
+    "q61_dedup_gate" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = (floor(unix_timestamp($"ts") / 1800) * 1800).cast("long")
+      val w = Window.partitionBy($"user_id", $"bucket").orderBy($"ts", $"event_id")
+      graft.Tables.load(s, dir, "events")
+        .withColumn("bucket", bucket)
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"bucket", $"event_id".as("first_event"))
+    }),
+
+    "q62_vol_alert" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      val w20 = w.rowsBetween(-20, -1)
+      val delta = $"value" - lag($"value", 1).over(w)
+      val n = count($"value").over(w20).cast("double")
+      val sx = sum($"value".cast("decimal(38,6)")).over(w20).cast("double")
+      val sx2 = sum(($"value" * $"value").cast("decimal(38,9)")).over(w20).cast("double")
+      val sigma = when(n > 1,
+        sqrt(greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0))))
+      graft.Tables.load(s, dir, "events")
+        .select($"event_type", $"ts", $"event_id", $"value",
+          delta.as("delta"), sigma.as("sigma"))
+        .where($"delta".isNotNull && $"sigma".isNotNull && $"sigma" > 0 &&
+          abs($"delta") > lit(2.0) * $"sigma")
+        .select($"event_type", $"event_id", $"delta", $"sigma")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q60_sliding_window" ->
+      s"""WITH exploded AS (
+         |  SELECT event_type, value,
+         |    CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800 AS ws_epoch
+         |  FROM events, (SELECT unnest([0, 1]) AS k) ks)
+         |SELECT CAST(to_timestamp(ws_epoch) AS TIMESTAMP) AS ws,
+         |  CAST(to_timestamp(ws_epoch + 3600) AS TIMESTAMP) AS we,
+         |  event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum("value")} AS sum_value
+         |FROM exploded GROUP BY 1, 2, 3""".stripMargin,
+    "q61_dedup_gate" ->
+      """WITH bucketed AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS bucket,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, CAST(floor(epoch(ts) / 1800) AS BIGINT)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, bucket, event_id AS first_event
+        |FROM bucketed WHERE rn = 1""".stripMargin,
+    "q62_vol_alert" -> {
+      val over = "PARTITION BY event_type ORDER BY ts, event_id"
+      val f = "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+      val n = s"COUNT(value) OVER ($over $f)"
+      val sx = s"CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER ($over $f) AS DOUBLE)"
+      val sx2 = s"CAST(SUM(CAST(value*value AS DECIMAL(38,9))) OVER ($over $f) AS DOUBLE)"
+      s"""WITH lagged AS (
+         |  SELECT event_type, event_id, ts, value,
+         |    value - lag(value, 1) OVER ($over) AS delta,
+         |    CASE WHEN $n > 1 THEN sqrt(greatest(
+         |      (CAST($n AS DOUBLE)*$sx2 - $sx*$sx)
+         |        / (CAST($n AS DOUBLE)*(CAST($n AS DOUBLE)-1.0)), 0.0)) END AS sigma
+         |  FROM events)
+         |SELECT event_type, event_id, delta, sigma
+         |FROM lagged
+         |WHERE delta IS NOT NULL AND sigma IS NOT NULL AND sigma > 0
+         |  AND abs(delta) > 2.0 * sigma""".stripMargin
+    }
+  )
+}

