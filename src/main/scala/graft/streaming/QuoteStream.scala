@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming rebuild of the reference's quasi-stream
+  * (/root/reference/etl/real_time_extractor.py:58-393 poll-loop +
+  * rolling history + volatility alerts; scripts/run_auto_trader.py:
+  * 3970-3990 same-bar dedup gate).
+  *
+  * Design: event-time processing with watermarks (the poll model of the
+  * reference cannot be late; a real feed can, so late data is bounded
+  * explicitly); per-ticker alert state is an EWMA variance — O(1) state
+  * per key, which is what lets a 1000-executor cluster hold millions of
+  * keys in the state store.
+  */
+object QuoteStream {
+
+  final case class Quote(ticker: String, ts: java.sql.Timestamp, price: Double)
+  final case class Alert(ticker: String, ts: java.sql.Timestamp,
+      price: Double, ret: Double, sigma: Double)
+
+  /** EWMA variance + last price per ticker (λ as in graft.forecast.Ewma). */
+  final case class VolState(lastPrice: Double, ewmaVar: Double, nObs: Long)
+
+  /** Same-bar dedup gate: one row per (ticker, bar), late data bounded
+    * by the watermark (dropDuplicates keeps the first arrival). */
+  def barGate(quotes: DataFrame, watermark: String = "10 minutes",
+      barSeconds: Int = 60): DataFrame =
+    quotes
+      .withColumn("bar_ts",
+        (floor(unix_timestamp(col("ts")) / barSeconds) * barSeconds)
+          .cast("timestamp"))
+      .withWatermark("bar_ts", watermark)
+      .dropDuplicates("ticker", "bar_ts")
+
+  /** Sliding event-time window aggregation over the quote stream. */
+  def slidingStats(quotes: DataFrame, window_ : String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    quotes.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("ticker"))
+      .agg(count(lit(1)).as("n"), avg(col("price")).as("mean_price"),
+        stddev_samp(col("price")).as("std_price"))
+
+  /** Per-ticker volatility-spike alerting with explicit EWMA state via
+    * flatMapGroupsWithState — emits when |return| > k·σ_prev. */
+  def volAlerts(quotes: Dataset[Quote], k: Double = 3.0, lambda: Double = 0.94,
+      minObs: Int = 10): Dataset[Alert] = {
+    val spark = quotes.sparkSession
+    import spark.implicits._
+    quotes.groupByKey(_.ticker)
+      .flatMapGroupsWithState[VolState, Alert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (ticker: String, rows: Iterator[Quote], state: GroupState[VolState]) =>
+          // event-time order within the batch (micro-batches preserve
+          // per-key grouping, not order)
+          val sorted = rows.toArray.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(VolState(Double.NaN, 0.0, 0L))
+          val alerts = scala.collection.mutable.ArrayBuffer.empty[Alert]
+          sorted.foreach { q =>
+            if (!st.lastPrice.isNaN && st.lastPrice != 0) {
+              val r = q.price / st.lastPrice - 1
+              val sigmaPrev = math.sqrt(st.ewmaVar)
+              if (st.nObs >= minObs && sigmaPrev > 0 && math.abs(r) > k * sigmaPrev)
+                alerts += Alert(ticker, q.ts, q.price, r, sigmaPrev)
+              val v = if (st.nObs == 0) r * r
+                else lambda * st.ewmaVar + (1 - lambda) * r * r
+              st = VolState(q.price, v, st.nObs + 1)
+            } else st = st.copy(lastPrice = q.price)
+          }
+          state.update(st)
+          alerts.iterator
+      }
+  }
+}

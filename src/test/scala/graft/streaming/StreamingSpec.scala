@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.QuoteStream.Quote
+
+class StreamingSpec extends AnyFunSuite with TestSpark {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("bar gate deduplicates same-bar quotes, keeping one per (ticker, bar)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Quote]
+    val gated = QuoteStream.barGate(input.toDF())
+    val q = gated.writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Quote("A", ts(0, 1), 100), Quote("A", ts(0, 30), 101), // same bar
+        Quote("A", ts(1, 2), 102),                             // next bar
+        Quote("B", ts(0, 5), 50))
+      q.processAllAvailable()
+      val rows = spark.table("gate_out").collect()
+      assert(rows.length === 3)
+      // keep-first semantics: bar 10:00 for A kept the 100 quote
+      val aBar0 = spark.table("gate_out")
+        .where(col("ticker") === "A" && minute(col("bar_ts")) === 0).head()
+      assert(aBar0.getAs[Double]("price") === 100.0)
+    } finally q.stop()
+  }
+
+  test("sliding window stats aggregate the stream by event time") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Quote]
+    val agg = QuoteStream.slidingStats(input.toDF())
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      input.addData((0 until 20).map(i => Quote("A", ts(i), 100 + i)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.nonEmpty)
+      // a 10-minute window sliding by 5 covers each quote twice
+      val totalN = rows.map(_.getAs[Long]("n")).sum
+      assert(totalN === 40)
+    } finally q.stop()
+  }
+
+  test("vol alerts fire on a spike and stay quiet on calm data") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Quote]
+    val alerts = QuoteStream.volAlerts(input.toDS(), k = 3.0)
+    val q = alerts.writeStream.format("memory").queryName("alerts_out")
+      .outputMode("append").start()
+    try {
+      // calm phase: tiny oscillation builds EWMA state
+      val calm = (0 until 30).map(i =>
+        Quote("A", ts(i), 100 + 0.01 * (i % 2)))
+      input.addData(calm: _*)
+      q.processAllAvailable()
+      assert(spark.table("alerts_out").isEmpty)
+      // spike: +5% jump after ~0.01% moves
+      input.addData(Quote("A", ts(31), 105.0))
+      q.processAllAvailable()
+      val out = spark.table("alerts_out").collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[String]("ticker") === "A")
+      assert(out.head.getAs[Double]("ret") > 0.04)
+      // state persists across batches: follow-up calm quote, no new alert
+      input.addData(Quote("A", ts(32), 105.0))
+      q.processAllAvailable()
+      assert(spark.table("alerts_out").count() === 1)
+    } finally q.stop()
+  }
+}
