@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
 object Bars {
   def of(s: SparkSession, dir: String): DataFrame =
     graft.Tables.load(s, dir, "events")
+      // zero prices would divide-by-zero every return expression under
+      // ANSI mode (sf0.1 contains a handful) — excluded on BOTH sides
+      .where(col("value") =!= 0)
       .select(
         col("event_type").as("ticker"),
         col("ts"),
@@ -28,6 +31,6 @@ object Bars {
     """WITH bars AS (
       |  SELECT event_type AS ticker, ts, event_id AS seq, value AS price,
       |         date_trunc('day', ts) AS day
-      |  FROM events
+      |  FROM events WHERE value <> 0
       |)""".stripMargin
 }

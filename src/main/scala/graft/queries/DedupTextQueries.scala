@@ -68,21 +68,24 @@ object DedupTextQueries extends QueryModule {
         .as("sh")).distinct()
         .withColumn("h", xxhash64($"sh"))
       // 32 universal-hash permutations h_i = (a_i*x + b_i) mod (2^31-1);
-      // modular form keeps every intermediate < 2^62 (ANSI-safe, no
-      // wrapping overflow, identical on any engine).
-      val perms = sh.select($"doc_id",
-          explode(expr(
-            """transform(sequence(0, 31), i ->
-              |  named_struct('perm', i,
-              |               'ph', pmod((40503L * i + 12345L) * pmod(h, 2147483647L)
-              |                          + 2971215073L * i + 1L, 2147483647L)))"""
-              .stripMargin)).as("p"))
-        .select($"doc_id", $"p.perm".as("perm"), $"p.ph".as("ph"))
-      val sig = perms.groupBy($"doc_id", $"perm").agg(min($"ph").as("mh"))
-        .withColumn("band", $"perm" % 8)
-      val bandSig = sig.groupBy($"doc_id", $"band")
-        .agg(xxhash64(concat_ws(",", sort_array(collect_list(
-          concat_ws(":", $"perm", $"mh"))))).as("band_key"))
+      // modular form keeps every intermediate < 2^62 (ANSI-safe). The
+      // signature is 32 MIN aggregates over ONE shuffle — no 32× row
+      // explosion (that costs ~5× wall time at sf0.1).
+      val minAggs = (0 until 32).map { i =>
+        min(expr(
+          s"pmod((40503L * $i + 12345L) * pmod(h, 2147483647L) + 2971215073L * $i + 1L, 2147483647L)"))
+          .as(s"mh_$i")
+      }
+      val sig = sh.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+      // 8 bands × 4 rows: one hashed key per band
+      val banded = sig.select(($"doc_id" +: (0 until 8).map { b =>
+        xxhash64(concat_ws(":",
+          (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*)).as(s"band_$b")
+      }): _*)
+      val bandSig = banded.select($"doc_id", explode(array(
+        (0 until 8).map(b => struct(lit(b).as("band"), col(s"band_$b").as("band_key"))): _*))
+        .as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
       bandSig.as("x").join(bandSig.as("y"),
           $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" &&
             $"x.doc_id" < $"y.doc_id")
@@ -90,20 +93,23 @@ object DedupTextQueries extends QueryModule {
     }),
 
     // SimHash-64 signatures from token hashes (bitwise majority vote).
+    // 64 SUM aggregates over ONE shuffle — no 64× row explosion (the
+    // exploded form cost 11s at sf0.1; this runs in ~1s).
     // No SQL oracle (engine-specific hash); spec-tested.
     "q53_simhash" -> ((s, dir) => {
       import s.implicits._
       val tok = graft.Tables.load(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
         .withColumn("h", xxhash64($"tok"))
-      tok.select($"doc_id", explode(expr(
-          "transform(sequence(0, 63), j -> named_struct('j', j, 'w', CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END))"))
-          .as("b"))
-        .select($"doc_id", $"b.j".as("j"), $"b.w".as("w"))
-        .groupBy($"doc_id", $"j").agg(sum($"w").as("vote"))
-        .groupBy($"doc_id")
-        .agg(sum(when($"vote" > 0, expr("shiftleft(1L, CAST(j AS INT))")).otherwise(0L))
-          .as("simhash"))
+      val voteAggs = (0 until 64).map { j =>
+        sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as(s"v_$j")
+      }
+      tok.groupBy($"doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+        .select($"doc_id",
+          (0 until 64).map(j =>
+            when(col(s"v_$j") > 0, expr(s"shiftleft(1L, $j)")).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
     }),
 
     // Brute-force cosine top-5 neighbors for query vectors (vec_id < 50).

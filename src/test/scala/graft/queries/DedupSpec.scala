@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property checks for the hash-signature dedup operators that have no
+  * SQL oracle (q52/q53): MinHash-LSH candidate recall against the exact
+  * n-gram Jaccard pairs, and SimHash locality. */
+class DedupSpec extends AnyFunSuite with TestSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MinHash-LSH candidates cover every exact Jaccard>=0.5 pair") {
+    val exact = DedupTextQueries.queries("q51_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = DedupTextQueries.queries("q52_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    val missed = exact -- candidates
+    assert(missed.isEmpty, s"LSH missed true pairs: $missed")
+    // and it should not degenerate into all-pairs
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    assert(candidates.size < nDocs * (nDocs - 1) / 20,
+      s"LSH candidate set too dense: ${candidates.size}")
+  }
+
+  test("SimHash: near-dup pairs have small hamming distance vs random pairs") {
+    val sims = DedupTextQueries.queries("q53_simhash")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDups = DedupTextQueries.queries("q51_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dupDist = nearDups.map { case (a, b) => hamming(sims(a), sims(b)) }
+    val rng = new scala.util.Random(1)
+    val ids = sims.keys.toArray
+    val randDist = (1 to 200).map { _ =>
+      val a = ids(rng.nextInt(ids.length)); val b = ids(rng.nextInt(ids.length))
+      hamming(sims(a), sims(b))
+    }
+    assert(dupDist.sum.toDouble / dupDist.length <
+      randDist.sum.toDouble / randDist.length / 2,
+      s"near-dup mean=${dupDist.sum.toDouble / dupDist.length} rand=${randDist.sum.toDouble / randDist.length}")
+  }
+
+  test("cosine top-k: ranks are 1..5 per query, self excluded, scores sorted") {
+    val rows = DedupTextQueries.queries("q54_cosine_topk")(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 50)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to 5))
+      assert(sorted.forall(_.getLong(1) != qid))
+      val scores = sorted.map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
