@@ -22,7 +22,8 @@ object SparkEntry {
     DedupTextQueries,
     TradeQueries,
     StreamQueries,
-    KernelQueries
+    KernelQueries,
+    SplitQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

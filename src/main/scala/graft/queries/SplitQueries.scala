@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Splitter
+import Det._
+
+/** Split / CV / drift operators (SURVEY.md §2.8) + the covariance-matrix
+  * operator (§2.10), run through the REAL graft.etl.Splitter and oracled
+  * by replicating its unique-date cut-point arithmetic in SQL.
+  */
+object SplitQueries extends QueryModule {
+
+  private def asBars(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Bars.of(s, dir).select(
+      col("ticker"), col("ts").as("date"), col("price").as("close"), col("day"))
+
+  override def queries: Map[String, QFn] = Map(
+    // chronological 70/15/15 tags by unique date (data_storage.py:179-439)
+    "q80_split_tags" -> ((s, dir) => {
+      Splitter.chronological(asBars(s, dir))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), dsum(col("close")).as("sum_close"))
+    }),
+
+    // expanding k-fold CV fold/role census (time_series_cv.py:55-322)
+    "q81_cv_folds" -> ((s, dir) => {
+      val bars = asBars(s, dir)
+      val folds = Splitter.cvFolds(bars, k = 4)
+      Splitter.tagFolds(bars, folds)
+        .groupBy(col("fold_id"), col("role"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // mean/std drift between train and validation (split_diagnostics.py:58-80)
+    "q82_split_drift" -> ((s, dir) => {
+      val tagged = Splitter.chronological(asBars(s, dir))
+      val a = when(col("split") === "training", col("close"))
+      val b = when(col("split") === "validation", col("close"))
+      tagged.where(col("split").isin("training", "validation"))
+        .groupBy(col("ticker")).agg(
+          (davg(b) - davg(a)).as("mean_delta"),
+          (dstddev(b) - dstddev(a)).as("std_delta"),
+          (dstddev(b) / dstddev(a)).as("vol_ratio"))
+    }),
+
+    // pairwise Pearson correlation of per-day mean prices across tickers
+    // (covariance-matrix operator, portfolio_math.py:239-311) — daily dim
+    // is tiny, so the pair join broadcasts.
+    "q83_corr_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Bars.of(s, dir).groupBy($"ticker", $"day")
+        .agg(davg($"price").as("p"))
+      val a = daily.select($"ticker".as("ta"), $"day", $"p".as("pa"))
+      val b = daily.select($"ticker".as("tb"), $"day", $"p".as("pb"))
+      val pairs = a.join(b, Seq("day")).where($"ta" < $"tb")
+      val n = count(lit(1)).cast("double")
+      val sx = sum($"pa".cast("decimal(38,9)")).cast("double")
+      val sy = sum($"pb".cast("decimal(38,9)")).cast("double")
+      val sxy = sum(($"pa" * $"pb").cast("decimal(38,9)")).cast("double")
+      val sx2 = sum(($"pa" * $"pa").cast("decimal(38,9)")).cast("double")
+      val sy2 = sum(($"pb" * $"pb").cast("decimal(38,9)")).cast("double")
+      pairs.groupBy($"ta", $"tb").agg(
+        ((n * sxy - sx * sy) /
+          sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).as("corr"),
+        ((n * sxy - sx * sy) / (n * (n - 1))).as("cov"))
+    })
+  )
+
+  // SQL mirror of Splitter.chronological's cut arithmetic (Scala
+  // math.round == DuckDB round() for positive halves; all fractions
+  // forced to DOUBLE so both engines fold constants identically).
+  private val splitTagSql =
+    s"""${Bars.sql},
+       |d AS (SELECT DISTINCT ts FROM bars),
+       |ranked AS (SELECT ts, row_number() OVER (ORDER BY ts) AS rn,
+       |                  COUNT(*) OVER () AS n FROM d),
+       |params AS (
+       |  SELECT n,
+       |    greatest(1, CAST(round(n * CAST(0.70 AS DOUBLE)) AS BIGINT)) AS n_train,
+       |    greatest(1, CAST(round(n * CAST(0.15 AS DOUBLE)) AS BIGINT)) AS n_val
+       |  FROM (SELECT max(n) AS n FROM ranked)),
+       |tags AS (
+       |  SELECT r.ts,
+       |    CASE WHEN r.rn <= least(p.n_train, p.n - 2) THEN 'training'
+       |         WHEN r.rn <= least(p.n_train + p.n_val, p.n - 1) THEN 'validation'
+       |         ELSE 'testing' END AS split
+       |  FROM ranked r CROSS JOIN params p)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q80_split_tags" ->
+      s"""$splitTagSql
+         |SELECT t.split, COUNT(*) AS n, ${sqlSum("b.price")} AS sum_close
+         |FROM bars b JOIN tags t ON b.ts = t.ts
+         |GROUP BY 1""".stripMargin,
+    "q81_cv_folds" ->
+      s"""${Bars.sql},
+         |d AS (SELECT DISTINCT ts FROM bars),
+         |ranked AS (SELECT ts, row_number() OVER (ORDER BY ts) AS rn FROM d),
+         |params AS (
+         |  SELECT n, n - CAST(round(n * CAST(0.15 AS DOUBLE)) AS BIGINT) AS cv
+         |  FROM (SELECT COUNT(*) AS n FROM d)),
+         |spec AS (
+         |  SELECT fold_id, cv // 5 AS fs, cv
+         |  FROM (SELECT unnest([1, 2, 3, 4]) AS fold_id) f CROSS JOIN params),
+         |tagged AS (
+         |  SELECT r.ts, s.fold_id,
+         |    CASE WHEN r.rn <= s.fold_id * s.fs THEN 'train'
+         |         WHEN r.rn <= least((s.fold_id + 1) * s.fs, s.cv) THEN 'validation'
+         |         END AS role
+         |  FROM ranked r CROSS JOIN spec s)
+         |SELECT t.fold_id, t.role, COUNT(*) AS n
+         |FROM bars b JOIN tagged t ON b.ts = t.ts
+         |WHERE t.role IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
+    "q82_split_drift" -> {
+      def m(c: String) = sqlAvg(c)
+      s"""$splitTagSql,
+         |joined AS (
+         |  SELECT b.ticker, b.price, t.split FROM bars b JOIN tags t ON b.ts = t.ts
+         |  WHERE t.split IN ('training', 'validation')),
+         |vals AS (
+         |  SELECT ticker,
+         |    CASE WHEN split = 'training' THEN price END AS a,
+         |    CASE WHEN split = 'validation' THEN price END AS b
+         |  FROM joined)
+         |SELECT ticker,
+         |  ${m("b")} - ${m("a")} AS mean_delta,
+         |  ${sqlStddev("b")} - ${sqlStddev("a")} AS std_delta,
+         |  ${sqlStddev("b")} / ${sqlStddev("a")} AS vol_ratio
+         |FROM vals GROUP BY ticker""".stripMargin
+    },
+    "q83_corr_matrix" -> {
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      val sx = "CAST(SUM(CAST(pa AS DECIMAL(38,9))) AS DOUBLE)"
+      val sy = "CAST(SUM(CAST(pb AS DECIMAL(38,9))) AS DOUBLE)"
+      val sxy = "CAST(SUM(CAST(pa*pb AS DECIMAL(38,9))) AS DOUBLE)"
+      val sx2 = "CAST(SUM(CAST(pa*pa AS DECIMAL(38,9))) AS DOUBLE)"
+      val sy2 = "CAST(SUM(CAST(pb*pb AS DECIMAL(38,9))) AS DOUBLE)"
+      s"""${Bars.sql},
+         |daily AS (
+         |  SELECT ticker, day, ${sqlAvg("price")} AS p
+         |  FROM bars GROUP BY ticker, day)
+         |SELECT a.ticker AS ta, b.ticker AS tb,
+         |  ($n*$sxy - $sx*$sy) / sqrt(($n*$sx2 - $sx*$sx) * ($n*$sy2 - $sy*$sy)) AS corr,
+         |  ($n*$sxy - $sx*$sy) / ($n*($n - 1)) AS cov
+         |FROM (SELECT ticker, day, p AS pa FROM daily) a
+         |JOIN (SELECT ticker, day, p AS pb FROM daily) b USING (day)
+         |WHERE a.ticker < b.ticker
+         |GROUP BY 1, 2""".stripMargin
+    }
+  )
+}
