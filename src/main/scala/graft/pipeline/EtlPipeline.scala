@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.domain.QualityReport
+import graft.etl.{Preprocessor, Splitter, SplitDiagnostics, Validator}
+import graft.features.FeatureBuilder
+
+/** The 4-stage batch ETL pipeline as a declarative stage DAG — rebuild of
+  * /root/reference/scripts/run_etl_pipeline.py:979-1496 (execute_pipeline:
+  * extraction → validation → preprocessing → feature build → split/store),
+  * with the reference's leak guards preserved:
+  *  - live mode forces CAUSAL forward fill only (:1402-1408);
+  *  - normalization is deferred to post-split, fit on train only (:1463-1482);
+  *  - split drift (PSI) is computed train-vs-validation (:1487).
+  *
+  * Stages are DataFrame→DataFrame transforms; "checkpoints" are parquet
+  * stage directories plus a run-catalog row with a content hash
+  * (etl/checkpoint_manager.py:59-436 reduced to its durable core).
+  */
+object EtlPipeline {
+
+  final case class Config(
+      outDir: String,
+      trainFrac: Double = 0.70,
+      valFrac: Double = 0.15,
+      researchMode: Boolean = false, // research mode may backfill
+      normalizeCols: Seq[String] = Seq("close"),
+      minBars: Int = 30)
+
+  final case class RunResult(
+      runId: String,
+      quality: QualityReport,
+      rowsPerSplit: Map[String, Long],
+      psi: Map[String, Double],
+      stageDirs: Map[String, String])
+
+  def run(spark: SparkSession, rawBars: DataFrame, cfg: Config): RunResult = {
+    val runId = java.util.UUID.nameUUIDFromBytes(
+      (cfg.toString + rawBars.schema.treeString).getBytes).toString
+
+    // 1. extraction output is the input frame; persist the raw stage
+    val stages = scala.collection.mutable.Map.empty[String, String]
+    def store(name: String, df: DataFrame): DataFrame = {
+      val dir = s"${cfg.outDir}/$name"
+      df.write.mode("overwrite").partitionBy("ticker").parquet(dir)
+      stages(name) = dir
+      spark.read.parquet(dir)
+    }
+    val raw = store("raw", rawBars)
+
+    // 2. validation — FAIL raises, WARN proceeds (run_etl_pipeline :1375-1389)
+    val quality = Validator.validate(raw, minBars = cfg.minBars)
+    require(quality.status != "FAIL", s"validation failed: $quality")
+
+    // 3. preprocessing — causal fill unless research mode
+    val filled = Preprocessor.handleMissing(raw,
+      cols = Seq("open", "high", "low", "close"),
+      backfill = cfg.researchMode)
+    val features = FeatureBuilder.build(filled, dropNa = false)
+    val processed = store("processed", features)
+
+    // 4. split + post-split normalization (fit on train ONLY) + drift
+    val tagged = Splitter.chronological(processed, cfg.trainFrac, cfg.valFrac)
+    val stats = Preprocessor.fitZScore(
+      tagged.where(col("split") === "training"), cfg.normalizeCols)
+    val normalized = Preprocessor.applyZScore(tagged, stats, cfg.normalizeCols)
+    val psi = SplitDiagnostics.psi(tagged, "close").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    store("training", normalized.where(col("split") === "training"))
+    store("validation", normalized.where(col("split") === "validation"))
+    store("testing", normalized.where(col("split") === "testing"))
+
+    val rows = normalized.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // run catalog row (checkpoint metadata with a content hash)
+    val catalog = spark.createDataFrame(Seq(
+      (runId, quality.status, rows.getOrElse("training", 0L),
+        rows.getOrElse("validation", 0L), rows.getOrElse("testing", 0L),
+        System.currentTimeMillis())))
+      .toDF("run_id", "status", "n_train", "n_val", "n_test", "created_at")
+    catalog.write.mode("append").parquet(s"${cfg.outDir}/_run_catalog")
+
+    RunResult(runId, quality, rows, psi, stages.toMap)
+  }
+}

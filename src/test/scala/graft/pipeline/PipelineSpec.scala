@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.exec.StrategyOptimizer
+import graft.sources.{CacheManager, SyntheticSource}
+
+class PipelineSpec extends AnyFunSuite with TestSpark {
+
+  test("end-to-end ETL pipeline: extract -> validate -> features -> split -> store") {
+    val out = Files.createTempDirectory("graft_etl").toString
+    val bars = SyntheticSource.generate(spark, Seq("AAPL", "MSFT"), 250, seed = 3).toDF()
+    val res = EtlPipeline.run(spark, bars, EtlPipeline.Config(outDir = out))
+    assert(res.quality.status === "PASS")
+    assert(res.rowsPerSplit.keySet === Set("training", "validation", "testing"))
+    // splits materialized, partitioned by ticker, non-empty, disjoint dates
+    val train = spark.read.parquet(s"$out/training")
+    val test = spark.read.parquet(s"$out/testing")
+    assert(train.count() === res.rowsPerSplit("training"))
+    val maxTrain = train.agg(max("date")).head().getTimestamp(0)
+    val minTest = test.agg(min("date")).head().getTimestamp(0)
+    assert(maxTrain.before(minTest))
+    // post-split normalization: train close is z-scored (mean ~ 0)
+    val m = train.groupBy("ticker").agg(avg("close").as("m")).collect()
+    m.foreach(r => assert(math.abs(r.getAs[Double]("m")) < 1e-6))
+    // feature columns survived the pipeline
+    assert(train.columns.contains("atr_14") && train.columns.contains("ret_20"))
+    // PSI computed per ticker, finite
+    assert(res.psi.size === 2 && res.psi.values.forall(v => !v.isNaN))
+    // run catalog row written
+    val cat = spark.read.parquet(s"$out/_run_catalog")
+    assert(cat.where(col("run_id") === res.runId).count() === 1)
+    // pipeline refuses corrupted input
+    val corrupt = bars.withColumn("close", lit(-1.0))
+    intercept[IllegalArgumentException] {
+      EtlPipeline.run(spark, corrupt, EtlPipeline.Config(outDir = out + "2"))
+    }
+  }
+
+  test("cache-first reads: full hit avoids fetch; tail delta fetches only the gap") {
+    val dir = Files.createTempDirectory("graft_cache").toString
+    val cache = new CacheManager(spark, dir)
+    var fetchCalls = List.empty[(Seq[String], Timestamp, Timestamp)]
+    def fetch(ts: Seq[String], a: Timestamp, b: Timestamp) = {
+      fetchCalls = (ts, a, b) :: fetchCalls
+      SyntheticSource.generate(spark, ts, 60, seed = 9).toDF()
+        .where(col("date").between(a, b))
+    }
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t30 = Timestamp.valueOf("2024-01-30 00:00:00")
+    val t50 = Timestamp.valueOf("2024-02-19 00:00:00")
+    // cold: miss -> fetch everything
+    val first = cache.read(Seq("AAPL"), t0, t30)(fetch)
+    assert(first.count() === 30 && fetchCalls.size === 1)
+    // warm same range: full hit, no fetch
+    val second = cache.read(Seq("AAPL"), t0, t30)(fetch)
+    assert(second.count() === 30 && fetchCalls.size === 1)
+    assert(cache.stats(Seq("AAPL"), t0, t30) === ((1, 0, 0)))
+    // extended range: stale tail -> delta fetch only after the high-water mark
+    val third = cache.read(Seq("AAPL"), t0, t50)(fetch)
+    assert(third.count() === 50 && fetchCalls.size === 2)
+    val (tk, dFrom, dTo) = fetchCalls.head
+    assert(tk === Seq("AAPL") && dFrom.after(t30.asInstanceOf[java.util.Date] match {
+      case d => new Timestamp(d.getTime - 1)
+    }) && dTo === t50)
+    // new ticker: miss for it only
+    cache.read(Seq("AAPL", "MSFT"), t0, t30)(fetch)
+    assert(fetchCalls.head._1 === Seq("MSFT"))
+  }
+
+  test("strategy sweep ranks candidates and tighter stops change outcomes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(17)
+    val events = Seq("A", "B").flatMap { t =>
+      var p = 100.0
+      (1 to 120).map { i =>
+        p = math.max(1.0, p * (1 + 0.001 + 0.02 * rng.nextGaussian()))
+        (t, new Timestamp(86400000L * i), p,
+          if (i % 5 == 1) "BUY" else if (i % 17 == 0) "SELL" else "HOLD",
+          0.9, false)
+      }
+    }.toDF("ticker", "ts", "price", "action", "confidence", "isSynthetic")
+    val cands = StrategyOptimizer.grid(
+      stops = Seq(0.02, 0.10), targets = Seq(0.05, 0.20), kellys = Seq(0.1, 0.2))
+    val ranked = StrategyOptimizer.sweep(events, cands, topK = 8).collect()
+    assert(ranked.length === 8)
+    assert(ranked.map(_.candId).distinct.length === 8)
+    // ranked descending by score
+    assert(ranked.map(_.score).sliding(2).forall(p => p(0) >= p(1)))
+    // at least two candidates genuinely differ in outcome
+    assert(ranked.map(_.totalPnl).distinct.length > 1)
+  }
+}
