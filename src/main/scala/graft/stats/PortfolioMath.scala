@@ -1,0 +1,172 @@
+package graft.stats
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+
+/** Portfolio mathematics — rebuild of /root/reference/etl/portfolio_math.py:
+  * Sharpe/Sortino/max drawdown (:69-238, :432-452), omega ratio (:540-851),
+  * fat-tail Kelly (:249-265, :1033-1082), covariance with Ledoit-Wolf-style
+  * shrinkage (:239-311), Markowitz min-variance and risk-parity weights
+  * (:312-387), expected-shortfall-to-edge (:852-1032), Shapley attribution
+  * of ensemble components (forcester_ts/shapley_attribution.py:37-232).
+  *
+  * Asset counts are tiny (the reference optimizes over a handful of
+  * tickers), so the optimizers are deterministic driver/kernel-side
+  * Breeze routines; the DATA-side inputs (returns, covariance) come from
+  * distributed aggregations.
+  */
+object PortfolioMath {
+
+  def sharpe(returns: Array[Double], periodsPerYear: Double = 252.0): Double = {
+    val m = returns.sum / returns.length
+    val sd = stddev(returns)
+    if (sd == 0) 0.0 else m / sd * math.sqrt(periodsPerYear)
+  }
+
+  def sortino(returns: Array[Double], periodsPerYear: Double = 252.0): Double = {
+    val m = returns.sum / returns.length
+    val downside = returns.map(r => if (r < 0) r else 0.0)
+    val dd = stddev(downside)
+    if (dd == 0) 0.0 else m / dd * math.sqrt(periodsPerYear)
+  }
+
+  def maxDrawdown(returns: Array[Double]): Double = {
+    var cum = 1.0; var peak = 1.0; var mdd = 0.0
+    returns.foreach { r =>
+      cum *= (1 + r)
+      peak = math.max(peak, cum)
+      mdd = math.max(mdd, 1 - cum / peak)
+    }
+    mdd
+  }
+
+  def omega(returns: Array[Double], hurdle: Double = 0.0): Double = {
+    val up = returns.map(r => math.max(r - hurdle, 0.0)).sum
+    val down = returns.map(r => math.max(hurdle - r, 0.0)).sum
+    if (down == 0) Double.PositiveInfinity else up / down
+  }
+
+  /** Fat-tail fractional Kelly with kurtosis dampener, capped at 0.20. */
+  def kelly(returns: Array[Double], riskFree: Double = 0.0,
+      fraction: Double = 0.5, cap: Double = 0.20): Double = {
+    val n = returns.length
+    val m = returns.sum / n
+    val v = returns.map(r => (r - m) * (r - m)).sum / n
+    if (v == 0) return 0.0
+    val m4 = returns.map(r => math.pow(r - m, 4)).sum / n
+    val kurt = m4 / (v * v)
+    val damp = 1.0 / (1.0 + math.max(kurt - 3.0, 0.0) / 4.0)
+    math.min(cap, math.max(0.0, (m - riskFree) / v * damp * fraction))
+  }
+
+  def expectedShortfall(returns: Array[Double], alpha: Double = 0.05): Double = {
+    val sorted = returns.sorted
+    val k = math.max(1, (alpha * sorted.length).toInt)
+    -sorted.take(k).sum / k
+  }
+
+  private def stddev(a: Array[Double]): Double = {
+    if (a.length < 2) return 0.0
+    val m = a.sum / a.length
+    math.sqrt(a.map(x => (x - m) * (x - m)).sum / (a.length - 1))
+  }
+
+  /** Sample covariance matrix of column-wise return series. */
+  def covariance(returns: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val n = returns.rows
+    val means = DenseVector.tabulate(returns.cols)(j =>
+      breeze.linalg.sum(returns(::, j)) / n)
+    val centered = DenseMatrix.tabulate(n, returns.cols)((i, j) =>
+      returns(i, j) - means(j))
+    (centered.t * centered) / (n - 1).toDouble
+  }
+
+  /** Ledoit-Wolf-style shrinkage toward the scaled identity:
+    * Σ' = (1−δ)Σ + δ·avgVar·I. */
+  def shrink(cov: DenseMatrix[Double], delta: Double): DenseMatrix[Double] = {
+    require(delta >= 0 && delta <= 1)
+    val avgVar = breeze.linalg.trace(cov) / cov.rows
+    DenseMatrix.tabulate(cov.rows, cov.cols)((i, j) =>
+      (1 - delta) * cov(i, j) + (if (i == j) delta * avgVar else 0.0))
+  }
+
+  /** Minimum-variance long-only weights via deterministic projected
+    * gradient descent on the simplex (the SLSQP stand-in). */
+  def minVarianceWeights(cov: DenseMatrix[Double], iters: Int = 2000,
+      lr: Double = 0.1): Array[Double] = {
+    val k = cov.rows
+    var w = DenseVector.fill(k)(1.0 / k)
+    (0 until iters).foreach { _ =>
+      val grad = (cov * w) * 2.0
+      w = projectSimplex(w - grad * lr)
+    }
+    w.toArray
+  }
+
+  /** Risk parity: iterative proportional update until each asset's risk
+    * contribution w_i·(Σw)_i equalizes. */
+  def riskParityWeights(cov: DenseMatrix[Double], iters: Int = 500): Array[Double] = {
+    val k = cov.rows
+    var w = DenseVector.fill(k)(1.0 / k)
+    (0 until iters).foreach { _ =>
+      val mrc = cov * w
+      val rc = DenseVector.tabulate(k)(i => w(i) * mrc(i))
+      val target = breeze.linalg.sum(rc) / k
+      w = DenseVector.tabulate(k)(i =>
+        w(i) * math.pow(target / math.max(rc(i), 1e-12), 0.2))
+      w = w / breeze.linalg.sum(w)
+    }
+    w.toArray
+  }
+
+  private def projectSimplex(v: DenseVector[Double]): DenseVector[Double] = {
+    // Euclidean projection onto {w : w_i >= 0, Σw = 1}
+    val u = v.toArray.sorted(Ordering[Double].reverse)
+    val css = u.scanLeft(0.0)(_ + _).drop(1)
+    val rho = (0 until u.length).reverse
+      .find(i => u(i) + (1.0 - css(i)) / (i + 1) > 0).getOrElse(0)
+    val theta = (1.0 - css(rho)) / (rho + 1)
+    DenseVector(v.toArray.map(x => math.max(0.0, x + theta)))
+  }
+
+  /** Shapley attribution of a coalition value function over model
+    * subsets (≤ a handful of models ⇒ exact enumeration). */
+  def shapley(models: Seq[String], value: Set[String] => Double): Map[String, Double] = {
+    val n = models.size
+    def fact(k: Int): Double = (1 to k).product.toDouble.max(1.0)
+    models.map { m =>
+      val others = models.filterNot(_ == m)
+      val contrib = others.toSet.subsets().map { s =>
+        val weight = fact(s.size) * fact(n - s.size - 1) / fact(n)
+        weight * (value(s + m) - value(s))
+      }.sum
+      m -> contrib
+    }.toMap
+  }
+
+  /** Closed-form-iterated Platt scaling: fit σ(a·x + b) to (score, label)
+    * pairs by Newton's method (models/time_series_signal_generator.py:
+    * 3724-4069 confidence calibration). */
+  def plattFit(scores: Array[Double], labels: Array[Int], iters: Int = 100)
+      : (Double, Double) = {
+    var a = 1.0; var b = 0.0
+    (0 until iters).foreach { _ =>
+      var ga = 0.0; var gb = 0.0; var haa = 0.0; var hab = 0.0; var hbb = 0.0
+      scores.zip(labels).foreach { case (x, y) =>
+        val p = 1.0 / (1.0 + math.exp(-(a * x + b)))
+        val d = p - y
+        ga += d * x; gb += d
+        val w = p * (1 - p)
+        haa += w * x * x; hab += w * x; hbb += w
+      }
+      val det = haa * hbb - hab * hab
+      if (math.abs(det) > 1e-12) {
+        a -= (hbb * ga - hab * gb) / det
+        b -= (haa * gb - hab * ga) / det
+      }
+    }
+    (a, b)
+  }
+
+  def plattApply(a: Double, b: Double)(x: Double): Double =
+    1.0 / (1.0 + math.exp(-(a * x + b)))
+}

@@ -1,0 +1,151 @@
+package graft.stats
+
+import scala.util.Random
+
+import breeze.linalg.DenseMatrix
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.forecast.MssaRl
+import graft.ml.DirectionalClassifier
+
+class StatsSpec extends AnyFunSuite with TestSpark {
+
+  test("special functions match known values") {
+    assert(math.abs(StatTests.tPValue(0.0, 10) - 1.0) < 1e-9)
+    assert(math.abs(StatTests.tPValue(1.96, 1e6) - 0.05) < 1e-3)
+    assert(math.abs(StatTests.chi2PValue(3.841, 1) - 0.05) < 1e-3)
+    assert(math.abs(StatTests.regGammaP(1.0, 1.0) - (1 - math.exp(-1))) < 1e-9)
+  }
+
+  test("Diebold-Mariano prefers the genuinely better forecaster") {
+    val rng = new Random(4)
+    val e2 = Array.fill(300)(rng.nextGaussian())
+    val e1 = e2.map(_ * 0.5) // model 1 errors uniformly smaller
+    val r = StatTests.dieboldMariano(e1, e2)
+    assert(r.statistic < -2.0 && r.pValue < 0.05)
+    // equal errors: no significance
+    val same = StatTests.dieboldMariano(e2, e2.map(identity))
+    assert(math.abs(same.statistic) < 1e-9)
+  }
+
+  test("Ljung-Box flags autocorrelated series, passes white noise") {
+    val rng = new Random(8)
+    val wn = Array.fill(500)(rng.nextGaussian())
+    assert(StatTests.ljungBox(wn).pValue > 0.01)
+    var prev = 0.0
+    val ar = Array.fill(500) { prev = 0.7 * prev + rng.nextGaussian(); prev }
+    assert(StatTests.ljungBox(ar).pValue < 1e-6)
+  }
+
+  test("ADF-lite separates random walks from stationary series") {
+    val rng = new Random(2)
+    val rw = Array.iterate(0.0, 800)(p => p + rng.nextGaussian())
+    var prev = 0.0
+    val ar = Array.fill(800) { prev = 0.5 * prev + rng.nextGaussian(); prev }
+    assert(StatTests.adfLite(ar).statistic < -5.0)
+    assert(StatTests.adfLite(rw).statistic > -3.0)
+  }
+
+  test("bootstrap CI brackets the true mean") {
+    val rng = new Random(6)
+    val x = Array.fill(400)(1.5 + rng.nextGaussian())
+    val (lo, hi) = StatTests.bootstrapCI(x)
+    assert(lo < 1.5 && 1.5 < hi && hi - lo < 0.5)
+    // deterministic under the same seed
+    assert(StatTests.bootstrapCI(x) === ((lo, hi)))
+  }
+
+  test("Christoffersen detects clustered violations") {
+    val clustered = Array.fill(50)(0) ++ Array.fill(12)(1) ++ Array.fill(50)(0)
+    val r = StatTests.christoffersen(clustered)
+    assert(r.pValue < 0.01)
+    val rng = new Random(11)
+    val iid = Array.fill(400)(if (rng.nextDouble() < 0.1) 1 else 0)
+    assert(StatTests.christoffersen(iid).pValue > 0.01)
+  }
+
+  test("portfolio math: omega/kelly/drawdown/ES behave") {
+    val rng = new Random(5)
+    val rets = Array.fill(1000)(0.0005 + 0.01 * rng.nextGaussian())
+    assert(PortfolioMath.sharpe(rets) > 0)
+    assert(PortfolioMath.omega(rets) > 1.0)
+    val k = PortfolioMath.kelly(rets)
+    assert(k > 0 && k <= 0.20)
+    assert(PortfolioMath.maxDrawdown(rets) > 0 && PortfolioMath.maxDrawdown(rets) < 1)
+    assert(PortfolioMath.expectedShortfall(rets) > 0)
+  }
+
+  test("min-variance and risk-parity weights on a known covariance") {
+    val cov = DenseMatrix((0.04, 0.0, 0.0), (0.0, 0.01, 0.0), (0.0, 0.0, 0.0025))
+    val mv = PortfolioMath.minVarianceWeights(cov)
+    assert(math.abs(mv.sum - 1.0) < 1e-6 && mv.forall(_ >= -1e-9))
+    // min-var loads the lowest-variance asset most
+    assert(mv(2) > mv(1) && mv(1) > mv(0))
+    val rp = PortfolioMath.riskParityWeights(cov)
+    assert(math.abs(rp.sum - 1.0) < 1e-9)
+    // risk contributions equalized: w_i^2 var_i equal across assets
+    val rc = (0 until 3).map(i => rp(i) * rp(i) * cov(i, i))
+    assert(rc.max / rc.min < 1.05, rc.toString)
+    // shrinkage pulls off-diagonals toward zero
+    val noisy = DenseMatrix((0.04, 0.01, 0.01), (0.01, 0.01, 0.005), (0.01, 0.005, 0.0025))
+    val shrunk = PortfolioMath.shrink(noisy, 0.5)
+    assert(math.abs(shrunk(0, 1)) < math.abs(noisy(0, 1)))
+  }
+
+  test("Shapley attribution sums to the grand coalition value") {
+    val models = Seq("AR", "SSA", "GARCH")
+    def value(s: Set[String]): Double =
+      s.map { case "AR" => 3.0; case "SSA" => 2.0; case "GARCH" => 1.0 }.sum +
+        (if (s.size >= 2) 1.0 else 0.0) // synergy
+    val sh = PortfolioMath.shapley(models, value)
+    assert(math.abs(sh.values.sum - value(models.toSet)) < 1e-9)
+    assert(sh("AR") > sh("SSA") && sh("SSA") > sh("GARCH"))
+  }
+
+  test("CUSUM finds a planted mean break and stays quiet without one") {
+    val rng = new Random(3)
+    val calm = Array.fill(400)(rng.nextGaussian() * 0.1)
+    assert(MssaRl.cusum(calm).isEmpty)
+    val broken = Array.fill(200)(rng.nextGaussian() * 0.1) ++
+      Array.fill(200)(3.0 + rng.nextGaussian() * 0.1)
+    val breaks = MssaRl.cusum(broken)
+    assert(breaks.nonEmpty && breaks.head >= 195 && breaks.head <= 260)
+  }
+
+  test("MSSA-RL policy dispatches: break => naive fallback") {
+    val rng = new Random(7)
+    val stable = Array.tabulate(150)(i => 100 + 0.1 * i + rng.nextGaussian() * 0.01)
+    val (_, actStable) = MssaRl.forecast(stable, 5)
+    assert(actStable !== MssaRl.FallbackNaive)
+    val crashed = stable.take(140) ++ Array.tabulate(10)(i => 60.0 - i)
+    val (fc, act) = MssaRl.forecast(crashed, 5)
+    assert(act === MssaRl.FallbackNaive)
+    assert(fc.forall(_ == crashed.last))
+  }
+
+  test("directional classifier separates a linearly separable problem, calibrated") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new Random(9)
+    val rows = (1 to 600).map { _ =>
+      val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+      val up = if (x1 * 1.5 - x2 + 0.3 * rng.nextGaussian() > 0) 1.0 else 0.0
+      (x1, x2, up)
+    }
+    val df = rows.toDF("f1", "f2", "label")
+    val model = DirectionalClassifier.train(df, Seq("f1", "f2"))
+    val acc = rows.map { case (x1, x2, y) =>
+      val p = DirectionalClassifier.score(model)(Array(x1, x2))
+      if ((p > 0.5) == (y == 1.0)) 1 else 0
+    }.sum / 600.0
+    assert(acc > 0.85, s"accuracy $acc")
+    // calibration is monotone in the margin
+    val p1 = DirectionalClassifier.score(model)(Array(3.0, -3.0))
+    val p2 = DirectionalClassifier.score(model)(Array(-3.0, 3.0))
+    assert(p1 > 0.9 && p2 < 0.1)
+    intercept[IllegalArgumentException] {
+      DirectionalClassifier.score(model)(Array(1.0))
+    }
+  }
+}
