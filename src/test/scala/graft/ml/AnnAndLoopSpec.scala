@@ -1,0 +1,61 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.forecast.WalkForward
+import graft.pipeline.AutoTrader
+import graft.queries.DedupTextQueries
+import graft.sources.SyntheticSource
+
+class AnnAndLoopSpec extends AnyFunSuite with TestSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("IVF ANN recall@5 vs brute force is high while probing a fraction of lists") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    // the corpus has ~10 natural clusters (label column) — size the
+    // inverted lists to the data, as a real deployment would
+    val index = AnnIndex.build(emb, nLists = 10, seed = 42)
+    assert(index.centroids.length === 10)
+    val queries = emb.where(col("vec_id") < 50)
+    val approx = AnnIndex.query(index, queries, k = 5, nProbe = 3).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = DedupTextQueries.queries("q54_cosine_topk")(spark, dir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.get(q).map(a => (a intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall > 0.6, s"recall@5=$meanRecall")
+    // determinism: same seed, same candidates
+    val again = AnnIndex.query(AnnIndex.build(emb, 10, 42), queries, 5, 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(again === approx)
+  }
+
+  test("walk-forward produces per-fold metrics and a model summary") {
+    val bars = SyntheticSource.generate(spark, Seq("T1", "T2"), 200, seed = 13).toDF()
+    val metrics = WalkForward.run(bars, k = 3, horizon = 5).cache()
+    val rows = metrics.collect()
+    assert(rows.map(_.ticker).distinct.sorted.toSeq === Seq("T1", "T2"))
+    assert(rows.map(_.foldId).distinct.sorted.toSeq === Seq(1, 2, 3))
+    assert(rows.forall(m => m.rmse >= 0 && m.da >= 0 && m.da <= 1))
+    val summary = WalkForward.summarize(metrics).collect()
+    assert(summary.map(_.model).contains("ENSEMBLE"))
+    summary.foreach(s => assert(s.nFolds === 6)) // 2 tickers x 3 folds
+  }
+
+  test("auto-trader cycles run end-to-end and account their fills") {
+    val bars = SyntheticSource.generate(spark, Seq("A1", "A2"), 160, seed = 19).toDF()
+    val results = AutoTrader.run(spark, bars, cycles = 5)
+    assert(results.size === 5)
+    assert(results.forall(r => r.nSignals === 2)) // one signal per ticker per cycle
+    val totalFills = results.map(_.nFills).sum
+    assert(totalFills >= 0) // engine ran; fills depend on signal mix
+    assert(results.forall(r => !r.realizedPnl.isNaN))
+  }
+}
