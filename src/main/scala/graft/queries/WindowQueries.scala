@@ -91,6 +91,30 @@ object WindowQueries extends QueryModule {
         .select($"ticker", $"seq", $"price")
     }),
 
+    // seasonal decompose-lite (feature_builder :197-208): one-sided MA
+    // trend, per-phase seasonal index (group mean broadcast back), resid.
+    "q17_win_seasonal" -> ((s, dir) => {
+      import s.implicits._
+      val w30 = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+        .rowsBetween(-29, 0)
+      val base = Bars.of(s, dir).select($"ticker", $"ts", $"seq", $"price",
+          davgOver($"price", w30).as("trend"))
+        .withColumn("detrended", $"price" - $"trend")
+        .withColumn("phase", $"seq" % 7)
+      val idx = base.groupBy($"ticker", $"phase")
+        .agg(davg($"detrended").as("seasonal"))
+      base.join(broadcast(idx), Seq("ticker", "phase"))
+        .select($"ticker", $"seq", $"trend", $"seasonal",
+          ($"detrended" - $"seasonal").as("resid"))
+    }),
+
+    // exact quartiles per ticker (summary quantiles, analyzer :279-337)
+    "q18_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      Bars.of(s, dir).groupBy($"ticker")
+        .agg(percentile($"price", typedLit(Seq(0.25, 0.5, 0.75))).as("quartiles"))
+    }),
+
     // ATR-shaped greatest-of-lag-diffs + rolling mean 14 (feature_builder :184-195)
     "q16_win_atr" -> ((s, dir) => {
       import s.implicits._
@@ -176,6 +200,27 @@ object WindowQueries extends QueryModule {
          |SELECT ticker, seq, flag,
          |  COUNT(*) OVER (PARTITION BY ticker, grp) AS run_len
          |FROM grps""".stripMargin,
+    "q17_win_seasonal" -> {
+      val f30 = "ROWS BETWEEN 29 PRECEDING AND CURRENT ROW"
+      s"""${Bars.sql},
+         |based AS (
+         |  SELECT ticker, ts, seq, price,
+         |    ${dsumW("price", f30)} / ${cntW("price", f30)} AS trend,
+         |    seq % 7 AS phase
+         |  FROM bars),
+         |det AS (
+         |  SELECT ticker, seq, phase, trend, price - trend AS detrended FROM based),
+         |idx AS (
+         |  SELECT ticker, phase, ${sqlAvg("detrended")} AS seasonal
+         |  FROM det GROUP BY ticker, phase)
+         |SELECT d.ticker, d.seq, d.trend, i.seasonal,
+         |  d.detrended - i.seasonal AS resid
+         |FROM det d JOIN idx i ON d.ticker = i.ticker AND d.phase = i.phase""".stripMargin
+    },
+    "q18_quantiles" ->
+      s"""${Bars.sql}
+         |SELECT ticker, quantile_cont(price, [0.25, 0.5, 0.75]) AS quartiles
+         |FROM bars GROUP BY ticker""".stripMargin,
     "q15_win_top1" ->
       s"""${Bars.sql},
          |ranked AS (
