@@ -58,6 +58,24 @@ object PortfolioMath {
     math.min(cap, math.max(0.0, (m - riskFree) / v * damp * fraction))
   }
 
+  /** Pinball (quantile) loss of a quantile forecast
+    * (forcester_ts/var_backtest.py pinball section). */
+  def pinballLoss(actual: Array[Double], predictedQuantile: Array[Double],
+      tau: Double): Double = {
+    require(actual.length == predictedQuantile.length && actual.nonEmpty)
+    actual.zip(predictedQuantile).map { case (y, q) =>
+      if (y >= q) tau * (y - q) else (1 - tau) * (q - y)
+    }.sum / actual.length
+  }
+
+  /** NGN effective return: USD return adjusted for FX drift and P2P
+    * conversion friction (etl/portfolio_math.py:1083-1191). */
+  def ngnEffectiveReturn(usdReturn: Double, fxDriftAnnual: Double,
+      p2pFrictionBps: Double, holdingDays: Double): Double = {
+    val fx = math.pow(1 + fxDriftAnnual, holdingDays / 365.0) - 1
+    (1 + usdReturn) * (1 + fx) * (1 - p2pFrictionBps / 1e4) - 1
+  }
+
   def expectedShortfall(returns: Array[Double], alpha: Double = 0.05): Double = {
     val sorted = returns.sorted
     val k = math.max(1, (alpha * sorted.length).toInt)
