@@ -150,6 +150,34 @@ object MetricsQueries extends QueryModule {
           sqrt(v(rA) / count(rA) + v(rB) / count(rB))).as("t_twosample_welch"))
     }),
 
+    // Pinball (quantile) loss of a rolling exact-quantile forecaster:
+    // predict the τ=0.25 quantile of the next return from the prior 20,
+    // score with the asymmetric pinball loss (var_backtest.py pinball).
+    "q48_pinball" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val ret = $"price" / lag($"price", 1).over(w) - 1
+      // null first-returns are dropped BEFORE the window so both engines
+      // collect identical 20-element frames (DuckDB's list() keeps NULLs)
+      val base = Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", ret.as("r"))
+        .where($"r".isNotNull)
+        .withColumn("q25", expr(
+          """CASE WHEN size(collect_list(r) OVER
+            |  (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) >= 10
+            |THEN array_sort(collect_list(r) OVER
+            |  (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            |  [CAST(floor(0.25 * (size(collect_list(r) OVER
+            |    (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) - 1)) AS INT)]
+            |END""".stripMargin))
+        .where($"q25".isNotNull)
+      val tau = 0.25
+      base.groupBy($"ticker").agg(
+        count(lit(1)).as("n"),
+        davg12(when($"r" >= $"q25", lit(tau) * ($"r" - $"q25"))
+          .otherwise(lit(1 - tau) * ($"q25" - $"r"))).as("pinball_25"))
+    }),
+
     // VaR violations at 95% (normal, rolling σ20) + Kupiec POF LR statistic.
     "q46_var_backtest" -> ((s, dir) => {
       import s.implicits._
@@ -302,6 +330,26 @@ object MetricsQueries extends QueryModule {
          |  ${m("r")} / sqrt(${v("r")} / COUNT(r)) AS t_onesample,
          |  (${m(rA)} - ${m(rB)}) / sqrt(${v(rA)} / COUNT($rA) + ${v(rB)} / COUNT($rB)) AS t_twosample_welch
          |FROM parts GROUP BY ticker""".stripMargin
+    },
+    "q48_pinball" -> {
+      val f = "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+      val lst = s"list_sort(list(r) OVER ($over $f))"
+      val cnt = s"len(list(r) OVER ($over $f))"
+      s"""${Bars.sql},
+         |rets AS (
+         |  SELECT ticker, ts, seq, price / lag(price, 1) OVER ($over) - 1 AS r
+         |  FROM bars),
+         |nn AS (SELECT * FROM rets WHERE r IS NOT NULL),
+         |preds AS (
+         |  SELECT ticker, r,
+         |    CASE WHEN $cnt >= 10
+         |      THEN $lst[CAST(floor(0.25 * ($cnt - 1)) AS INT) + 1]
+         |    END AS q25
+         |  FROM nn)
+         |SELECT ticker, COUNT(*) AS n,
+         |  ${sqlAvg12("CASE WHEN r >= q25 THEN 0.25 * (r - q25) ELSE (1 - 0.25) * (q25 - r) END")} AS pinball_25
+         |FROM preds WHERE q25 IS NOT NULL
+         |GROUP BY ticker""".stripMargin
     },
     "q46_var_backtest" -> {
       val f20 = "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"

@@ -91,6 +91,24 @@ object WindowQueries extends QueryModule {
         .select($"ticker", $"seq", $"price")
     }),
 
+    // rolling skewness over 20 bars via explicit decimal moments
+    // (feature_builder :110-116 roll_skew; formula identical both engines)
+    "q19_win_skew" -> ((s, dir) => {
+      import s.implicits._
+      val w20 = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+        .rowsBetween(-19, 0)
+      val x = $"price"
+      val n = count(x).over(w20).cast("double")
+      val sx = sum(x.cast("decimal(38,6)")).over(w20).cast("double")
+      val sx2 = sum((x * x).cast("decimal(38,9)")).over(w20).cast("double")
+      val sx3 = sum((x * x * x).cast("decimal(38,9)")).over(w20).cast("double")
+      val mean = sx / n
+      val m2 = sx2 / n - mean * mean
+      val m3 = sx3 / n - lit(3.0) * mean * sx2 / n + lit(2.0) * mean * mean * mean
+      Bars.of(s, dir).select($"ticker", $"seq",
+        when(n >= 3 && m2 > 0, m3 / pow(m2, 1.5)).as("roll_skew20"))
+    }),
+
     // seasonal decompose-lite (feature_builder :197-208): one-sided MA
     // trend, per-phase seasonal index (group mean broadcast back), resid.
     "q17_win_seasonal" -> ((s, dir) => {
@@ -200,6 +218,21 @@ object WindowQueries extends QueryModule {
          |SELECT ticker, seq, flag,
          |  COUNT(*) OVER (PARTITION BY ticker, grp) AS run_len
          |FROM grps""".stripMargin,
+    "q19_win_skew" -> {
+      val f = "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW"
+      val n = s"CAST(${cntW("price", f)} AS DOUBLE)"
+      val sx = dsumW("price", f)
+      val sx2 = s"CAST(SUM(CAST(price*price AS DECIMAL(38,9))) OVER ($over $f) AS DOUBLE)"
+      val sx3 = s"CAST(SUM(CAST(price*price*price AS DECIMAL(38,9))) OVER ($over $f) AS DOUBLE)"
+      val mean = s"($sx/$n)"
+      val m2 = s"($sx2/$n - $mean*$mean)"
+      val m3 = s"($sx3/$n - 3.0*$mean*$sx2/$n + 2.0*$mean*$mean*$mean)"
+      s"""${Bars.sql}
+         |SELECT ticker, seq,
+         |  CASE WHEN ${cntW("price", f)} >= 3 AND $m2 > 0
+         |       THEN $m3 / pow($m2, 1.5) END AS roll_skew20
+         |FROM bars""".stripMargin
+    },
     "q17_win_seasonal" -> {
       val f30 = "ROWS BETWEEN 29 PRECEDING AND CURRENT ROW"
       s"""${Bars.sql},
