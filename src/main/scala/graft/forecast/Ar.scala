@@ -2,17 +2,20 @@ package graft.forecast
 
 import breeze.linalg.{DenseMatrix, DenseVector, pinv}
 
-/** ARIMA-lite: differencing + AR(p) via OLS with an AIC order grid —
-  * the v1 stand-in for the reference's statsmodels SARIMAX stack
-  * (/root/reference/forcester_ts/sarimax.py:431-707 keeps the same
-  * SHAPE: stationarity-driven d, AIC-minimizing order search, fallback
-  * ladder to a drift model; full seasonal MLE is out of scope per
-  * SURVEY.md §7.5 risk 1).
+/** SARIMA-lite: (seasonal) differencing + AR(p) with optional seasonal
+  * AR lags, fit by OLS with an AIC order grid — the stand-in for the
+  * reference's statsmodels SARIMAX stack (/root/reference/forcester_ts/
+  * sarimax.py:431-707 keeps the same SHAPE: stationarity-driven d,
+  * autocorrelation-peak seasonality detection :212-224, AIC-minimizing
+  * order search over (p)(P,s), fallback ladder to a drift model; full
+  * seasonal MLE is out of scope per SURVEY.md §7.5 risk 1).
   */
 object Ar {
 
+  /** seasonalLags: absolute lags (s, 2s, ...) appended to 1..p. */
   final case class Fit(p: Int, d: Int, intercept: Double, coefs: Array[Double],
-      sigma2: Double, aic: Double, n: Int)
+      sigma2: Double, aic: Double, n: Int,
+      season: Int = 0, seasonalLags: Array[Int] = Array.empty)
 
   /** Stationarity gate: difference once when the level series is
     * near-unit-root, measured by lag-1 autocorrelation ρ₁ ≥ 0.95
@@ -31,31 +34,64 @@ object Ar {
   def difference(x: Array[Double], d: Int): Array[Double] =
     if (d == 0) x else difference(x.sliding(2).map(a => a(1) - a(0)).toArray, d - 1)
 
-  /** OLS AR(p) on a (stationary) series. */
-  def fitArP(x: Array[Double], p: Int, d: Int): Option[Fit] = {
-    val n = x.length - p
-    if (n <= p + 2) return None
-    val y = DenseVector(x.drop(p))
-    val xm = DenseMatrix.zeros[Double](n, p + 1)
+  /** Seasonality detection: dominant autocorrelation peak of the
+    * differenced series among candidate periods (sarimax.py:212-224). */
+  def detectSeason(x: Array[Double], candidates: Seq[Int] = Seq(5, 7, 12, 21, 126)): Int = {
+    if (x.length < 30) return 0
+    val m = x.sum / x.length
+    val denom = x.map(v => (v - m) * (v - m)).sum
+    if (denom <= 0) return 0
+    def acf(k: Int): Double =
+      (k until x.length).map(i => (x(i) - m) * (x(i - k) - m)).sum / denom
+    val viable = candidates.filter(s => x.length >= 3 * s)
+    if (viable.isEmpty) return 0
+    val (best, r) = viable.map(s => s -> acf(s)).maxBy(_._2)
+    if (r > 0.25) best else 0
+  }
+
+  /** OLS AR on explicit lag set (1..p plus optional seasonal lags). */
+  private def fitLags(x: Array[Double], p: Int, d: Int,
+      seasonal: Array[Int], season: Int): Option[Fit] = {
+    val lags = ((1 to p) ++ seasonal).distinct.sorted.toArray
+    if (lags.isEmpty) return None
+    val maxLag = lags.max
+    val n = x.length - maxLag
+    if (n <= lags.length + 2) return None
+    val y = DenseVector(x.drop(maxLag))
+    val xm = DenseMatrix.zeros[Double](n, lags.length + 1)
     (0 until n).foreach { i =>
       xm(i, 0) = 1.0
-      (1 to p).foreach(j => xm(i, j) = x(p + i - j))
+      lags.zipWithIndex.foreach { case (l, j) => xm(i, j + 1) = x(maxLag + i - l) }
     }
     val beta = pinv(xm.t * xm) * (xm.t * y)
     val resid = y - xm * beta
     val sigma2 = math.max(1e-12, (resid.t * resid) / n.toDouble)
-    val k = p + 2.0 // intercept + p coefs + sigma
+    val k = lags.length + 2.0 // intercept + coefs + sigma
     val ll = -0.5 * n * (math.log(2 * math.Pi * sigma2) + 1)
     val aic = 2 * k - 2 * ll
-    Some(Fit(p, d, beta(0), beta.toArray.drop(1), sigma2, aic, n))
+    Some(Fit(p, d, beta(0), beta.toArray.drop(1), sigma2, aic, n,
+      season, seasonal))
   }
 
-  /** AIC grid over p=1..maxP at the chosen d; drift-model fallback when
-    * every candidate fails (the reference's fallback ladder shape). */
+  /** OLS AR(p) on a (stationary) series. */
+  def fitArP(x: Array[Double], p: Int, d: Int): Option[Fit] =
+    fitLags(x, p, d, Array.empty, 0)
+
+  /** AIC grid over p=1..maxP at the chosen d, each also tried with
+    * detected seasonal lags (s, 2s); drift-model fallback when every
+    * candidate fails (the reference's fallback ladder shape). */
   def fit(series: Array[Double], maxP: Int = 5): Fit = {
     val d = chooseD(series)
     val x = difference(series, d)
-    val candidates = (1 to math.min(maxP, x.length / 4)).flatMap(p => fitArP(x, p, d))
+    val season = detectSeason(x)
+    val seasonalSets: Seq[Array[Int]] =
+      if (season == 0) Seq(Array.empty[Int])
+      else Seq(Array.empty[Int], Array(season), Array(season, 2 * season))
+    val candidates = for {
+      p <- 1 to math.min(maxP, x.length / 4)
+      sl <- seasonalSets
+      f <- fitLags(x, p, d, sl, if (sl.isEmpty) 0 else season)
+    } yield f
     candidates.sortBy(_.aic).headOption.getOrElse {
       val mean = if (x.isEmpty) 0.0 else x.sum / x.length
       val v = if (x.length > 1) x.map(e => (e - mean) * (e - mean)).sum / (x.length - 1) else 1e-8
@@ -69,9 +105,10 @@ object Ar {
       : (Array[Double], Array[Double], Array[Double]) = {
     val x = difference(series, fit.d)
     val hist = scala.collection.mutable.ArrayBuffer(x.toSeq: _*)
+    val lags = ((1 to fit.p) ++ fit.seasonalLags).distinct.sorted
     val diffPreds = (1 to horizon).map { _ =>
-      val pred = fit.intercept + fit.coefs.zipWithIndex.map { case (c, j) =>
-        c * hist(hist.length - 1 - j)
+      val pred = fit.intercept + fit.coefs.zip(lags).map { case (c, l) =>
+        c * hist(hist.length - l)
       }.sum
       hist += pred
       pred

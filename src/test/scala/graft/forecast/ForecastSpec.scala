@@ -59,6 +59,26 @@ class ForecastSpec extends AnyFunSuite with TestSpark {
     assert(fc.length == 5 && lo.zip(hi).forall { case (a, b) => a < b })
   }
 
+  test("SARIMA-lite detects a weekly season and forecasts the pattern") {
+    val rng = new Random(15)
+    val pattern = Array(5.0, -3.0, 1.0, 4.0, -2.0, -4.0, -1.0)
+    val x = Array.tabulate(280)(i => 50 + pattern(i % 7) + rng.nextGaussian() * 0.3)
+    assert(Ar.detectSeason(x) === 7)
+    val fit = Ar.fit(x)
+    assert(fit.season === 7 && fit.seasonalLags.nonEmpty,
+      s"season=${fit.season} lags=${fit.seasonalLags.toSeq}")
+    val (fc, _, _) = Ar.forecast(x, fit, 14)
+    val expected = Array.tabulate(14)(h => 50 + pattern((280 + h) % 7))
+    val rmse = math.sqrt(fc.zip(expected).map { case (p, a) => (p - a) * (p - a) }.sum / 14)
+    // non-seasonal AR(p<=5) cannot see lag 7 — seasonal terms must beat it clearly
+    val plain = Ar.fitArP(x, 3, 0).get
+    val (fcPlain, _, _) = Ar.forecast(x, plain, 14)
+    val rmsePlain = math.sqrt(
+      fcPlain.zip(expected).map { case (p, a) => (p - a) * (p - a) }.sum / 14)
+    assert(rmse < rmsePlain / 2, s"seasonal=$rmse plain=$rmsePlain")
+    assert(rmse < 1.0, s"seasonal rmse $rmse")
+  }
+
   test("AR differencing triggers on a random walk, not on white noise") {
     val rng = new Random(9)
     val rw = Array.iterate(100.0, 500)(p => p + rng.nextGaussian())
