@@ -178,6 +178,44 @@ object MetricsQueries extends QueryModule {
           .otherwise(lit(1 - tau) * ($"q25" - $"r"))).as("pinball_25"))
     }),
 
+    // Diebold–Mariano with Newey–West HAC variance (statistical_tests.py
+    // :34-111): rolling-mean-5 forecaster vs the random walk; the loss
+    // differential's lagged autocovariances come from window lag products.
+    "q49_diebold_mariano" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val w5 = w.rowsBetween(-5, -1)
+      val pred1 = sum($"price".cast("decimal(38,6)")).over(w5).cast("double") /
+        count($"price").over(w5)
+      val pred2 = lag($"price", 1).over(w)
+      val base = Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", $"price",
+          pred1.as("p1"), pred2.as("p2"))
+        .where($"p1".isNotNull && $"p2".isNotNull)
+        .withColumn("d",
+          ($"p1" - $"price") * ($"p1" - $"price") -
+            ($"p2" - $"price") * ($"p2" - $"price"))
+      val wT = Window.partitionBy($"ticker")
+      val dBar = sum($"d".cast("decimal(38,12)")).over(wT).cast("double") /
+        count($"d").over(wT)
+      val centered = base
+        .withColumn("dm", $"d" - dBar) // window #1 (full-partition mean)
+        .withColumn("dm1", lag($"dm", 1).over(w)) // lags of the concrete column
+        .withColumn("dm2", lag($"dm", 2).over(w))
+        .withColumn("dm3", lag($"dm", 3).over(w))
+        .withColumn("dm4", lag($"dm", 4).over(w))
+      def g(c: org.apache.spark.sql.Column) =
+        sum(($"dm" * c).cast("decimal(38,12)")).cast("double") / count($"dm")
+      val n = count($"dm").cast("double")
+      val nwVar = g($"dm") +
+        lit(2.0) * (lit(0.8) * g($"dm1") + lit(0.6) * g($"dm2") +
+          lit(0.4) * g($"dm3") + lit(0.2) * g($"dm4"))
+      val meanD = sum($"d".cast("decimal(38,12)")).cast("double") / count($"d")
+      centered.groupBy($"ticker").agg(
+        count(lit(1)).as("n"),
+        (meanD / sqrt(greatest(nwVar, lit(1e-300)) / n)).as("dm_stat"))
+    }),
+
     // VaR violations at 95% (normal, rolling σ20) + Kupiec POF LR statistic.
     "q46_var_backtest" -> ((s, dir) => {
       import s.implicits._
@@ -350,6 +388,40 @@ object MetricsQueries extends QueryModule {
          |  ${sqlAvg12("CASE WHEN r >= q25 THEN 0.25 * (r - q25) ELSE (1 - 0.25) * (q25 - r) END")} AS pinball_25
          |FROM preds WHERE q25 IS NOT NULL
          |GROUP BY ticker""".stripMargin
+    },
+    "q49_diebold_mariano" -> {
+      val f5 = "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING"
+      def gk(c: String) =
+        s"(CAST(SUM(CAST(dm*($c) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(dm))"
+      val n = "CAST(COUNT(dm) AS DOUBLE)"
+      val nwVar = s"(${gk("dm")} + 2.0*(0.8*${gk("dm1")} + 0.6*${gk("dm2")} + 0.4*${gk("dm3")} + 0.2*${gk("dm4")}))"
+      val meanD = "(CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(d))"
+      s"""${Bars.sql},
+         |preds AS (
+         |  SELECT ticker, ts, seq, price,
+         |    CAST(SUM(CAST(price AS DECIMAL(38,6))) OVER ($over $f5) AS DOUBLE)
+         |      / COUNT(price) OVER ($over $f5) AS p1,
+         |    lag(price, 1) OVER ($over) AS p2
+         |  FROM bars),
+         |diffs AS (
+         |  SELECT ticker, ts, seq,
+         |    (p1 - price)*(p1 - price) - (p2 - price)*(p2 - price) AS d
+         |  FROM preds WHERE p1 IS NOT NULL AND p2 IS NOT NULL),
+         |cent AS (
+         |  SELECT ticker, ts, seq, d,
+         |    d - CAST(SUM(CAST(d AS DECIMAL(38,12))) OVER (PARTITION BY ticker) AS DOUBLE)
+         |          / COUNT(d) OVER (PARTITION BY ticker) AS dm
+         |  FROM diffs),
+         |lagged AS (
+         |  SELECT ticker, d, dm,
+         |    lag(dm, 1) OVER ($over) AS dm1,
+         |    lag(dm, 2) OVER ($over) AS dm2,
+         |    lag(dm, 3) OVER ($over) AS dm3,
+         |    lag(dm, 4) OVER ($over) AS dm4
+         |  FROM cent)
+         |SELECT ticker, COUNT(*) AS n,
+         |  $meanD / sqrt(greatest($nwVar, 1e-300) / $n) AS dm_stat
+         |FROM lagged GROUP BY ticker""".stripMargin
     },
     "q46_var_backtest" -> {
       val f20 = "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
