@@ -84,17 +84,30 @@ object PortfolioEngine {
     }
 
     events.zipWithIndex.foreach { case (ev, barIdx) =>
-      // exit evaluation happens BEFORE new entries (reference order,
-      // execute_signal → _evaluate_exits first)
-      lots.toArray.foreach { lot =>
-        val ret = if (lot.price != 0) ev.price / lot.price - 1 else 0.0
-        val held = barIdx - lot.barIdx
+      // Exit evaluation happens BEFORE new entries (reference order,
+      // execute_signal → _evaluate_exits first). The reference evaluates
+      // exits at TICKER level (_evaluate_exit_reason:1603-1767 reads the
+      // single per-ticker stop/target/entry state) and a trigger closes the
+      // entire position, with stop checked before target before time
+      // (:1667-1683). Mirror that here: scan live lots for triggers,
+      // prioritize STOP_LOSS > TAKE_PROFIT > TIME across the position,
+      // then close ALL open quantity under that one reason.
+      if (lots.nonEmpty) {
+        var sawStop = false; var sawTarget = false; var sawTime = false
+        lots.foreach { lot =>
+          val ret = if (lot.price != 0) ev.price / lot.price - 1 else 0.0
+          val held = barIdx - lot.barIdx
+          if (ret <= -cfg.stopLossPct) sawStop = true
+          else if (ret >= cfg.takeProfitPct) sawTarget = true
+          else if (held >= cfg.maxHoldBars) sawTime = true
+        }
         val reason =
-          if (ret <= -cfg.stopLossPct) "STOP_LOSS"
-          else if (ret >= cfg.takeProfitPct) "TAKE_PROFIT"
-          else if (held >= cfg.maxHoldBars) "TIME"
+          if (sawStop) "STOP_LOSS"
+          else if (sawTarget) "TAKE_PROFIT"
+          else if (sawTime) "TIME"
           else ""
-        if (reason.nonEmpty) closeLots(ev.ts, ev.price, lot.qty, reason, ev.isSynthetic)
+        if (reason.nonEmpty)
+          closeLots(ev.ts, ev.price, lots.map(_.qty).sum, reason, ev.isSynthetic)
       }
       ev.action match {
         case "BUY" =>

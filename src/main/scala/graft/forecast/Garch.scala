@@ -74,13 +74,33 @@ object Garch {
     (simplex.head._1, simplex.head._2, iter < maxIter)
   }
 
+  /** Gaussian log-likelihood of the EWMA (IGARCH) variance filter
+    * h_t = (1−λ)r²_{t−1} + λh_{t−1}. A dedicated recursion — the GARCH
+    * negLogLik's stationarity barrier (α+β<1) would reject the IGARCH
+    * point (α+β=1) outright, which made the fit-vs-fallback comparison
+    * in fit() vacuous. */
+  private[forecast] def ewmaNegLogLik(r: Array[Double], lambda: Double = 0.94): Double = {
+    val n = r.length
+    if (n == 0) return 1e12
+    var h = r.map(x => x * x).sum / n // unconditional init, as in negLogLik
+    var nll = 0.0
+    var i = 0
+    while (i < n) {
+      if (i > 0) h = (1 - lambda) * r(i - 1) * r(i - 1) + lambda * h
+      if (h <= 0) return 1e12
+      nll += 0.5 * (math.log(2 * math.Pi) + math.log(h) + r(i) * r(i) / h)
+      i += 1
+    }
+    nll
+  }
+
   /** Fit GARCH(1,1); falls back to EWMA (λ=0.94) when the sample is
     * short or MLE fails to beat the EWMA-equivalent likelihood. */
   def fit(rawReturns: Array[Double], minObs: Int = 50): Fit = {
     val r = clip(rawReturns)
     val ewmaAsGarch = { // EWMA ≡ IGARCH(ω=0, α=1−λ, β=λ) — the fallback
       val l = 0.94
-      Fit(0.0, 1 - l, l, 1.0, -negLogLik(r, 1e-12, 1 - l, l), converged = false, usedEwma = true)
+      Fit(0.0, 1 - l, l, 1.0, -ewmaNegLogLik(r, l), converged = false, usedEwma = true)
     }
     if (r.length < minObs) return ewmaAsGarch
     val v = r.map(x => x * x).sum / r.length

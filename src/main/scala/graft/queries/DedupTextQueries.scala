@@ -57,8 +57,8 @@ object DedupTextQueries extends QueryModule {
 
     // MinHash (32 perms) + LSH banding (8 bands × 4 rows): candidate
     // near-dup pairs via band-bucket join — the 100 TB-safe dedup path.
-    // No SQL oracle (engine-specific 64-bit hash); properties are
-    // spec-tested against exact Jaccard in MinHashSpec.
+    // Base hash = low 60 bits of md5 (engine-portable, so the full
+    // pipeline is DuckDB-oracled hash-exact; xxhash64 was not).
     "q52_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
       val toks = graft.Tables.load(s, dir, "documents")
@@ -66,21 +66,23 @@ object DedupTextQueries extends QueryModule {
       val sh = toks.select($"doc_id", explode(expr(
         "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"))
         .as("sh")).distinct()
-        .withColumn("h", xxhash64($"sh"))
+        .withColumn("x", expr(
+          "pmod(cast(conv(substring(md5(sh), 18, 15), 16, 10) as bigint), 2147483647L)"))
       // 32 universal-hash permutations h_i = (a_i*x + b_i) mod (2^31-1);
-      // modular form keeps every intermediate < 2^62 (ANSI-safe). The
-      // signature is 32 MIN aggregates over ONE shuffle — no 32× row
+      // x < 2^31 and a_i < 2^21 keep every product < 2^52 (ANSI-safe).
+      // The signature is 32 MIN aggregates over ONE shuffle — no 32× row
       // explosion (that costs ~5× wall time at sf0.1).
       val minAggs = (0 until 32).map { i =>
         min(expr(
-          s"pmod((40503L * $i + 12345L) * pmod(h, 2147483647L) + 2971215073L * $i + 1L, 2147483647L)"))
+          s"pmod((40503L * $i + 12345L) * x + 2971215073L * $i + 1L, 2147483647L)"))
           .as(s"mh_$i")
       }
       val sig = sh.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
-      // 8 bands × 4 rows: one hashed key per band
+      // 8 bands × 4 rows: the band key is the ':'-joined signature slice
+      // (a portable string — avoids engine-specific band hashing)
       val banded = sig.select(($"doc_id" +: (0 until 8).map { b =>
-        xxhash64(concat_ws(":",
-          (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*)).as(s"band_$b")
+        concat_ws(":",
+          (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as(s"band_$b")
       }): _*)
       val bandSig = banded.select($"doc_id", explode(array(
         (0 until 8).map(b => struct(lit(b).as("band"), col(s"band_$b").as("band_key"))): _*))
@@ -92,22 +94,23 @@ object DedupTextQueries extends QueryModule {
         .select($"x.doc_id".as("da"), $"y.doc_id".as("db")).distinct()
     }),
 
-    // SimHash-64 signatures from token hashes (bitwise majority vote).
-    // 64 SUM aggregates over ONE shuffle — no 64× row explosion (the
-    // exploded form cost 11s at sf0.1; this runs in ~1s).
-    // No SQL oracle (engine-specific hash); spec-tested.
+    // SimHash-60 signatures from token hashes (bitwise majority vote).
+    // 60 SUM aggregates over ONE shuffle — no 60× row explosion (the
+    // exploded form cost 11s at sf0.1; this runs in ~1s). Base hash =
+    // low 60 bits of md5, portable → DuckDB-oracled hash-exact.
     "q53_simhash" -> ((s, dir) => {
       import s.implicits._
       val tok = graft.Tables.load(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
-        .withColumn("h", xxhash64($"tok"))
-      val voteAggs = (0 until 64).map { j =>
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(tok), 18, 15), 16, 10) as bigint)"))
+      val voteAggs = (0 until 60).map { j =>
         sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
           .as(s"v_$j")
       }
       tok.groupBy($"doc_id").agg(voteAggs.head, voteAggs.tail: _*)
         .select($"doc_id",
-          (0 until 64).map(j =>
+          (0 until 60).map(j =>
             when(col(s"v_$j") > 0, expr(s"shiftleft(1L, $j)")).otherwise(0L))
             .reduce(_ + _).as("simhash"))
     }),
@@ -196,10 +199,12 @@ object DedupTextQueries extends QueryModule {
 
   private val shingleSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+      |  FROM toks),
       |sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-      |  FROM toks, (SELECT unnest(generate_series(1, 1000)) AS i) idx
-      |  WHERE i <= len(t) - 2)""".stripMargin
+      |  FROM idx)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q50_dedup_exact" ->
@@ -220,6 +225,44 @@ object DedupTextQueries extends QueryModule {
          |JOIN sizes sa ON da = sa.doc_id
          |JOIN sizes sb ON db = sb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5""".stripMargin,
+    "q52_minhash_lsh" -> {
+      val hexParse =
+        """list_reduce(list_transform(string_split_regex(substr(md5(sh), 18, 15), ''),
+          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+      val minAggs = (0 until 32).map(i =>
+        s"MIN((${40503L * i + 12345L} * x + ${2971215073L * i + 1L}) % 2147483647) AS mh_$i")
+        .mkString(",\n  ")
+      val bands = (0 until 8).map { b =>
+        (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
+          .mkString(" || ':' || ") + s" AS band_$b"
+      }.mkString(",\n  ")
+      val arms = (0 until 8).map(b =>
+        s"SELECT doc_id, $b AS band, band_$b AS band_key FROM banded")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $shingleSql,
+         |hh AS (SELECT doc_id, $hexParse % 2147483647 AS x FROM sh),
+         |sig AS (SELECT doc_id, $minAggs FROM hh GROUP BY doc_id),
+         |banded AS (SELECT doc_id, $bands FROM sig),
+         |bk AS ($arms)
+         |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |FROM bk x JOIN bk y
+         |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id""".stripMargin
+    },
+    "q53_simhash" -> {
+      val hexParse =
+        """list_reduce(list_transform(string_split_regex(substr(md5(tok), 18, 15), ''),
+          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+      val votes = (0 until 60).map(j =>
+        s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v_$j")
+        .mkString(",\n  ")
+      val bits = (0 until 60).map(j =>
+        s"CASE WHEN v_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+        .mkString("\n  + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hh AS (SELECT doc_id, $hexParse AS h FROM tok),
+         |votes AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM votes""".stripMargin
+    },
     "q54_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
         |sims AS (

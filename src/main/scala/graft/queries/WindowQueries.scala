@@ -126,11 +126,15 @@ object WindowQueries extends QueryModule {
           ($"detrended" - $"seasonal").as("resid"))
     }),
 
-    // exact quartiles per ticker (summary quantiles, analyzer :279-337)
+    // exact quartiles per ticker (summary quantiles, analyzer :279-337).
+    // Scalar columns, not one array column: the driver's compare hashes
+    // pandas cells and cannot sort/factorize numpy arrays.
     "q18_quantiles" -> ((s, dir) => {
       import s.implicits._
       Bars.of(s, dir).groupBy($"ticker")
-        .agg(percentile($"price", typedLit(Seq(0.25, 0.5, 0.75))).as("quartiles"))
+        .agg(percentile($"price", lit(0.25)).as("p25"),
+          percentile($"price", lit(0.5)).as("p50"),
+          percentile($"price", lit(0.75)).as("p75"))
     }),
 
     // ATR-shaped greatest-of-lag-diffs + rolling mean 14 (feature_builder :184-195)
@@ -252,7 +256,10 @@ object WindowQueries extends QueryModule {
     },
     "q18_quantiles" ->
       s"""${Bars.sql}
-         |SELECT ticker, quantile_cont(price, [0.25, 0.5, 0.75]) AS quartiles
+         |SELECT ticker,
+         |  quantile_cont(price, 0.25) AS p25,
+         |  quantile_cont(price, 0.5) AS p50,
+         |  quantile_cont(price, 0.75) AS p75
          |FROM bars GROUP BY ticker""".stripMargin,
     "q15_win_top1" ->
       s"""${Bars.sql},

@@ -49,13 +49,23 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
       else coverage().collect()
         .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
 
-    val fullHit = tickers.filter(t => cov.get(t).exists { case (lo, hi) =>
-      !lo.after(start) && !hi.before(end) })
     val missing = tickers.filterNot(cov.contains)
-    val staleTail = tickers.filter(t => cov.get(t).exists { case (lo, hi) =>
-      !lo.after(start) && hi.before(end) })
+    // head gap: cache starts AFTER the requested start — without this
+    // branch such a ticker matched no fetch condition and read() silently
+    // returned only the cached suffix (the reference refetches on coverage
+    // invalidity, yfinance_extractor.py:536-568). Fetch only [start, lo)
+    // so the append stays duplicate-free.
+    val headGap = tickers.filter(t => cov.get(t).exists { case (lo, _) =>
+      lo.after(start) })
+    val staleTail = tickers.filter(t => cov.get(t).exists { case (_, hi) =>
+      hi.before(end) })
 
     if (missing.nonEmpty) write(fetch(missing, start, end))
+    headGap.foreach { t =>
+      val lo = cov(t)._1
+      val head = fetch(Seq(t), start, new java.sql.Timestamp(lo.getTime - 1))
+      if (!head.isEmpty) write(head)
+    }
     staleTail.foreach { t =>
       val hi = cov(t)._2
       // tail delta: only the bars after the cached high-water mark
@@ -77,8 +87,9 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
       .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
     val full = tickers.count(t => cov.get(t).exists { case (lo, hi) =>
       !lo.after(start) && !hi.before(end) })
+    // partial = cached but not covering (head gap, stale tail, or both)
     val partial = tickers.count(t => cov.get(t).exists { case (lo, hi) =>
-      !lo.after(start) && hi.before(end) })
+      lo.after(start) || hi.before(end) })
     (full, partial, tickers.size - full - partial)
   }
 }

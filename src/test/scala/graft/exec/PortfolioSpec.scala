@@ -57,6 +57,32 @@ class PortfolioSpec extends AnyFunSuite with TestSpark {
     assert(time.exists(r => r.isClose && r.exitReason == "TIME"))
   }
 
+  test("a lifecycle trigger closes the ENTIRE position, not just the triggering lot") {
+    // lot1 at 100 is down 6% at bar 3 (stop); lot2 at 98 is only down ~4%.
+    // Reference semantics: the stop closes the whole ticker position, and
+    // every allocation carries the STOP_LOSS reason.
+    val rows = PortfolioEngine.runTicker(Seq(
+      ev(1, 100, "BUY"), ev(2, 98, "BUY"), ev(3, 94, "HOLD"), ev(4, 94, "HOLD")))
+    val opens = rows.filter(!_.isClose)
+    val closes = rows.filter(_.isClose)
+    assert(opens.size === 2)
+    assert(closes.nonEmpty)
+    assert(closes.forall(_.exitReason == "STOP_LOSS"))
+    // all opened quantity is closed — nothing remains after the trigger bar
+    assert(math.abs(opens.map(_.quantity).sum - closes.map(_.quantity).sum) < 1e-9)
+    // and both opens are referenced by the allocations
+    assert(closes.map(_.entryTradeId).toSet === opens.map(_.tradeId).toSet)
+    // stop beats time: a position simultaneously past max-hold and below the
+    // stop reports STOP_LOSS (reference checks price exits first)
+    val mixed = PortfolioEngine.runTicker(
+      ev(1, 100, "BUY") +: (2 to 24).map(i => ev(i, 100.5, "HOLD")) :+ ev(25, 90, "HOLD"))
+    val trig = mixed.filter(_.isClose)
+    assert(trig.nonEmpty && trig.forall(_.exitReason == "TIME")) // time fires at bar 21 first
+    val stopBeatsTime = PortfolioEngine.runTicker(Seq(
+      ev(1, 100, "BUY"), ev(2, 101, "HOLD"), ev(3, 94, "HOLD")))
+    assert(stopBeatsTime.filter(_.isClose).forall(_.exitReason == "STOP_LOSS"))
+  }
+
   test("property: FIFO conservation — closed quantity equals opened-and-exited quantity") {
     val rng = new scala.util.Random(123)
     (1 to 60).foreach { _ =>

@@ -46,6 +46,22 @@ class ForecastSpec extends AnyFunSuite with TestSpark {
     assert(fit.usedEwma)
   }
 
+  test("EWMA fallback likelihood is a real (finite) IGARCH likelihood, not a barrier sentinel") {
+    val rng = new Random(11)
+    val r = Array.fill(300)(rng.nextGaussian() * 0.01)
+    val nll = Garch.ewmaNegLogLik(r)
+    assert(nll.isFinite && math.abs(nll) < 1e11, s"nll=$nll")
+    // fallback Fit carries this likelihood, so the fit-vs-fallback
+    // comparison in fit() is live: on i.i.d. data the fitted GARCH must
+    // have a log-lik >= the EWMA filter's (it nests richer dynamics)
+    val fit = Garch.fit(r)
+    assert(fit.logLik >= -nll - 1e-6, s"fit=${fit.logLik} ewma=${-nll}")
+    // and on a constant (degenerate) sample the comparison still yields
+    // a finite fallback rather than -1e12
+    val flatFit = Garch.fit(Array.fill(60)(0.01))
+    assert(math.abs(flatFit.logLik) < 1e11)
+  }
+
   test("AR fit recovers a strong AR(1) coefficient and forecasts sanely") {
     val rng = new Random(3)
     val phi = 0.8

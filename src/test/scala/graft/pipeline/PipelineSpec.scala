@@ -48,7 +48,8 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
     var fetchCalls = List.empty[(Seq[String], Timestamp, Timestamp)]
     def fetch(ts: Seq[String], a: Timestamp, b: Timestamp) = {
       fetchCalls = (ts, a, b) :: fetchCalls
-      SyntheticSource.generate(spark, ts, 60, seed = 9).toDF()
+      SyntheticSource.generate(spark, ts, 90,
+          startDate = java.time.LocalDate.of(2023, 12, 1), seed = 9).toDF()
         .where(col("date").between(a, b))
     }
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
@@ -71,6 +72,16 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
     // new ticker: miss for it only
     cache.read(Seq("AAPL", "MSFT"), t0, t30)(fetch)
     assert(fetchCalls.head._1 === Seq("MSFT"))
+    // head gap: cache starts after the requested start -> fetch [start, lo)
+    // and return the FULL range, not just the cached suffix
+    val tm5 = Timestamp.valueOf("2023-12-27 00:00:00")
+    val callsBefore = fetchCalls.size
+    val headRead = cache.read(Seq("AAPL"), tm5, t30)(fetch)
+    assert(fetchCalls.size === callsBefore + 1)
+    val (htk, hFrom, hTo) = fetchCalls.head
+    assert(htk === Seq("AAPL") && hFrom === tm5 && hTo.before(t0))
+    assert(headRead.count() === 35) // 5 head days + original 30
+    assert(cache.stats(Seq("AAPL"), tm5, t30) === ((1, 0, 0)))
   }
 
   test("strategy sweep ranks candidates and tighter stops change outcomes") {
