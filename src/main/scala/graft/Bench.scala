@@ -31,10 +31,22 @@ object Bench {
       try exec(q) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try exec(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // optional dev filter: bench only the named queries (comma-separated),
+    // each run REPS times (last timing wins — isolates warm steady-state)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
+      var last = 0.0
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        try exec(name) catch { case _: Throwable => () }
+        last = (System.nanoTime() - t0) / 1e9
+      }
+      name -> last
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -38,22 +38,23 @@ object StreamQueries extends QueryModule {
         .select($"user_id", $"bucket", $"event_id".as("first_event"))
     }),
 
+    // Chunked-halo rolling σ: partitionBy(event_type) would cap the
+    // window at |event types| tasks — ChunkedWindow keeps the alert scan
+    // row-parallel at 100 TB with hash-identical output (exact decimal
+    // prefix sums; lag(1) = kernel `prev`).
     "q62_vol_alert" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-      val w20 = w.rowsBetween(-20, -1)
-      val delta = $"value" - lag($"value", 1).over(w)
-      val n = count($"value").over(w20).cast("double")
-      val sx = sum($"value".cast("decimal(38,6)")).over(w20).cast("double")
-      val sx2 = sum(($"value" * $"value").cast("decimal(38,9)")).over(w20).cast("double")
-      val sigma = when(n > 1,
-        sqrt(greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0))))
-      graft.Tables.load(s, dir, "events")
-        .select($"event_type", $"ts", $"event_id", $"value",
+      val m = graft.operators.ChunkedWindow.rollingMoments(
+        graft.Tables.load(s, dir, "events").withColumn("t", unix_micros($"ts")),
+        "event_type", "t", "event_id", "value", lo = -20, hi = -1).toDF()
+      val n = $"n".cast("double")
+      val delta = $"x" - $"prev"
+      val sigma = when($"n" > 1,
+        sqrt(greatest((n * $"s2" - $"s1" * $"s1") / (n * (n - lit(1.0))), lit(0.0))))
+      m.select($"key".as("event_type"), $"seq".as("event_id"),
           delta.as("delta"), sigma.as("sigma"))
         .where($"delta".isNotNull && $"sigma".isNotNull && $"sigma" > 0 &&
           abs($"delta") > lit(2.0) * $"sigma")
-        .select($"event_type", $"event_id", $"delta", $"sigma")
     })
   )
 

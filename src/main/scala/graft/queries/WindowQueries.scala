@@ -92,20 +92,25 @@ object WindowQueries extends QueryModule {
     }),
 
     // rolling skewness over 20 bars via explicit decimal moments
-    // (feature_builder :110-116 roll_skew; formula identical both engines)
+    // (feature_builder :110-116 roll_skew; formula identical both engines).
+    // Computed with the chunked-halo operator: partitionBy(ticker) caps
+    // window parallelism at |tickers| (~5) — a serialization point at
+    // 100 TB — while ChunkedWindow scales with rows and stays
+    // hash-identical (exact decimal prefix sums of the same quantized
+    // moments).
     "q19_win_skew" -> ((s, dir) => {
       import s.implicits._
-      val w20 = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
-        .rowsBetween(-19, 0)
-      val x = $"price"
-      val n = count(x).over(w20).cast("double")
-      val sx = sum(x.cast("decimal(38,6)")).over(w20).cast("double")
-      val sx2 = sum((x * x).cast("decimal(38,9)")).over(w20).cast("double")
-      val sx3 = sum((x * x * x).cast("decimal(38,9)")).over(w20).cast("double")
+      val m = graft.operators.ChunkedWindow.rollingMoments(
+        Bars.of(s, dir).withColumn("t", unix_micros($"ts")),
+        "ticker", "t", "seq", "price", lo = -19, hi = 0).toDF()
+      val n = $"n".cast("double")
+      val sx = $"s1"
+      val sx2 = $"s2"
+      val sx3 = $"s3"
       val mean = sx / n
       val m2 = sx2 / n - mean * mean
       val m3 = sx3 / n - lit(3.0) * mean * sx2 / n + lit(2.0) * mean * mean * mean
-      Bars.of(s, dir).select($"ticker", $"seq",
+      m.select($"key".as("ticker"), $"seq",
         when(n >= 3 && m2 > 0, m3 / pow(m2, 1.5)).as("roll_skew20"))
     }),
 
