@@ -249,6 +249,52 @@ object MetricsQueries extends QueryModule {
             lit(2.0) * (tnx + tx)
           lr.as("kupiec_lr")
         })
+    }),
+
+    // Christoffersen independence LR over the q46 violation series
+    // (var_backtest.py:141-236): Markov transition counts n00/n01/n10/n11
+    // via lag, then the likelihood-ratio of independent vs first-order
+    // clustered violations. Same formula as StatTests.christoffersen.
+    "q63_christoffersen" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val ret = $"price" / lag($"price", 1).over(w) - 1
+      val w20 = w.rowsBetween(-20, -1)
+      val base = Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", ret.as("r"))
+        .withColumn("sigma", {
+          val c = $"r"
+          val n = count(c).over(w20).cast("double")
+          val sx = sum(c.cast("decimal(38,12)")).over(w20).cast("double")
+          val sx2 = sum((c * c).cast("decimal(38,18)")).over(w20).cast("double")
+          when(n > 1, sqrt(greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0))))
+        })
+        .where($"sigma".isNotNull && $"r".isNotNull)
+        .withColumn("v", ($"r" < lit(-1.6448536269514722) * $"sigma").cast("int"))
+      val wv = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val trans = base
+        .withColumn("pv", lag($"v", 1).over(wv))
+        .where($"pv".isNotNull)
+      val agg = trans.groupBy($"ticker").agg(
+        sum(when($"pv" === 0 && $"v" === 0, 1).otherwise(0)).as("n00"),
+        sum(when($"pv" === 0 && $"v" === 1, 1).otherwise(0)).as("n01"),
+        sum(when($"pv" === 1 && $"v" === 0, 1).otherwise(0)).as("n10"),
+        sum(when($"pv" === 1 && $"v" === 1, 1).otherwise(0)).as("n11"))
+      // ll(k, n, pi) with lim t·ln(t) = 0 boundary guards (ANSI-safe)
+      def ll(k: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+          pi: org.apache.spark.sql.Column) =
+        when(n === 0 || pi <= 0.0 || pi >= 1.0, lit(0.0))
+          .otherwise((n - k) * log(lit(1.0) - pi) + k * log(pi))
+      val (n00, n01, n10, n11) =
+        ($"n00".cast("double"), $"n01".cast("double"),
+          $"n10".cast("double"), $"n11".cast("double"))
+      val tot = n00 + n01 + n10 + n11
+      val p01 = when(n00 + n01 > 0, n01 / (n00 + n01)).otherwise(lit(0.0))
+      val p11 = when(n10 + n11 > 0, n11 / (n10 + n11)).otherwise(lit(0.0))
+      val p = (n01 + n11) / greatest(tot, lit(1.0))
+      val lr = lit(-2.0) * (ll(n01 + n11, tot, p) -
+        (ll(n01, n00 + n01, p01) + ll(n11, n10 + n11, p11)))
+      agg.select($"ticker", $"n00", $"n01", $"n10", $"n11", lr.as("lr_ind"))
     })
   )
 
@@ -447,6 +493,54 @@ object MetricsQueries extends QueryModule {
          |            + (CASE WHEN SUM(violation) = 0 THEN 0.0
          |               ELSE SUM(violation) * ln(CAST(SUM(violation) AS DOUBLE)/COUNT(*)) END)) AS kupiec_lr
          |FROM viol GROUP BY ticker""".stripMargin
+    },
+    "q63_christoffersen" -> {
+      val f20 = "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+      val n20 = s"COUNT(r) OVER ($over $f20)"
+      val sx20 = s"CAST(SUM(CAST(r AS DECIMAL(38,12))) OVER ($over $f20) AS DOUBLE)"
+      val sx220 = s"CAST(SUM(CAST(r*r AS DECIMAL(38,18))) OVER ($over $f20) AS DOUBLE)"
+      val sig = s"CASE WHEN $n20 > 1 THEN sqrt(greatest((CAST($n20 AS DOUBLE)*$sx220 - $sx20*$sx20) / (CAST($n20 AS DOUBLE)*(CAST($n20 AS DOUBLE)-1.0)), 0.0)) END"
+      def ll(k: String, n: String, pi: String) =
+        s"(CASE WHEN $n = 0 OR $pi <= 0 OR $pi >= 1 THEN 0.0 ELSE ($n - $k) * ln(1.0 - $pi) + $k * ln($pi) END)"
+      s"""${Bars.sql},
+         |rets AS (
+         |  SELECT ticker, ts, seq, price / lag(price, 1) OVER ($over) - 1 AS r
+         |  FROM bars),
+         |sigd AS (
+         |  SELECT ticker, ts, seq, r, $sig AS sigma FROM rets),
+         |viol AS (
+         |  SELECT ticker, ts, seq,
+         |    CASE WHEN r < -1.6448536269514722 * sigma THEN 1 ELSE 0 END AS v
+         |  FROM sigd WHERE sigma IS NOT NULL AND r IS NOT NULL),
+         |trans AS (
+         |  SELECT ticker, lag(v, 1) OVER ($over) AS pv, v FROM viol),
+         |cnt AS (
+         |  SELECT ticker,
+         |    CAST(SUM(CASE WHEN pv = 0 AND v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         |    CAST(SUM(CASE WHEN pv = 0 AND v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(SUM(CASE WHEN pv = 1 AND v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(SUM(CASE WHEN pv = 1 AND v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+         |  FROM trans WHERE pv IS NOT NULL GROUP BY ticker),
+         |probs AS (
+         |  SELECT ticker, n00, n01, n10, n11,
+         |    CAST(n00 AS DOUBLE) AS a, CAST(n01 AS DOUBLE) AS b,
+         |    CAST(n10 AS DOUBLE) AS c, CAST(n11 AS DOUBLE) AS d,
+         |    CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE)
+         |      + CAST(n10 AS DOUBLE) + CAST(n11 AS DOUBLE) AS tot,
+         |    CASE WHEN CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE) > 0
+         |      THEN CAST(n01 AS DOUBLE) / (CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE))
+         |      ELSE 0.0 END AS p01,
+         |    CASE WHEN CAST(n10 AS DOUBLE) + CAST(n11 AS DOUBLE) > 0
+         |      THEN CAST(n11 AS DOUBLE) / (CAST(n10 AS DOUBLE) + CAST(n11 AS DOUBLE))
+         |      ELSE 0.0 END AS p11,
+         |    (CAST(n01 AS DOUBLE) + CAST(n11 AS DOUBLE))
+         |      / greatest(CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE)
+         |          + CAST(n10 AS DOUBLE) + CAST(n11 AS DOUBLE), 1.0) AS p
+         |  FROM cnt)
+         |SELECT ticker, n00, n01, n10, n11,
+         |  -2.0 * (${ll("(b + d)", "tot", "p")}
+         |    - (${ll("b", "(a + b)", "p01")} + ${ll("d", "(c + d)", "p11")})) AS lr_ind
+         |FROM probs""".stripMargin
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.Splitter
@@ -64,6 +65,65 @@ object SplitQueries extends QueryModule {
         ((n * sxy - sx * sy) /
           sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).as("corr"),
         ((n * sxy - sx * sy) / (n * (n - 1))).as("cov"))
+    }),
+
+    // Ledoit-Wolf shrunk covariance of daily returns with the OPTIMAL
+    // intensity δ* (Ledoit & Wolf 2004; the sklearn estimator the
+    // reference calls, portfolio_math.py:267-306), computed entirely as
+    // distributed aggregations: pairwise centered moments give S (the /n
+    // covariance), per-day row-sums of squares give b̄², and the tiny
+    // scalar frame (μ, d², δ*) broadcasts back onto the pairs. Single
+    // pass over days per aggregate; no driver-side matrix.
+    "q84_ledoit_wolf" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Bars.of(s, dir).groupBy($"ticker", $"day")
+        .agg(davg($"price").as("p"))
+      val wd = Window.partitionBy($"ticker").orderBy($"day")
+      val rets = daily
+        .select($"ticker", $"day", ($"p" / lag($"p", 1).over(wd) - 1).as("r"))
+        .where($"r".isNotNull)
+      // align: keep only days where every ticker has a return
+      val nt = rets.select(countDistinct($"ticker").as("p")).as[Long].head()
+      val full = rets.groupBy($"day").agg(count(lit(1)).as("c"))
+        .where($"c" === nt).select($"day")
+      val al = rets.join(broadcast(full), Seq("day"))
+      // center: per-ticker means (exact decimal), broadcast back
+      val means = al.groupBy($"ticker").agg(davg12($"r").as("m"))
+      val cent = al.join(broadcast(means), Seq("ticker"))
+        .select($"ticker", $"day", ($"r" - $"m").as("c"))
+      // pairwise /n second moments -> S_ij (i <= j)
+      val a = cent.select($"ticker".as("ta"), $"day", $"c".as("ca"))
+      val b = cent.select($"ticker".as("tb"), $"day", $"c".as("cb"))
+      val pairs = a.join(b, Seq("day")).where($"ta" <= $"tb")
+        .groupBy($"ta", $"tb").agg(
+          count(lit(1)).as("n"),
+          (sum(($"ca" * $"cb").cast("decimal(38,18)")).cast("double") /
+            count(lit(1))).as("s"))
+      // scalar frame: μ = tr(S)/p, ‖S‖²_F (off-diagonals count twice),
+      // d², b̄² (via per-day row-sums of squares), δ* = min(b̄²,d²)/d²
+      val rows = cent.groupBy($"day")
+        .agg(sum(($"c" * $"c").cast("decimal(38,18)")).cast("double").as("rk"))
+        .agg(sum(($"rk" * $"rk").cast("decimal(38,18)")).cast("double").as("q"),
+          count(lit(1)).as("n"))
+      val scal = pairs.agg(
+          (sum(when($"ta" === $"tb", $"s").otherwise(lit(0.0))
+            .cast("decimal(38,18)")).cast("double") / countDistinct($"ta")).as("mu"),
+          sum(when($"ta" === $"tb", $"s" * $"s").otherwise(lit(2.0) * $"s" * $"s")
+            .cast("decimal(38,18)")).cast("double").as("sum_s2"),
+          (sum(when($"ta" === $"tb", $"s").otherwise(lit(0.0))
+            .cast("decimal(38,18)")).cast("double")).as("tr"),
+          countDistinct($"ta").cast("double").as("p"))
+        .crossJoin(rows)
+        .select($"mu", $"p", $"n",
+          (($"sum_s2" - lit(2.0) * $"mu" * $"tr" + $"p" * $"mu" * $"mu") / $"p").as("d2"),
+          (($"q" / $"n" - $"sum_s2") / ($"n".cast("double") * $"p")).as("b2bar"))
+        .select($"mu",
+          when($"d2" <= 0, lit(0.0))
+            .otherwise(least(lit(1.0), greatest(lit(0.0), least($"b2bar", $"d2") / $"d2")))
+            .as("delta"))
+      pairs.crossJoin(broadcast(scal)).select($"ta", $"tb", $"s", $"delta",
+        ((lit(1.0) - $"delta") * $"s" +
+          when($"ta" === $"tb", $"delta" * $"mu").otherwise(lit(0.0))).as("shrunk"))
     })
   )
 
@@ -148,6 +208,61 @@ object SplitQueries extends QueryModule {
          |JOIN (SELECT ticker, day, p AS pb FROM daily) b USING (day)
          |WHERE a.ticker < b.ticker
          |GROUP BY 1, 2""".stripMargin
+    },
+    "q84_ledoit_wolf" -> {
+      val d18 = "DECIMAL(38,18)"
+      s"""${Bars.sql},
+         |daily AS (
+         |  SELECT ticker, day, ${sqlAvg("price")} AS p
+         |  FROM bars GROUP BY ticker, day),
+         |rets AS (
+         |  SELECT ticker, day,
+         |    p / lag(p, 1) OVER (PARTITION BY ticker ORDER BY day) - 1 AS r
+         |  FROM daily
+         |  QUALIFY r IS NOT NULL),
+         |fulld AS (
+         |  SELECT day FROM rets GROUP BY day
+         |  HAVING COUNT(*) = (SELECT COUNT(DISTINCT ticker) FROM rets)),
+         |al AS (SELECT rets.* FROM rets JOIN fulld USING (day)),
+         |means AS (
+         |  SELECT ticker, ${sqlAvg12("r")} AS m FROM al GROUP BY ticker),
+         |cent AS (
+         |  SELECT al.ticker, al.day, al.r - means.m AS c
+         |  FROM al JOIN means USING (ticker)),
+         |pairs AS (
+         |  SELECT a.ticker AS ta, b.ticker AS tb, COUNT(*) AS n,
+         |    CAST(SUM(CAST(a.c * b.c AS $d18)) AS DOUBLE) / COUNT(*) AS s
+         |  FROM cent a JOIN cent b USING (day)
+         |  WHERE a.ticker <= b.ticker
+         |  GROUP BY 1, 2),
+         |dayrows AS (
+         |  SELECT day, CAST(SUM(CAST(c * c AS $d18)) AS DOUBLE) AS rk
+         |  FROM cent GROUP BY day),
+         |rowsq AS (
+         |  SELECT CAST(SUM(CAST(rk * rk AS $d18)) AS DOUBLE) AS q, COUNT(*) AS n
+         |  FROM dayrows),
+         |sc0 AS (
+         |  SELECT
+         |    CAST(SUM(CAST(CASE WHEN ta = tb THEN s ELSE 0.0 END AS $d18)) AS DOUBLE)
+         |      / COUNT(DISTINCT ta) AS mu,
+         |    CAST(SUM(CAST(CASE WHEN ta = tb THEN s * s ELSE 2.0 * s * s END AS $d18)) AS DOUBLE) AS sum_s2,
+         |    CAST(SUM(CAST(CASE WHEN ta = tb THEN s ELSE 0.0 END AS $d18)) AS DOUBLE) AS tr,
+         |    CAST(COUNT(DISTINCT ta) AS DOUBLE) AS p
+         |  FROM pairs),
+         |sc1 AS (
+         |  SELECT mu, p, rowsq.n AS n,
+         |    (sum_s2 - 2.0 * mu * tr + p * mu * mu) / p AS d2,
+         |    (q / rowsq.n - sum_s2) / (CAST(rowsq.n AS DOUBLE) * p) AS b2bar
+         |  FROM sc0, rowsq),
+         |scal AS (
+         |  SELECT mu,
+         |    CASE WHEN d2 <= 0 THEN 0.0
+         |      ELSE least(1.0, greatest(0.0, least(b2bar, d2) / d2)) END AS delta
+         |  FROM sc1)
+         |SELECT ta, tb, s, delta,
+         |  (1.0 - delta) * s +
+         |    (CASE WHEN ta = tb THEN delta * mu ELSE 0.0 END) AS shrunk
+         |FROM pairs, scal""".stripMargin
     }
   )
 }

@@ -107,6 +107,62 @@ object PortfolioMath {
       (1 - delta) * cov(i, j) + (if (i == j) delta * avgVar else 0.0))
   }
 
+  /** Optimal Ledoit-Wolf shrinkage intensity (Ledoit & Wolf 2004, "A
+    * well-conditioned estimator for large-dimensional covariance
+    * matrices") — the estimator the reference delegates to sklearn's
+    * `LedoitWolf` (portfolio_math.py:267-306). Rows of `returns` are
+    * observations, columns assets. Uses the /n (biased) sample
+    * covariance like sklearn, and the X²ᵀX² row-sum identity so the
+    * sufficient statistics are one pass over rows:
+    * δ* = min(b̄², d²)/d² with
+    *   μ  = tr(S)/p,  d² = ‖S − μI‖²_F/p,
+    *   b̄² = (Σ_k r_k²/n − ‖S‖²_F)/(n·p),  r_k = Σ_i xc²_ki.
+    */
+  def ledoitWolfDelta(returns: DenseMatrix[Double]): Double = {
+    val n = returns.rows
+    val p = returns.cols
+    if (n < 2) return 1.0
+    val means = DenseVector.tabulate(p)(j => breeze.linalg.sum(returns(::, j)) / n)
+    val xc = DenseMatrix.tabulate(n, p)((i, j) => returns(i, j) - means(j))
+    val s = (xc.t * xc) / n.toDouble
+    val mu = breeze.linalg.trace(s) / p
+    var sumS2 = 0.0
+    var i = 0
+    while (i < p) {
+      var j = 0
+      while (j < p) { sumS2 += s(i, j) * s(i, j); j += 1 }
+      i += 1
+    }
+    val d2 = (sumS2 - 2.0 * mu * breeze.linalg.trace(s) + p * mu * mu) / p
+    if (d2 <= 0) return 0.0
+    var q = 0.0 // Σ_k (row sum of squares)²
+    var k = 0
+    while (k < n) {
+      var r = 0.0
+      var j = 0
+      while (j < p) { r += xc(k, j) * xc(k, j); j += 1 }
+      q += r * r
+      k += 1
+    }
+    val b2bar = (q / n - sumS2) / (n.toDouble * p)
+    val b2 = math.min(b2bar, d2)
+    math.max(0.0, math.min(1.0, b2 / d2))
+  }
+
+  /** Ledoit-Wolf estimator: (1−δ*)·S_n + δ*·μ·I on the /n sample
+    * covariance, δ* from [[ledoitWolfDelta]]. */
+  def ledoitWolf(returns: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val n = returns.rows
+    val p = returns.cols
+    val means = DenseVector.tabulate(p)(j => breeze.linalg.sum(returns(::, j)) / n)
+    val xc = DenseMatrix.tabulate(n, p)((i, j) => returns(i, j) - means(j))
+    val s = (xc.t * xc) / n.toDouble
+    val mu = breeze.linalg.trace(s) / p
+    val d = ledoitWolfDelta(returns)
+    DenseMatrix.tabulate(p, p)((i, j) =>
+      (1 - d) * s(i, j) + (if (i == j) d * mu else 0.0))
+  }
+
   /** Minimum-variance long-only weights via deterministic projected
     * gradient descent on the simplex (the SLSQP stand-in). */
   def minVarianceWeights(cov: DenseMatrix[Double], iters: Int = 2000,

@@ -93,6 +93,30 @@ class StatsSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(shrunk(0, 1)) < math.abs(noisy(0, 1)))
   }
 
+  test("Ledoit-Wolf optimal delta: heavy shrink on short spherical noise, light on long structured data") {
+    val rng = new scala.util.Random(19)
+    // n=12 observations of p=8 iid assets: sample cov is mostly noise ->
+    // the 2004 estimator should shrink hard toward mu*I
+    val short = DenseMatrix.tabulate(12, 8)((_, _) => rng.nextGaussian() * 0.01)
+    val dShort = PortfolioMath.ledoitWolfDelta(short)
+    assert(dShort > 0.5 && dShort <= 1.0, s"dShort=$dShort")
+    // n=4000 observations of 3 strongly-correlated assets: S is reliable
+    // -> near-zero shrinkage
+    val base = Array.fill(4000)(rng.nextGaussian() * 0.02)
+    val long = DenseMatrix.tabulate(4000, 3)((i, j) =>
+      base(i) * (1.0 + 0.3 * j) + rng.nextGaussian() * 0.002)
+    val dLong = PortfolioMath.ledoitWolfDelta(long)
+    assert(dLong >= 0.0 && dLong < 0.05, s"dLong=$dLong")
+    // estimator shifts the diagonal toward mu and scales off-diagonals
+    val lw = PortfolioMath.ledoitWolf(long)
+    val n = long.rows
+    val means = Array.tabulate(3)(j => (0 until n).map(long(_, j)).sum / n)
+    val s01 = (0 until n).map(i =>
+      (long(i, 0) - means(0)) * (long(i, 1) - means(1))).sum / n
+    assert(math.abs(lw(0, 1) - (1 - dLong) * s01) < 1e-12)
+    assert(math.abs(lw(0, 1) - lw(1, 0)) < 1e-15) // symmetric
+  }
+
   test("Shapley attribution sums to the grand coalition value") {
     val models = Seq("AR", "SSA", "GARCH")
     def value(s: Set[String]): Double =
