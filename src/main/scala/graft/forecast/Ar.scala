@@ -79,19 +79,32 @@ object Ar {
 
   /** AIC grid over p=1..maxP at the chosen d, each also tried with
     * detected seasonal lags (s, 2s); drift-model fallback when every
-    * candidate fails (the reference's fallback ladder shape). */
-  def fit(series: Array[Double], maxP: Int = 5): Fit = {
-    val d = chooseD(series)
+    * candidate fails (the reference's fallback ladder shape).
+    *
+    * `warm` = a learned (p, d) order (OrderLearner suggestion): the
+    * order grid is SKIPPED and only the suggested p at the suggested d
+    * is fit (still trying the seasonal-lag variants — they are 3 cheap
+    * OLS solves, not a grid). Mirrors the reference's should_skip_grid
+    * warm-start (order_learner.py); falls back to the full grid when
+    * the warm order cannot be fit on this sample. */
+  def fit(series: Array[Double], maxP: Int = 5,
+      warm: Option[(Int, Int)] = None): Fit = {
+    val d = warm.map(_._2).getOrElse(chooseD(series))
     val x = difference(series, d)
     val season = detectSeason(x)
     val seasonalSets: Seq[Array[Int]] =
       if (season == 0) Seq(Array.empty[Int])
       else Seq(Array.empty[Int], Array(season), Array(season, 2 * season))
+    val grid: Seq[Int] = warm match {
+      case Some((p, _)) if p >= 1 && p <= x.length / 4 => Seq(p)
+      case _ => 1 to math.min(maxP, x.length / 4)
+    }
     val candidates = for {
-      p <- 1 to math.min(maxP, x.length / 4)
+      p <- grid
       sl <- seasonalSets
       f <- fitLags(x, p, d, sl, if (sl.isEmpty) 0 else season)
     } yield f
+    if (warm.isDefined && candidates.isEmpty) return fit(series, maxP, None)
     candidates.sortBy(_.aic).headOption.getOrElse {
       val mean = if (x.isEmpty) 0.0 else x.sum / x.length
       val v = if (x.length > 1) x.map(e => (e - mean) * (e - mean)).sum / (x.length - 1) else 1e-8

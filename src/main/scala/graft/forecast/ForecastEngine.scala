@@ -36,10 +36,21 @@ object ForecastEngine {
       vol: Double,
       probUp: Double)
 
+  /** Per-ticker fit detail for the snapshot/order caches: the blended
+    * rows plus the chosen AR order and detected regime. */
+  final case class FitDetail(rows: Seq[TickerForecast], regime: String,
+      p: Int, d: Int, aic: Double)
+
   /** Pure per-ticker kernel: prices (time-ordered) → payloads + blend. */
   def forecastOne(ticker: String, prices: Array[Double], cfg: Config)
-      : Seq[TickerForecast] = {
-    if (prices.length < 40) return Seq.empty
+      : Seq[TickerForecast] =
+    forecastOneDetailed(ticker, prices, cfg, warm = None).rows
+
+  /** [[forecastOne]] plus order/regime detail; `warm` short-circuits the
+    * AR order grid (OrderLearner suggestion for (ticker, regime)). */
+  def forecastOneDetailed(ticker: String, prices: Array[Double], cfg: Config,
+      warm: Option[(Int, Int)]): FitDetail = {
+    if (prices.length < 40) return FitDetail(Seq.empty, "UNKNOWN", 0, 0, 0.0)
     val rets = prices.sliding(2).map(a => a(1) / a(0) - 1).toArray
     val regime = RegimeDetector.detect(prices)
 
@@ -47,7 +58,7 @@ object ForecastEngine {
       try Some(f) catch { case _: Exception => None } // failure isolation per model
 
     def runModels(px: Array[Double], horizon: Int): Map[String, Array[Double]] = Seq(
-      "AR" -> attempt(Ar.fit(px, cfg.arMaxP)).map(f => Ar.forecast(px, f, horizon)._1),
+      "AR" -> attempt(Ar.fit(px, cfg.arMaxP, warm)).map(f => Ar.forecast(px, f, horizon)._1),
       "SSA" -> (if (px.length > cfg.ssaWindow * 2)
         attempt(Ssa.forecast(px, horizon, cfg.ssaWindow)) else None),
       "NAIVE_DRIFT" -> Some {
@@ -56,7 +67,7 @@ object ForecastEngine {
       }).collect { case (m, Some(f)) if f.forall(v => !v.isNaN && !v.isInfinite) => m -> f }
       .toMap
 
-    val arFit = attempt(Ar.fit(prices, cfg.arMaxP))
+    val arFit = attempt(Ar.fit(prices, cfg.arMaxP, warm))
     val arFc = arFit.map(f => Ar.forecast(prices, f, cfg.horizon))
     val garchFit = attempt(Garch.fit(rets))
     val volFc = garchFit.map(g => Garch.forecastVol(rets, g, cfg.horizon))
@@ -110,7 +121,9 @@ object ForecastEngine {
     val ensembleRows = (0 until cfg.horizon).map(h =>
       TickerForecast(ticker, regime.regime, "ENSEMBLE", 1.0, h + 1, blended(h),
         mc.p05(h), mc.p95(h), volFc(h), mc.probUp))
-    perModel ++ ensembleRows
+    FitDetail(perModel ++ ensembleRows, regime.regime,
+      arFit.map(_.p).getOrElse(0), arFit.map(_.d).getOrElse(0),
+      arFit.map(_.aic).getOrElse(0.0))
   }
 
   /** Distributed API: bar frame (ticker, date, close) → forecast rows. */

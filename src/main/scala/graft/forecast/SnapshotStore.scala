@@ -23,14 +23,8 @@ final class SnapshotStore(spark: SparkSession, dir: String) {
   private val path = s"$dir/forecast_snapshots"
 
   /** Deterministic content key of a fit request. */
-  def key(ticker: String, prices: Array[Double], configHash: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(ticker.getBytes)
-    prices.foreach(p => md.update(java.lang.Long.toHexString(
-      java.lang.Double.doubleToLongBits(p)).getBytes))
-    md.update(configHash.getBytes)
-    md.digest().map("%02x".format(_)).mkString.take(32)
-  }
+  def key(ticker: String, prices: Array[Double], configHash: String): String =
+    SnapshotStore.contentKey(ticker, prices, configHash)
 
   def lookup(k: String): Option[Seq[ForecastPayload]] = {
     if (!Files.exists(Paths.get(path))) return None
@@ -55,6 +49,19 @@ final class SnapshotStore(spark: SparkSession, dir: String) {
         if (computed.nonEmpty) save(k, computed)
         (computed, false)
     }
+  }
+}
+
+object SnapshotStore {
+  /** Deterministic content key of a fit request — static so executor-side
+    * kernels (ForecastCache) can compute it without a session. */
+  def contentKey(ticker: String, prices: Array[Double], configHash: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(ticker.getBytes)
+    prices.foreach(p => md.update(java.lang.Long.toHexString(
+      java.lang.Double.doubleToLongBits(p)).getBytes))
+    md.update(configHash.getBytes)
+    md.digest().map("%02x".format(_)).mkString.take(32)
   }
 }
 

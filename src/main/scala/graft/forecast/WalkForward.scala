@@ -55,6 +55,70 @@ object WalkForward {
       }
   }
 
+  /** [[run]] through a [[ForecastCache]]: each fold's per-ticker train
+    * prefix resolves via the snapshot store (reruns on unchanged data
+    * skip every fit), and orders learned in earlier folds warm-start the
+    * AR grids of later folds — the NOTES "fit-skip across walk-forward"
+    * wiring. The k-iteration driver loop is over FOLDS (k is small);
+    * within a fold everything is one distributed job. Returns the fold
+    * metrics plus the aggregate hit/miss tally (fit-skip rate =
+    * hits / (hits + misses)).
+    */
+  def runCached(bars: DataFrame, cache: ForecastCache, k: Int = 4,
+      horizon: Int = 5, cfg: ForecastEngine.Config = ForecastEngine.Config())
+      : (Dataset[FoldMetric], (Long, Long)) = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val wT = Window.partitionBy(col("ticker")).orderBy(col("epoch"))
+    val ranked = bars
+      .select(col("ticker"), col("date").cast("long").as("epoch"), col("close"))
+      .withColumn("rn", row_number().over(wT))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("ticker"))))
+      .withColumn("usable", col("n") - lit(horizon * k))
+      .where(col("usable") >= 60)
+      .cache()
+
+    var hits = 0L
+    var misses = 0L
+    val folds = (1 to k).map { f =>
+      val trainEnd = col("usable") + lit((f - 1) * horizon)
+      val train = ranked.where(col("rn") <= trainEnd)
+        .select(col("ticker"), col("epoch").as("date"), col("close"))
+      val (fc, st) = cache.fitForecast(train, cfg.copy(horizon = horizon))
+      hits += st.hits; misses += st.misses
+      // actuals for this fold: h = rn - trainEnd in 1..horizon; prev(h)
+      // = actual(h-1), with prev(1) = last train price
+      val actuals = ranked
+        .where(col("rn") > trainEnd && col("rn") <= trainEnd + horizon)
+        .select(col("ticker"), (col("rn") - trainEnd).cast("int").as("h"),
+          col("close").as("a"))
+      val lastTrain = ranked.where(col("rn") === trainEnd)
+        .select(col("ticker"), lit(1).as("h"), col("close").as("prev"))
+      val prevs = actuals.select(col("ticker"), (col("h") + 1).as("h"),
+          col("a").as("prev"))
+        .union(lastTrain)
+      fc.toDF()
+        .select(col("ticker"), col("model"), col("horizonStep").as("h"),
+          col("forecast").as("p"))
+        .join(actuals, Seq("ticker", "h"))
+        .join(prevs, Seq("ticker", "h"))
+        .groupBy(col("ticker"), col("model")).agg(
+          sqrt(avg((col("p") - col("a")) * (col("p") - col("a")))).as("rmse"),
+          avg(when(signum(col("p") - col("prev")) === signum(col("a") - col("prev")),
+            1.0).otherwise(0.0)).as("da"),
+          count(lit(1)).cast("int").as("nTest"))
+        .withColumn("foldId", lit(f))
+    }
+    val out = folds.reduce(_ unionByName _)
+      .select(col("ticker"), col("foldId"), col("model"), col("rmse"),
+        col("da"), col("nTest"))
+      .as[FoldMetric]
+    ranked.unpersist()
+    (out, (hits, misses))
+  }
+
   /** Per-model aggregates across folds and tickers. */
   def summarize(metrics: Dataset[FoldMetric]): Dataset[Summary] = {
     val spark = metrics.sparkSession
