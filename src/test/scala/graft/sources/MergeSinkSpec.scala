@@ -1,0 +1,49 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MergeSinkSpec extends AnyFunSuite with TestSpark {
+
+  test("MERGE upsert: insert/update split, last-write-wins, only touched partitions rewritten") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_merge").toString + "/bars"
+    val sink = new MergeSink(spark, dir, keyCols = Seq("ticker", "seq"), partitionCol = "m")
+
+    val init = Seq(
+      ("AAPL", 1L, 10.0, 1, 100L), ("AAPL", 2L, 11.0, 1, 100L),
+      ("MSFT", 1L, 20.0, 1, 100L), ("MSFT", 2L, 21.0, 2, 100L),
+      ("MSFT", 3L, 22.0, 2, 100L))
+      .toDF("ticker", "seq", "price", "m", "v")
+    val s1 = sink.upsert(init, versionCol = Some("v"))
+    assert(s1 === sink.MergeStats(inserted = 5, updated = 0, partitions = 2))
+
+    val untouchedDir = Paths.get(dir, "m=2")
+    val mtimeBefore = Files.getLastModifiedTime(untouchedDir)
+
+    // update AAPL seq=2 (new price), insert AAPL seq=3; batch contains a
+    // duplicate key where the higher version must win; partition m=2 untouched
+    val delta = Seq(
+      ("AAPL", 2L, 99.0, 1, 200L), ("AAPL", 2L, 55.0, 1, 150L),
+      ("AAPL", 3L, 12.0, 1, 200L))
+      .toDF("ticker", "seq", "price", "m", "v")
+    val s2 = sink.upsert(delta, versionCol = Some("v"))
+    assert(s2 === sink.MergeStats(inserted = 1, updated = 1, partitions = 1))
+
+    val after = sink.read().select("ticker", "seq", "price").as[(String, Long, Double)]
+      .collect().toSet
+    assert(after === Set(
+      ("AAPL", 1L, 10.0), ("AAPL", 2L, 99.0), ("AAPL", 3L, 12.0),
+      ("MSFT", 1L, 20.0), ("MSFT", 2L, 21.0), ("MSFT", 3L, 22.0)))
+    // untouched partition directory was not rewritten
+    assert(Files.getLastModifiedTime(untouchedDir) === mtimeBefore)
+    // idempotence: replaying the same delta changes nothing
+    val s3 = sink.upsert(delta, versionCol = Some("v"))
+    assert(s3.inserted === 0 && s3.updated === 2)
+    assert(sink.read().count() === 6)
+  }
+}
