@@ -2,20 +2,24 @@ package graft.forecast
 
 import breeze.linalg.{DenseMatrix, DenseVector, pinv}
 
-/** SARIMA-lite: (seasonal) differencing + AR(p) with optional seasonal
-  * AR lags, fit by OLS with an AIC order grid — the stand-in for the
-  * reference's statsmodels SARIMAX stack (/root/reference/forcester_ts/
-  * sarimax.py:431-707 keeps the same SHAPE: stationarity-driven d,
-  * autocorrelation-peak seasonality detection :212-224, AIC-minimizing
-  * order search over (p)(P,s), fallback ladder to a drift model; full
-  * seasonal MLE is out of scope per SURVEY.md §7.5 risk 1).
+/** SARIMA-lite: (seasonal) differencing + ARMA(p, q) with optional
+  * seasonal AR lags — the stand-in for the reference's statsmodels
+  * SARIMAX stack (/root/reference/forcester_ts/sarimax.py:431-707 keeps
+  * the same SHAPE: stationarity-driven d, autocorrelation-peak
+  * seasonality detection :212-224, AIC-minimizing order search over
+  * (p, q)(P, s), fallback ladder to a drift model). AR terms fit by
+  * OLS; MA terms by Hannan-Rissanen two-stage least squares (long-AR
+  * innovation proxies) instead of full MLE — consistent for invertible
+  * ARMA and grid-friendly (every candidate is one linear solve).
   */
 object Ar {
 
-  /** seasonalLags: absolute lags (s, 2s, ...) appended to 1..p. */
+  /** seasonalLags: absolute lags (s, 2s, ...) appended to 1..p;
+    * maCoefs: θ₁..θ_q moving-average terms (Hannan-Rissanen). */
   final case class Fit(p: Int, d: Int, intercept: Double, coefs: Array[Double],
       sigma2: Double, aic: Double, n: Int,
-      season: Int = 0, seasonalLags: Array[Int] = Array.empty)
+      season: Int = 0, seasonalLags: Array[Int] = Array.empty,
+      maCoefs: Array[Double] = Array.empty)
 
   /** Stationarity gate: difference once when the level series is
     * near-unit-root, measured by lag-1 autocorrelation ρ₁ ≥ 0.95
@@ -49,12 +53,14 @@ object Ar {
     if (r > 0.25) best else 0
   }
 
-  /** OLS AR on explicit lag set (1..p plus optional seasonal lags). */
+  /** OLS AR on explicit lag set (1..p plus optional seasonal lags).
+    * `burn` forces a common first usable index so AIC is comparable
+    * across candidates fit on the same span. */
   private def fitLags(x: Array[Double], p: Int, d: Int,
-      seasonal: Array[Int], season: Int): Option[Fit] = {
+      seasonal: Array[Int], season: Int, burn: Int = 0): Option[Fit] = {
     val lags = ((1 to p) ++ seasonal).distinct.sorted.toArray
     if (lags.isEmpty) return None
-    val maxLag = lags.max
+    val maxLag = math.max(lags.max, burn)
     val n = x.length - maxLag
     if (n <= lags.length + 2) return None
     val y = DenseVector(x.drop(maxLag))
@@ -77,6 +83,52 @@ object Ar {
   def fitArP(x: Array[Double], p: Int, d: Int): Option[Fit] =
     fitLags(x, p, d, Array.empty, 0)
 
+  /** ARMA(p, q) via Hannan-Rissanen two-stage least squares — the
+    * MA-term stand-in for statsmodels' SARIMAX MLE (sarimax.py:431-707):
+    * stage 1 fits a long AR to proxy the innovations, stage 2 regresses
+    * x_t on AR lags (1..p, + seasonal) and the lagged stage-1 residuals
+    * (1..q). Consistent for invertible ARMA; no iterative likelihood. */
+  /** Stage-1 long-AR innovation proxies for Hannan-Rissanen: e_t = 0 for
+    * t < long, OLS one-step residuals after. */
+  private[forecast] def hrInnovations(x: Array[Double], long: Int): Option[Array[Double]] = {
+    if (long < 1) return None
+    val stage1 = fitLags(x, long, 0, Array.empty, 0).getOrElse(return None)
+    val e = new Array[Double](x.length)
+    (long until x.length).foreach { t =>
+      val pred = stage1.intercept +
+        (1 to long).map(l => stage1.coefs(l - 1) * x(t - l)).sum
+      e(t) = x(t) - pred
+    }
+    Some(e)
+  }
+
+  private def fitArma(x: Array[Double], p: Int, q: Int, d: Int,
+      seasonal: Array[Int], season: Int, e: Array[Double], burn: Int): Option[Fit] = {
+    if (q <= 0) return fitLags(x, p, d, seasonal, season, burn)
+    val arLags = ((1 to p) ++ seasonal).distinct.sorted.toArray
+    val start = math.max(arLags.max, burn) // burn >= long + q by contract
+    val n = x.length - start
+    if (n <= arLags.length + q + 2) return None
+    val y = DenseVector(x.drop(start))
+    val k = arLags.length + q + 1
+    val xm = DenseMatrix.zeros[Double](n, k)
+    (0 until n).foreach { i =>
+      val t = start + i
+      xm(i, 0) = 1.0
+      arLags.zipWithIndex.foreach { case (l, j) => xm(i, j + 1) = x(t - l) }
+      (1 to q).foreach(j => xm(i, arLags.length + j) = e(t - j))
+    }
+    val beta = pinv(xm.t * xm) * (xm.t * y)
+    val resid = y - xm * beta
+    val sigma2 = math.max(1e-12, (resid.t * resid) / n.toDouble)
+    val kAic = k + 1.0 // + sigma
+    val ll = -0.5 * n * (math.log(2 * math.Pi * sigma2) + 1)
+    val aic = 2 * kAic - 2 * ll
+    Some(Fit(p, d, beta(0), beta.toArray.slice(1, arLags.length + 1),
+      sigma2, aic, n, season, seasonal,
+      beta.toArray.slice(arLags.length + 1, k)))
+  }
+
   /** AIC grid over p=1..maxP at the chosen d, each also tried with
     * detected seasonal lags (s, 2s); drift-model fallback when every
     * candidate fails (the reference's fallback ladder shape).
@@ -88,7 +140,7 @@ object Ar {
     * warm-start (order_learner.py); falls back to the full grid when
     * the warm order cannot be fit on this sample. */
   def fit(series: Array[Double], maxP: Int = 5,
-      warm: Option[(Int, Int)] = None): Fit = {
+      warm: Option[(Int, Int)] = None, maxQ: Int = 0): Fit = {
     val d = warm.map(_._2).getOrElse(chooseD(series))
     val x = difference(series, d)
     val season = detectSeason(x)
@@ -99,12 +151,21 @@ object Ar {
       case Some((p, _)) if p >= 1 && p <= x.length / 4 => Seq(p)
       case _ => 1 to math.min(maxP, x.length / 4)
     }
+    // one shared long-AR innovation pass + a common burn-in so every
+    // (p, q, seasonal) candidate is scored on the SAME sample span —
+    // AIC across different spans is not comparable
+    val long = math.min(math.max(10, 2 * (maxP + maxQ)), x.length / 4)
+    val e = if (maxQ > 0) hrInnovations(x, long) else None
+    val effQ = if (e.isDefined) maxQ else 0
+    val burn = if (effQ > 0) long + effQ else 0
     val candidates = for {
       p <- grid
+      q <- 0 to effQ
       sl <- seasonalSets
-      f <- fitLags(x, p, d, sl, if (sl.isEmpty) 0 else season)
+      f <- fitArma(x, p, q, d, sl, if (sl.isEmpty) 0 else season,
+        e.getOrElse(Array.empty), burn)
     } yield f
-    if (warm.isDefined && candidates.isEmpty) return fit(series, maxP, None)
+    if (warm.isDefined && candidates.isEmpty) return fit(series, maxP, None, maxQ)
     candidates.sortBy(_.aic).headOption.getOrElse {
       val mean = if (x.isEmpty) 0.0 else x.sum / x.length
       val v = if (x.length > 1) x.map(e => (e - mean) * (e - mean)).sum / (x.length - 1) else 1e-8
@@ -119,10 +180,27 @@ object Ar {
     val x = difference(series, fit.d)
     val hist = scala.collection.mutable.ArrayBuffer(x.toSeq: _*)
     val lags = ((1 to fit.p) ++ fit.seasonalLags).distinct.sorted
-    val diffPreds = (1 to horizon).map { _ =>
+    val q = fit.maCoefs.length
+    // in-sample innovations for the MA terms (zeros for the warm-up and
+    // for future steps — the h-step MA contribution dies after q steps)
+    val e = new Array[Double](x.length + horizon)
+    if (q > 0) {
+      val t0 = math.max(if (lags.nonEmpty) lags.max else 0, q)
+      (t0 until x.length).foreach { t =>
+        val pred = fit.intercept +
+          fit.coefs.zip(lags).map { case (c, l) => c * x(t - l) }.sum +
+          fit.maCoefs.zipWithIndex.map { case (th, k) => th * e(t - k - 1) }.sum
+        e(t) = x(t) - pred
+      }
+    }
+    val diffPreds = (1 to horizon).map { h =>
+      val t = x.length + h - 1
       val pred = fit.intercept + fit.coefs.zip(lags).map { case (c, l) =>
         c * hist(hist.length - l)
-      }.sum
+      }.sum +
+        (if (q > 0) fit.maCoefs.zipWithIndex.map { case (th, k) =>
+          th * e(t - k - 1)
+        }.sum else 0.0)
       hist += pred
       pred
     }.toArray

@@ -20,6 +20,7 @@ object ForecastEngine {
   final case class Config(
       horizon: Int = 10,
       arMaxP: Int = 5,
+      arMaxQ: Int = 1,
       ssaWindow: Int = 30,
       mcPaths: Int = 500,
       seed: Long = 42L)
@@ -58,7 +59,7 @@ object ForecastEngine {
       try Some(f) catch { case _: Exception => None } // failure isolation per model
 
     def runModels(px: Array[Double], horizon: Int): Map[String, Array[Double]] = Seq(
-      "AR" -> attempt(Ar.fit(px, cfg.arMaxP, warm)).map(f => Ar.forecast(px, f, horizon)._1),
+      "AR" -> attempt(Ar.fit(px, cfg.arMaxP, warm, cfg.arMaxQ)).map(f => Ar.forecast(px, f, horizon)._1),
       "SSA" -> (if (px.length > cfg.ssaWindow * 2)
         attempt(Ssa.forecast(px, horizon, cfg.ssaWindow)) else None),
       "NAIVE_DRIFT" -> Some {
@@ -67,7 +68,7 @@ object ForecastEngine {
       }).collect { case (m, Some(f)) if f.forall(v => !v.isNaN && !v.isInfinite) => m -> f }
       .toMap
 
-    val arFit = attempt(Ar.fit(prices, cfg.arMaxP, warm))
+    val arFit = attempt(Ar.fit(prices, cfg.arMaxP, warm, cfg.arMaxQ))
     val arFc = arFit.map(f => Ar.forecast(prices, f, cfg.horizon))
     val garchFit = attempt(Garch.fit(rets))
     val volFc = garchFit.map(g => Garch.forecastVol(rets, g, cfg.horizon))

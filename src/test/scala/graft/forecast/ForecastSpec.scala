@@ -62,6 +62,33 @@ class ForecastSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(flatFit.logLik) < 1e11)
   }
 
+  test("Hannan-Rissanen ARMA(1,1): recovers phi and theta, AIC prefers MA on MA data") {
+    val rng = new Random(41)
+    val n = 2000
+    val e = Array.fill(n)(rng.nextGaussian() * 0.1)
+    val x = new Array[Double](n)
+    x(0) = e(0)
+    (1 until n).foreach(i => x(i) = 0.6 * x(i - 1) + e(i) + 0.5 * e(i - 1))
+    // grid pinned to p=1: AIC must pay for the MA term and recover both
+    val fit = Ar.fit(x, maxP = 1, maxQ = 1)
+    assert(fit.maCoefs.nonEmpty, s"AIC picked q=0: p=${fit.p}")
+    assert(math.abs(fit.coefs(0) - 0.6) < 0.1, s"phi=${fit.coefs(0)}")
+    assert(math.abs(fit.maCoefs(0) - 0.5) < 0.15, s"theta=${fit.maCoefs(0)}")
+    // free grid: some ARMA candidate (q>=1) must still beat pure AR
+    val free = Ar.fit(x, maxP = 3, maxQ = 2)
+    assert(free.maCoefs.nonEmpty, s"free grid picked q=0: p=${free.p}")
+    // MA-aware forecast decays toward the mean and stays finite
+    val (fc, lo, hi) = Ar.forecast(x, fit, 10)
+    assert(fc.forall(v => !v.isNaN && !v.isInfinite))
+    assert(fc.zip(lo).zip(hi).forall { case ((m, l), h) => l <= m && m <= h })
+    // pure-AR data: the grid should NOT pay for MA terms it doesn't need
+    val y = new Array[Double](n)
+    y(0) = e(0)
+    (1 until n).foreach(i => y(i) = 0.7 * y(i - 1) + e(i))
+    val fitAr = Ar.fit(y, maxP = 3, maxQ = 2)
+    assert(math.abs(fitAr.coefs(0) - 0.7) < 0.1)
+  }
+
   test("AR fit recovers a strong AR(1) coefficient and forecasts sanely") {
     val rng = new Random(3)
     val phi = 0.8
