@@ -62,7 +62,8 @@ object ChunkedWindow {
     */
   def rollingMoments(df: DataFrame, keyCol: String, tCol: String,
       seqCol: String, xCol: String, lo: Int, hi: Int,
-      numPartitions: Int = 0): Dataset[Moments] = {
+      numPartitions: Int = 0,
+      scale1: Int = 6, scale2: Int = 9, scale3: Int = 9): Dataset[Moments] = {
     require(lo <= hi && hi <= 0, s"need lo <= hi <= 0, got [$lo, $hi]")
     val h = math.max(-lo, 1) // look-back depth; >= 1 so `prev` is present
     val spark = df.sparkSession
@@ -74,9 +75,9 @@ object ChunkedWindow {
       col(tCol).cast("long").as("t"),
       col(seqCol).cast("long").as("seq"),
       x.cast("double").as("x"),
-      x.cast("decimal(38,6)").as("d1"),
-      (x * x).cast("decimal(38,9)").as("d2"),
-      (x * x * x).cast("decimal(38,9)").as("d3"))
+      x.cast(s"decimal(38,$scale1)").as("d1"),
+      (x * x).cast(s"decimal(38,$scale2)").as("d2"),
+      (x * x * x).cast(s"decimal(38,$scale3)").as("d3"))
 
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions

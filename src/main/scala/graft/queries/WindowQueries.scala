@@ -29,15 +29,20 @@ object WindowQueries extends QueryModule {
         ($"price" - lag($"price", 1).over(w)).as("diff1"))
     }),
 
-    // rolling mean/std over 20 bars, min_periods=1 (feature_builder :110-116)
+    // rolling mean/std over 20 bars, min_periods=1 (feature_builder
+    // :110-116) — on the chunked-halo operator (row-parallel at 100 TB;
+    // scale2=12 matches dstddevOver's decimal(38,12) square sum exactly)
     "q11_win_rolling" -> ((s, dir) => {
       import s.implicits._
-      val w20 = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
-        .rowsBetween(-19, 0)
-      Bars.of(s, dir).select(
-        $"ticker", $"seq", $"price",
-        davgOver($"price", w20).as("roll_mean20"),
-        dstddevOver($"price", w20).as("roll_std20"))
+      val m = graft.operators.ChunkedWindow.rollingMoments(
+        Bars.of(s, dir).withColumn("t", unix_micros($"ts")),
+        "ticker", "t", "seq", "price", lo = -19, hi = 0, scale2 = 12).toDF()
+      val n = $"n".cast("double")
+      val std = when($"n" > 1,
+        sqrt(greatest((n * $"s2" - $"s1" * $"s1") / (n * (n - lit(1.0))), lit(0.0))))
+      m.select($"key".as("ticker"), $"seq", $"x".as("price"),
+        ($"s1" / $"n").as("roll_mean20"),
+        std.as("roll_std20"))
     }),
 
     // cumulative equity + running max + drawdown (portfolio_math :432-440)
@@ -115,13 +120,15 @@ object WindowQueries extends QueryModule {
     }),
 
     // seasonal decompose-lite (feature_builder :197-208): one-sided MA
-    // trend, per-phase seasonal index (group mean broadcast back), resid.
+    // trend (chunked-halo — row-parallel at scale), per-phase seasonal
+    // index (group mean broadcast back), resid.
     "q17_win_seasonal" -> ((s, dir) => {
       import s.implicits._
-      val w30 = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
-        .rowsBetween(-29, 0)
-      val base = Bars.of(s, dir).select($"ticker", $"ts", $"seq", $"price",
-          davgOver($"price", w30).as("trend"))
+      val m = graft.operators.ChunkedWindow.rollingMoments(
+        Bars.of(s, dir).withColumn("t", unix_micros($"ts")),
+        "ticker", "t", "seq", "price", lo = -29, hi = 0).toDF()
+      val base = m.select($"key".as("ticker"), $"seq", $"x".as("price"),
+          ($"s1" / $"n").as("trend"))
         .withColumn("detrended", $"price" - $"trend")
         .withColumn("phase", $"seq" % 7)
       val idx = base.groupBy($"ticker", $"phase")
