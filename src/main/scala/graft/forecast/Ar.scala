@@ -1,6 +1,6 @@
 package graft.forecast
 
-import breeze.linalg.{DenseMatrix, DenseVector, pinv}
+import breeze.linalg.{DenseMatrix, DenseVector}
 
 /** SARIMA-lite: (seasonal) differencing + ARMA(p, q) with optional
   * seasonal AR lags — the stand-in for the reference's statsmodels
@@ -69,7 +69,7 @@ object Ar {
       xm(i, 0) = 1.0
       lags.zipWithIndex.foreach { case (l, j) => xm(i, j + 1) = x(maxLag + i - l) }
     }
-    val beta = pinv(xm.t * xm) * (xm.t * y)
+    val beta = LinAlg.solveSpd(xm.t * xm, xm.t * y)
     val resid = y - xm * beta
     val sigma2 = math.max(1e-12, (resid.t * resid) / n.toDouble)
     val k = lags.length + 2.0 // intercept + coefs + sigma
@@ -118,7 +118,7 @@ object Ar {
       arLags.zipWithIndex.foreach { case (l, j) => xm(i, j + 1) = x(t - l) }
       (1 to q).foreach(j => xm(i, arLags.length + j) = e(t - j))
     }
-    val beta = pinv(xm.t * xm) * (xm.t * y)
+    val beta = LinAlg.solveSpd(xm.t * xm, xm.t * y)
     val resid = y - xm * beta
     val sigma2 = math.max(1e-12, (resid.t * resid) / n.toDouble)
     val kAic = k + 1.0 // + sigma

@@ -1,6 +1,6 @@
 package graft.forecast
 
-import breeze.linalg.{svd, DenseMatrix, DenseVector}
+import breeze.linalg.{DenseMatrix, DenseVector}
 
 /** Singular Spectrum Analysis — rebuild of the reference's SAMoSSA core
   * (/root/reference/forcester_ts/samossa.py:55-612): Hankel trajectory
@@ -17,6 +17,15 @@ object Ssa {
   final case class Decomposition(window: Int, rank: Int,
       reconstruction: Array[Double], explainedVariance: Double)
 
+  /** Left singular structure of H from the window×window Gram matrix
+    * H·Hᵀ via the pure-Scala Jacobi eigensolver (LinAlg.eigSym — LAPACK
+    * dgesdd is not reentrant, see LinAlg's scaladoc). Returns
+    * (eigenvalues = σ² descending, U columns). Everything SSA needs is
+    * U and σ²: the rank-r reconstruction is the projector U_r·U_rᵀ·H
+    * (no V, no σ division), and R-forecasting only reads U. */
+  private def gramEig(h: DenseMatrix[Double]): (DenseVector[Double], DenseMatrix[Double]) =
+    LinAlg.eigSym(h * h.t)
+
   def hankel(x: Array[Double], window: Int): DenseMatrix[Double] = {
     val k = x.length - window + 1
     DenseMatrix.tabulate(window, k)((i, j) => x(i + j))
@@ -27,19 +36,17 @@ object Ssa {
   def decompose(x: Array[Double], window: Int, varianceTarget: Double = 0.90): Decomposition = {
     require(window >= 2 && window < x.length, s"bad SSA window $window for n=${x.length}")
     val h = hankel(x, window)
-    val s = svd(h)
-    val ev = s.S.toArray.map(v => v * v)
-    val total = ev.sum
+    val (evv, uu) = gramEig(h)
+    val ev = evv.toArray.map(v => math.max(v, 0.0)) // σ², already sorted
+    val total = math.max(ev.sum, 1e-300)
     val rank = {
       var acc = 0.0; var r = 0
       while (r < ev.length && acc / total < varianceTarget) { acc += ev(r); r += 1 }
       math.max(1, r)
     }
-    // low-rank trajectory matrix
-    val u = s.U(::, 0 until rank)
-    val vt = s.Vt(0 until rank, ::)
-    val sv = DenseVector(s.S.toArray.take(rank))
-    val approx = u * breeze.linalg.diag(sv) * vt
+    // low-rank trajectory matrix via the left-projector (no V needed)
+    val u = uu(::, 0 until rank)
+    val approx = u * (u.t * h)
     // diagonal averaging back to a series
     val n = x.length
     val recon = new Array[Double](n)
@@ -61,20 +68,20 @@ object Ssa {
   def forecast(x: Array[Double], horizon: Int, window: Int, varianceTarget: Double = 0.90)
       : Array[Double] = {
     val h = hankel(x, window)
-    val s = svd(h)
-    val ev = s.S.toArray.map(v => v * v)
+    val (evv, uu) = gramEig(h)
+    val ev = evv.toArray.map(v => math.max(v, 0.0)) // σ², already sorted
     val total = math.max(ev.sum, 1e-300)
     var acc = 0.0; var rank = 0
     while (rank < ev.length && acc / total < varianceTarget) { acc += ev(rank); rank += 1 }
     rank = math.max(1, math.min(rank, window - 1))
     // recurrence coefficients from leading left singular vectors
-    val pi = DenseVector((0 until rank).map(c => s.U(window - 1, c)).toArray)
+    val pi = DenseVector((0 until rank).map(c => uu(window - 1, c)).toArray)
     val nu2 = pi.t * pi
     if (nu2 >= 1.0 - 1e-9) {
       // degenerate (verticality ~1): fall back to last-value forecast
       return Array.fill(horizon)(x.last)
     }
-    val uHead = s.U(0 until window - 1, 0 until rank)
+    val uHead = uu(0 until window - 1, 0 until rank)
     val rCoef = (uHead * pi) * (1.0 / (1.0 - nu2)) // length window-1, oldest→newest
     val recon = decompose(x, window, varianceTarget).reconstruction
     val hist = scala.collection.mutable.ArrayBuffer(recon.toSeq: _*)

@@ -35,6 +35,27 @@ object QuoteStream {
       .withWatermark("bar_ts", watermark)
       .dropDuplicates("ticker", "bar_ts")
 
+  /** Bar stream → MERGE-upsert sink, one idempotent upsert per
+    * micro-batch: the streaming form of the reference's
+    * `INSERT ... ON CONFLICT(ticker, date, source)` bars loop
+    * (database_manager.py:1603-1687). [[barGate]] dedups within the
+    * stream's state; the MergeSink key collapses what state cannot —
+    * checkpoint replays and cross-restart duplicates — so the parquet
+    * table converges to one row per (ticker, bar) no matter how often a
+    * batch re-fires. Partitioned by bar date: a replay rewrites only the
+    * partitions it touches. */
+  def upsertBars(gated: DataFrame, sink: graft.sources.MergeSink,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    gated
+      .withColumn("bar_date", to_date(col("bar_ts")))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.upsert(batch): Unit
+      }
+      .start()
+
   /** Sliding event-time window aggregation over the quote stream. */
   def slidingStats(quotes: DataFrame, window_ : String = "10 minutes",
       slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
