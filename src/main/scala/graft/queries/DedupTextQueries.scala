@@ -43,8 +43,13 @@ object DedupTextQueries extends QueryModule {
         "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"))
         .as("sh")).distinct()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.as("a"); val b = sh.as("b")
-      val pairs = a.join(b, $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      // size filter: J(A,B) >= 0.5 requires min(|A|,|B|) >= 0.5*max —
+      // prune impossible pairs BEFORE the shared-shingle aggregation
+      // (the dropped pairs could never pass the final WHERE)
+      val shN = sh.join(broadcast(sizes), "doc_id")
+      val a = shN.as("a"); val b = shN.as("b")
+      val pairs = a.join(b, $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * 2 >= $"b.n" && $"b.n" * 2 >= $"a.n")
         .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
         .agg(count(lit(1)).as("shared"))
       pairs
