@@ -129,6 +129,50 @@ object Ar {
       beta.toArray.slice(arLags.length + 1, k)))
   }
 
+  /** Conditional-sum-of-squares refinement (R `arima` method="CSS"
+    * shape — the iterative-likelihood step statsmodels' SARIMAX runs
+    * after its own start-params stage): Nelder-Mead over (intercept,
+    * AR+seasonal coefs, MA coefs) minimizing one-step-ahead squared
+    * innovations, seeded by the Hannan-Rissanen/OLS estimates. Only
+    * used when MA terms exist — for pure AR the OLS solution already
+    * minimizes the CSS exactly. Non-invertible MA explodes the
+    * innovation recursion and is rejected by the objective itself. */
+  private def cssRefine(x: Array[Double], fit0: Fit): Fit = {
+    val q = fit0.maCoefs.length
+    if (q == 0) return fit0
+    val lags = ((1 to fit0.p) ++ fit0.seasonalLags).distinct.sorted.toArray
+    val nPar = 1 + lags.length + q
+    val t0 = math.max(if (lags.isEmpty) 0 else lags.max, q)
+    val nEff = x.length - t0
+    if (nEff < nPar + 2) return fit0
+    def css(par: Array[Double]): Double = {
+      val e = new Array[Double](x.length)
+      var ss = 0.0
+      var t = t0
+      while (t < x.length) {
+        var pred = par(0)
+        var j = 0
+        while (j < lags.length) { pred += par(1 + j) * x(t - lags(j)); j += 1 }
+        j = 0
+        while (j < q) { pred += par(1 + lags.length + j) * e(t - j - 1); j += 1 }
+        val err = x(t) - pred
+        e(t) = err
+        ss += err * err
+        t += 1
+      }
+      if (ss.isNaN || ss.isInfinite) 1e100 else ss
+    }
+    val start = Array(fit0.intercept) ++ fit0.coefs ++ fit0.maCoefs
+    val (best, ssBest, _) = LinAlg.nelderMead(css, start, maxIter = 500)
+    val sigma2 = math.max(1e-12, ssBest / nEff)
+    val k = nPar + 1.0
+    val ll = -0.5 * nEff * (math.log(2 * math.Pi * sigma2) + 1)
+    fit0.copy(intercept = best(0),
+      coefs = best.slice(1, 1 + lags.length),
+      maCoefs = best.slice(1 + lags.length, nPar),
+      sigma2 = sigma2, aic = 2 * k - 2 * ll, n = nEff)
+  }
+
   /** AIC grid over p=1..maxP at the chosen d, each also tried with
     * detected seasonal lags (s, 2s); drift-model fallback when every
     * candidate fails (the reference's fallback ladder shape).
@@ -166,7 +210,7 @@ object Ar {
         e.getOrElse(Array.empty), burn)
     } yield f
     if (warm.isDefined && candidates.isEmpty) return fit(series, maxP, None, maxQ)
-    candidates.sortBy(_.aic).headOption.getOrElse {
+    candidates.sortBy(_.aic).headOption.map(cssRefine(x, _)).getOrElse {
       val mean = if (x.isEmpty) 0.0 else x.sum / x.length
       val v = if (x.length > 1) x.map(e => (e - mean) * (e - mean)).sum / (x.length - 1) else 1e-8
       Fit(0, d, mean, Array.empty, math.max(v, 1e-12), Double.MaxValue, x.length)

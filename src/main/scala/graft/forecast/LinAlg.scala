@@ -86,6 +86,44 @@ object LinAlg {
     s
   }
 
+  /** Deterministic Nelder-Mead (fixed start simplex, fixed iteration
+    * cap) — shared by the GARCH QMLE and the ARMA CSS refinement. */
+  def nelderMead(f: Array[Double] => Double, start: Array[Double],
+      maxIter: Int = 400, tol: Double = 1e-10): (Array[Double], Double, Boolean) = {
+    val dim = start.length
+    var simplex = (0 to dim).map { i =>
+      val p = start.clone()
+      if (i > 0) p(i - 1) = p(i - 1) * 1.25 + 1e-6
+      (p, f(p))
+    }.sortBy(_._2).toVector
+    var iter = 0
+    while (iter < maxIter && math.abs(simplex.last._2 - simplex.head._2) > tol) {
+      val best = simplex.head; val worst = simplex.last
+      val centroid = Array.tabulate(dim)(j =>
+        simplex.dropRight(1).map(_._1(j)).sum / dim)
+      def at(t: Double) = Array.tabulate(dim)(j =>
+        centroid(j) + t * (centroid(j) - worst._1(j)))
+      val refl = at(1.0); val fr = f(refl)
+      simplex =
+        if (fr < best._2) {
+          val exp = at(2.0); val fe = f(exp)
+          simplex.dropRight(1) :+ (if (fe < fr) (exp, fe) else (refl, fr))
+        } else if (fr < simplex(dim - 1)._2) {
+          simplex.dropRight(1) :+ (refl, fr)
+        } else {
+          val con = at(0.5); val fc = f(con)
+          if (fc < worst._2) simplex.dropRight(1) :+ (con, fc)
+          else simplex.map { case (p, _) => // shrink toward best
+            val q = Array.tabulate(dim)(j => best._1(j) + 0.5 * (p(j) - best._1(j)))
+            (q, f(q))
+          }
+        }
+      simplex = simplex.sortBy(_._2)
+      iter += 1
+    }
+    (simplex.head._1, simplex.head._2, iter < maxIter)
+  }
+
   /** Solve the SPD system `m x = b` by Cholesky with an escalating ridge
     * (m + λI) when the factorization hits a non-positive pivot — the
     * deterministic stand-in for pinv's minimum-norm solve on the tiny,
