@@ -15,11 +15,13 @@ import breeze.linalg.{DenseMatrix, DenseVector}
 object Ar {
 
   /** seasonalLags: absolute lags (s, 2s, ...) appended to 1..p;
-    * maCoefs: θ₁..θ_q moving-average terms (Hannan-Rissanen). */
+    * maCoefs: θ₁..θ_q moving-average terms (Hannan-Rissanen);
+    * ds/dsSeason: seasonal difference order and its period (D, s). */
   final case class Fit(p: Int, d: Int, intercept: Double, coefs: Array[Double],
       sigma2: Double, aic: Double, n: Int,
       season: Int = 0, seasonalLags: Array[Int] = Array.empty,
-      maCoefs: Array[Double] = Array.empty)
+      maCoefs: Array[Double] = Array.empty,
+      ds: Int = 0, dsSeason: Int = 0)
 
   /** Stationarity gate: difference once when the level series is
     * near-unit-root, measured by lag-1 autocorrelation ρ₁ ≥ 0.95
@@ -37,6 +39,24 @@ object Ar {
 
   def difference(x: Array[Double], d: Int): Array[Double] =
     if (d == 0) x else difference(x.sliding(2).map(a => a(1) - a(0)).toArray, d - 1)
+
+  /** Lag-s (seasonal) difference: z_i = x_{i+s} − x_i. */
+  def seasonalDifference(x: Array[Double], s: Int): Array[Double] =
+    Array.tabulate(math.max(x.length - s, 0))(i => x(i + s) - x(i))
+
+  /** ACF of x at lag k (mean-centered). */
+  private def acfAt(x: Array[Double], k: Int): Double = {
+    val m = x.sum / x.length
+    val denom = x.map(v => (v - m) * (v - m)).sum
+    if (denom <= 0 || k >= x.length) 0.0
+    else (k until x.length).map(i => (x(i) - m) * (x(i - k) - m)).sum / denom
+  }
+
+  /** Seasonal-unit-root gate (the OCSB/CH stand-in, mirroring chooseD's
+    * shape at lag s): D = 1 when the d-differenced series is still
+    * dominated by its seasonal lag, ρ_s ≥ 0.90. */
+  def chooseSeasonalD(x: Array[Double], s: Int): Int =
+    if (s > 0 && x.length >= 3 * s && acfAt(x, s) >= 0.90) 1 else 0
 
   /** Seasonality detection: dominant autocorrelation peak of the
     * differenced series among candidate periods (sarimax.py:212-224). */
@@ -186,8 +206,12 @@ object Ar {
   def fit(series: Array[Double], maxP: Int = 5,
       warm: Option[(Int, Int)] = None, maxQ: Int = 0): Fit = {
     val d = warm.map(_._2).getOrElse(chooseD(series))
-    val x = difference(series, d)
-    val season = detectSeason(x)
+    val x0 = difference(series, d)
+    val season = detectSeason(x0)
+    // seasonal difference (the D of (P,D,Q,s)) when the seasonal lag
+    // still dominates after regular differencing
+    val ds = if (season > 0) chooseSeasonalD(x0, season) else 0
+    val x = if (ds == 1) seasonalDifference(x0, season) else x0
     val seasonalSets: Seq[Array[Int]] =
       if (season == 0) Seq(Array.empty[Int])
       else Seq(Array.empty[Int], Array(season), Array(season, 2 * season))
@@ -210,18 +234,20 @@ object Ar {
         e.getOrElse(Array.empty), burn)
     } yield f
     if (warm.isDefined && candidates.isEmpty) return fit(series, maxP, None, maxQ)
-    candidates.sortBy(_.aic).headOption.map(cssRefine(x, _)).getOrElse {
+    val chosen = candidates.sortBy(_.aic).headOption.map(cssRefine(x, _)).getOrElse {
       val mean = if (x.isEmpty) 0.0 else x.sum / x.length
       val v = if (x.length > 1) x.map(e => (e - mean) * (e - mean)).sum / (x.length - 1) else 1e-8
       Fit(0, d, mean, Array.empty, math.max(v, 1e-12), Double.MaxValue, x.length)
     }
+    chosen.copy(ds = ds, dsSeason = if (ds == 1) season else 0)
   }
 
   /** Recursive h-step forecast on the ORIGINAL scale, with normal CIs
     * whose width grows with cumulative forecast variance. */
   def forecast(series: Array[Double], fit: Fit, horizon: Int, z: Double = 1.959963984540054)
       : (Array[Double], Array[Double], Array[Double]) = {
-    val x = difference(series, fit.d)
+    val y = difference(series, fit.d)
+    val x = if (fit.ds > 0) seasonalDifference(y, fit.dsSeason) else y
     val hist = scala.collection.mutable.ArrayBuffer(x.toSeq: _*)
     val lags = ((1 to fit.p) ++ fit.seasonalLags).distinct.sorted
     val q = fit.maCoefs.length
@@ -248,16 +274,29 @@ object Ar {
       hist += pred
       pred
     }.toArray
+    // invert the seasonal difference first: ŷ_h = ẑ_h + y_{T+h-s}
+    val yPreds =
+      if (fit.ds == 0) diffPreds
+      else {
+        val s = fit.dsSeason
+        val yh = scala.collection.mutable.ArrayBuffer(y.toSeq: _*)
+        diffPreds.map { zp =>
+          val yp = zp + yh(yh.length - s)
+          yh += yp
+          yp
+        }
+      }
     // integrate back to levels
     val levels = new Array[Double](horizon)
     var lastLevel = series.last
-    diffPreds.zipWithIndex.foreach { case (dp, i) =>
+    yPreds.zipWithIndex.foreach { case (dp, i) =>
       lastLevel = if (fit.d == 0) dp else lastLevel + dp
       levels(i) = lastLevel
     }
-    // cumulative variance for d=1 (random-walk-style widening); flat for d=0
+    // cumulative variance widening when any differencing happened
     val se = (1 to horizon).map { h =>
-      if (fit.d == 0) math.sqrt(fit.sigma2) else math.sqrt(fit.sigma2 * h)
+      if (fit.d == 0 && fit.ds == 0) math.sqrt(fit.sigma2)
+      else math.sqrt(fit.sigma2 * h)
     }.toArray
     (levels, levels.zip(se).map { case (m, s) => m - z * s },
       levels.zip(se).map { case (m, s) => m + z * s })

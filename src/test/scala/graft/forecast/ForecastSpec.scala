@@ -89,6 +89,20 @@ class ForecastSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(fitAr.coefs(0) - 0.7) < 0.1)
   }
 
+  test("seasonal differencing (D=1): sawtooth+trend series forecast continues the pattern") {
+    val rng = new Random(59)
+    val n = 280
+    val x = Array.tabulate(n)(t => 10.0 * (t % 7) + 0.2 * t + rng.nextGaussian() * 0.05)
+    val fit = Ar.fit(x, maxP = 3, maxQ = 1)
+    assert(fit.ds === 1 && fit.dsSeason === 7, s"ds=${fit.ds} s=${fit.dsSeason}")
+    val (fc, _, _) = Ar.forecast(x, fit, 14)
+    (0 until 14).foreach { h =>
+      val t = n + h
+      val expected = 10.0 * (t % 7) + 0.2 * t
+      assert(math.abs(fc(h) - expected) < 2.0, s"h=$h fc=${fc(h)} want=$expected")
+    }
+  }
+
   test("AR fit recovers a strong AR(1) coefficient and forecasts sanely") {
     val rng = new Random(3)
     val phi = 0.8
