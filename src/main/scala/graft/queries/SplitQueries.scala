@@ -82,10 +82,12 @@ object SplitQueries extends QueryModule {
       val rets = daily
         .select($"ticker", $"day", ($"p" / lag($"p", 1).over(wd) - 1).as("r"))
         .where($"r".isNotNull)
-      // align: keep only days where every ticker has a return
-      val nt = rets.select(countDistinct($"ticker").as("p")).as[Long].head()
+      // align: keep only days where every ticker has a return (the
+      // ticker count joins in as a 1-row broadcast — no driver action)
+      val nt = rets.agg(countDistinct($"ticker").as("p_t"))
       val full = rets.groupBy($"day").agg(count(lit(1)).as("c"))
-        .where($"c" === nt).select($"day")
+        .crossJoin(broadcast(nt))
+        .where($"c" === $"p_t").select($"day")
       val al = rets.join(broadcast(full), Seq("day"))
       // center: per-ticker means (exact decimal), broadcast back
       val means = al.groupBy($"ticker").agg(davg12($"r").as("m"))
