@@ -15,13 +15,16 @@ import breeze.linalg.{DenseMatrix, DenseVector}
 object Ar {
 
   /** seasonalLags: absolute lags (s, 2s, ...) appended to 1..p;
-    * maCoefs: θ₁..θ_q moving-average terms (Hannan-Rissanen);
-    * ds/dsSeason: seasonal difference order and its period (D, s). */
+    * maCoefs: θ coefficients for the innovation lags in maLags (the
+    * non-seasonal 1..q plus, when selected, the seasonal MA lag s —
+    * the Q of (P,D,Q,s)); ds/dsSeason: seasonal difference order and
+    * its period (D, s). */
   final case class Fit(p: Int, d: Int, intercept: Double, coefs: Array[Double],
       sigma2: Double, aic: Double, n: Int,
       season: Int = 0, seasonalLags: Array[Int] = Array.empty,
       maCoefs: Array[Double] = Array.empty,
-      ds: Int = 0, dsSeason: Int = 0)
+      ds: Int = 0, dsSeason: Int = 0,
+      maLags: Array[Int] = Array.empty)
 
   /** Stationarity gate: difference once when the level series is
     * near-unit-root, measured by lag-1 autocorrelation ρ₁ ≥ 0.95
@@ -122,11 +125,12 @@ object Ar {
     Some(e)
   }
 
-  private def fitArma(x: Array[Double], p: Int, q: Int, d: Int,
+  private def fitArma(x: Array[Double], p: Int, maLags: Array[Int], d: Int,
       seasonal: Array[Int], season: Int, e: Array[Double], burn: Int): Option[Fit] = {
-    if (q <= 0) return fitLags(x, p, d, seasonal, season, burn)
+    if (maLags.isEmpty) return fitLags(x, p, d, seasonal, season, burn)
     val arLags = ((1 to p) ++ seasonal).distinct.sorted.toArray
-    val start = math.max(arLags.max, burn) // burn >= long + q by contract
+    val q = maLags.length
+    val start = math.max(arLags.max, burn) // burn >= long + max maLag by contract
     val n = x.length - start
     if (n <= arLags.length + q + 2) return None
     val y = DenseVector(x.drop(start))
@@ -136,7 +140,7 @@ object Ar {
       val t = start + i
       xm(i, 0) = 1.0
       arLags.zipWithIndex.foreach { case (l, j) => xm(i, j + 1) = x(t - l) }
-      (1 to q).foreach(j => xm(i, arLags.length + j) = e(t - j))
+      maLags.zipWithIndex.foreach { case (l, j) => xm(i, arLags.length + 1 + j) = e(t - l) }
     }
     val beta = LinAlg.solveSpd(xm.t * xm, xm.t * y)
     val resid = y - xm * beta
@@ -146,7 +150,7 @@ object Ar {
     val aic = 2 * kAic - 2 * ll
     Some(Fit(p, d, beta(0), beta.toArray.slice(1, arLags.length + 1),
       sigma2, aic, n, season, seasonal,
-      beta.toArray.slice(arLags.length + 1, k)))
+      beta.toArray.slice(arLags.length + 1, k), maLags = maLags))
   }
 
   /** Conditional-sum-of-squares refinement (R `arima` method="CSS"
@@ -158,11 +162,12 @@ object Ar {
     * minimizes the CSS exactly. Non-invertible MA explodes the
     * innovation recursion and is rejected by the objective itself. */
   private def cssRefine(x: Array[Double], fit0: Fit): Fit = {
-    val q = fit0.maCoefs.length
+    val maLags = fit0.maLags
+    val q = maLags.length
     if (q == 0) return fit0
     val lags = ((1 to fit0.p) ++ fit0.seasonalLags).distinct.sorted.toArray
     val nPar = 1 + lags.length + q
-    val t0 = math.max(if (lags.isEmpty) 0 else lags.max, q)
+    val t0 = math.max(if (lags.isEmpty) 0 else lags.max, maLags.max)
     val nEff = x.length - t0
     if (nEff < nPar + 2) return fit0
     def css(par: Array[Double]): Double = {
@@ -174,7 +179,7 @@ object Ar {
         var j = 0
         while (j < lags.length) { pred += par(1 + j) * x(t - lags(j)); j += 1 }
         j = 0
-        while (j < q) { pred += par(1 + lags.length + j) * e(t - j - 1); j += 1 }
+        while (j < q) { pred += par(1 + lags.length + j) * e(t - maLags(j)); j += 1 }
         val err = x(t) - pred
         e(t) = err
         ss += err * err
@@ -225,12 +230,21 @@ object Ar {
     val long = math.min(math.max(10, 2 * (maxP + maxQ)), x.length / 4)
     val e = if (maxQ > 0) hrInnovations(x, long) else None
     val effQ = if (e.isDefined) maxQ else 0
-    val burn = if (effQ > 0) long + effQ else 0
+    // MA lag sets: consecutive 1..q, plus seasonal-MA variants
+    // ((1..q) :+ s — the Q of (P,D,Q,s)) when the sample can afford the
+    // longer burn-in
+    val seasonalMaOk = effQ > 0 && season > 0 && x.length >= 4 * season
+    val maSets: Seq[Array[Int]] =
+      (0 to effQ).map(q => (1 to q).toArray) ++
+        (if (seasonalMaOk) (0 to math.min(effQ, 1)).map(q => (1 to q).toArray :+ season)
+         else Seq.empty)
+    val maxMaLag = maSets.map(s => if (s.isEmpty) 0 else s.max).max
+    val burn = if (effQ > 0) long + maxMaLag else 0
     val candidates = for {
       p <- grid
-      q <- 0 to effQ
+      ml <- maSets
       sl <- seasonalSets
-      f <- fitArma(x, p, q, d, sl, if (sl.isEmpty) 0 else season,
+      f <- fitArma(x, p, ml, d, sl, if (sl.isEmpty) 0 else season,
         e.getOrElse(Array.empty), burn)
     } yield f
     if (warm.isDefined && candidates.isEmpty) return fit(series, maxP, None, maxQ)
@@ -250,16 +264,18 @@ object Ar {
     val x = if (fit.ds > 0) seasonalDifference(y, fit.dsSeason) else y
     val hist = scala.collection.mutable.ArrayBuffer(x.toSeq: _*)
     val lags = ((1 to fit.p) ++ fit.seasonalLags).distinct.sorted
+    val maLags = if (fit.maLags.nonEmpty) fit.maLags
+      else Array.tabulate(fit.maCoefs.length)(_ + 1) // legacy 1..q
     val q = fit.maCoefs.length
     // in-sample innovations for the MA terms (zeros for the warm-up and
-    // for future steps — the h-step MA contribution dies after q steps)
+    // for future steps — the h-step MA contribution dies after max(maLags))
     val e = new Array[Double](x.length + horizon)
     if (q > 0) {
-      val t0 = math.max(if (lags.nonEmpty) lags.max else 0, q)
+      val t0 = math.max(if (lags.nonEmpty) lags.max else 0, maLags.max)
       (t0 until x.length).foreach { t =>
         val pred = fit.intercept +
           fit.coefs.zip(lags).map { case (c, l) => c * x(t - l) }.sum +
-          fit.maCoefs.zipWithIndex.map { case (th, k) => th * e(t - k - 1) }.sum
+          fit.maCoefs.zip(maLags).map { case (th, l) => th * e(t - l) }.sum
         e(t) = x(t) - pred
       }
     }
@@ -268,8 +284,8 @@ object Ar {
       val pred = fit.intercept + fit.coefs.zip(lags).map { case (c, l) =>
         c * hist(hist.length - l)
       }.sum +
-        (if (q > 0) fit.maCoefs.zipWithIndex.map { case (th, k) =>
-          th * e(t - k - 1)
+        (if (q > 0) fit.maCoefs.zip(maLags).map { case (th, l) =>
+          th * e(t - l)
         }.sum else 0.0)
       hist += pred
       pred

@@ -89,6 +89,24 @@ class ForecastSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(fitAr.coefs(0) - 0.7) < 0.1)
   }
 
+  test("seasonal MA (Q=1, s=7): grid selects the seasonal innovation lag and recovers theta_s") {
+    val rng = new Random(67)
+    val n = 1500
+    val e = Array.fill(n)(rng.nextGaussian() * 0.1)
+    // x_t = 0.3 x_{t-1} + e_t + 0.6 e_{t-7}: ACF spikes at lag 7 (season
+    // detection) but the structure is MA-seasonal, not AR-seasonal
+    val x = new Array[Double](n)
+    (1 until n).foreach { i =>
+      x(i) = 0.3 * x(i - 1) + e(i) + (if (i >= 7) 0.6 * e(i - 7) else 0.0)
+    }
+    val fit = Ar.fit(x, maxP = 2, maxQ = 1)
+    assert(fit.maLags.contains(7), s"maLags=${fit.maLags.mkString(",")} p=${fit.p} sl=${fit.seasonalLags.mkString(",")}")
+    val thetaS = fit.maCoefs(fit.maLags.indexOf(7))
+    assert(math.abs(thetaS - 0.6) < 0.2, s"theta_s=$thetaS")
+    val (fc, _, _) = Ar.forecast(x, fit, 10)
+    assert(fc.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("seasonal differencing (D=1): sawtooth+trend series forecast continues the pattern") {
     val rng = new Random(59)
     val n = 280
