@@ -143,6 +143,19 @@ object DedupTextQueries extends QueryModule {
         .select($"qid", $"vec_id", $"cosine", $"rn")
     }),
 
+    // IVF ANN over the same query set, probing ALL lists (nProbe =
+    // nLists): the index machinery — KMeans coarse quantizer, probe
+    // join, per-list exact rescoring — must reproduce the brute-force
+    // top-k bit-for-bit, so the ANN path gets a hash-exact oracle (the
+    // q54 SQL). Recall of PARTIAL probing is property-tested in
+    // AnnAndLoopSpec; here the plumbing itself is the thing under test.
+    "q85_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      val idx = graft.ml.AnnIndex.build(emb, nLists = 8)
+      graft.ml.AnnIndex.query(idx, emb.where($"vec_id" < 50), k = 5, nProbe = 8)
+    }),
+
     // Language-ID heuristic: stopword share of tokens.
     "q55_langid" -> ((s, dir) => {
       import s.implicits._
@@ -213,6 +226,23 @@ object DedupTextQueries extends QueryModule {
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
       |  FROM idx)""".stripMargin
 
+  private val exactTopkSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
+        |sims AS (
+        |  SELECT qid, vec_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(qe, embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      6) AS cosine
+        |  FROM q JOIN embeddings ON qid <> vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM sims)
+        |SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= 5""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q50_dedup_exact" ->
       """SELECT COUNT(*) AS n_docs,
@@ -270,22 +300,12 @@ object DedupTextQueries extends QueryModule {
          |votes AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id)
          |SELECT doc_id, $bits AS simhash FROM votes""".stripMargin
     },
-    "q54_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
-        |sims AS (
-        |  SELECT qid, vec_id,
-        |    round(
-        |      list_sum(list_transform(list_zip(qe, embedding),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-        |      6) AS cosine
-        |  FROM q JOIN embeddings ON qid <> vec_id),
-        |ranked AS (
-        |  SELECT qid, vec_id, cosine,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
-        |  FROM sims)
-        |SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    "q54_cosine_topk" -> exactTopkSql,
+    // full probing (nProbe = nLists) makes IVF scan every list, so its
+    // result is EXACTLY the brute-force top-k — a hash-exact oracle for
+    // the ANN plumbing (coarse quantizer, probe join, per-list ranking)
+    // regardless of the clustering.
+    "q85_ann_ivf" -> exactTopkSql,
     "q55_langid" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS DOUBLE)
