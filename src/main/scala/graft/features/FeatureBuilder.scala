@@ -135,6 +135,26 @@ object FeatureBuilder {
     } else out
   }
 
+  /** Feature-health telemetry (time_series_feature_builder.py:243-289):
+    * one metrics row per build — row/ticker counts, per-feature null
+    * fraction for the load-bearing features, and warning flags when a
+    * feature's availability drops below the reference's thresholds.
+    * Single aggregation pass; emit alongside the feature write. */
+  def health(features: DataFrame): DataFrame = {
+    val checked = Seq("ret_20", "roll_std_60", "atr_14", "xsec_z_ret20",
+      "seasonal_resid_126").filter(features.columns.contains)
+    val nullFracs = checked.map(c =>
+      avg(col(c).isNull.cast("double")).as(s"null_frac_$c"))
+    val aggs = Seq(count(lit(1)).as("rows"),
+      countDistinct(col("ticker")).as("tickers")) ++ nullFracs
+    val base = features.agg(aggs.head, aggs.tail: _*)
+    val warn = checked.map(c => col(s"null_frac_$c") > 0.3)
+      .reduce(_ || _)
+    base.withColumn("decomp_available",
+        (col("null_frac_seasonal_resid_126") < 1.0).cast("int"))
+      .withColumn("warn_high_null_fraction", warn.cast("int"))
+  }
+
   /** Macro as-of merge with the reference's leak guard: macro rows later
     * than the bar frame's max date are clipped BEFORE the as-of fill
     * (LEAK-02 fix, time_series_feature_builder.py:218-234).

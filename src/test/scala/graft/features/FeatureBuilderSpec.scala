@@ -14,6 +14,18 @@ class FeatureBuilderSpec extends AnyFunSuite with TestSpark {
     .generate(spark, Seq("AAPL", "MSFT"), nBars = 200, seed = 11).toDF().cache()
   private lazy val feats = FeatureBuilder.build(bars, dropNa = false).cache()
 
+  test("feature-health telemetry: counts, null fractions, warn flags") {
+    val h = FeatureBuilder.health(feats).head()
+    assert(h.getAs[Long]("rows") === feats.count())
+    assert(h.getAs[Long]("tickers") === 2L)
+    val nf = h.getAs[Double]("null_frac_ret_20")
+    assert(nf >= 0.0 && nf <= 1.0)
+    assert(h.getAs[Int]("decomp_available") === 1)
+    // dropNa=false build keeps warm-up nulls; ret_20 misses ~20/200 rows
+    // per ticker (10%), under the 30% warn threshold
+    assert(h.getAs[Int]("warn_high_null_fraction") === 0)
+  }
+
   test("lags and returns match hand-computed values") {
     val spark2 = spark
     import spark2.implicits._
