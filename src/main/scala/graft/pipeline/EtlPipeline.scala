@@ -85,4 +85,34 @@ object EtlPipeline {
 
     RunResult(runId, quality, rows, psi, stages.toMap)
   }
+
+  /** Retention cleanup (data_storage.py:150-177): drop stage artifacts
+    * older than `maxAgeDays` and compact the run catalog to the same
+    * horizon. `nowMillis` is injectable so the cutoff is testable. The
+    * deletes are per-directory filesystem ops — a TTL sweep, not a data
+    * job. */
+  def retention(spark: SparkSession, outDir: String, maxAgeDays: Int,
+      nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    val cutoff = nowMillis - maxAgeDays * 86400000L
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val deleted = fs.listStatus(root).toSeq
+      .filter(st => st.getPath.getName != "_run_catalog")
+      .filter(_.getModificationTime < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+    val catalogPath = s"$outDir/_run_catalog"
+    if (fs.exists(new org.apache.hadoop.fs.Path(catalogPath))) {
+      val kept = spark.read.parquet(catalogPath)
+        .where(col("created_at") >= cutoff)
+        .cache()
+      kept.count() // materialize before overwriting the source
+      kept.write.mode("overwrite").parquet(s"$outDir/_run_catalog_tmp")
+      kept.unpersist()
+      fs.delete(new org.apache.hadoop.fs.Path(catalogPath), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/_run_catalog_tmp"),
+        new org.apache.hadoop.fs.Path(catalogPath))
+    }
+    deleted
+  }
 }

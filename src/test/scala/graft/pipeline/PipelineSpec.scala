@@ -40,6 +40,18 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
     intercept[IllegalArgumentException] {
       EtlPipeline.run(spark, corrupt, EtlPipeline.Config(outDir = out + "2"))
     }
+    // retention: with a future "now", everything ages out except the
+    // catalog, which is compacted to the horizon (here: emptied)
+    val farFuture = System.currentTimeMillis() + 10L * 86400000L
+    val deleted = EtlPipeline.retention(spark, out, maxAgeDays = 3, nowMillis = farFuture)
+    assert(deleted.toSet.contains("training") && deleted.toSet.contains("raw"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/training")))
+    assert(spark.read.parquet(s"$out/_run_catalog").count() === 0)
+    // a fresh run right after retention is retained (age 0 < horizon)
+    val res2 = EtlPipeline.run(spark, bars, EtlPipeline.Config(outDir = out))
+    assert(EtlPipeline.retention(spark, out, maxAgeDays = 3).isEmpty)
+    assert(spark.read.parquet(s"$out/_run_catalog")
+      .where(col("run_id") === res2.runId).count() === 1)
   }
 
   test("cache-first reads: full hit avoids fetch; tail delta fetches only the gap") {
