@@ -25,10 +25,11 @@ object AnnIndex {
 
   /** Build: k-means the embeddings (seeded ⇒ deterministic), assign a
     * list_id per vector. */
-  def build(embeddings: DataFrame, nLists: Int = 16, seed: Long = 42L): Index = {
+  def build(embeddings: DataFrame, nLists: Int = 16, seed: Long = 42L,
+      maxIter: Int = 20): Index = {
     val withVec = embeddings.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("list_id")
     val model = km.fit(withVec)
     val assigned = model.transform(withVec).drop("features")
