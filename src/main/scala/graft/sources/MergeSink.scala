@@ -48,9 +48,11 @@ final class MergeSink(spark: SparkSession, path: String,
     if (!exists) {
       val n = batch.count()
       batch.write.partitionBy(partitionCol).parquet(path)
-      val parts = batch.select(partitionCol).distinct().count()
+      val parts = batch.select(partitionCol).distinct()
+        .collect().map(r => String.valueOf(r.get(0))).toSeq
       batch.unpersist()
-      return MergeStats(inserted = n, updated = 0, partitions = parts)
+      writeCommitMarker(parts, n, 0)
+      return MergeStats(inserted = n, updated = 0, partitions = parts.length.toLong)
     }
 
     val touched = batch.select(col(partitionCol)).distinct()
@@ -78,6 +80,43 @@ final class MergeSink(spark: SparkSession, path: String,
       }
     }
     fs.delete(new Path(staging), true)
+    writeCommitMarker(touched.map(String.valueOf), inserted, updated)
     MergeStats(inserted, updated, touched.length.toLong)
+  }
+
+  /** Cross-partition atomicity is per-directory only on plain parquet;
+    * the commit marker closes the observability gap: it is written LAST,
+    * after every partition swap, so a reader that checks
+    * `lastCommit.exists(_.partitions == <expected>)` can detect a torn
+    * multi-partition upsert (crash between swaps) and retry/alert —
+    * the manifest-file shape of a Delta commit, minus the log. */
+  private def writeCommitMarker(parts: Seq[String], inserted: Long, updated: Long): Unit = {
+    val marker = new Path(s"$path/_graft_commit")
+    val tmp = new Path(s"$path/._graft_commit_tmp")
+    val payload =
+      s"""{"ts":${System.currentTimeMillis()},"partitions":[${
+        parts.map(p => "\"" + p + "\"").mkString(",")}],"inserted":$inserted,"updated":$updated}"""
+    val out = fs.create(tmp, true)
+    out.write(payload.getBytes("UTF-8"))
+    out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    fs.rename(tmp, marker)
+  }
+
+  final case class Commit(ts: Long, partitions: Seq[String], inserted: Long, updated: Long)
+
+  /** The last completed upsert's manifest, if any. */
+  def lastCommit: Option[Commit] = {
+    val marker = new Path(s"$path/_graft_commit")
+    if (!fs.exists(marker)) return None
+    val in = fs.open(marker)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def longOf(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+    val parts = """"partitions":\[([^\]]*)\]""".r.findFirstMatchIn(raw)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    for (ts <- longOf("ts"); i <- longOf("inserted"); u <- longOf("updated"))
+      yield Commit(ts, parts, i, u)
   }
 }

@@ -45,5 +45,8 @@ class MergeSinkSpec extends AnyFunSuite with TestSpark {
     val s3 = sink.upsert(delta, versionCol = Some("v"))
     assert(s3.inserted === 0 && s3.updated === 2)
     assert(sink.read().count() === 6)
+    // commit marker reflects the LAST completed upsert (torn-write probe)
+    val c = sink.lastCommit.get
+    assert(c.partitions === Seq("1") && c.inserted === 0 && c.updated === 2)
   }
 }
