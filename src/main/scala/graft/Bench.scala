@@ -48,10 +48,14 @@ object Bench {
       }
       name -> last
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Seconds at millisecond precision: the driver keeps only a bounded tail
+    // of stdout, so the single JSON line must stay well under 2000 chars even
+    // with every query listed (full-precision doubles blew that budget).
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

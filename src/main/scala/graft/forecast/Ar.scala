@@ -239,7 +239,12 @@ object Ar {
         (if (seasonalMaOk) (0 to math.min(effQ, 1)).map(q => (1 to q).toArray :+ season)
          else Seq.empty)
     val maxMaLag = maSets.map(s => if (s.isEmpty) 0 else s.max).max
-    val burn = if (effQ > 0) long + maxMaLag else 0
+    // the burn-in must cover the largest lag ANY candidate uses — AR grid,
+    // seasonal AR lags (2s can exceed long + maxMaLag), and MA innovation
+    // lags — or candidates silently fit on different spans again
+    val maxArLag = math.max(grid.max,
+      seasonalSets.map(s => if (s.isEmpty) 0 else s.max).max)
+    val burn = math.max(if (effQ > 0) long + maxMaLag else 0, maxArLag)
     val candidates = for {
       p <- grid
       ml <- maSets

@@ -20,6 +20,11 @@ import ForecastEngine.TickerForecast
   * the driver; walk-forward folds that re-present identical prefixes
   * become pure cache reads.
   */
+object ForecastCache {
+  /** Age after which a run's key files can no longer be referenced. */
+  val runKeysTtlMs: Long = 60L * 60 * 1000
+}
+
 final class ForecastCache(spark: SparkSession, dir: String) {
   import spark.implicits._
 
@@ -32,11 +37,47 @@ final class ForecastCache(spark: SparkSession, dir: String) {
     if (Files.exists(Paths.get(rowsPath))) Some(spark.read.parquet(rowsPath))
     else None
 
+  /** Drop run-key dirs old enough that no lazy Dataset from a prior
+    * call can still be reading them (TTL, not delete-all: a recent
+    * caller may not have consumed its output yet). */
+  private def sweepRunKeys(): Unit = {
+    val root = Paths.get(s"$dir/.run_keys")
+    if (!Files.exists(root)) return
+    val cutoff = System.currentTimeMillis() - ForecastCache.runKeysTtlMs
+    val ls = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+        .foreach { p =>
+          val walk = Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally walk.close()
+        }
+    } finally ls.close()
+  }
+
   /** Latest learned (p, d) per (ticker, regime) — broadcast into the
-    * miss kernel as warm starts. Same table OrderLearner reads. */
-  def warmStarts(): Map[(String, String), (Int, Int)] = {
+    * miss kernel as warm starts. Same table OrderLearner reads.
+    * Unbounded (whole store); prefer [[warmStartsFor]] inside batch
+    * paths so the driver-side map scales with the BATCH, not the store. */
+  def warmStarts(): Map[(String, String), (Int, Int)] =
+    warmStartsFor(None)
+
+  /** Warm starts restricted (left-semi join) to the tickers of one
+    * batch: the collected map is bounded by batch size × regimes even
+    * when the order cache has accumulated millions of tickers. */
+  def warmStartsFor(tickers: DataFrame): Map[(String, String), (Int, Int)] =
+    warmStartsFor(Some(tickers))
+
+  private def warmStartsFor(tickers: Option[DataFrame]): Map[(String, String), (Int, Int)] = {
     if (!Files.exists(Paths.get(orderPath))) return Map.empty
-    spark.read.parquet(orderPath)
+    val base = spark.read.parquet(orderPath)
+    val bounded = tickers.fold(base) { t =>
+      base.join(broadcast(t.select(col("ticker")).distinct()), Seq("ticker"), "left_semi")
+    }
+    bounded
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("ticker"), col("regime")).orderBy(desc("ts"))))
@@ -53,6 +94,7 @@ final class ForecastCache(spark: SparkSession, dir: String) {
     * rows and learned orders. */
   def fitForecast(bars: DataFrame, cfg: ForecastEngine.Config = ForecastEngine.Config())
       : (Dataset[TickerForecast], Stats) = {
+    sweepRunKeys()
     val cfgHash = cfg.toString
     val prep = bars
       .select(col("ticker").as[String], col("date").cast("long").as[Long],
@@ -67,7 +109,7 @@ final class ForecastCache(spark: SparkSession, dir: String) {
 
     // hit/miss split via joins against the store's key column — no
     // driver-side key lists, so a million-ticker run stays distributed
-    val keysDf = prep.select("snapKey").distinct().cache()
+    val keysDf = prep.select("snapKey").distinct()
     val storedKeysDf = storeDf
       .map(_.select("snapKey").distinct())
       .getOrElse(spark.emptyDataset[String].toDF("snapKey"))
@@ -76,7 +118,7 @@ final class ForecastCache(spark: SparkSession, dir: String) {
     val misses = nKeys - hits
 
     if (misses > 0) {
-      val warm = spark.sparkContext.broadcast(warmStarts())
+      val warm = spark.sparkContext.broadcast(warmStartsFor(prep.select(col("ticker"))))
       val fitted = prep
         .join(storedKeysDf, Seq("snapKey"), "left_anti")
         .select(col("ticker").as[String], col("prices").as[Array[Double]],
@@ -102,13 +144,20 @@ final class ForecastCache(spark: SparkSession, dir: String) {
       fitted.unpersist()
     }
 
+    // Persist this run's key set next to the store, so the returned
+    // (lazy) Dataset's lineage is parquet-only: every cache above can be
+    // dropped NOW instead of leaking past the call. The tiny key files
+    // are cleaned up eagerly by the next fitForecast on this cache dir.
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val keysPath = s"$dir/.run_keys/$runId"
+    keysDf.write.parquet(keysPath)
+    prep.unpersist()
     val out = spark.read.parquet(rowsPath)
-      .join(broadcast(keysDf), "snapKey")
+      .join(broadcast(spark.read.parquet(keysPath)), "snapKey")
       // concurrent appends could double-store a key; keep one copy
       .dropDuplicates("snapKey", "ticker", "model", "horizonStep")
       .drop("snapKey")
       .as[TickerForecast]
-    prep.unpersist()
     (out, Stats(hits = hits, misses = misses))
   }
 }

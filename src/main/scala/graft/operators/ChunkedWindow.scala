@@ -37,21 +37,31 @@ import java.math.{BigDecimal => JBig}
   * the DuckDB oracles use); the kernel only adds/subtracts BigDecimals,
   * which is exact and order-independent — so results are hash-identical
   * to `sum(col.cast(dec)).over(window)` (spec: ChunkedWindowSpec).
+  * Null x follows plain-window semantics: excluded from `n` (count(x))
+  * and the sums (a null row contributes zero via coalesce, never a null
+  * BigDecimal), sums go null when the frame has no non-null x, and
+  * `prev` (lag 1) passes the previous row's null through.
   */
 object ChunkedWindow {
 
   /** Row entering the kernel: pre-quantized decimal moments of x (public
-    * only because Spark codegen must construct it). */
-  case class Raw(key: String, t: Long, seq: Long, x: Double,
-      d1: JBig, d2: JBig, d3: JBig)
+    * only because Spark codegen must construct it). Null x arrives as
+    * `x = None, c = 0` with the decimals coalesced to ZERO — the kernel
+    * never sees a null BigDecimal, and `c` is the prefix-countable
+    * "counts toward count(x)" flag. */
+  case class Raw(key: String, t: Long, seq: Long, x: Option[Double],
+      c: Long, d1: JBig, d2: JBig, d3: JBig)
 
   /** Kernel output: frame count, exact decimal moment sums (as the same
-    * doubles `sum(dec).cast("double")` yields), and the 1-row lag. */
-  final case class Moments(key: String, seq: Long, x: Double,
+    * doubles `sum(dec).cast("double")` yields), and the 1-row lag.
+    * Matches plain-window null semantics: `n` counts NON-NULL x in the
+    * frame, sums are None when the frame holds no non-null x, `prev` is
+    * the previous row's x (None when that x is null or no row exists). */
+  final case class Moments(key: String, seq: Long, x: Option[Double],
       prev: Option[Double], n: Long,
       s1: Option[Double], s2: Option[Double], s3: Option[Double])
 
-  private case class Halo(x: Double, d1: JBig, d2: JBig, d3: JBig)
+  private case class Halo(x: Option[Double], c: Long, d1: JBig, d2: JBig, d3: JBig)
 
   /** Rolling moments of `xCol` over `rowsBetween(lo, hi)` per `keyCol`,
     * ordered by (`tCol`, `seqCol`). Requires lo <= hi <= 0. Returns
@@ -70,14 +80,17 @@ object ChunkedWindow {
     import spark.implicits._
 
     val x = col(xCol)
+    def dec(c: org.apache.spark.sql.Column, s: Int) =
+      coalesce(c.cast(s"decimal(38,$s)"), lit(0).cast(s"decimal(38,$s)"))
     val base = df.select(
       col(keyCol).cast("string").as("key"),
       col(tCol).cast("long").as("t"),
       col(seqCol).cast("long").as("seq"),
       x.cast("double").as("x"),
-      x.cast(s"decimal(38,$scale1)").as("d1"),
-      (x * x).cast(s"decimal(38,$scale2)").as("d2"),
-      (x * x * x).cast(s"decimal(38,$scale3)").as("d3"))
+      x.isNotNull.cast("long").as("c"),
+      dec(x, scale1).as("d1"),
+      dec(x * x, scale2).as("d2"),
+      dec(x * x * x, scale3).as("d3"))
 
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -92,7 +105,7 @@ object ChunkedWindow {
       it.foreach { r =>
         val (cnt, tail) = m.getOrElseUpdate(r.key,
           (0L, scala.collection.mutable.ArrayDeque.empty[Halo]))
-        tail.append(Halo(r.x, r.d1, r.d2, r.d3))
+        tail.append(Halo(r.x, r.c, r.d1, r.d2, r.d3))
         if (tail.length > h) tail.removeHead()
         m.update(r.key, (cnt + 1L, tail))
       }
@@ -128,15 +141,17 @@ object ChunkedWindow {
       val p1 = new Array[JBig](ring)
       val p2 = new Array[JBig](ring)
       val p3 = new Array[JBig](ring)
-      val xs = new Array[Double](ring) // last rows' x for `prev`
+      val pc = new Array[Long](ring) // prefix count of NON-NULL x
+      val xs = new Array[Option[Double]](ring) // last rows' x for `prev`
       var curKey: String = null
       var rn = 0L // per-key global row index of the NEXT row
       var i = 0L // local index including halo (prefix P(i) at slot i%ring)
 
-      def push(x: Double, d1: JBig, d2: JBig, d3: JBig): Unit = {
+      def push(x: Option[Double], cnt: Long, d1: JBig, d2: JBig, d3: JBig): Unit = {
         val s = ((i + 1) % ring).toInt
         val c = (i % ring).toInt
         p1(s) = p1(c).add(d1); p2(s) = p2(c).add(d2); p3(s) = p3(c).add(d3)
+        pc(s) = pc(c) + cnt
         xs(s) = x
         i += 1
       }
@@ -146,21 +161,23 @@ object ChunkedWindow {
           curKey = r.key
           rn = offs((pid, r.key))
           i = 0
-          p1(0) = JBig.ZERO; p2(0) = JBig.ZERO; p3(0) = JBig.ZERO
-          hls.get((pid, r.key)).foreach(_.foreach(t => push(t.x, t.d1, t.d2, t.d3)))
+          p1(0) = JBig.ZERO; p2(0) = JBig.ZERO; p3(0) = JBig.ZERO; pc(0) = 0L
+          hls.get((pid, r.key)).foreach(_.foreach(t => push(t.x, t.c, t.d1, t.d2, t.d3)))
         }
-        push(r.x, r.d1, r.d2, r.d3)
+        push(r.x, r.c, r.d1, r.d2, r.d3)
         // this row sits at local prefix index i (P(i) includes it);
         // frame [rn+lo, rn+hi] -> prefix range (i + lo', i + hi'] with
         // clipping at the key's first row (rn = 0)
-        val n = (rn + hi) - math.max(rn + lo, 0L) + 1
-        val prev = if (rn > 0) Some(xs(((i - 1) % ring).toInt)) else None
+        val rows = (rn + hi) - math.max(rn + lo, 0L) + 1 // frame size in ROWS
+        val prev = if (rn > 0) xs(((i - 1) % ring).toInt) else None
         val m =
-          if (n <= 0) Moments(r.key, r.seq, r.x, prev, 0, None, None, None)
+          if (rows <= 0) Moments(r.key, r.seq, r.x, prev, 0, None, None, None)
           else {
             val hiP = ((i + hi) % ring).toInt // hi <= 0: within ring
-            val loP = ((i + hi - n) % ring).toInt
-            Moments(r.key, r.seq, r.x, prev, n,
+            val loP = ((i + hi - rows) % ring).toInt
+            val n = pc(hiP) - pc(loP) // count(x): nulls excluded
+            if (n == 0) Moments(r.key, r.seq, r.x, prev, 0, None, None, None)
+            else Moments(r.key, r.seq, r.x, prev, n,
               Some(p1(hiP).subtract(p1(loP)).doubleValue),
               Some(p2(hiP).subtract(p2(loP)).doubleValue),
               Some(p3(hiP).subtract(p3(loP)).doubleValue))

@@ -24,6 +24,32 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
 
   def isEmpty: Boolean = !Files.exists(Paths.get(path))
 
+  /** Earliest start (epoch ms) already head-probed per ticker. Once the
+    * provider has been asked for [start, cachedLo) — whatever it
+    * returned — re-asking for the same or a later start can never add
+    * rows, so the head-gap branch skips it; without this mark a ticker
+    * whose history simply begins after `start` (pre-listing dates) was
+    * re-fetched on EVERY read forever. Delete the sidecar to force a
+    * re-probe (e.g. after a provider backfill). */
+  private def probesPath = Paths.get(s"$cacheDir/head_probes.json")
+
+  private def loadProbes(): Map[String, Long] =
+    if (!Files.exists(probesPath)) Map.empty
+    else """"([^"]+)":(-?\d+)""".r
+      .findAllMatchIn(new String(Files.readAllBytes(probesPath), "UTF-8"))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+
+  private def saveProbes(m: Map[String, Long]): Unit = {
+    val json = m.toSeq.sortBy(_._1)
+      .map { case (t, v) => "\"" + t + "\":" + v }.mkString("{", ",", "}")
+    val tmp = Paths.get(s"$cacheDir/.head_probes_tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, probesPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** (minDate, maxDate) per cached ticker — the coverage catalog. */
   def coverage(): DataFrame = {
     if (isEmpty) return spark.emptyDataFrame
@@ -54,17 +80,25 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
     // branch such a ticker matched no fetch condition and read() silently
     // returned only the cached suffix (the reference refetches on coverage
     // invalidity, yfinance_extractor.py:536-568). Fetch only [start, lo)
-    // so the append stays duplicate-free.
+    // so the append stays duplicate-free; skip starts already probed
+    // (the provider may simply have no earlier history — without the
+    // probe mark that head range re-fetched on every read, forever).
+    val probes = loadProbes()
     val headGap = tickers.filter(t => cov.get(t).exists { case (lo, _) =>
-      lo.after(start) })
+      lo.after(start) } && probes.get(t).forall(_ > start.getTime))
     val staleTail = tickers.filter(t => cov.get(t).exists { case (_, hi) =>
       hi.before(end) })
 
     if (missing.nonEmpty) write(fetch(missing, start, end))
-    headGap.foreach { t =>
-      val lo = cov(t)._1
-      val head = fetch(Seq(t), start, new java.sql.Timestamp(lo.getTime - 1))
-      if (!head.isEmpty) write(head)
+    if (headGap.nonEmpty) {
+      headGap.foreach { t =>
+        val lo = cov(t)._1
+        val head = fetch(Seq(t), start, new java.sql.Timestamp(lo.getTime - 1))
+        if (!head.isEmpty) write(head)
+      }
+      // whatever came back is cached now: [start, lo) is settled
+      saveProbes(probes ++ headGap.map(t =>
+        t -> math.min(probes.getOrElse(t, Long.MaxValue), start.getTime)))
     }
     staleTail.foreach { t =>
       val hi = cov(t)._2

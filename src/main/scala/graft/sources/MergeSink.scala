@@ -12,11 +12,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: only partitions TOUCHED by the update batch are read,
   * merged (update-wins anti-join), rewritten to a staging dir, and
-  * atomically swapped in via filesystem rename — a 100 TB table with a
-  * daily delta rewrites only the delta's partitions, never the table.
-  * Plain parquet gives per-partition (not cross-partition) atomicity;
-  * the staging-dir swap keeps readers from ever seeing a half-written
-  * partition.
+  * swapped in via filesystem rename — a 100 TB table with a daily delta
+  * rewrites only the delta's partitions, never the table.
+  *
+  * Atomicity contract (plain parquet, no log): readers never see a
+  * HALF-WRITTEN partition (data is staged under a dot-dir that parquet
+  * readers ignore, and enters the live tree only by rename). The swap
+  * itself is two renames per partition — live aside to `.trash_<tx>`,
+  * then staged in — so no committed data is ever deleted before its
+  * replacement is live; a crash anywhere leaves both copies on disk.
+  * A reader racing the two renames can still observe the partition
+  * MISSING for that instant (rename-window, not data-loss), and a crash
+  * between partitions leaves a torn multi-partition upsert: both are
+  * detectable (`lastCommit` manifest is written only after all swaps)
+  * and repairable by `recover()`, which rolls forward any staging dir
+  * that finished writing (`_SUCCESS` present) and discards the rest.
   */
 final class MergeSink(spark: SparkSession, path: String,
     keyCols: Seq[String], partitionCol: String) {
@@ -51,7 +61,7 @@ final class MergeSink(spark: SparkSession, path: String,
       val parts = batch.select(partitionCol).distinct()
         .collect().map(r => String.valueOf(r.get(0))).toSeq
       batch.unpersist()
-      writeCommitMarker(parts, n, 0)
+      writeCommitMarker(parts, n, 0, java.util.UUID.randomUUID().toString.take(8))
       return MergeStats(inserted = n, updated = 0, partitions = parts.length.toLong)
     }
 
@@ -65,23 +75,67 @@ final class MergeSink(spark: SparkSession, path: String,
     val merged = batch.unionByName(
       existing.join(batch, keyCols, "left_anti").select(batch.columns.map(col): _*))
 
-    // stage the merged partitions, then swap each partition dir in
-    val staging = s"$path/.staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    // stage the merged partitions, then swap each partition dir in:
+    // live is renamed ASIDE (never deleted) before staged replaces it,
+    // so a crash at any point leaves every row recoverable on disk
+    val txid = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$path/.staging_$txid"
     merged.write.partitionBy(partitionCol).parquet(staging)
     existing.unpersist()
     batch.unpersist()
+    val trash = new Path(s"$path/.trash_$txid")
+    fs.mkdirs(trash)
     touched.foreach { v =>
       val part = s"$partitionCol=$v"
       val live = new Path(s"$path/$part")
       val staged = new Path(s"$staging/$part")
       if (fs.exists(staged)) {
-        if (fs.exists(live)) fs.delete(live, true)
+        if (fs.exists(live)) fs.rename(live, new Path(trash, part))
         fs.rename(staged, live)
       }
     }
+    writeCommitMarker(touched.map(String.valueOf), inserted, updated, txid)
     fs.delete(new Path(staging), true)
-    writeCommitMarker(touched.map(String.valueOf), inserted, updated)
+    fs.delete(trash, true)
     MergeStats(inserted, updated, touched.length.toLong)
+  }
+
+  /** Repair after a crashed `upsert`: roll FORWARD every staging dir
+    * whose parquet job committed (`_SUCCESS` present — its partitions
+    * are complete merged replacements, so finishing the swap is always
+    * safe), discard staging dirs that never finished writing (no swap
+    * was attempted for those: swaps start only after the write returns),
+    * and clear trash dirs last. Idempotent; returns swapped partitions.
+    */
+  def recover(): Seq[String] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) return Seq.empty
+    val entries = fs.listStatus(root).map(_.getPath).toSeq
+    val swapped = scala.collection.mutable.ArrayBuffer[String]()
+    entries.filter(_.getName.startsWith(".staging_")).foreach { st =>
+      val txid = st.getName.stripPrefix(".staging_")
+      val trash = new Path(s"$path/.trash_$txid")
+      if (fs.exists(new Path(st, "_SUCCESS"))) {
+        fs.mkdirs(trash)
+        fs.listStatus(st).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith(s"$partitionCol="))
+          .foreach { staged =>
+            val part = staged.getName
+            val live = new Path(s"$path/$part")
+            if (fs.exists(live)) fs.rename(live, new Path(trash, part))
+            fs.rename(staged, live)
+            swapped += part.stripPrefix(s"$partitionCol=")
+          }
+        if (swapped.nonEmpty)
+          writeCommitMarker(swapped.toSeq, -1, -1, txid, recovered = true)
+      }
+      fs.delete(st, true)
+      if (fs.exists(trash)) fs.delete(trash, true)
+    }
+    // trash dirs with no staging sibling: their swap completed; just clear
+    entries.filter(_.getName.startsWith(".trash_"))
+      .foreach(tr => if (fs.exists(tr)) fs.delete(tr, true))
+    swapped.toSeq
   }
 
   /** Cross-partition atomicity is per-directory only on plain parquet;
@@ -90,11 +144,12 @@ final class MergeSink(spark: SparkSession, path: String,
     * `lastCommit.exists(_.partitions == <expected>)` can detect a torn
     * multi-partition upsert (crash between swaps) and retry/alert —
     * the manifest-file shape of a Delta commit, minus the log. */
-  private def writeCommitMarker(parts: Seq[String], inserted: Long, updated: Long): Unit = {
+  private def writeCommitMarker(parts: Seq[String], inserted: Long, updated: Long,
+      txid: String, recovered: Boolean = false): Unit = {
     val marker = new Path(s"$path/_graft_commit")
     val tmp = new Path(s"$path/._graft_commit_tmp")
     val payload =
-      s"""{"ts":${System.currentTimeMillis()},"partitions":[${
+      s"""{"ts":${System.currentTimeMillis()},"txid":"$txid","recovered":$recovered,"partitions":[${
         parts.map(p => "\"" + p + "\"").mkString(",")}],"inserted":$inserted,"updated":$updated}"""
     val out = fs.create(tmp, true)
     out.write(payload.getBytes("UTF-8"))
@@ -103,20 +158,24 @@ final class MergeSink(spark: SparkSession, path: String,
     fs.rename(tmp, marker)
   }
 
-  final case class Commit(ts: Long, partitions: Seq[String], inserted: Long, updated: Long)
+  final case class Commit(ts: Long, partitions: Seq[String], inserted: Long, updated: Long,
+      recovered: Boolean = false)
 
-  /** The last completed upsert's manifest, if any. */
+  /** The last completed upsert's manifest, if any. `recovered = true`
+    * (with counts -1) marks a commit finished by `recover()`, not the
+    * original writer. */
   def lastCommit: Option[Commit] = {
     val marker = new Path(s"$path/_graft_commit")
     if (!fs.exists(marker)) return None
     val in = fs.open(marker)
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    def longOf(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+    def longOf(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+    val rec = raw.contains("\"recovered\":true")
     val parts = """"partitions":\[([^\]]*)\]""".r.findFirstMatchIn(raw)
       .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     for (ts <- longOf("ts"); i <- longOf("inserted"); u <- longOf("updated"))
-      yield Commit(ts, parts, i, u)
+      yield Commit(ts, parts, i, u, rec)
   }
 }

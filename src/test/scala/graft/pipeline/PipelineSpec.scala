@@ -94,6 +94,23 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
     assert(htk === Seq("AAPL") && hFrom === tm5 && hTo.before(t0))
     assert(headRead.count() === 35) // 5 head days + original 30
     assert(cache.stats(Seq("AAPL"), tm5, t30) === ((1, 0, 0)))
+
+    // head-gap probe marks: a start at/after an already-probed start is
+    // settled and never re-fetched; the provider's full history (from
+    // 2023-12-01) is absorbed by the first deep probe
+    val preListing = Timestamp.valueOf("2023-06-01 00:00:00")
+    val c1 = fetchCalls.size
+    val r1 = cache.read(Seq("AAPL"), preListing, t30)(fetch)
+    assert(fetchCalls.size === c1 + 1 && r1.count() === 61) // 2023-12-01..2024-01-30
+    val r2 = cache.read(Seq("AAPL"), preListing, t30)(fetch)
+    assert(fetchCalls.size === c1 + 1 && r2.count() === 61) // NOT re-probed
+    // head-gap convergence on an UNFILLABLE range: no data exists before
+    // 2023-12-01, so the empty probe is recorded once and never repeated
+    val earlier = Timestamp.valueOf("2023-01-01 00:00:00")
+    cache.read(Seq("AAPL"), earlier, t30)(fetch)
+    assert(fetchCalls.size === c1 + 2)
+    cache.read(Seq("AAPL"), earlier, t30)(fetch)
+    assert(fetchCalls.size === c1 + 2) // empty probe not repeated
   }
 
   test("strategy sweep ranks candidates and tighter stops change outcomes") {

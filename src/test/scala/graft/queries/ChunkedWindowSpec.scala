@@ -72,6 +72,37 @@ class ChunkedWindowSpec extends AnyFunSuite with TestSpark {
     assert(firsts.where($"n" =!= 0 || $"s1".isNotNull || $"prev".isNotNull).count() === 0)
   }
 
+  test("null x rows match plain-window semantics (count skips, sums skip, lag passes null through)") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(11)
+    // ~1 in 4 null, a key starting with nulls, and an ALL-null key
+    val rows: Seq[(String, Long, Long, Option[Double])] =
+      (for {
+        (k, n) <- Seq(("A", 67), ("B", 301))
+        i <- 0 until n
+      } yield (k, (i / 3).toLong, i.toLong,
+        if (rng.nextInt(4) == 0) None else Some(rng.nextDouble() * 50 - 10))) ++
+        Seq(("C", 0L, 0L, None), ("C", 1L, 1L, None), ("C", 2L, 2L, Some(5.0))) ++
+        (0 until 25).map(i => ("D", i.toLong, i.toLong, None: Option[Double]))
+    val ndf = s.createDataset(rng.shuffle(rows)).toDF("k", "t", "seq", "x").cache()
+
+    val got = ChunkedWindow
+      .rollingMoments(ndf, "k", "t", "seq", "x", lo = -9, hi = 0, numPartitions = 7)
+      .toDF()
+      .select($"key", $"seq", $"x", $"prev", $"n", $"s1", $"s2", $"s3")
+    val w = Window.partitionBy($"k").orderBy($"t", $"seq")
+    val f = w.rowsBetween(-9, 0)
+    val want = ndf.select($"k".as("key"), $"seq", $"x",
+      lag($"x", 1).over(w).as("prev"),
+      count($"x").over(f).as("n"),
+      sum($"x".cast("decimal(38,6)")).over(f).cast("double").as("s1"),
+      sum(($"x" * $"x").cast("decimal(38,9)")).over(f).cast("double").as("s2"),
+      sum(($"x" * $"x" * $"x").cast("decimal(38,9)")).over(f).cast("double").as("s3"))
+    assert(got.count() === ndf.count())
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("single-row and shorter-than-halo keys survive") {
     val s = spark; import s.implicits._
     val tiny = mkDf(Seq(("X", 0L, 0L, 2.5), ("Y", 0L, 0L, 1.0), ("Y", 1L, 1L, 3.0)))

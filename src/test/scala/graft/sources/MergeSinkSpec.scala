@@ -49,4 +49,49 @@ class MergeSinkSpec extends AnyFunSuite with TestSpark {
     val c = sink.lastCommit.get
     assert(c.partitions === Seq("1") && c.inserted === 0 && c.updated === 2)
   }
+
+  test("recover() rolls forward a crash between the aside-rename and the staged-rename") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_merge_rec").toString + "/bars"
+    val sink = new MergeSink(spark, dir, keyCols = Seq("ticker", "seq"), partitionCol = "m")
+    val init = Seq(("AAPL", 1L, 10.0, 1), ("MSFT", 1L, 20.0, 2))
+      .toDF("ticker", "seq", "price", "m")
+    sink.upsert(init)
+
+    // Simulate the torn window by hand: a committed staging dir (with
+    // _SUCCESS) holding the merged replacement for m=1, and live m=1
+    // already renamed aside to the trash dir — the writer died before
+    // renaming staged in.
+    Seq(("AAPL", 1L, 99.0, 1)).toDF("ticker", "seq", "price", "m")
+      .write.partitionBy("m").parquet(s"$dir/.staging_deadbeef")
+    Files.move(Paths.get(dir, "m=1"), Paths.get(dir, ".trash_deadbeef_tmp"))
+    Files.createDirectories(Paths.get(dir, ".trash_deadbeef"))
+    Files.move(Paths.get(dir, ".trash_deadbeef_tmp"), Paths.get(dir, ".trash_deadbeef", "m=1"))
+
+    assert(sink.recover() === Seq("1"))
+    val after = sink.read().select("ticker", "seq", "price").as[(String, Long, Double)]
+      .collect().toSet
+    assert(after === Set(("AAPL", 1L, 99.0), ("MSFT", 1L, 20.0)))
+    assert(sink.lastCommit.exists(_.recovered))
+    // staging and trash fully cleared; a second recover is a no-op
+    assert(!Files.exists(Paths.get(dir, ".staging_deadbeef")))
+    assert(!Files.exists(Paths.get(dir, ".trash_deadbeef")))
+    assert(sink.recover() === Seq.empty)
+  }
+
+  test("recover() discards a staging dir whose parquet job never committed") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_merge_disc").toString + "/bars"
+    val sink = new MergeSink(spark, dir, keyCols = Seq("ticker", "seq"), partitionCol = "m")
+    sink.upsert(Seq(("AAPL", 1L, 10.0, 1)).toDF("ticker", "seq", "price", "m"))
+
+    Seq(("AAPL", 1L, 99.0, 1)).toDF("ticker", "seq", "price", "m")
+      .write.partitionBy("m").parquet(s"$dir/.staging_cafe0000")
+    Files.delete(Paths.get(dir, ".staging_cafe0000", "_SUCCESS"))
+
+    assert(sink.recover() === Seq.empty)
+    assert(!Files.exists(Paths.get(dir, ".staging_cafe0000")))
+    // live data untouched
+    assert(sink.read().select("price").as[Double].collect().toSeq === Seq(10.0))
+  }
 }
