@@ -1,42 +1,116 @@
 package graft.ml
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-style approximate nearest neighbour search over an embedding
   * column — the 100 TB scale path next to the brute-force baseline
-  * (queries q54): a coarse quantizer (seeded MLlib KMeans) partitions
-  * vectors into `nLists` inverted lists; a query probes only its
-  * `nProbe` nearest centroids, so the scored candidate set is
-  * ~nProbe/nLists of the corpus instead of all of it.
+  * (queries q54): a coarse quantizer partitions vectors into `nLists`
+  * inverted lists; a query probes only its `nProbe` nearest centroids,
+  * so the scored candidate set is ~nProbe/nLists of the corpus instead
+  * of all of it.
   *
-  * Scale design: centroids are a tiny broadcast dim; the corpus is
-  * scanned once at index build and joined by `list_id` at query time —
-  * with the corpus bucketed/partitioned by list_id on disk, a probe
-  * reads only its lists' partitions.
+  * Scale design (the FAISS IVF recipe): the quantizer is trained with
+  * seeded Lloyd's iterations on a bounded SAMPLE collected to the
+  * driver — quantizer quality needs only a representative sample, never
+  * the corpus — then the centroids broadcast and every vector is
+  * assigned its nearest list in ONE distributed pass. No iterative
+  * distributed jobs touch the corpus (MLlib KMeans ran k-means|| init +
+  * per-iteration jobs over all rows — wasted work for a coarse
+  * quantizer). With the corpus written partitioned/bucketed by
+  * `list_id`, a probe reads only its lists' partitions.
   */
 object AnnIndex {
 
   final case class Index(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
 
-  /** Build: k-means the embeddings (seeded ⇒ deterministic), assign a
-    * list_id per vector. */
+  /** Train the coarse quantizer on a seeded sample (Lloyd's, euclidean,
+    * deterministic: seeded init, fixed iteration order) and assign a
+    * `list_id` per corpus vector in one pass. `trainSample` bounds the
+    * driver-side training set regardless of corpus size. */
   def build(embeddings: DataFrame, nLists: Int = 16, seed: Long = 42L,
-      maxIter: Int = 20): Index = {
-    val withVec = embeddings.withColumn("features",
-      array_to_vector(col("embedding").cast("array<double>")))
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol("list_id")
-    val model = km.fit(withVec)
-    val assigned = model.transform(withVec).drop("features")
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
-    Index(centroids, assigned)
+      maxIter: Int = 20, trainSample: Int = 65536): Index = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(col("embedding").cast("array<double>"))
+      .as[Array[Double]]
+    // deterministic bounded sample: sort-free limit is fine for training
+    // (any representative subset works; seeded fraction keeps it stable)
+    val n = embeddings.count()
+    val sample: Array[Array[Double]] =
+      if (n <= trainSample) vecs.collect()
+      else vecs.sample(withReplacement = false,
+        math.min(1.0, trainSample * 1.2 / n), seed).limit(trainSample).collect()
+
+    val centroids = lloyd(sample, nLists, seed, maxIter)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (e: Seq[Double]) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = e(j) - c(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val assigned = embeddings.withColumn("list_id",
+      assignUdf(col("embedding").cast("array<double>")))
+    Index(centroids.zipWithIndex.map { case (c, i) => (i, c) }, assigned)
   }
+
+  /** Seeded Lloyd's k-means on the driver: init = k distinct sample
+    * points chosen by a seeded RNG; ties in assignment break to the
+    * lowest centroid id (stable across runs). */
+  private[ml] def lloyd(sample: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty quantizer training sample")
+    val dim = sample.head.length
+    val rng = new scala.util.Random(seed)
+    val init = rng.shuffle(sample.indices.toVector).take(k)
+    // pad with DISTINCT zero arrays if sample < k (padTo would alias one)
+    val cents = (init.map(i => sample(i).clone()) ++
+      Vector.fill(math.max(0, k - init.size))(new Array[Double](dim))).toArray
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < dim) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < k) {
+          val dd = d2(v, cents(i))
+          if (dd < bestD) { bestD = dd; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      var i = 0
+      while (i < k) {
+        if (counts(i) > 0) {
+          var j = 0
+          while (j < dim) { cents(i)(j) = sums(i)(j) / counts(i); j += 1 }
+        } // empty list keeps its previous centroid (deterministic)
+        i += 1
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  private def normExpr(c: String) = expr(
+    s"sqrt(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
 
   private def cosineExpr(a: String, b: String) = expr(
     s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
@@ -45,7 +119,9 @@ object AnnIndex {
       .stripMargin)
 
   /** Query: for each query vector, probe the nProbe nearest lists and
-    * rank candidates by exact cosine within them. */
+    * rank candidates by exact cosine within them. Norms are hoisted to
+    * the single-side scans (qn once per query, en once per corpus
+    * vector) — the per-pair work is just the dot product. */
   def query(index: Index, queries: DataFrame, k: Int = 5, nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -53,16 +129,22 @@ object AnnIndex {
       .map { case (id, c) => (id, c) }.toDF("list_id", "centroid")
     // query × centroid similarity → top nProbe lists per query
     val probed = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn", normExpr("qe"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", cosineExpr("qe", "centroid"))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("csim"), col("list_id"))))
       .where(col("crn") <= nProbe)
-      .select(col("qid"), col("qe"), col("list_id"))
-    // score only candidates in the probed lists
-    val cands = probed.join(index.assigned, Seq("list_id"))
+      .select(col("qid"), col("qe"), col("qn"), col("list_id"))
+    // score only candidates in the probed lists; same float path as the
+    // brute-force baseline (dot / (qn * en), rounded) so full probing is
+    // bit-identical to it
+    val dot = expr(
+      "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val cands = broadcast(probed).join(
+        index.assigned.withColumn("en", normExpr("embedding")), Seq("list_id"))
       .where(col("qid") =!= col("vec_id"))
-      .withColumn("cosine", round(cosineExpr("qe", "embedding"), 6))
+      .withColumn("cosine", round(dot / (col("qn") * col("en")), 6))
     cands.withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))))
       .where(col("rn") <= k)

@@ -95,7 +95,13 @@ object ChunkedWindow {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val keyed = base.as[Raw].rdd.map(r => ((r.key, r.t, r.seq), r))
-    val part = new org.apache.spark.RangePartitioner(p, keyed)
+    // bounds are sampled from a 3-column projection: the sampling job
+    // prunes the parquet scan to (key, t, seq) and skips the decimal
+    // moment casts entirely — only the real shuffle pays for them
+    val light = df.select(
+      col(keyCol).cast("string"), col(tCol).cast("long"), col(seqCol).cast("long"))
+      .as[(String, Long, Long)].rdd.map(k => (k, ()))
+    val part = new org.apache.spark.RangePartitioner(p, light)
     val sorted = keyed.repartitionAndSortWithinPartitions(part).map(_._2)
 
     // metadata pass: per (partition, key) -> (count, last h rows)

@@ -102,30 +102,34 @@ object SplitQueries extends QueryModule {
           (sum(($"ca" * $"cb").cast("decimal(38,18)")).cast("double") /
             count(lit(1))).as("s"))
       // scalar frame: μ = tr(S)/p, ‖S‖²_F (off-diagonals count twice),
-      // d², b̄² (via per-day row-sums of squares), δ* = min(b̄²,d²)/d²
+      // d², b̄² (via per-day row-sums of squares), δ* = min(b̄²,d²)/d².
+      // Computed as WINDOW aggregates over the (tiny, p²-row) pairs set:
+      // a separate .agg() branch would make Spark recompute the whole
+      // pair-join subtree a second time — the window shares one scan.
       val rows = cent.groupBy($"day")
         .agg(sum(($"c" * $"c").cast("decimal(38,18)")).cast("double").as("rk"))
         .agg(sum(($"rk" * $"rk").cast("decimal(38,18)")).cast("double").as("q"),
           count(lit(1)).as("n"))
-      val scal = pairs.agg(
-          (sum(when($"ta" === $"tb", $"s").otherwise(lit(0.0))
-            .cast("decimal(38,18)")).cast("double") / countDistinct($"ta")).as("mu"),
-          sum(when($"ta" === $"tb", $"s" * $"s").otherwise(lit(2.0) * $"s" * $"s")
-            .cast("decimal(38,18)")).cast("double").as("sum_s2"),
-          (sum(when($"ta" === $"tb", $"s").otherwise(lit(0.0))
-            .cast("decimal(38,18)")).cast("double")).as("tr"),
-          countDistinct($"ta").cast("double").as("p"))
-        .crossJoin(rows)
-        .select($"mu", $"p", $"n",
-          (($"sum_s2" - lit(2.0) * $"mu" * $"tr" + $"p" * $"mu" * $"mu") / $"p").as("d2"),
-          (($"q" / $"n" - $"sum_s2") / ($"n".cast("double") * $"p")).as("b2bar"))
-        .select($"mu",
+      val wAll = Window.partitionBy(lit(1))
+      val pCol = sum(when($"ta" === $"tb", 1L).otherwise(0L)).over(wAll).cast("double")
+      val tr = sum(when($"ta" === $"tb", $"s").otherwise(lit(0.0))
+        .cast("decimal(38,18)")).over(wAll).cast("double")
+      val sumS2 = sum(when($"ta" === $"tb", $"s" * $"s").otherwise(lit(2.0) * $"s" * $"s")
+        .cast("decimal(38,18)")).over(wAll).cast("double")
+      pairs
+        .withColumn("p", pCol).withColumn("tr", tr).withColumn("sum_s2", sumS2)
+        .withColumn("mu", $"tr" / $"p")
+        .crossJoin(broadcast(rows))
+        .withColumn("d2",
+          ($"sum_s2" - lit(2.0) * $"mu" * $"tr" + $"p" * $"mu" * $"mu") / $"p")
+        .withColumn("b2bar",
+          ($"q" / $"n" - $"sum_s2") / ($"n".cast("double") * $"p"))
+        .withColumn("delta",
           when($"d2" <= 0, lit(0.0))
-            .otherwise(least(lit(1.0), greatest(lit(0.0), least($"b2bar", $"d2") / $"d2")))
-            .as("delta"))
-      pairs.crossJoin(broadcast(scal)).select($"ta", $"tb", $"s", $"delta",
-        ((lit(1.0) - $"delta") * $"s" +
-          when($"ta" === $"tb", $"delta" * $"mu").otherwise(lit(0.0))).as("shrunk"))
+            .otherwise(least(lit(1.0), greatest(lit(0.0), least($"b2bar", $"d2") / $"d2"))))
+        .select($"ta", $"tb", $"s", $"delta",
+          ((lit(1.0) - $"delta") * $"s" +
+            when($"ta" === $"tb", $"delta" * $"mu").otherwise(lit(0.0))).as("shrunk"))
     })
   )
 
