@@ -198,6 +198,44 @@ object Ar {
       sigma2 = sigma2, aic = 2 * k - 2 * ll, n = nEff)
   }
 
+  /** Exact state-space MLE refinement ([[Kalman.armaLoglik]]): maximize
+    * the exact Gaussian likelihood over (mean, AR coefs, MA coefs) with
+    * Nelder-Mead seeded by the CSS/HR estimates — the full statsmodels
+    * `SARIMAX.fit()` objective (sarimax.py:431-707). Non-stationary
+    * proposals get -inf from the filter itself, which keeps the search
+    * inside the stationary region. Falls back to the seed fit when the
+    * filter rejects it or the likelihood does not improve. */
+  def mleRefine(x: Array[Double], fit0: Fit, maxIter: Int = 400): Fit = {
+    val lags = ((1 to fit0.p) ++ fit0.seasonalLags).distinct.sorted.toArray
+    if (lags.isEmpty && fit0.maLags.isEmpty) return fit0
+    val nAr = lags.length
+    val nMa = fit0.maLags.length
+    val phiSum = fit0.coefs.sum
+    val mu0 = if (math.abs(1 - phiSum) > 1e-8) fit0.intercept / (1 - phiSum)
+      else x.sum / math.max(x.length, 1)
+    def objective(par: Array[Double]): Double = {
+      val z = x.map(_ - par(0))
+      Kalman.loglikSparse(z, lags, par.slice(1, 1 + nAr),
+          fit0.maLags, par.slice(1 + nAr, 1 + nAr + nMa)) match {
+        case Some((ll, _)) => -ll
+        case None => 1e100
+      }
+    }
+    val start = Array(mu0) ++ fit0.coefs ++ fit0.maCoefs
+    if (objective(start) >= 1e100) return fit0 // seed outside stationary region
+    val (best, negLl, _) = LinAlg.nelderMead(objective, start, maxIter = maxIter)
+    if (negLl >= 1e100) return fit0
+    val ll = -negLl
+    val phi = best.slice(1, 1 + nAr)
+    val sigma2 = Kalman.loglikSparse(x.map(_ - best(0)), lags, phi,
+      fit0.maLags, best.slice(1 + nAr, 1 + nAr + nMa)).map(_._2)
+      .getOrElse(return fit0)
+    val k = 1.0 + nAr + nMa + 1.0 // mean + coefs + sigma
+    fit0.copy(intercept = best(0) * (1 - phi.sum), coefs = phi,
+      maCoefs = best.slice(1 + nAr, 1 + nAr + nMa),
+      sigma2 = sigma2, aic = 2 * k - 2 * ll, n = x.length)
+  }
+
   /** AIC grid over p=1..maxP at the chosen d, each also tried with
     * detected seasonal lags (s, 2s); drift-model fallback when every
     * candidate fails (the reference's fallback ladder shape).
@@ -209,7 +247,8 @@ object Ar {
     * warm-start (order_learner.py); falls back to the full grid when
     * the warm order cannot be fit on this sample. */
   def fit(series: Array[Double], maxP: Int = 5,
-      warm: Option[(Int, Int)] = None, maxQ: Int = 0): Fit = {
+      warm: Option[(Int, Int)] = None, maxQ: Int = 0,
+      exactMle: Boolean = false): Fit = {
     val d = warm.map(_._2).getOrElse(chooseD(series))
     val x0 = difference(series, d)
     val season = detectSeason(x0)
@@ -252,8 +291,13 @@ object Ar {
       f <- fitArma(x, p, ml, d, sl, if (sl.isEmpty) 0 else season,
         e.getOrElse(Array.empty), burn)
     } yield f
-    if (warm.isDefined && candidates.isEmpty) return fit(series, maxP, None, maxQ)
-    val chosen = candidates.sortBy(_.aic).headOption.map(cssRefine(x, _)).getOrElse {
+    if (warm.isDefined && candidates.isEmpty)
+      return fit(series, maxP, None, maxQ, exactMle)
+    // refinement ladder: HR/OLS seed -> CSS -> (opt-in) exact MLE; each
+    // stage only replaces the previous when it is usable
+    val refine: Fit => Fit =
+      if (exactMle) f => mleRefine(x, cssRefine(x, f)) else f => cssRefine(x, f)
+    val chosen = candidates.sortBy(_.aic).headOption.map(refine).getOrElse {
       val mean = if (x.isEmpty) 0.0 else x.sum / x.length
       val v = if (x.length > 1) x.map(e => (e - mean) * (e - mean)).sum / (x.length - 1) else 1e-8
       Fit(0, d, mean, Array.empty, math.max(v, 1e-12), Double.MaxValue, x.length)

@@ -21,6 +21,9 @@ object ForecastEngine {
       horizon: Int = 10,
       arMaxP: Int = 5,
       arMaxQ: Int = 1,
+      // exact state-space MLE refinement after CSS (Kalman likelihood);
+      // off by default: CSS is grid-friendly, MLE is the polish tier
+      arExactMle: Boolean = false,
       ssaWindow: Int = 30,
       mcPaths: Int = 500,
       seed: Long = 42L)
@@ -59,7 +62,7 @@ object ForecastEngine {
       try Some(f) catch { case _: Exception => None } // failure isolation per model
 
     def runModels(px: Array[Double], horizon: Int): Map[String, Array[Double]] = Seq(
-      "AR" -> attempt(Ar.fit(px, cfg.arMaxP, warm, cfg.arMaxQ)).map(f => Ar.forecast(px, f, horizon)._1),
+      "AR" -> attempt(Ar.fit(px, cfg.arMaxP, warm, cfg.arMaxQ, cfg.arExactMle)).map(f => Ar.forecast(px, f, horizon)._1),
       "SSA" -> (if (px.length > cfg.ssaWindow * 2)
         attempt(Ssa.forecast(px, horizon, cfg.ssaWindow)) else None),
       "NAIVE_DRIFT" -> Some {
@@ -68,7 +71,7 @@ object ForecastEngine {
       }).collect { case (m, Some(f)) if f.forall(v => !v.isNaN && !v.isInfinite) => m -> f }
       .toMap
 
-    val arFit = attempt(Ar.fit(prices, cfg.arMaxP, warm, cfg.arMaxQ))
+    val arFit = attempt(Ar.fit(prices, cfg.arMaxP, warm, cfg.arMaxQ, cfg.arExactMle))
     val arFc = arFit.map(f => Ar.forecast(prices, f, cfg.horizon))
     val garchFit = attempt(Garch.fit(rets))
     val volFc = garchFit.map(g => Garch.forecastVol(rets, g, cfg.horizon))
