@@ -1,0 +1,257 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned parquet table with a Delta-shaped transaction log — the
+  * full-isolation upgrade over [[MergeSink]]'s partition-dir swap (and
+  * the Spark answer to the reference's SQLite bars store being both
+  * transactional AND queryable mid-write, /root/reference/etl/
+  * database_manager.py:1603-1687).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<partCol>=<v>/<txid>_part-*.parquet   // immutable files
+  *   <root>/_graft_log/00000000000000000001.json       // one entry/commit
+  * }}}
+  *
+  * Every commit writes NEW uniquely-named files and records them in a
+  * log entry (`adds` + `removes` of relative paths); a snapshot at
+  * version V is "all adds minus all removes up to V". Readers resolve
+  * the log, never list data dirs — so an in-flight writer is INVISIBLE
+  * until its single log-entry create lands, there is no torn window at
+  * all (MergeSink's two-rename swap still has a momentary
+  * partition-missing instant), and old versions stay readable
+  * (`readAt`) until `vacuum`.
+  *
+  * Concurrency is optimistic, file-create-exclusivity as the commit
+  * primitive (the HDFS/Delta recipe): a commit tries to create entry
+  * N+1 exclusively; on collision it re-reads the winner, and rebases —
+  * bumping its version — only when the winner touched DISJOINT
+  * partitions, otherwise throws. A reader that hits a torn/in-flight
+  * last entry (non-atomic local-FS create) treats the table as at the
+  * previous version.
+  *
+  * Scale: log entries are O(files-touched) JSON lines, the snapshot
+  * resolve is a driver-side fold over tiny files, and MERGE reads only
+  * the files of TOUCHED partitions (partition values are recorded per
+  * file in the log — file-level pruning without listing storage).
+  */
+final class VersionedTable(spark: SparkSession, root: String, partitionCol: String) {
+
+  final case class Add(path: String, part: String)
+  final case class Entry(version: Long, txid: String, ts: Long, op: String,
+      adds: Seq[Add], removes: Seq[String], inserted: Long, updated: Long)
+  final case class MergeStats(version: Long, inserted: Long, updated: Long, partitions: Long)
+
+  private val logDir = s"$root/_graft_log"
+  private val dataDir = s"$root/data"
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- log encoding (no JSON lib in the offline env; fields are flat) ----
+
+  private def encode(e: Entry): String = {
+    val adds = e.adds.map(a => s"""{"path":"${a.path}","part":"${a.part}"}""")
+      .mkString("[", ",", "]")
+    val removes = e.removes.map(r => "\"" + r + "\"").mkString("[", ",", "]")
+    s"""{"version":${e.version},"txid":"${e.txid}","ts":${e.ts},"op":"${e.op}",""" +
+      s""""adds":$adds,"removes":$removes,"inserted":${e.inserted},"updated":${e.updated}}"""
+  }
+
+  private def decode(raw: String): Option[Entry] = {
+    def longOf(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+    def strOf(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(raw).map(_.group(1))
+    val adds = """\{"path":"([^"]+)","part":"([^"]*)"\}""".r.findAllMatchIn(raw)
+      .map(m => Add(m.group(1), m.group(2))).toSeq
+    val removes = """"removes":\[([^\]]*)\]""".r.findFirstMatchIn(raw)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    for {
+      v <- longOf("version"); tx <- strOf("txid"); ts <- longOf("ts")
+      op <- strOf("op"); ins <- longOf("inserted"); upd <- longOf("updated")
+    } yield Entry(v, tx, ts, op, adds, removes, ins, upd)
+  }
+
+  private def entryPath(v: Long) = new Path(logDir, f"$v%020d.json")
+
+  private def readEntry(v: Long): Option[Entry] = {
+    val p = entryPath(v)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    decode(raw) // None = torn in-flight write; caller treats as absent
+  }
+
+  /** All committed entries in version order (torn tail skipped). */
+  def history(): Seq[Entry] = {
+    if (!fs.exists(new Path(logDir))) return Seq.empty
+    val versions = fs.listStatus(new Path(logDir)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .sorted
+    versions.flatMap(readEntry)
+  }
+
+  def latestVersion: Long = history().lastOption.map(_.version).getOrElse(0L)
+
+  /** Live (path → partition value) file set at version `v`. */
+  private def snapshotFiles(v: Long): Map[String, String] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    history().takeWhile(_.version <= v).foreach { e =>
+      e.removes.foreach(live.remove)
+      e.adds.foreach(a => live(a.path) = a.part)
+    }
+    live.toMap
+  }
+
+  /** Snapshot read at a version (default: latest). Partition-column
+    * values are re-inferred from the `<partCol>=<v>` dirs via basePath,
+    * so the snapshot has the same schema a plain parquet read would. */
+  def readAt(version: Long = Long.MaxValue): DataFrame = {
+    val v = math.min(version, latestVersion)
+    val files = snapshotFiles(v).keys.toSeq.sorted.map(p => s"$root/$p")
+    if (files.isEmpty)
+      return spark.emptyDataFrame
+    spark.read.option("basePath", dataDir).parquet(files: _*)
+  }
+
+  def read(): DataFrame = readAt()
+
+  // ---- commits ----
+
+  /** Move the staged `partitionBy` output into stable per-partition dirs
+    * with txid-unique names; returns the adds. */
+  private def absorbStaging(staging: Path, txid: String): Seq[Add] = {
+    val adds = scala.collection.mutable.ArrayBuffer.empty[Add]
+    fs.listStatus(staging).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(s"$partitionCol="))
+      .foreach { partDir =>
+        val part = partDir.getName.stripPrefix(s"$partitionCol=")
+        val dest = new Path(s"$dataDir/${partDir.getName}")
+        fs.mkdirs(dest)
+        fs.listStatus(partDir).filter(_.isFile).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .foreach { f =>
+            val name = s"${txid}_${f.getName}"
+            fs.rename(f, new Path(dest, name))
+            adds += Add(s"data/${partDir.getName}/$name", part)
+          }
+      }
+    fs.delete(staging, true)
+    adds.toSeq
+  }
+
+  /** Exclusive-create commit with disjoint-partition rebase. Returns the
+    * committed version. */
+  private def commit(e: Entry): Long = {
+    var entry = e
+    var attempts = 0
+    while (attempts < 50) {
+      val p = entryPath(entry.version)
+      val created =
+        try { val out = fs.create(p, false); out.write(encode(entry).getBytes("UTF-8")); out.close(); true }
+        catch { case _: java.io.IOException => false }
+      if (created) return entry.version
+      // lost the race: the winner holds our version. A blind APPEND can
+      // always rebase (it removes nothing and read nothing). A MERGE
+      // rebases only past winners that touched DISJOINT partitions —
+      // a winner in our partitions means our merge read a stale
+      // snapshot of exactly the rows it rewrote.
+      val winner = readEntry(entry.version)
+      val ourParts = entry.adds.map(_.part).toSet
+      val winnerParts = winner.map(w => w.adds.map(_.part).toSet).getOrElse(Set.empty)
+      val conflict = entry.op != "append" &&
+        (winner.isEmpty || ourParts.intersect(winnerParts).nonEmpty ||
+          winner.exists(_.removes.exists(entry.removes.contains)))
+      if (conflict)
+        throw new java.util.ConcurrentModificationException(
+          s"version ${entry.version} committed concurrently over the same partitions")
+      entry = entry.copy(version = entry.version + 1)
+      attempts += 1
+    }
+    throw new IllegalStateException("commit retry budget exhausted")
+  }
+
+  /** Blind append (new files only; no reads, conflicts never possible
+    * beyond version bumping). */
+  def append(df: DataFrame): Long = {
+    val txid = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(s"$root/.tx_$txid")
+    df.write.partitionBy(partitionCol).parquet(staging.toString)
+    val n = spark.read.option("basePath", staging.toString)
+      .parquet(staging.toString).count()
+    val adds = absorbStaging(staging, txid)
+    commit(Entry(latestVersion + 1, txid, System.currentTimeMillis(), "append",
+      adds, Seq.empty, inserted = n, updated = 0))
+  }
+
+  /** MERGE upsert (update-wins by `versionCol` within the batch, like
+    * [[MergeSink.upsert]]): reads only the files of touched partitions,
+    * rewrites them as new files, commits adds+removes in one entry. */
+  def upsert(updates: DataFrame, keyCols: Seq[String],
+      versionCol: Option[String] = None): MergeStats = {
+    require(keyCols.nonEmpty && !keyCols.contains(partitionCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(versionCol.map(c => desc(c)).getOrElse(lit(1)))
+    val batch = updates
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .cache()
+
+    val baseV = latestVersion
+    val touched = batch.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val liveFiles = snapshotFiles(baseV)
+    val touchedFiles = liveFiles.filter { case (_, part) => touched(part) }.keys.toSeq
+
+    val (merged, inserted, updated) =
+      if (touchedFiles.isEmpty) (batch, batch.count(), 0L)
+      else {
+        val existing = spark.read.option("basePath", dataDir)
+          .parquet(touchedFiles.sorted.map(p => s"$root/$p"): _*)
+          .cache()
+        val upd = existing.join(batch, keyCols, "left_semi").count()
+        val ins = batch.count() - upd
+        val m = batch.unionByName(
+          existing.join(batch, keyCols, "left_anti").select(batch.columns.map(col): _*))
+        (m, ins, upd)
+      }
+
+    val txid = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(s"$root/.tx_$txid")
+    merged.write.partitionBy(partitionCol).parquet(staging.toString)
+    batch.unpersist()
+    val adds = absorbStaging(staging, txid)
+    val v = commit(Entry(baseV + 1, txid, System.currentTimeMillis(), "merge",
+      adds, touchedFiles, inserted, updated))
+    MergeStats(v, inserted, updated, adds.map(_.part).distinct.length.toLong)
+  }
+
+  /** Delete data files no snapshot newer than `keepLast` versions back
+    * references, and orphaned `.tx_*` staging dirs. Time travel older
+    * than the horizon stops working (entries stay for history). */
+  def vacuum(keepLast: Int = 1): Seq[String] = {
+    val entries = history()
+    if (entries.isEmpty) return Seq.empty
+    val horizon = entries.last.version - math.max(keepLast, 0)
+    val liveAtOrAfter = (horizon to entries.last.version)
+      .flatMap(v => snapshotFiles(v).keys).toSet
+    val everAdded = entries.filter(_.version <= entries.last.version)
+      .flatMap(_.adds.map(_.path)).toSet
+    val doomed = (everAdded -- liveAtOrAfter).toSeq.sorted
+    doomed.foreach(p => fs.delete(new Path(s"$root/$p"), false))
+    // staging dirs with no committed txid are abandoned writers
+    val committedTx = entries.map(_.txid).toSet
+    if (fs.exists(new Path(root))) {
+      fs.listStatus(new Path(root)).map(_.getPath)
+        .filter(p => p.getName.startsWith(".tx_") &&
+          !committedTx(p.getName.stripPrefix(".tx_")))
+        .foreach(p => fs.delete(p, true))
+    }
+    doomed
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class VersionedTableSpec extends AnyFunSuite with TestSpark {
+
+  private def mkTable(tag: String) = {
+    val dir = Files.createTempDirectory(s"graft_vt_$tag").toString + "/t"
+    (dir, new VersionedTable(spark, dir, partitionCol = "m"))
+  }
+
+  test("append + merge: snapshot reads, time travel, untouched files survive") {
+    val s = spark; import s.implicits._
+    val (dir, t) = mkTable("base")
+    val v1 = t.append(Seq(
+      ("AAPL", 1L, 10.0, 1, 1L), ("AAPL", 2L, 11.0, 1, 1L),
+      ("MSFT", 1L, 20.0, 2, 1L)).toDF("ticker", "seq", "price", "m", "v"))
+    assert(v1 === 1L && t.read().count() === 3)
+
+    // merge updates AAPL seq=2 and inserts seq=3 (m=1); m=2 untouched
+    val m2FilesBefore = Files.list(Paths.get(dir, "data", "m=2")).count()
+    val st = t.upsert(
+      Seq(("AAPL", 2L, 99.0, 1, 2L), ("AAPL", 2L, 55.0, 1, 1L), ("AAPL", 3L, 12.0, 1, 2L))
+        .toDF("ticker", "seq", "price", "m", "v"),
+      keyCols = Seq("ticker", "seq"), versionCol = Some("v"))
+    assert(st.version === 2L && st.inserted === 1 && st.updated === 1)
+
+    val now = t.read().select("ticker", "seq", "price").as[(String, Long, Double)]
+      .collect().toSet
+    assert(now === Set(
+      ("AAPL", 1L, 10.0), ("AAPL", 2L, 99.0), ("AAPL", 3L, 12.0), ("MSFT", 1L, 20.0)))
+    // time travel: version 1 still shows the pre-merge rows
+    val then_ = t.readAt(1).select("ticker", "seq", "price").as[(String, Long, Double)]
+      .collect().toSet
+    assert(then_ === Set(("AAPL", 1L, 10.0), ("AAPL", 2L, 11.0), ("MSFT", 1L, 20.0)))
+    // untouched partition kept its physical files
+    assert(Files.list(Paths.get(dir, "data", "m=2")).count() === m2FilesBefore)
+    assert(t.history().map(_.op) === Seq("append", "merge"))
+  }
+
+  test("in-flight writers are invisible until the log entry lands") {
+    val s = spark; import s.implicits._
+    val (dir, t) = mkTable("iso")
+    t.append(Seq(("AAPL", 1L, 10.0, 1)).toDF("ticker", "seq", "price", "m"))
+    // simulate a writer that staged AND absorbed files but died before commit
+    Seq(("GHOST", 9L, 0.0, 1)).toDF("ticker", "seq", "price", "m")
+      .write.mode("append").parquet(s"$dir/data_ghost")
+    val ghost = Files.list(Paths.get(dir, "data_ghost")).iterator()
+    // copy a ghost parquet into the live partition dir (uncommitted file)
+    var copied = false
+    while (ghost.hasNext && !copied) {
+      val f = ghost.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        Files.copy(f, Paths.get(dir, "data", "m=1", "deadbeef_" + f.getFileName.toString))
+        copied = true
+      }
+    }
+    assert(copied)
+    // snapshot readers resolve the LOG, not the directory: ghost invisible
+    assert(t.read().count() === 1)
+    assert(!t.read().select("ticker").as[String].collect().contains("GHOST"))
+  }
+
+  test("merge conflict on the same partitions throws; appends rebase past it") {
+    val s = spark; import s.implicits._
+    val (_, t) = mkTable("occ")
+    t.append(Seq(("AAPL", 1L, 10.0, 1)).toDF("ticker", "seq", "price", "m"))
+    // a competitor merge lands at version 2 over partition m=1
+    t.upsert(Seq(("AAPL", 1L, 66.0, 1)).toDF("ticker", "seq", "price", "m"),
+      keyCols = Seq("ticker", "seq"))
+    assert(t.latestVersion === 2L)
+    // a stale writer whose snapshot predates the competitor tries to
+    // commit a merge at the same version over the same partition: it must
+    // throw rather than silently drop the competitor's rewrite
+    intercept[java.util.ConcurrentModificationException] {
+      new StaleMerge(t).run()
+    }
+    // an append also colliding on version 2 just rebases and succeeds
+    val vA = t.append(Seq(("TSLA", 1L, 1.0, 1)).toDF("ticker", "seq", "price", "m"))
+    assert(vA === 3L && t.latestVersion === 3L)
+    assert(t.read().where($"ticker" === "TSLA").count() === 1)
+  }
+
+  test("vacuum deletes files only old snapshots reference; latest read still works") {
+    val s = spark; import s.implicits._
+    val (dir, t) = mkTable("vac")
+    t.append(Seq(("AAPL", 1L, 10.0, 1)).toDF("ticker", "seq", "price", "m"))
+    t.upsert(Seq(("AAPL", 1L, 11.0, 1)).toDF("ticker", "seq", "price", "m"),
+      keyCols = Seq("ticker", "seq"))
+    t.upsert(Seq(("AAPL", 1L, 12.0, 1)).toDF("ticker", "seq", "price", "m"),
+      keyCols = Seq("ticker", "seq"))
+    val doomed = t.vacuum(keepLast = 0)
+    assert(doomed.nonEmpty)
+    doomed.foreach(p => assert(!Files.exists(Paths.get(dir, p))))
+    assert(t.read().select("price").as[Double].collect().toSeq === Seq(12.0))
+    assert(t.history().length === 3) // log keeps full history
+  }
+
+  /** Drives commit() at an already-taken version over the same
+    * partition — the entry-create race a stale-snapshot merge loses
+    * (the public API re-resolves latest, so the race itself can only be
+    * reproduced by calling the commit primitive directly). */
+  private final class StaleMerge(t: VersionedTable) {
+    def run(): Unit = {
+      val m = classOf[VersionedTable].getDeclaredMethods
+        .find(_.getName.endsWith("commit")).get
+      m.setAccessible(true)
+      val taken = t.latestVersion // occupied by the competitor's merge
+      val e = t.Entry(taken, "stale001", 123L, "merge",
+        Seq(t.Add("data/m=1/stale001_x.parquet", "1")),
+        Seq("data/m=1/whatever.parquet"), 1L, 0L)
+      try m.invoke(t, e)
+      catch {
+        case ite: java.lang.reflect.InvocationTargetException => throw ite.getCause
+      }
+    }
+  }
+}
