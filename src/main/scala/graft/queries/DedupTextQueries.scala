@@ -158,6 +158,45 @@ object DedupTextQueries extends QueryModule {
       graft.ml.AnnIndex.query(idx, emb.where($"vec_id" < 50), k = 5, nProbe = 8)
     }),
 
+    // Embedding-cosine near-dup PAIRS (the dedup-mode sibling of q54's
+    // top-k): every unordered pair with cosine >= 0.45 (the synthetic
+    // embeddings are near-orthogonal, so the threshold is calibrated to
+    // the data — the operator is threshold-parameterized regardless).
+    // Brute-force all-pairs here is the oracled baseline; at 100 TB the
+    // scale path is AnnIndex's IVF lists (pairs within a list) or q52's
+    // band-bucket shape — candidate generation changes, this exact
+    // verify-side cosine stays.
+    "q86_cosine_neardup" -> ((s, dir) => {
+      import s.implicits._
+      // The pair scoring runs in a typed broadcast kernel, not Catalyst
+      // higher-order functions: aggregate/zip_with lambdas are
+      // INTERPRETED per element, and at |corpus|² pairs that measured
+      // ~10× slower than this loop (24 s vs 2.4 s at sf0.1). The fold
+      // order (left-to-right, cast-to-double) is identical, so the
+      // doubles — and the oracle hash — are unchanged; round + filter
+      // stay Spark expressions so the rounding semantics match q54's.
+      def norml2(a: Array[Double]): Double = {
+        var ss = 0.0; var i = 0
+        while (i < a.length) { ss += a(i) * a(i); i += 1 }
+        math.sqrt(ss)
+      }
+      val e = graft.Tables.load(s, dir, "embeddings")
+        .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+        .as[(Long, Array[Double])]
+      val bc = s.sparkContext.broadcast(
+        e.collect().sortBy(_._1).map { case (id, emb) => (id, emb, norml2(emb)) })
+      e.flatMap { case (va, ea) =>
+        val na = norml2(ea)
+        bc.value.iterator.filter(_._1 > va).map { case (vb, eb, nb) =>
+          var dot = 0.0; var i = 0
+          while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
+          (va, vb, dot / (na * nb))
+        }
+      }.toDF("va", "vb", "raw")
+        .select($"va", $"vb", round($"raw", 6).as("cosine"))
+        .where($"cosine" >= 0.45)
+    }),
+
     // Language-ID heuristic: stopword share of tokens.
     "q55_langid" -> ((s, dir) => {
       import s.implicits._
@@ -303,6 +342,19 @@ object DedupTextQueries extends QueryModule {
          |SELECT doc_id, $bits AS simhash FROM votes""".stripMargin
     },
     "q54_cosine_topk" -> exactTopkSql,
+    "q86_cosine_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm),
+        |      6) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT va, vb, cosine FROM pairs WHERE cosine >= 0.45""".stripMargin,
     // full probing (nProbe = nLists) makes IVF scan every list, so its
     // result is EXACTLY the brute-force top-k — a hash-exact oracle for
     // the ANN plumbing (coarse quantizer, probe join, per-list ranking)

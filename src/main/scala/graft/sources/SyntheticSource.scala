@@ -6,21 +6,28 @@ import java.time.LocalDate
 import scala.util.Random
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.domain.Bar
 
 /** Deterministic synthetic OHLCV source — the rebuild of the reference's
   * regime-switching simulator (/root/reference/etl/synthetic_extractor.py:
-  * 77-715: Markov regime chain :482-493 driving GBM / OU mean-reversion /
-  * jump-diffusion per-bar paths :494-641).
+  * 77-715): a Markov regime chain (:482-493) drives per-bar paths from a
+  * selectable model family — GBM, OU mean-reversion, Merton
+  * jump-diffusion, Heston stochastic vol (:494-641) — with event
+  * impacts (:641-655), day-of-week seasonality (:656-659), and
+  * correlated cross-asset shocks (:672-682).
   *
   * Scale design: a price path is a sequential recurrence, so each ticker
   * is generated inside one task from its own seed (`seed ^ ticker.hash`) —
-  * ticker-parallel, no shuffle, no driver loop. At 100 TB you generate
-  * millions of tickers in parallel; a single ticker's path stays a
-  * single-task scan, which is the correct (and only) topology for a
-  * recurrence. Same seed ⇒ identical data on any cluster layout because
-  * randomness never crosses task boundaries.
+  * ticker-parallel, no shuffle, no driver loop. Cross-asset correlation
+  * deliberately does NOT use the reference's Cholesky-of-the-universe
+  * (that couples every ticker and caps parallelism): a ONE-FACTOR model
+  * draws a shared market shock as a pure hash of (seed, barIndex), which
+  * every task recomputes locally — corr(i, j) = ρ for all pairs with no
+  * communication, on a million tickers as cheaply as on five. Same seed
+  * ⇒ identical data on any cluster layout because randomness never
+  * crosses task boundaries.
   */
 object SyntheticSource {
 
@@ -37,18 +44,61 @@ object SyntheticSource {
     Vector(0.03, 0.95, 0.02),
     Vector(0.02, 0.03, 0.95))
 
+  /** Path-model family + market structure knobs (defaults reproduce the
+    * original plain-GBM generator bar-for-bar: extra draws only happen
+    * when a feature is enabled).
+    *
+    *  - model: "gbm" | "ou" (log-price mean-reversion, speed `ouKappa`)
+    *    | "merton" (GBM + compound Poisson jumps) | "heston" (CIR
+    *    variance, full-truncation Euler)
+    *  - marketCorr: ρ of the one-factor cross-asset shock (0 = off)
+    *  - eventProb: per-bar probability of an idiosyncratic event that
+    *    kicks the bar return by `eventShock`·N(−1, 1) and triples vol
+    *    for the next 3 bars (the reference's event-impact window)
+    *  - seasonality: Mon/Fri volume+vol multipliers (reference :656-659)
+    */
+  final case class Config(
+      model: String = "gbm",
+      marketCorr: Double = 0.0,
+      ouKappa: Double = 0.05,
+      jumpProb: Double = 0.02,
+      jumpMean: Double = -0.02,
+      jumpStd: Double = 0.05,
+      hestonKappa: Double = 0.10,
+      hestonXi: Double = 0.25,
+      eventProb: Double = 0.0,
+      eventShock: Double = 0.04,
+      seasonality: Boolean = false)
+
   def generate(
       spark: SparkSession,
       tickers: Seq[String],
       nBars: Int,
       startDate: LocalDate = LocalDate.of(2024, 1, 1),
       seed: Long = 42L,
-      basePrice: Double = 100.0): Dataset[Bar] = {
+      basePrice: Double = 100.0,
+      cfg: Config = Config()): Dataset[Bar] = {
     import spark.implicits._
     spark.createDataset(tickers)
       .repartition(math.min(tickers.size, 256), $"value")
-      .flatMap(t => simulate(t, nBars, startDate, seed, basePrice))
+      .flatMap(t => simulate(t, nBars, startDate, seed, basePrice, cfg))
   }
+
+  /** Content-hash dataset id (reference :398-414): order-independent
+    * sha over the generated rows, so identical configs produce the same
+    * id on any cluster layout. */
+  def datasetId(bars: Dataset[Bar]): String = {
+    val row = bars.toDF()
+      .select(sha2(concat_ws("|", bars.toDF().columns.map(col): _*), 256).as("h"))
+      .agg(sha2(concat_ws("", sort_array(collect_list("h"))), 256))
+      .head()
+    row.getString(0).take(16)
+  }
+
+  /** Shared market shock for bar i — a pure function of (seed, i), so
+    * every ticker's task recomputes it locally (no broadcast). */
+  private[sources] def marketShock(seed: Long, i: Int): Double =
+    new Random(seed * 0x9E3779B97F4A7C15L + i).nextGaussian()
 
   /** One ticker's full path — pure, seeded, executor-side. */
   private[sources] def simulate(
@@ -56,26 +106,70 @@ object SyntheticSource {
       nBars: Int,
       startDate: LocalDate,
       seed: Long,
-      basePrice: Double): Iterator[Bar] = {
+      basePrice: Double,
+      cfg: Config = Config()): Iterator[Bar] = {
     val rng = new Random(seed ^ ticker.hashCode.toLong)
     var regime = rng.nextInt(regimes.size)
     var close = basePrice * (0.5 + rng.nextDouble())
+    val logBase = math.log(close)
+    var v = 0.0 // Heston variance state (lazily seeded from the regime)
+    var eventBars = 0 // remaining vol-boosted bars after an event
+    val rho = math.max(0.0, math.min(0.999, cfg.marketCorr))
     Iterator.tabulate(nBars) { i =>
       // Markov regime step
       val u = rng.nextDouble()
       val row = transition(regime)
       regime = if (u < row(0)) 0 else if (u < row(0) + row(1)) 1 else 2
       val r = regimes(regime)
-      // GBM bar with intrabar range
-      val shock = rng.nextGaussian()
-      val ret = r.drift + r.vol * shock
+      val date = startDate.plusDays(i.toLong)
+      // seasonality multiplier (Mon/Fri busier, like the reference)
+      val season =
+        if (!cfg.seasonality) 1.0
+        else date.getDayOfWeek match {
+          case java.time.DayOfWeek.MONDAY => 1.15
+          case java.time.DayOfWeek.FRIDAY => 1.10
+          case _ => 1.0
+        }
+      // correlated shock: one-factor blend of the shared market draw
+      val idio = rng.nextGaussian()
+      val shock =
+        if (rho == 0.0) idio
+        else math.sqrt(rho) * marketShock(seed, i) + math.sqrt(1 - rho) * idio
+      val volBoost = (if (eventBars > 0) 3.0 else 1.0) * season
+      if (eventBars > 0) eventBars -= 1
+      val vol = r.vol * volBoost
+      val ret = cfg.model match {
+        case "ou" =>
+          // mean-reversion on log price toward the ticker's base level
+          cfg.ouKappa * (logBase - math.log(close)) + vol * shock
+        case "merton" =>
+          val jump =
+            if (rng.nextDouble() < cfg.jumpProb)
+              cfg.jumpMean + cfg.jumpStd * rng.nextGaussian()
+            else 0.0
+          r.drift + vol * shock + jump
+        case "heston" =>
+          if (v <= 0.0) v = vol * vol
+          val z2 = rng.nextGaussian()
+          val theta = r.vol * r.vol * volBoost * volBoost
+          v = math.max(1e-10,
+            v + cfg.hestonKappa * (theta - v) + cfg.hestonXi * math.sqrt(v) * z2 * r.vol)
+          r.drift + math.sqrt(v) * shock
+        case _ => r.drift + vol * shock
+      }
+      // idiosyncratic event impact (reference :641-655)
+      val event =
+        if (cfg.eventProb > 0 && rng.nextDouble() < cfg.eventProb) {
+          eventBars = 3
+          cfg.eventShock * (rng.nextGaussian() - 1.0)
+        } else 0.0
       val open = close
-      close = math.max(0.01, close * math.exp(ret))
-      val span = math.abs(rng.nextGaussian()) * r.vol * open
+      close = math.max(0.01, close * math.exp(ret + event))
+      val span = math.abs(rng.nextGaussian()) * vol * open
       val high = math.max(open, close) + span
       val low = math.max(0.005, math.min(open, close) - span)
-      val volume = (1e5 * (1 + math.abs(shock)) * (1 + 0.5 * rng.nextDouble())).toLong
-      Bar(ticker, Timestamp.valueOf(startDate.plusDays(i.toLong).atStartOfDay),
+      val volume = (1e5 * season * (1 + math.abs(shock)) * (1 + 0.5 * rng.nextDouble())).toLong
+      Bar(ticker, Timestamp.valueOf(date.atStartOfDay),
         open, high, low, close, volume, close, "synthetic")
     }
   }
