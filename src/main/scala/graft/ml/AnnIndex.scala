@@ -109,29 +109,25 @@ object AnnIndex {
     cents
   }
 
-  private def normExpr(c: String) = expr(
-    s"sqrt(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
-
-  private def cosineExpr(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-       | / (sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-       |    * sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"""
-      .stripMargin)
-
   /** Query: for each query vector, probe the nProbe nearest lists and
     * rank candidates by exact cosine within them. Norms are hoisted to
     * the single-side scans (qn once per query, en once per corpus
-    * vector) — the per-pair work is just the dot product. */
+    * vector) — the per-pair work is just the dot product, a native
+    * codegen expression (functions/VectorExprs) folding left-to-right
+    * exactly like the aggregate/zip_with SQL it replaces. */
   def query(index: Index, queries: DataFrame, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorExprs.{dotF64, l2normF64}
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = index.centroids.toSeq
       .map { case (id, c) => (id, c) }.toDF("list_id", "centroid")
     // query × centroid similarity → top nProbe lists per query
-    val probed = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("qn", normExpr("qe"))
+    val probed = queries
+      .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", l2normF64(col("qe")))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", cosineExpr("qe", "centroid"))
+      .withColumn("csim",
+        dotF64(col("qe"), col("centroid")) / (col("qn") * l2normF64(col("centroid"))))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("csim"), col("list_id"))))
       .where(col("crn") <= nProbe)
@@ -139,12 +135,12 @@ object AnnIndex {
     // score only candidates in the probed lists; same float path as the
     // brute-force baseline (dot / (qn * en), rounded) so full probing is
     // bit-identical to it
-    val dot = expr(
-      "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
     val cands = broadcast(probed).join(
-        index.assigned.withColumn("en", normExpr("embedding")), Seq("list_id"))
+        index.assigned
+          .withColumn("ed", col("embedding").cast("array<double>"))
+          .withColumn("en", l2normF64(col("ed"))), Seq("list_id"))
       .where(col("qid") =!= col("vec_id"))
-      .withColumn("cosine", round(dot / (col("qn") * col("en")), 6))
+      .withColumn("cosine", round(dotF64(col("qe"), col("ed")) / (col("qn") * col("en")), 6))
     cands.withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))))
       .where(col("rn") <= k)

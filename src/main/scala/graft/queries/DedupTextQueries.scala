@@ -126,18 +126,18 @@ object DedupTextQueries extends QueryModule {
       import s.implicits._
       // norms hoisted BEFORE the 50×N join: qn/en depend on one side
       // only, so computing them per pair would redo each embedding's
-      // norm 50 times (same doubles, just factored — oracle unchanged)
-      val norm = (c: String) => expr(
-        s"sqrt(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+      // norm 50 times. Dot/norm run as native codegen expressions
+      // (functions/VectorExprs) with the same left-to-right double fold
+      // as the aggregate/zip_with SQL they replace — oracle unchanged.
+      import graft.functions.VectorExprs.{dotF64, l2normF64}
       val emb = graft.Tables.load(s, dir, "embeddings")
-        .withColumn("en", norm("embedding"))
+        .withColumn("ed", $"embedding".cast("array<double>"))
+        .withColumn("en", l2normF64($"ed"))
       val q = broadcast(emb.where($"vec_id" < 50)
-        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"en".as("qn")))
-      val dot = expr(
-        "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        .select($"vec_id".as("qid"), $"ed".as("qe"), $"en".as("qn")))
       val sims = q.join(emb, $"qid" =!= $"vec_id")
         .select($"qid", $"vec_id",
-          round(dot / ($"qn" * $"en"), 6).as("cosine"))
+          round(dotF64($"qe", $"ed") / ($"qn" * $"en"), 6).as("cosine"))
       val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
       sims.withColumn("rn", row_number().over(w)).where($"rn" <= 5)
         .select($"qid", $"vec_id", $"cosine", $"rn")
