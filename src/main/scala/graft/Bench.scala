@@ -26,8 +26,11 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // warm-up: one scan-agg and one window query
-    Seq("q1_agg", "q10_win_lag_returns").foreach { q =>
+    // warm-up: one scan-agg, one plain-window query, and one
+    // ChunkedWindow query (the halo kernel is its own codegen+JIT
+    // surface — without this the first chunked query measured ~1.5 s of
+    // one-time compilation on top of its real cost)
+    Seq("q1_agg", "q10_win_lag_returns", "q19_win_skew").foreach { q =>
       try exec(q) catch { case _: Throwable => () }
     }
 

@@ -21,10 +21,17 @@ object Validator {
 
   val priceCols: Seq[String] = Seq("open", "high", "low", "close")
 
+  /** `exactDistinct = false` profiles ticker cardinality with HLL
+    * (`approx_count_distinct`, mergeable one-pass sketch) instead of the
+    * exact distinct — at 100 TB with millions of tickers the exact
+    * count is the report's only expensive aggregate; the sketch's ~2%
+    * rsd is irrelevant to a cardinality PROFILE (every pass/fail
+    * predicate here is exact either way). */
   def validate(
       df: DataFrame,
       missingThreshold: Double = 0.05,
-      minBars: Int = 30): QualityReport = {
+      minBars: Int = 30,
+      exactDistinct: Boolean = true): QualityReport = {
     val w = Window.partitionBy("ticker").orderBy("date")
     val nonFinite = priceCols
       .map(c => sum(when(isnan(col(c)) || col(c) === Double.PositiveInfinity ||
@@ -48,7 +55,8 @@ object Validator {
         count(lit(1)).over(Window.partitionBy("ticker")))
       .agg(
         count(lit(1)).as("n_rows"),
-        countDistinct(col("ticker")).as("n_tickers"),
+        (if (exactDistinct) countDistinct(col("ticker"))
+         else approx_count_distinct(col("ticker"))).as("n_tickers"),
         sum(when(col("key_cnt") > 1, 1).otherwise(0)).as("n_dup"),
         sum(when(col("prev_date").isNotNull && col("date") <= col("prev_date"), 1)
           .otherwise(0)).as("n_nonmono"),

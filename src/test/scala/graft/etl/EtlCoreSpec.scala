@@ -50,6 +50,10 @@ class EtlCoreSpec extends AnyFunSuite with TestSpark {
     assert(rep.status === "FAIL" && rep.nNonPositivePrices > 0)
     val dup = bars.union(bars.limit(5))
     assert(Validator.validate(dup).nDuplicateKeys > 0)
+    // HLL profiling mode: same verdicts, sketched cardinality (~2% rsd —
+    // exact at this tiny scale)
+    val hll = Validator.validate(bars, exactDistinct = false)
+    assert(hll.status === "PASS" && hll.nTickers === Validator.validate(bars).nTickers)
   }
 
   test("forward fill is causal and per-ticker; group mean fills the rest") {
