@@ -293,11 +293,18 @@ object Ar {
     } yield f
     if (warm.isDefined && candidates.isEmpty)
       return fit(series, maxP, None, maxQ, exactMle)
-    // refinement ladder: HR/OLS seed -> CSS -> (opt-in) exact MLE; each
-    // stage only replaces the previous when it is usable
-    val refine: Fit => Fit =
-      if (exactMle) f => mleRefine(x, cssRefine(x, f)) else f => cssRefine(x, f)
-    val chosen = candidates.sortBy(_.aic).headOption.map(refine).getOrElse {
+    // refinement ladder: HR/OLS seed -> CSS -> (opt-in) exact MLE. The
+    // exact pass RE-RANKS the top 3 OLS/HR candidates by exact-MLE AIC —
+    // the Kalman likelihood uses every observation for every candidate,
+    // so unlike the OLS/CSS approximations its AIC is same-span by
+    // construction and can safely arbitrate between nearby orders.
+    val chosen = (
+      if (exactMle)
+        candidates.sortBy(_.aic).take(3)
+          .map(f => mleRefine(x, cssRefine(x, f)))
+          .sortBy(_.aic).headOption
+      else candidates.sortBy(_.aic).headOption.map(cssRefine(x, _))
+    ).getOrElse {
       val mean = if (x.isEmpty) 0.0 else x.sum / x.length
       val v = if (x.length > 1) x.map(e => (e - mean) * (e - mean)).sum / (x.length - 1) else 1e-8
       Fit(0, d, mean, Array.empty, math.max(v, 1e-12), Double.MaxValue, x.length)

@@ -201,6 +201,13 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
       .cache()
+    // empty merge = no-op, NOT an empty commit (streaming foreachBatch
+    // fires empty micro-batches on state flushes; versions should track
+    // data changes, not trigger ticks)
+    if (batch.isEmpty) {
+      batch.unpersist()
+      return MergeStats(latestVersion, 0, 0, 0)
+    }
 
     val baseV = latestVersion
     val touched = batch.select(col(partitionCol).cast("string")).distinct()

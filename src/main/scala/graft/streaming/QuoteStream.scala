@@ -56,6 +56,24 @@ object QuoteStream {
       }
       .start()
 
+  /** [[upsertBars]] against a [[graft.sources.VersionedTable]]: same
+    * idempotent convergence, plus snapshot isolation — a reader NEVER
+    * sees a half-applied micro-batch (the batch becomes visible only
+    * when its single log-entry create lands), and `readAt` can replay
+    * the table as of any earlier micro-batch for debugging/backtests. */
+  def upsertBarsVersioned(gated: DataFrame, table: graft.sources.VersionedTable,
+      keyCols: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    gated
+      .withColumn("bar_date", to_date(col("bar_ts")))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.upsert(batch, keyCols): Unit
+      }
+      .start()
+
   /** Sliding event-time window aggregation over the quote stream. */
   def slidingStats(quotes: DataFrame, window_ : String = "10 minutes",
       slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =

@@ -68,6 +68,34 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(st.inserted + st.updated === 1 && sink.read().count() === 3)
   }
 
+  test("gated stream upserts into a VersionedTable: converged rows + one version per batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vbars").toString
+    val table = new graft.sources.VersionedTable(spark, s"$dir/bars",
+      partitionCol = "bar_date")
+    val input = MemoryStream[Quote]
+    val q = QuoteStream.upsertBarsVersioned(QuoteStream.barGate(input.toDF()),
+      table, keyCols = Seq("ticker", "bar_ts"), s"$dir/ckpt")
+    try {
+      input.addData(
+        Quote("A", ts(0, 1), 100), Quote("A", ts(0, 30), 101), // same bar
+        Quote("B", ts(0, 5), 50))
+      q.processAllAvailable()
+      input.addData(Quote("A", ts(1, 2), 102)) // next bar, second batch
+      q.processAllAvailable()
+      val t = table.read()
+      assert(t.count() === 3) // one row per (ticker, bar)
+      assert(t.groupBy("ticker", "bar_ts").count()
+        .where(col("count") > 1).count() === 0)
+      // snapshot history: each micro-batch committed exactly one version,
+      // and the pre-second-batch snapshot is still readable (time travel)
+      assert(table.history().length === 2)
+      assert(table.readAt(1).count() === 2)
+    } finally q.stop()
+  }
+
   test("sliding window stats aggregate the stream by event time") {
     val spark2 = spark
     import spark2.implicits._
