@@ -14,6 +14,10 @@ object ExplainAudit {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // audit-only: AQE wraps the plan in AdaptiveSparkPlan before
+      // execution, hiding codegen stars and subtree counts from every
+      // explain mode — the production mains keep AQE on
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -26,10 +30,16 @@ object ExplainAudit {
         org.apache.spark.sql.execution.FormattedMode)
       println(s"\n========== $name ==========")
       println(plan)
+      // formatted mode under AQE shows no codegen stars before
+      // execution — CodegenMode compiles the non-adaptive plan and
+      // reports its WholeStageCodegen subtree count directly
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
       val checks = Seq(
         "PushedFilters" -> plan.contains("PushedFilters: ["),
         "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
-        "WholeStageCodegen" -> plan.contains("WholeStageCodegen"),
+        "WholeStageCodegen" -> "Found [1-9][0-9]* WholeStageCodegen subtree".r
+          .findFirstIn(codegen).isDefined,
         "SortMergeJoin" -> plan.contains("SortMergeJoin"))
       println(s"[audit] $name: " + checks.map { case (k, v) => s"$k=$v" }.mkString(" "))
     }

@@ -58,6 +58,20 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
       .agg(min(col("date")).as("min_date"), max(col("date")).as("max_date"))
   }
 
+  /** Coverage rows for one request's tickers, as a driver map — the
+    * isin filter prunes to the requested ticker PARTITIONS before the
+    * aggregate, so the collected map is bounded by the request size,
+    * not by how many tickers the cache has accumulated. */
+  private def coverageOf(tickers: Seq[String])
+      : Map[String, (java.sql.Timestamp, java.sql.Timestamp)] =
+    if (isEmpty) Map.empty
+    else spark.read.parquet(path)
+      .where(col("ticker").isin(tickers: _*))
+      .groupBy(col("ticker"))
+      .agg(min(col("date")).as("min_date"), max(col("date")).as("max_date"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+
   def write(bars: DataFrame): Unit =
     bars.write.mode("append").partitionBy("ticker").parquet(path)
 
@@ -70,10 +84,7 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
       start: java.sql.Timestamp,
       end: java.sql.Timestamp)(
       fetch: (Seq[String], java.sql.Timestamp, java.sql.Timestamp) => DataFrame): DataFrame = {
-    val cov: Map[String, (java.sql.Timestamp, java.sql.Timestamp)] =
-      if (isEmpty) Map.empty
-      else coverage().collect()
-        .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    val cov = coverageOf(tickers)
 
     val missing = tickers.filterNot(cov.contains)
     // head gap: cache starts AFTER the requested start — without this
@@ -116,9 +127,7 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
     * counters, base_extractor.py:64-201). */
   def stats(tickers: Seq[String], start: java.sql.Timestamp,
       end: java.sql.Timestamp): (Int, Int, Int) = {
-    val cov = if (isEmpty) Map.empty[String, (java.sql.Timestamp, java.sql.Timestamp)]
-    else coverage().collect()
-      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    val cov = coverageOf(tickers)
     val full = tickers.count(t => cov.get(t).exists { case (lo, hi) =>
       !lo.after(start) && !hi.before(end) })
     // partial = cached but not covering (head gap, stale tail, or both)
