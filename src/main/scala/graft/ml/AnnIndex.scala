@@ -109,6 +109,29 @@ object AnnIndex {
     cents
   }
 
+  /** Persist the index: corpus partitioned by `list_id` (so a probe's
+    * `where(list_id IN ...)` prunes to its lists' directories at the
+    * parquet source — the on-disk layout the scale story depends on)
+    * plus a tiny centroids table. */
+  def save(index: Index, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/corpus")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a saved index. The corpus DataFrame is the partitioned scan —
+    * queries against it keep the partition-pruning property. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("list_id").cast("int"), col("centroid"))
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    Index(cents, spark.read.parquet(s"$path/corpus"))
+  }
+
   /** Query: for each query vector, probe the nProbe nearest lists and
     * rank candidates by exact cosine within them. Norms are hoisted to
     * the single-side scans (qn once per query, en once per corpus

@@ -37,6 +37,28 @@ class AnnAndLoopSpec extends AnyFunSuite with TestSpark {
     assert(again === approx)
   }
 
+  test("saved index: list_id-partitioned layout, loaded queries match in-memory") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val index = AnnIndex.build(emb, nLists = 6, seed = 42)
+    val path = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/idx"
+    AnnIndex.save(index, path)
+    // the corpus really is laid out one directory per inverted list —
+    // a probe's list_id predicate prunes at the parquet source
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(path, "corpus"))
+      .iterator()
+    var listDirs = 0
+    while (dirs.hasNext) {
+      if (dirs.next().getFileName.toString.startsWith("list_id=")) listDirs += 1
+    }
+    assert(listDirs === 6)
+    val loaded = AnnIndex.load(spark, path)
+    assert(loaded.centroids.map(_._1).toSeq === index.centroids.map(_._1).toSeq)
+    val queries = emb.where(col("vec_id") < 20)
+    val a = AnnIndex.query(index, queries, k = 5, nProbe = 2).collect().toSet
+    val b = AnnIndex.query(loaded, queries, k = 5, nProbe = 2).collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("walk-forward produces per-fold metrics and a model summary") {
     val bars = SyntheticSource.generate(spark, Seq("T1", "T2"), 200, seed = 13).toDF()
     val metrics = WalkForward.run(bars, k = 3, horizon = 5).cache()
