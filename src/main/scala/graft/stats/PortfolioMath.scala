@@ -82,6 +82,29 @@ object PortfolioMath {
     -sorted.take(k).sum / k
   }
 
+  /** Expected-shortfall-to-edge ratio (portfolio_math.py:852-1032): how
+    * many units of tail loss are carried per unit of expected edge —
+    * Infinity when there is no positive edge (the reference's "reject
+    * the strategy" sentinel). */
+  def esToEdge(returns: Array[Double], riskFree: Double = 0.0,
+      alpha: Double = 0.05): Double = {
+    if (returns.isEmpty) return Double.PositiveInfinity
+    val edge = returns.map(_ - riskFree).sum / returns.length
+    if (edge <= 0) Double.PositiveInfinity
+    else expectedShortfall(returns, alpha) / edge
+  }
+
+  /** Payoff asymmetry (tail-means ratio): mean winning return over the
+    * magnitude of the mean losing return; Infinity with no losses, 0
+    * with no wins. The reference reports 2.65x (README.md:164). */
+  def payoffAsymmetry(returns: Array[Double]): Double = {
+    val wins = returns.filter(_ > 0)
+    val losses = returns.filter(_ < 0)
+    if (wins.isEmpty) 0.0
+    else if (losses.isEmpty) Double.PositiveInfinity
+    else (wins.sum / wins.length) / math.abs(losses.sum / losses.length)
+  }
+
   private def stddev(a: Array[Double]): Double = {
     if (a.length < 2) return 0.0
     val m = a.sum / a.length

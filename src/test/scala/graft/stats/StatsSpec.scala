@@ -74,6 +74,15 @@ class StatsSpec extends AnyFunSuite with TestSpark {
     assert(k > 0 && k <= 0.20)
     assert(PortfolioMath.maxDrawdown(rets) > 0 && PortfolioMath.maxDrawdown(rets) < 1)
     assert(PortfolioMath.expectedShortfall(rets) > 0)
+    // ES-to-edge: positive drift -> finite ratio; no edge -> Infinity
+    assert(PortfolioMath.esToEdge(rets) > 0 &&
+      !PortfolioMath.esToEdge(rets).isInfinite)
+    assert(PortfolioMath.esToEdge(rets.map(_ - 1.0)).isPosInfinity)
+    // payoff asymmetry: hand-checked tail-means ratio
+    val pa = PortfolioMath.payoffAsymmetry(Array(0.10, 0.08, -0.03, -0.03))
+    assert(math.abs(pa - 3.0) < 1e-12)
+    assert(PortfolioMath.payoffAsymmetry(Array(0.1, 0.2)).isPosInfinity)
+    assert(PortfolioMath.payoffAsymmetry(Array(-0.1)) === 0.0)
   }
 
   test("min-variance and risk-parity weights on a known covariance") {
