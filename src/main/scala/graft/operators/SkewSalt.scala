@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salting for skewed keys — the portable answer when one key holds a
+  * disproportionate share of rows (a hot ticker, an empty-string
+  * join key, the "the quick brown fox" shingle): a shuffle hashes by
+  * key, so the hot key's entire volume lands on ONE task no matter how
+  * many executors exist.
+  *
+  * First resort at runtime is AQE's OptimizeSkewedJoin (splits oversized
+  * sort-merge partitions after measuring them); salting is the
+  * plan-level technique that also covers aggregations and the cases AQE
+  * cannot re-plan (e.g. a skewed groupBy feeding a window, bucketed
+  * joins that bypass exchanges). Both patterns preserve results exactly:
+  *
+  *  - [[saltedJoin]]: dim rows replicate `salts` times (dim × salts
+  *    stays tiny), fact rows get a deterministic per-row salt, and the
+  *    join key becomes (key, salt) — the hot key spreads over `salts`
+  *    tasks.
+  *  - [[saltedAgg]]: two-stage aggregation — partial aggregate on
+  *    (key, salt), final re-aggregate on key. The classic hot-key
+  *    groupBy fix (map-side combine already helps; the salt stage caps
+  *    the reducer-side hot partition too).
+  */
+object SkewSalt {
+
+  /** Deterministic per-row salt in [0, salts): hash of the whole row, so
+    * a retry computes the same spread (no rand() — task retries must
+    * not re-deal rows or counts drift). */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int")
+
+  /** Inner equi-join of a skewed fact against a small dim with the key
+    * spread over `salts` sub-keys. Result rows identical to
+    * `fact.join(dim, keys)`. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", rowSalt(fact, salts))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Two-stage skew-safe aggregation: sums/counts named in `sums` /
+    * `counts` over `keys`, numerically identical to the direct groupBy
+    * (sum re-association only — integer/decimal sums are exact; for
+    * doubles route through decimal like the rest of the engine). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], sums: Seq[String],
+      counts: Boolean = true, salts: Int = 16): DataFrame = {
+    val partialAggs =
+      sums.map(c => sum(col(c)).as(s"__s_$c")) ++
+        (if (counts) Seq(count(lit(1)).as("__n")) else Seq.empty)
+    val partial = df.withColumn("__salt", rowSalt(df, salts))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs =
+      sums.map(c => sum(col(s"__s_$c")).as(s"sum_$c")) ++
+        (if (counts) Seq(sum(col("__n")).as("n")) else Seq.empty)
+    partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+}
