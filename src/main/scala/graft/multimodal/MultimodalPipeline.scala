@@ -58,6 +58,50 @@ object MultimodalPipeline {
       })
   }
 
+  final case class ResizedMeta(mediaId: Long, width: Int, height: Int,
+      outWidth: Int, outHeight: Int, scale: Double)
+  final case class Frame(mediaId: Long, frameIdx: Int, offsetMs: Long,
+      features: Array[Float])
+
+  /** Resize planning: aspect-preserving fit into (maxW, maxH). The
+    * pixel transform is the stubbed codec step; the plumbing — per-blob
+    * dims in, output dims + scale factor out, one narrow map — is what
+    * a real resize kernel plugs into. */
+  def resizePlan(media: DataFrame, maxW: Int = 224, maxH: Int = 224): Dataset[ResizedMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("content").as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h) = StubDecoder.decode(bytes)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        ResizedMeta(id, w, h,
+          math.max(1, math.round(w * scale).toInt),
+          math.max(1, math.round(h * scale).toInt), scale)
+      })
+  }
+
+  /** Frame sampling: one video blob → `n` evenly spaced frames, each
+    * with its own feature vector (the 1-row → N-rows generator shape;
+    * real decoders replace the stub's deterministic per-frame slices).
+    * Frames of one video stay in one task — no shuffle of blob bytes. */
+  def frameSample(media: DataFrame, n: Int = 4, dim: Int = 16,
+      durationMsOf: Int => Long = _ => 60000L): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(n > 0)
+    media.select(col("media_id").as[Long], col("content").as[Array[Byte]])
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val dur = durationMsOf(bytes.length)
+        (0 until n).iterator.map { i =>
+          // stub "frame": a deterministic slice of the blob per index
+          val from = if (bytes.isEmpty) 0 else (bytes.length.toLong * i / n).toInt
+          val until = if (bytes.isEmpty) 0 else (bytes.length.toLong * (i + 1) / n).toInt
+          val frameBytes = java.util.Arrays.copyOfRange(bytes, from, math.max(from, until))
+          Frame(id, i, dur * i / n, StubDecoder.features(frameBytes, dim))
+        }
+      })
+  }
+
   /** Batch feature extraction with per-row failure isolation (a corrupt
     * blob yields ok=false instead of failing the task). */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {

@@ -36,4 +36,37 @@ class MultimodalSpec extends AnyFunSuite with TestSpark {
       assert(math.abs(r.features.sum - 1f) < 1e-4)
     }
   }
+
+  test("resize plan preserves aspect ratio and never upscales") {
+    val r = MultimodalPipeline.resizePlan(media, maxW = 128, maxH = 96).collect()
+    assert(r.length === 100)
+    r.foreach { m =>
+      assert(m.outWidth <= 128 && m.outHeight <= 96)
+      assert(m.scale <= 1.0 && m.scale > 0)
+      // aspect preserved within rounding
+      val inAr = m.width.toDouble / m.height
+      val outAr = m.outWidth.toDouble / m.outHeight
+      assert(math.abs(inAr - outAr) / inAr < 0.05, s"$m")
+    }
+  }
+
+  test("frame sampling explodes each blob into n deterministic frames, offsets ordered") {
+    val frames = MultimodalPipeline.frameSample(media, n = 4).collect()
+    assert(frames.length === 400)
+    val byId = frames.groupBy(_.mediaId)
+    assert(byId.size === 100)
+    byId.values.foreach { fs =>
+      val sorted = fs.sortBy(_.frameIdx)
+      assert(sorted.map(_.frameIdx).toSeq === Seq(0, 1, 2, 3))
+      assert(sorted.map(_.offsetMs).toSeq === sorted.map(_.offsetMs).sorted.toSeq)
+      sorted.foreach(f => assert(f.features.length === 16))
+    }
+    // deterministic across runs
+    val again = MultimodalPipeline.frameSample(media, n = 4).collect()
+    assert(frames.sortBy(f => (f.mediaId, f.frameIdx))
+      .zip(again.sortBy(f => (f.mediaId, f.frameIdx)))
+      .forall { case (a, b) => a.mediaId == b.mediaId &&
+        a.frameIdx == b.frameIdx && a.offsetMs == b.offsetMs &&
+        a.features.sameElements(b.features) })
+  }
 }
