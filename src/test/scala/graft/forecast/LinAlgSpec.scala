@@ -46,4 +46,32 @@ class LinAlgSpec extends AnyFunSuite {
         Future(k -> Ssa.forecast(series(k % 8), 5, 20).toSeq))), 120.seconds)
     results.foreach { case (k, r) => assert(r === expected(k % 8)) }
   }
+
+  test("thread-safety hammer: concurrent exact-MLE fits (Kalman/breeze gemm) are deterministic") {
+    val rng = new scala.util.Random(29)
+    // ARMA(1,1)-ish series so the MLE path (incl. MA refinement) runs
+    val series = Array.fill(4) {
+      val x = new Array[Double](400)
+      var e0 = 0.0
+      (0 until 400).foreach { i =>
+        val e = rng.nextGaussian()
+        x(i) = (if (i > 0) 0.6 * x(i - 1) else 0.0) + e + 0.4 * e0
+        e0 = e
+      }
+      x
+    }
+    val expected = series.map(s => Ar.fit(s, maxP = 2, maxQ = 1, exactMle = true))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((0 until 32).map(k =>
+        Future(k -> Ar.fit(series(k % 4), maxP = 2, maxQ = 1, exactMle = true)))),
+      300.seconds)
+    results.foreach { case (k, f) =>
+      val e = expected(k % 4)
+      assert(f.coefs.toSeq === e.coefs.toSeq && f.maCoefs.toSeq === e.maCoefs.toSeq &&
+        f.sigma2 === e.sigma2 && f.aic === e.aic)
+    }
+  }
 }
