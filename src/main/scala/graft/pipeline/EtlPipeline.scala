@@ -27,7 +27,11 @@ object EtlPipeline {
       valFrac: Double = 0.15,
       researchMode: Boolean = false, // research mode may backfill
       normalizeCols: Seq[String] = Seq("close"),
-      minBars: Int = 30)
+      minBars: Int = 30,
+      // stage sinks as VersionedTables: each run overwrites into a NEW
+      // snapshot version (readers of the previous run are never torn;
+      // readAt(v) replays any prior run's stage until vacuum)
+      versionedStages: Boolean = false)
 
   final case class RunResult(
       runId: String,
@@ -44,9 +48,15 @@ object EtlPipeline {
     val stages = scala.collection.mutable.Map.empty[String, String]
     def store(name: String, df: DataFrame): DataFrame = {
       val dir = s"${cfg.outDir}/$name"
-      df.write.mode("overwrite").partitionBy("ticker").parquet(dir)
       stages(name) = dir
-      spark.read.parquet(dir)
+      if (cfg.versionedStages) {
+        val table = new graft.sources.VersionedTable(spark, dir, partitionCol = "ticker")
+        table.overwrite(df)
+        table.read()
+      } else {
+        df.write.mode("overwrite").partitionBy("ticker").parquet(dir)
+        spark.read.parquet(dir)
+      }
     }
     val raw = store("raw", rawBars)
 

@@ -188,6 +188,23 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       adds, Seq.empty, inserted = n, updated = 0))
   }
 
+  /** Full-snapshot replace: the new version's adds are `df`'s files and
+    * its removes are EVERYTHING previously live — readers at older
+    * versions keep their snapshot until vacuum. The natural op for
+    * per-run stage outputs (each pipeline run = one version). */
+  def overwrite(df: DataFrame): Long = {
+    val txid = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(s"$root/.tx_$txid")
+    df.write.partitionBy(partitionCol).parquet(staging.toString)
+    val n = spark.read.option("basePath", staging.toString)
+      .parquet(staging.toString).count()
+    val baseV = latestVersion
+    val removes = snapshotFiles(baseV).keys.toSeq
+    val adds = absorbStaging(staging, txid)
+    commit(Entry(baseV + 1, txid, System.currentTimeMillis(), "overwrite",
+      adds, removes, inserted = n, updated = 0))
+  }
+
   /** MERGE upsert (update-wins by `versionCol` within the batch, like
     * [[MergeSink.upsert]]): reads only the files of touched partitions,
     * rewrites them as new files, commits adds+removes in one entry. */

@@ -54,6 +54,26 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
       .where(col("run_id") === res2.runId).count() === 1)
   }
 
+  test("versioned stages: each run is a snapshot version; prior runs stay readable") {
+    val out = Files.createTempDirectory("graft_etl_v").toString
+    val cfg = EtlPipeline.Config(outDir = out, versionedStages = true)
+    val bars1 = SyntheticSource.generate(spark, Seq("AAPL", "MSFT"), 250, seed = 3).toDF()
+    val res1 = EtlPipeline.run(spark, bars1, cfg)
+    val table = new graft.sources.VersionedTable(spark, s"$out/training", "ticker")
+    val v1 = table.latestVersion
+    val rows1 = table.read().count()
+    assert(rows1 === res1.rowsPerSplit("training"))
+
+    // second run with MORE data overwrites into a new version
+    val bars2 = SyntheticSource.generate(spark, Seq("AAPL", "MSFT"), 300, seed = 3).toDF()
+    val res2 = EtlPipeline.run(spark, bars2, cfg)
+    assert(table.latestVersion > v1)
+    assert(table.read().count() === res2.rowsPerSplit("training"))
+    // time travel: the first run's training stage is still exactly readable
+    assert(table.readAt(v1).count() === rows1)
+    assert(table.history().map(_.op).forall(_ == "overwrite"))
+  }
+
   test("cache-first reads: full hit avoids fetch; tail delta fetches only the gap") {
     val dir = Files.createTempDirectory("graft_cache").toString
     val cache = new CacheManager(spark, dir)
