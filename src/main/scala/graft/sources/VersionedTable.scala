@@ -255,6 +255,32 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     MergeStats(v, inserted, updated, adds.map(_.part).distinct.length.toLong)
   }
 
+  /** Compaction (the OPTIMIZE op): rewrite each partition's live file
+    * set into `targetFiles` file(s), committed as one new version
+    * (adds = compacted files, removes = the fragments). Content is
+    * unchanged — only layout. The small-files answer for streaming
+    * sinks, where every micro-batch adds a file per touched partition;
+    * run it periodically, then `vacuum` to reclaim the fragments.
+    * Compacts only partitions currently holding more than `minFiles`
+    * fragments; returns the committed version (or the current one when
+    * nothing qualified). */
+  def compact(minFiles: Int = 2, targetFiles: Int = 1): Long = {
+    val baseV = latestVersion
+    val byPart = snapshotFiles(baseV).toSeq.groupBy(_._2)
+    val doomedParts = byPart.filter(_._2.size > minFiles)
+    if (doomedParts.isEmpty) return baseV
+    val paths = doomedParts.values.flatten.map { case (p, _) => s"$root/$p" }.toSeq
+    val df = spark.read.option("basePath", dataDir).parquet(paths.sorted: _*)
+      .coalesce(math.max(1, targetFiles))
+    val txid = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(s"$root/.tx_$txid")
+    df.write.partitionBy(partitionCol).parquet(staging.toString)
+    val adds = absorbStaging(staging, txid)
+    val removes = doomedParts.values.flatten.map(_._1).toSeq
+    commit(Entry(baseV + 1, txid, System.currentTimeMillis(), "compact",
+      adds, removes, inserted = 0, updated = 0))
+  }
+
   /** Delete data files no snapshot newer than `keepLast` versions back
     * references, and orphaned `.tx_*` staging dirs. Time travel older
     * than the horizon stops working (entries stay for history). */

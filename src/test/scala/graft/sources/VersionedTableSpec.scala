@@ -115,6 +115,35 @@ class VersionedTableSpec extends AnyFunSuite with TestSpark {
     (1L to 3L).foreach(v => assert(t.readAt(v).count() === 2, s"v$v"))
   }
 
+  test("compact rewrites fragmented partitions into one file without changing content") {
+    val s = spark; import s.implicits._
+    val (_, t) = mkTable("cmp")
+    // four upserts into the same partition -> four file fragments
+    (1 to 4).foreach { i =>
+      t.upsert(Seq(("AAPL", i.toLong, i * 1.0, 1)).toDF("ticker", "seq", "price", "m"),
+        keyCols = Seq("ticker", "seq"))
+    }
+    val before = t.read().select("ticker", "seq", "price").as[(String, Long, Double)]
+      .collect().toSet
+    assert(t.read().inputFiles.length >= 4)
+    val vPre = t.latestVersion
+
+    val vC = t.compact()
+    assert(vC === vPre + 1)
+    assert(t.read().inputFiles.length === 1) // one live file now
+    val after = t.read().select("ticker", "seq", "price").as[(String, Long, Double)]
+      .collect().toSet
+    assert(after === before) // layout changed, content identical
+    // pre-compaction snapshot still readable until vacuum
+    assert(t.readAt(vPre).count() === 4)
+    assert(t.history().last.op === "compact")
+    // nothing left to compact: version unchanged
+    assert(t.compact() === vC)
+    // vacuum reclaims the fragments; latest still reads
+    assert(t.vacuum(keepLast = 0).nonEmpty)
+    assert(t.read().count() === 4)
+  }
+
   test("vacuum deletes files only old snapshots reference; latest read still works") {
     val s = spark; import s.implicits._
     val (dir, t) = mkTable("vac")
