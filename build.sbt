@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses ONE JSON line from a bounded tail of sbt's
+// stdout. sbt's default output strategy relogs the forked process's
+// stdout with an "[info] " prefix, which is not valid JSON — route the
+// forked stdout straight through instead, and drop the trailing
+// "[success] Total time" line so the JSON line stays last.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,7 +46,11 @@ object Bench {
       var last = 0.0
       (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
-        try exec(name) catch { case _: Throwable => () }
+        // Failures must be LOUD (stderr — stdout stays one clean JSON
+        // line): a swallowed exception reads as a suspiciously fast query.
+        try exec(name) catch {
+          case t: Throwable => System.err.println(s"[bench] $name FAILED: $t")
+        }
         last = (System.nanoTime() - t0) / 1e9
       }
       name -> last
@@ -58,7 +62,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Print the JSON line as the LAST stdout output of the JVM: silence
+    // Spark and stop the session first so no shutdown log line can trail
+    // it if the driver merges stderr into the captured stream.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -106,10 +106,12 @@ object SplitQueries extends QueryModule {
       // Computed as WINDOW aggregates over the (tiny, p²-row) pairs set:
       // a separate .agg() branch would make Spark recompute the whole
       // pair-join subtree a second time — the window shares one scan.
+      // NB: the day-count column must NOT be named "n" — pairs already
+      // has an "n", and the crossJoin would make $"n" ambiguous.
       val rows = cent.groupBy($"day")
         .agg(sum(($"c" * $"c").cast("decimal(38,18)")).cast("double").as("rk"))
         .agg(sum(($"rk" * $"rk").cast("decimal(38,18)")).cast("double").as("q"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("nd"))
       val wAll = Window.partitionBy(lit(1))
       val pCol = sum(when($"ta" === $"tb", 1L).otherwise(0L)).over(wAll).cast("double")
       val tr = sum(when($"ta" === $"tb", $"s").otherwise(lit(0.0))
@@ -123,7 +125,7 @@ object SplitQueries extends QueryModule {
         .withColumn("d2",
           ($"sum_s2" - lit(2.0) * $"mu" * $"tr" + $"p" * $"mu" * $"mu") / $"p")
         .withColumn("b2bar",
-          ($"q" / $"n" - $"sum_s2") / ($"n".cast("double") * $"p"))
+          ($"q" / $"nd" - $"sum_s2") / ($"nd".cast("double") * $"p"))
         .withColumn("delta",
           when($"d2" <= 0, lit(0.0))
             .otherwise(least(lit(1.0), greatest(lit(0.0), least($"b2bar", $"d2") / $"d2"))))
