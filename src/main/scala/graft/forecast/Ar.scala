@@ -299,10 +299,20 @@ object Ar {
     // so unlike the OLS/CSS approximations its AIC is same-span by
     // construction and can safely arbitrate between nearby orders.
     val chosen = (
-      if (exactMle)
-        candidates.sortBy(_.aic).take(3)
+      if (exactMle) {
+        val refined = candidates.sortBy(_.aic).take(3)
           .map(f => mleRefine(x, cssRefine(x, f)))
-          .sortBy(_.aic).headOption
+        // Only exact-MLE AICs are mutually comparable (every observation,
+        // one likelihood definition). A mleRefine FALLBACK returns its CSS
+        // seed, whose AIC spans n - t0 observations with a per-candidate
+        // t0 — ranking those against exact AICs can pick the wrong order.
+        // Exact fits are recognizable by n == x.length (CSS always loses
+        // t0 >= 1 warm-up rows); when every candidate fell back, keep the
+        // head of the same-span HR-AIC order instead of re-ranking.
+        val exact = refined.filter(_.n == x.length)
+        if (exact.nonEmpty) exact.sortBy(_.aic).headOption
+        else refined.headOption
+      }
       else candidates.sortBy(_.aic).headOption.map(cssRefine(x, _))
     ).getOrElse {
       val mean = if (x.isEmpty) 0.0 else x.sum / x.length

@@ -115,6 +115,10 @@ final class MergeSink(spark: SparkSession, path: String,
     entries.filter(_.getName.startsWith(".staging_")).foreach { st =>
       val txid = st.getName.stripPrefix(".staging_")
       val trash = new Path(s"$path/.trash_$txid")
+      // per-txid buffer: each txid's commit marker must list only the
+      // partitions swapped under THAT txid, and no marker is written for
+      // a txid whose staging dir held nothing to swap
+      val txSwapped = scala.collection.mutable.ArrayBuffer[String]()
       if (fs.exists(new Path(st, "_SUCCESS"))) {
         fs.mkdirs(trash)
         fs.listStatus(st).filter(_.isDirectory)
@@ -124,11 +128,12 @@ final class MergeSink(spark: SparkSession, path: String,
             val live = new Path(s"$path/$part")
             if (fs.exists(live)) fs.rename(live, new Path(trash, part))
             fs.rename(staged, live)
-            swapped += part.stripPrefix(s"$partitionCol=")
+            txSwapped += part.stripPrefix(s"$partitionCol=")
           }
-        if (swapped.nonEmpty)
-          writeCommitMarker(swapped.toSeq, -1, -1, txid, recovered = true)
+        if (txSwapped.nonEmpty)
+          writeCommitMarker(txSwapped.toSeq, -1, -1, txid, recovered = true)
       }
+      swapped ++= txSwapped
       fs.delete(st, true)
       if (fs.exists(trash)) fs.delete(trash, true)
     }

@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
   * the files of TOUCHED partitions (partition values are recorded per
   * file in the log — file-level pruning without listing storage).
   */
+object VersionedTable {
+  /** Default retention for uncommitted `.tx_*` staging dirs before
+    * `vacuum` may reclaim them (a live writer between staging write and
+    * commit must not have its dir deleted underneath it). */
+  val StagingTtlMs: Long = 24L * 3600 * 1000
+}
+
 final class VersionedTable(spark: SparkSession, root: String, partitionCol: String) {
 
   final case class Add(path: String, part: String)
@@ -161,16 +168,29 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       // a winner in our partitions means our merge read a stale
       // snapshot of exactly the rows it rewrote.
       val winner = readEntry(entry.version)
-      val ourParts = entry.adds.map(_.part).toSet
-      val winnerParts = winner.map(w => w.adds.map(_.part).toSet).getOrElse(Set.empty)
-      val conflict = entry.op != "append" &&
-        (winner.isEmpty || ourParts.intersect(winnerParts).nonEmpty ||
-          winner.exists(_.removes.exists(entry.removes.contains)))
-      if (conflict)
-        throw new java.util.ConcurrentModificationException(
-          s"version ${entry.version} committed concurrently over the same partitions")
-      entry = entry.copy(version = entry.version + 1)
-      attempts += 1
+      if (entry.op == "overwrite") {
+        // Full-snapshot replace: a disjoint-partition rebase would let the
+        // winner's rows survive the "replace everything" — instead rebase
+        // by recomputing removes against the winner's snapshot, so the
+        // committed version still contains exactly df's rows.
+        if (winner.isEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"version ${entry.version} has a torn concurrent entry; cannot overwrite past it")
+        entry = entry.copy(version = entry.version + 1,
+          removes = snapshotFiles(entry.version).keys.toSeq)
+        attempts += 1
+      } else {
+        val ourParts = entry.adds.map(_.part).toSet
+        val winnerParts = winner.map(w => w.adds.map(_.part).toSet).getOrElse(Set.empty)
+        val conflict = entry.op != "append" &&
+          (winner.isEmpty || ourParts.intersect(winnerParts).nonEmpty ||
+            winner.exists(_.removes.exists(entry.removes.contains)))
+        if (conflict)
+          throw new java.util.ConcurrentModificationException(
+            s"version ${entry.version} committed concurrently over the same partitions")
+        entry = entry.copy(version = entry.version + 1)
+        attempts += 1
+      }
     }
     throw new IllegalStateException("commit retry budget exhausted")
   }
@@ -232,8 +252,8 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     val liveFiles = snapshotFiles(baseV)
     val touchedFiles = liveFiles.filter { case (_, part) => touched(part) }.keys.toSeq
 
-    val (merged, inserted, updated) =
-      if (touchedFiles.isEmpty) (batch, batch.count(), 0L)
+    val (merged, existingOpt, inserted, updated) =
+      if (touchedFiles.isEmpty) (batch, Option.empty[DataFrame], batch.count(), 0L)
       else {
         val existing = spark.read.option("basePath", dataDir)
           .parquet(touchedFiles.sorted.map(p => s"$root/$p"): _*)
@@ -242,13 +262,17 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
         val ins = batch.count() - upd
         val m = batch.unionByName(
           existing.join(batch, keyCols, "left_anti").select(batch.columns.map(col): _*))
-        (m, ins, upd)
+        (m, Some(existing), ins, upd)
       }
 
     val txid = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$root/.tx_$txid")
     merged.write.partitionBy(partitionCol).parquet(staging.toString)
+    // Unpersist BOTH caches once the staged write has materialized them:
+    // a long-running stream calls upsert per micro-batch, and a leaked
+    // `existing` per batch is unbounded executor storage-memory growth.
     batch.unpersist()
+    existingOpt.foreach(_.unpersist())
     val adds = absorbStaging(staging, txid)
     val v = commit(Entry(baseV + 1, txid, System.currentTimeMillis(), "merge",
       adds, touchedFiles, inserted, updated))
@@ -284,7 +308,8 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
   /** Delete data files no snapshot newer than `keepLast` versions back
     * references, and orphaned `.tx_*` staging dirs. Time travel older
     * than the horizon stops working (entries stay for history). */
-  def vacuum(keepLast: Int = 1): Seq[String] = {
+  def vacuum(keepLast: Int = 1,
+      stagingTtlMs: Long = VersionedTable.StagingTtlMs): Seq[String] = {
     val entries = history()
     if (entries.isEmpty) return Seq.empty
     val horizon = entries.last.version - math.max(keepLast, 0)
@@ -294,13 +319,18 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       .flatMap(_.adds.map(_.path)).toSet
     val doomed = (everAdded -- liveAtOrAfter).toSeq.sorted
     doomed.foreach(p => fs.delete(new Path(s"$root/$p"), false))
-    // staging dirs with no committed txid are abandoned writers
+    // Staging dirs with no committed txid are abandoned writers — but a
+    // LIVE writer between staging write and commit looks identical, so
+    // (as Delta does with its retention window) only reclaim dirs whose
+    // last modification is older than the TTL.
     val committedTx = entries.map(_.txid).toSet
+    val cutoff = System.currentTimeMillis() - math.max(stagingTtlMs, 0L)
     if (fs.exists(new Path(root))) {
-      fs.listStatus(new Path(root)).map(_.getPath)
-        .filter(p => p.getName.startsWith(".tx_") &&
-          !committedTx(p.getName.stripPrefix(".tx_")))
-        .foreach(p => fs.delete(p, true))
+      fs.listStatus(new Path(root))
+        .filter(st => st.getPath.getName.startsWith(".tx_") &&
+          !committedTx(st.getPath.getName.stripPrefix(".tx_")) &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
     }
     doomed
   }

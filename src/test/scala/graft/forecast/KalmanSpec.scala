@@ -73,4 +73,18 @@ class KalmanSpec extends AnyFunSuite {
     assert(pred.length === 5 && pred.forall(v => !v.isNaN))
     assert((0 until 5).forall(i => lo(i) <= pred(i) && pred(i) <= hi(i)))
   }
+
+  test("exactMle re-rank never mixes AIC spans: the chosen fit's AIC is exact (full n)") {
+    // A CSS fallback's AIC spans n - t0 observations while exact-MLE AICs
+    // span all n — the re-rank must compare only same-span candidates.
+    // On a clean stationary ARMA series the exact pass must succeed, and
+    // the marker of that is n == (differenced) series length.
+    for (seed <- Seq(1L, 7L, 21L, 33L)) {
+      val x = simulateArma(600, 0.5, 0.2, seed).map(_ + 10.0)
+      val f = Ar.fit(x, maxP = 3, maxQ = 1, exactMle = true)
+      val diffedLen = x.length - f.d - (if (f.ds > 0) f.dsSeason else 0)
+      assert(f.n === diffedLen,
+        s"seed=$seed: chosen fit spans ${f.n} of $diffedLen obs — a CSS fallback won the re-rank")
+    }
+  }
 }

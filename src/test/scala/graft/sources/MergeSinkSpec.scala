@@ -94,4 +94,27 @@ class MergeSinkSpec extends AnyFunSuite with TestSpark {
     // live data untouched
     assert(sink.read().select("price").as[Double].collect().toSeq === Seq(10.0))
   }
+
+  test("recover() writes per-txid commit markers when multiple crashed transactions exist") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_merge_multi").toString + "/bars"
+    val sink = new MergeSink(spark, dir, keyCols = Seq("ticker", "seq"), partitionCol = "m")
+    sink.upsert(Seq(("AAPL", 1L, 10.0, 1), ("MSFT", 1L, 20.0, 2))
+      .toDF("ticker", "seq", "price", "m"))
+
+    // two independent crashed writers, each with a committed staging dir for a
+    // DIFFERENT partition
+    Seq(("AAPL", 1L, 99.0, 1)).toDF("ticker", "seq", "price", "m")
+      .write.partitionBy("m").parquet(s"$dir/.staging_aaaa0001")
+    Seq(("MSFT", 1L, 88.0, 2)).toDF("ticker", "seq", "price", "m")
+      .write.partitionBy("m").parquet(s"$dir/.staging_bbbb0002")
+
+    assert(sink.recover().toSet === Set("1", "2"))
+    // the marker belongs to ONE txid and lists only ITS partitions — the
+    // pre-fix bug accumulated earlier txids' swaps into later markers
+    val c = sink.lastCommit.get
+    assert(c.recovered && c.partitions.length === 1)
+    val after = sink.read().select("ticker", "price").as[(String, Double)].collect().toSet
+    assert(after === Set(("AAPL", 99.0), ("MSFT", 88.0)))
+  }
 }

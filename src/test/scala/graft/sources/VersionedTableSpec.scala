@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -157,6 +159,70 @@ class VersionedTableSpec extends AnyFunSuite with TestSpark {
     doomed.foreach(p => assert(!Files.exists(Paths.get(dir, p))))
     assert(t.read().select("price").as[Double].collect().toSeq === Seq(12.0))
     assert(t.history().length === 3) // log keeps full history
+  }
+
+  test("overwrite losing a commit race still replaces the winner's rows (full-snapshot invariant)") {
+    val s = spark; import s.implicits._
+    val (dir, t) = mkTable("ovw")
+    t.append(Seq(("AAPL", 1L, 10.0, 1)).toDF("ticker", "seq", "price", "m"))
+    val staleRemoves = t.history().head.adds.map(_.path) // snapshot at v1
+    // winner: a concurrent append lands at v2 in a DISJOINT partition —
+    // the partition-disjointness must NOT let the overwrite rebase with
+    // its stale remove list (that would leave TSLA alive after a
+    // "replace everything")
+    t.append(Seq(("TSLA", 1L, 30.0, 2)).toDF("ticker", "seq", "price", "m"))
+    assert(t.latestVersion === 2L)
+
+    // stage the overwrite's file by hand (mimics absorbStaging output)
+    val tmp = Files.createTempDirectory("graft_ovw_stage").toString + "/out"
+    Seq(("NEW", 9L, 1.0)).toDF("ticker", "seq", "price").coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(dir, "data", "m=1"))
+    Files.copy(part, Paths.get(dir, "data", "m=1", "ovrw0001_part.parquet"))
+
+    // loser: an overwrite computed against v1 tries to commit at v2
+    val m = classOf[VersionedTable].getDeclaredMethods
+      .find(_.getName.endsWith("commit")).get
+    m.setAccessible(true)
+    val e = t.Entry(2L, "ovrw0001", 456L, "overwrite",
+      Seq(t.Add("data/m=1/ovrw0001_part.parquet", "1")), staleRemoves, 1L, 0L)
+    m.invoke(t, e)
+
+    assert(t.latestVersion === 3L)
+    // the committed overwrite is a TRUE snapshot replace: only its rows
+    val now = t.read().select("ticker").as[String].collect().toSet
+    assert(now === Set("NEW"))
+    // the winner's snapshot is still time-travelable
+    assert(t.readAt(2).select("ticker").as[String].collect().toSet === Set("AAPL", "TSLA"))
+  }
+
+  test("vacuum keeps fresh uncommitted staging dirs; reclaims them only past the TTL") {
+    val s = spark; import s.implicits._
+    val (dir, t) = mkTable("ttl")
+    t.append(Seq(("AAPL", 1L, 10.0, 1)).toDF("ticker", "seq", "price", "m"))
+    // a live writer between its staging write and its commit
+    Files.createDirectories(Paths.get(dir, ".tx_inflight"))
+    t.vacuum(keepLast = 0) // default 24h TTL: must survive
+    assert(Files.exists(Paths.get(dir, ".tx_inflight")))
+    Thread.sleep(20)
+    t.vacuum(keepLast = 0, stagingTtlMs = 1L) // aged out: reclaimed
+    assert(!Files.exists(Paths.get(dir, ".tx_inflight")))
+  }
+
+  test("upsert unpersists its caches (no storage growth across micro-batches)") {
+    val s = spark; import s.implicits._
+    val (_, t) = mkTable("leak")
+    t.append(Seq(("AAPL", 1L, 10.0, 1)).toDF("ticker", "seq", "price", "m"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 5).foreach { i =>
+      t.upsert(Seq(("AAPL", 1L, i * 1.0, 1)).toDF("ticker", "seq", "price", "m"),
+        keyCols = Seq("ticker", "seq"))
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // pre-fix each upsert leaked one cached `existing` (+5 here); allow
+    // slack for concurrent suites sharing the session
+    assert(after - before < 5, s"persistent RDDs grew $before -> $after")
   }
 
   /** Drives commit() at an already-taken version over the same
