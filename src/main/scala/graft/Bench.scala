@@ -22,16 +22,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def execOn(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+    def exec(name: String): Unit = execOn(name, sfDir)
 
-    // warm-up: one scan-agg, one plain-window query, and one
-    // ChunkedWindow query (the halo kernel is its own codegen+JIT
-    // surface — without this the first chunked query measured ~1.5 s of
-    // one-time compilation on top of its real cost)
-    Seq("q1_agg", "q10_win_lag_returns", "q19_win_skew").foreach { q =>
-      try exec(q) catch { case _: Throwable => () }
+    // Warm-up: run EVERY query once against the tiny sf0.001 tables.
+    // Whole-stage codegen classes are cached by generated source, which
+    // depends on the plan shape, not the input path — so this compiles
+    // (Janino + JIT) every query's code up front and the timed single-shot
+    // runs below measure dataflow, not compilation (~0.5-1 s per query
+    // otherwise). Also covers the ChunkedWindow halo kernel's JIT.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      try execOn(q, warmDir) catch { case _: Throwable => () }
+    }
+    // Warm the TARGET sf dir's file listings / parquet footers / page
+    // cache with one cheap scan per table, so the first timed query
+    // measures its dataflow rather than cold metadata IO.
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
     // optional dev filter: bench only the named queries (comma-separated),
