@@ -255,6 +255,27 @@ object DedupTextQueries extends QueryModule {
           length($"bin").as("n_bytes"),
           upper(substring(hex($"bin"), 1, 8)).as("magic"),
           sha2($"bin", 256).as("content_sha"))
+    }),
+
+    // Aspect-preserving resize planning over binary media (the
+    // MultimodalPipeline.resizePlan arithmetic, oracled end-to-end; the
+    // decode step is content-hash-derived dimensions — the same stub
+    // contract, expressed as SQL so DuckDB can replay it bit-for-bit).
+    // Never upscales; scale = min(1, 224/w, 224/h).
+    "q64_resize_plan" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", md5(encode($"text", "UTF-8")).as("hx"))
+        .withColumn("w", (lit(64) +
+          expr("pmod(cast(conv(substring(hx, 1, 7), 16, 10) as bigint), 512)")).cast("int"))
+        .withColumn("h", (lit(64) +
+          expr("pmod(cast(conv(substring(hx, 8, 7), 16, 10) as bigint), 512)")).cast("int"))
+        .withColumn("scale_f",
+          least(lit(1.0), least(lit(224.0) / $"w", lit(224.0) / $"h")))
+        .select($"doc_id", $"w", $"h",
+          greatest(lit(1), round($"w" * $"scale_f").cast("int")).as("out_w"),
+          greatest(lit(1), round($"h" * $"scale_f").cast("int")).as("out_h"),
+          $"scale_f")
     })
   )
 
@@ -396,6 +417,26 @@ object DedupTextQueries extends QueryModule {
         |  octet_length(encode(text)) AS n_bytes,
         |  upper(substr(hex(encode(text)), 1, 8)) AS magic,
         |  sha256(text) AS content_sha
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q64_resize_plan" -> {
+      def hexParse(expr: String) =
+        s"""list_reduce(list_transform(string_split_regex($expr, ''),
+           |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+      s"""WITH hx AS (SELECT doc_id, md5(text) AS hx FROM documents),
+         |dims AS (
+         |  SELECT doc_id,
+         |    CAST(64 + (${hexParse("substr(hx, 1, 7)")} % 512) AS INT) AS w,
+         |    CAST(64 + (${hexParse("substr(hx, 8, 7)")} % 512) AS INT) AS h
+         |  FROM hx),
+         |sc AS (
+         |  SELECT doc_id, w, h,
+         |    least(1.0, least(224.0 / w, 224.0 / h)) AS scale_f
+         |  FROM dims)
+         |SELECT doc_id, w, h,
+         |  greatest(1, CAST(round(w * scale_f) AS INT)) AS out_w,
+         |  greatest(1, CAST(round(h * scale_f) AS INT)) AS out_h,
+         |  scale_f
+         |FROM sc""".stripMargin
+    }
   )
 }

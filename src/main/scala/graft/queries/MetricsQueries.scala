@@ -295,6 +295,92 @@ object MetricsQueries extends QueryModule {
       val lr = lit(-2.0) * (ll(n01 + n11, tot, p) -
         (ll(n01, n00 + n01, p01) + ll(n11, n10 + n11, p11)))
       agg.select($"ticker", $"n00", $"n01", $"n10", $"n11", lr.as("lr_ind"))
+    }),
+
+    // Ljung–Box Q over the first 5 return autocorrelations
+    // (statistical_tests.py:193-250, StatTests.ljungBox): center once via
+    // a full-partition window mean, then each r_k is a lag-product sum —
+    // one shuffle, no self-joins.
+    "q87_ljung_box" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val ret = $"price" / lag($"price", 1).over(w) - 1
+      val base = Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", ret.as("r")).where($"r".isNotNull)
+      val wT = Window.partitionBy($"ticker")
+      val mBar = sum($"r".cast("decimal(38,12)")).over(wT).cast("double") /
+        count($"r").over(wT)
+      var lagd = base.withColumn("c", $"r" - mBar)
+      (1 to 5).foreach(k => lagd = lagd.withColumn(s"c$k", lag($"c", k).over(w)))
+      def g(k: Int) =
+        sum(($"c" * col(s"c$k")).cast("decimal(38,18)")).cast("double")
+      val denom = sum(($"c" * $"c").cast("decimal(38,18)")).cast("double")
+      val n = count($"c").cast("double")
+      val q = n * (n + lit(2.0)) * (1 to 5).map { k =>
+        (g(k) / denom) * (g(k) / denom) / (n - lit(k.toDouble))
+      }.reduce(_ + _)
+      lagd.groupBy($"ticker").agg(count(lit(1)).as("n"), q.as("lb_q"))
+    }),
+
+    // Mean rank of 3 rolling-mean forecasters across 4 chronological
+    // folds (statistical_tests.py:112-174 rank stability): per-fold RMSE
+    // → rank over (ticker, fold) → average rank per model.
+    "q88_rank_stability" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val wT = Window.partitionBy($"ticker")
+      def predK(k: Int) = {
+        val wk = w.rowsBetween(-k, -1)
+        sum($"price".cast("decimal(38,6)")).over(wk).cast("double") /
+          count($"price").over(wk)
+      }
+      val base = Bars.of(s, dir).select($"ticker", $"ts", $"seq", $"price")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wT))
+        .withColumn("fold", expr("((rn - 1) * 4) div cnt"))
+        .withColumn("e2", predK(2) - $"price")
+        .withColumn("e5", predK(5) - $"price")
+        .withColumn("e10", predK(10) - $"price")
+      val long = base.select($"ticker", $"fold",
+          expr("stack(3, 'ma2', e2, 'ma5', e5, 'ma10', e10) as (model, err)"))
+        .where($"err".isNotNull)
+      val rmse = long.groupBy($"ticker", $"fold", $"model")
+        .agg(sqrt(davg12($"err" * $"err")).as("rmse"))
+      val wR = Window.partitionBy($"ticker", $"fold").orderBy($"rmse", $"model")
+      rmse.withColumn("rnk", rank().over(wR))
+        .groupBy($"ticker", $"model")
+        .agg((sum($"rnk").cast("double") / count(lit(1))).as("avg_rank"))
+    }),
+
+    // Hurst exponent (regime_detector.py:144-187): slope of
+    // log std(x_t − x_{t−l}) vs log l for l = 2..20. The 19 lag diffs
+    // come from ONE window pass (no self-join — lag columns share the
+    // per-ticker sort), unpivoted with stack; std and the log-log OLS
+    // are exact-decimal aggregations.
+    "q89_hurst" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      var dfl = Bars.of(s, dir).select($"ticker", $"ts", $"seq", $"price")
+      (2 to 20).foreach(l =>
+        dfl = dfl.withColumn(s"d$l", $"price" - lag($"price", l).over(w)))
+      // The window leaves |tickers| output partitions — repartition before
+      // the 19× unpivot so the (19·rows)-element aggregation runs
+      // cluster-wide, not on |tickers| tasks. Decimal sums are
+      // order-independent, so the round-robin redistribution cannot move
+      // the result.
+      val pairs = dfl.repartition(s.sparkContext.defaultParallelism)
+        .select($"ticker", expr("stack(19, " +
+          (2 to 20).map(l => s"$l, d$l").mkString(", ") + ") as (l, d)"))
+        .where($"d".isNotNull)
+      val sd = pairs.groupBy($"ticker", $"l").agg(dstddev($"d").as("sdl"))
+      val pts = sd.select($"ticker", log($"l".cast("double")).as("lx"),
+        log(greatest($"sdl", lit(1e-12))).as("ly"))
+      val n = count(lit(1)).cast("double")
+      def s18(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,18)")).cast("double")
+      pts.groupBy($"ticker").agg(
+        ((n * s18($"lx" * $"ly") - s18($"lx") * s18($"ly")) /
+          (n * s18($"lx" * $"lx") - s18($"lx") * s18($"lx"))).as("hurst"))
     })
   )
 
@@ -541,6 +627,84 @@ object MetricsQueries extends QueryModule {
          |  -2.0 * (${ll("(b + d)", "tot", "p")}
          |    - (${ll("b", "(a + b)", "p01")} + ${ll("d", "(c + d)", "p11")})) AS lr_ind
          |FROM probs""".stripMargin
+    },
+    "q87_ljung_box" -> {
+      val lagCols = (1 to 5).map(k => s"lag(c, $k) OVER ($over) AS c$k").mkString(",\n  ")
+      def g(k: Int) = s"CAST(SUM(CAST(c * c$k AS DECIMAL(38,18))) AS DOUBLE)"
+      val gs = (1 to 5).map(k => s"${g(k)} AS g$k").mkString(",\n  ")
+      val terms = (1 to 5).map(k =>
+        s"(g$k / denom) * (g$k / denom) / (n - $k.0)").mkString(" + ")
+      s"""${Bars.sql},
+         |rets AS (
+         |  SELECT ticker, ts, seq,
+         |    price / lag(price, 1) OVER ($over) - 1 AS r
+         |  FROM bars),
+         |rr AS (SELECT ticker, ts, seq, r FROM rets WHERE r IS NOT NULL),
+         |cent AS (
+         |  SELECT ticker, ts, seq,
+         |    r - (CAST(SUM(CAST(r AS DECIMAL(38,12))) OVER (PARTITION BY ticker) AS DOUBLE)
+         |         / COUNT(r) OVER (PARTITION BY ticker)) AS c
+         |  FROM rr),
+         |lagd AS (
+         |  SELECT ticker, c,
+         |  $lagCols
+         |  FROM cent),
+         |agg AS (
+         |  SELECT ticker, COUNT(c) AS n_raw, CAST(COUNT(c) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS denom,
+         |  $gs
+         |  FROM lagd GROUP BY ticker)
+         |SELECT ticker, n_raw AS n,
+         |  n * (n + 2.0) * ($terms) AS lb_q
+         |FROM agg""".stripMargin
+    },
+    "q88_rank_stability" -> {
+      def predK(k: Int) =
+        s"""CAST(SUM(CAST(price AS DECIMAL(38,6))) OVER ($over ROWS BETWEEN $k PRECEDING AND 1 PRECEDING) AS DOUBLE)
+           | / COUNT(price) OVER ($over ROWS BETWEEN $k PRECEDING AND 1 PRECEDING)""".stripMargin
+      s"""${Bars.sql},
+         |base AS (
+         |  SELECT ticker, ts, seq, price,
+         |    ((row_number() OVER ($over) - 1) * 4) // (COUNT(*) OVER (PARTITION BY ticker)) AS fold,
+         |    ${predK(2)} - price AS e2,
+         |    ${predK(5)} - price AS e5,
+         |    ${predK(10)} - price AS e10
+         |  FROM bars),
+         |arms AS (
+         |  SELECT ticker, fold, 'ma2' AS model, e2 AS err FROM base
+         |  UNION ALL SELECT ticker, fold, 'ma5', e5 FROM base
+         |  UNION ALL SELECT ticker, fold, 'ma10', e10 FROM base),
+         |rmse AS (
+         |  SELECT ticker, fold, model,
+         |    sqrt(${sqlAvg12("err * err")}) AS rmse
+         |  FROM arms WHERE err IS NOT NULL GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT ticker, model,
+         |    rank() OVER (PARTITION BY ticker, fold ORDER BY rmse, model) AS rnk
+         |  FROM rmse)
+         |SELECT ticker, model, CAST(SUM(rnk) AS DOUBLE) / COUNT(*) AS avg_rank
+         |FROM ranked GROUP BY 1, 2""".stripMargin
+    },
+    "q89_hurst" -> {
+      def s18(x: String) = s"CAST(SUM(CAST(($x) AS DECIMAL(38,18))) AS DOUBLE)"
+      s"""${Bars.sql},
+         |idx AS (
+         |  SELECT ticker, price, row_number() OVER ($over) AS rn FROM bars),
+         |lags AS (SELECT unnest(generate_series(2, 20)) AS l),
+         |pairs AS (
+         |  SELECT a.ticker, lags.l, a.price - b.price AS d
+         |  FROM idx a CROSS JOIN lags
+         |  JOIN idx b ON b.ticker = a.ticker AND b.rn = a.rn - lags.l),
+         |sd AS (
+         |  SELECT ticker, l, ${sqlStddev("d")} AS sdl FROM pairs GROUP BY 1, 2),
+         |pts AS (
+         |  SELECT ticker, ln(CAST(l AS DOUBLE)) AS lx,
+         |    ln(greatest(sdl, 1e-12)) AS ly
+         |  FROM sd)
+         |SELECT ticker,
+         |  (CAST(COUNT(*) AS DOUBLE) * ${s18("lx * ly")} - ${s18("lx")} * ${s18("ly")})
+         |  / (CAST(COUNT(*) AS DOUBLE) * ${s18("lx * lx")} - ${s18("lx")} * ${s18("lx")}) AS hurst
+         |FROM pts GROUP BY ticker""".stripMargin
     }
   )
 }
