@@ -208,6 +208,39 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       adds, Seq.empty, inserted = n, updated = 0))
   }
 
+  /** Migrate a [[MergeSink]]-layout partitioned parquet table (live
+    * `<partCol>=<v>` dirs under `sinkDir`) into THIS empty table as ONE
+    * append commit: files are MOVED (rename, no rewrite) into the
+    * versioned layout and recorded in the log. Run `MergeSink.recover()`
+    * on the source first — the source must have no writer in flight —
+    * and read through this table afterwards (the old path keeps only
+    * sink-side markers). Returns the committed version (1). */
+  def importFrom(sinkDir: String): Long = {
+    require(latestVersion == 0L, "importFrom requires an empty versioned table")
+    val src = new Path(sinkDir)
+    require(fs.exists(src), s"no such dir: $sinkDir")
+    val txid = java.util.UUID.randomUUID().toString.take(8)
+    val n = spark.read.parquet(sinkDir).count() // before any move
+    val adds = scala.collection.mutable.ArrayBuffer.empty[Add]
+    fs.listStatus(src).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(s"$partitionCol="))
+      .foreach { partDir =>
+        val part = partDir.getName.stripPrefix(s"$partitionCol=")
+        val dest = new Path(s"$dataDir/${partDir.getName}")
+        fs.mkdirs(dest)
+        fs.listStatus(partDir).filter(_.isFile).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .foreach { f =>
+            val name = s"${txid}_${f.getName}"
+            fs.rename(f, new Path(dest, name))
+            adds += Add(s"data/${partDir.getName}/$name", part)
+          }
+        if (fs.listStatus(partDir).isEmpty) fs.delete(partDir, false)
+      }
+    commit(Entry(1L, txid, System.currentTimeMillis(), "append",
+      adds.toSeq, Seq.empty, inserted = n, updated = 0))
+  }
+
   /** Full-snapshot replace: the new version's adds are `df`'s files and
     * its removes are EVERYTHING previously live — readers at older
     * versions keep their snapshot until vacuum. The natural op for

@@ -210,6 +210,33 @@ class VersionedTableSpec extends AnyFunSuite with TestSpark {
     assert(!Files.exists(Paths.get(dir, ".tx_inflight")))
   }
 
+  test("importFrom migrates a MergeSink table in one commit, then merges land on top") {
+    val s = spark; import s.implicits._
+    // a populated MergeSink-layout table
+    val sinkDir = Files.createTempDirectory("graft_vt_imp").toString + "/bars"
+    val sink = new MergeSink(spark, sinkDir, keyCols = Seq("ticker", "seq"), partitionCol = "m")
+    sink.upsert(Seq(("AAPL", 1L, 10.0, 1), ("AAPL", 2L, 11.0, 1), ("MSFT", 1L, 20.0, 2))
+      .toDF("ticker", "seq", "price", "m"))
+
+    val root = Files.createTempDirectory("graft_vt_imp_t").toString + "/t"
+    val t = new VersionedTable(spark, root, partitionCol = "m")
+    assert(t.importFrom(sinkDir) === 1L)
+    assert(t.history().map(_.op) === Seq("append"))
+    assert(t.history().head.inserted === 3L)
+    val got = t.read().select("ticker", "seq", "price").as[(String, Long, Double)]
+      .collect().toSet
+    assert(got === Set(("AAPL", 1L, 10.0), ("AAPL", 2L, 11.0), ("MSFT", 1L, 20.0)))
+    // source live dirs were MOVED, not copied
+    assert(!Files.exists(Paths.get(sinkDir, "m=1")))
+    // normal versioned operation continues on top of the import
+    val st = t.upsert(Seq(("AAPL", 2L, 99.0, 1)).toDF("ticker", "seq", "price", "m"),
+      keyCols = Seq("ticker", "seq"))
+    assert(st.version === 2L && st.updated === 1L)
+    assert(t.read().where($"seq" === 2L).select("price").as[Double].collect().toSeq === Seq(99.0))
+    // a second import must refuse (table no longer empty)
+    intercept[IllegalArgumentException](t.importFrom(sinkDir))
+  }
+
   test("upsert unpersists its caches (no storage growth across micro-batches)") {
     val s = spark; import s.implicits._
     val (_, t) = mkTable("leak")
