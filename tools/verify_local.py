@@ -50,6 +50,11 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = 0
+    # An oracle entry with no dump dir means the Spark side FAILED for that
+    # query (Verify skips it) — a stale out_dir once masked exactly this.
+    for name in sorted(set(oracle) - set(names)):
+        print(f"FAIL {name}: oracle present but no spark dump (query failed?)")
+        n_fail += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
