@@ -83,6 +83,7 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
   }
 
   private def entryPath(v: Long) = new Path(logDir, f"$v%020d.json")
+  private def checkpointPath(v: Long) = new Path(logDir, f"$v%020d.checkpoint.json")
 
   private def readEntry(v: Long): Option[Entry] = {
     val p = entryPath(v)
@@ -92,22 +93,70 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     decode(raw) // None = torn in-flight write; caller treats as absent
   }
 
-  /** All committed entries in version order (torn tail skipped). */
-  def history(): Seq[Entry] = {
+  /** Committed entry version numbers in ascending order (checkpoint
+    * files do not parse as versions and so are excluded for free). */
+  private def versionList(): Seq[Long] = {
     if (!fs.exists(new Path(logDir))) return Seq.empty
-    val versions = fs.listStatus(new Path(logDir)).toSeq
+    fs.listStatus(new Path(logDir)).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".json"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
       .sorted
-    versions.flatMap(readEntry)
   }
 
-  def latestVersion: Long = history().lastOption.map(_.version).getOrElse(0L)
+  /** All committed entries in version order (torn tail skipped). */
+  def history(): Seq[Entry] = versionList().flatMap(readEntry)
 
-  /** Live (path → partition value) file set at version `v`. */
+  /** Latest committed version — scans file names, reads entries from the
+    * newest down only until one decodes (a torn in-flight tail is
+    * skipped), so it stays O(1) entry reads on a long log. */
+  def latestVersion: Long =
+    versionList().reverseIterator.flatMap(readEntry).map(_.version)
+      .nextOption().getOrElse(0L)
+
+  /** Write a checkpoint of the live file set at the latest version:
+    * snapshot resolution then starts from it instead of folding the
+    * whole log — the Delta checkpoint move. A streaming sink commits one
+    * entry per micro-batch, so without this every reader/committer walk
+    * is O(total commits); with it, O(commits since last checkpoint).
+    * Entries stay on disk (full history/time travel unaffected).
+    * Returns the checkpointed version (0 on an empty table). */
+  def checkpoint(): Long = {
+    val v = latestVersion
+    if (v == 0L) return 0L
+    val live = snapshotFiles(v)
+    val body = live.toSeq.sortBy(_._1)
+      .map { case (p, part) => s"""{"path":"$p","part":"$part"}""" }
+      .mkString("[", ",", "]")
+    val tmp = new Path(logDir, f".$v%020d.checkpoint.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"""{"version":$v,"files":$body}""".getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, checkpointPath(v))
+    v
+  }
+
+  /** Newest checkpoint at or before `v`, if any. */
+  private def latestCheckpointAtOrBefore(v: Long): Option[(Long, Map[String, String])] = {
+    if (!fs.exists(new Path(logDir))) return None
+    val cvs = fs.listStatus(new Path(logDir)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".checkpoint.json"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".checkpoint.json").toLong).toOption)
+      .filter(_ <= v)
+    if (cvs.isEmpty) return None
+    val cv = cvs.max
+    val in = fs.open(checkpointPath(cv))
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val files = """\{"path":"([^"]+)","part":"([^"]*)"\}""".r.findAllMatchIn(raw)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    Some(cv -> files)
+  }
+
+  /** Live (path → partition value) file set at version `v`, resolved
+    * from the newest checkpoint ≤ v plus only the entries after it. */
   private def snapshotFiles(v: Long): Map[String, String] = {
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    history().takeWhile(_.version <= v).foreach { e =>
+    val (startV, init) = latestCheckpointAtOrBefore(v).getOrElse(0L -> Map.empty[String, String])
+    val live = scala.collection.mutable.LinkedHashMap(init.toSeq: _*)
+    versionList().filter(ver => ver > startV && ver <= v).flatMap(readEntry).foreach { e =>
       e.removes.foreach(live.remove)
       e.adds.foreach(a => live(a.path) = a.part)
     }

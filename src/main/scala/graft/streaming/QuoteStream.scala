@@ -62,15 +62,20 @@ object QuoteStream {
     * when its single log-entry create lands), and `readAt` can replay
     * the table as of any earlier micro-batch for debugging/backtests. */
   def upsertBarsVersioned(gated: DataFrame, table: graft.sources.VersionedTable,
-      keyCols: Seq[String], checkpoint: String)
+      keyCols: Seq[String], checkpoint: String, logCheckpointEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     gated
       .withColumn("bar_date", to_date(col("bar_ts")))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        table.upsert(batch, keyCols): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.upsert(batch, keyCols)
+        // one log entry lands per micro-batch; periodic log checkpoints
+        // keep snapshot resolution O(entries since checkpoint) instead of
+        // O(total commits) on a long-running stream
+        if (logCheckpointEvery > 0 && batchId > 0 && batchId % logCheckpointEvery == 0)
+          table.checkpoint(): Unit
       }
       .start()
 

@@ -237,6 +237,35 @@ class VersionedTableSpec extends AnyFunSuite with TestSpark {
     intercept[IllegalArgumentException](t.importFrom(sinkDir))
   }
 
+  test("log checkpoint: snapshots resolve across it, time travel before it still works") {
+    val s = spark; import s.implicits._
+    val (_, t) = mkTable("ckp")
+    t.append(Seq(("AAPL", 1L, 10.0, 1)).toDF("ticker", "seq", "price", "m"))        // v1
+    t.upsert(Seq(("AAPL", 1L, 11.0, 1)).toDF("ticker", "seq", "price", "m"),
+      keyCols = Seq("ticker", "seq"))                                                // v2
+    t.append(Seq(("MSFT", 1L, 20.0, 2)).toDF("ticker", "seq", "price", "m"))        // v3
+    assert(t.checkpoint() === 3L)
+    // commits continue past the checkpoint
+    t.upsert(Seq(("MSFT", 1L, 21.0, 2)).toDF("ticker", "seq", "price", "m"),
+      keyCols = Seq("ticker", "seq"))                                                // v4
+    assert(t.latestVersion === 4L)
+    // latest snapshot resolves from checkpoint + 1 entry
+    val now = t.read().select("ticker", "price").as[(String, Double)].collect().toSet
+    assert(now === Set(("AAPL", 11.0), ("MSFT", 21.0)))
+    // snapshot AT the checkpoint and BEFORE it (pure entry fold) both work
+    assert(t.readAt(3).select("ticker", "price").as[(String, Double)].collect().toSet
+      === Set(("AAPL", 11.0), ("MSFT", 20.0)))
+    assert(t.readAt(1).select("price").as[Double].collect().toSeq === Seq(10.0))
+    // history is untouched by checkpointing
+    assert(t.history().map(_.version) === Seq(1L, 2L, 3L, 4L))
+    // a second checkpoint at the new head; reads unchanged
+    assert(t.checkpoint() === 4L)
+    assert(t.read().count() === 2)
+    // vacuum still reclaims pre-checkpoint fragments and keeps the head
+    t.vacuum(keepLast = 0)
+    assert(t.read().select("ticker", "price").as[(String, Double)].collect().toSet === now)
+  }
+
   test("upsert unpersists its caches (no storage growth across micro-batches)") {
     val s = spark; import s.implicits._
     val (_, t) = mkTable("leak")
