@@ -33,8 +33,16 @@ object Bench {
     // (Janino + JIT) every query's code up front and the timed single-shot
     // runs below measure dataflow, not compilation (~0.5-1 s per query
     // otherwise). Also covers the ChunkedWindow halo kernel's JIT.
+    // optional dev filter: bench only the named queries (comma-separated),
+    // each run REPS times (last timing wins — isolates warm steady-state)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+    names.foreach { q =>
       try execOn(q, warmDir) catch { case _: Throwable => () }
     }
     // Warm the TARGET sf dir's file listings / parquet footers / page
@@ -44,22 +52,18 @@ object Bench {
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
-    // optional dev filter: bench only the named queries (comma-separated),
-    // each run REPS times (last timing wins — isolates warm steady-state)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
-
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
       var last = 0.0
-      (1 to reps).foreach { _ =>
+      (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
-        // Failures must be LOUD (stderr — stdout stays one clean JSON
-        // line): a swallowed exception reads as a suspiciously fast query.
+        // Failures must be LOUD on stderr AND visible in the machine-read
+        // JSON (a swallowed exception reads as a suspiciously fast query —
+        // the round-3 q84 trap).
         try exec(name) catch {
-          case t: Throwable => System.err.println(s"[bench] $name FAILED: $t")
+          case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $t")
+            if (r == reps && !failed.contains(name)) failed += name
         }
         last = (System.nanoTime() - t0) / 1e9
       }
@@ -77,6 +81,11 @@ object Bench {
     // it if the driver merges stderr into the captured stream.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // `failed` is emitted only when non-empty so the happy-path line stays
+    // short; a failed query's "timing" is its time-to-exception.
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField}""")
   }
 }

@@ -123,32 +123,55 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
   def checkpoint(): Long = {
     val v = latestVersion
     if (v == 0L) return 0L
-    val live = snapshotFiles(v)
-    val body = live.toSeq.sortBy(_._1)
+    // A torn IN-FLIGHT entry below v is skipped by the snapshot fold and
+    // self-heals on the next full-log resolve once its write completes —
+    // but a checkpoint written while it is torn would freeze the skip
+    // forever (post-checkpoint resolves never replay it). Only
+    // checkpoint when every entry up to v decodes; otherwise do nothing
+    // and let a later call succeed.
+    val vs = versionList().filter(_ <= v)
+    val entries = vs.flatMap(readEntry)
+    if (entries.size != vs.size) return 0L
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    entries.foreach { e =>
+      e.removes.foreach(live.remove)
+      e.adds.foreach(a => live(a.path) = a.part)
+    }
+    val sorted = live.toSeq.sortBy(_._1)
+    val body = sorted
       .map { case (p, part) => s"""{"path":"$p","part":"$part"}""" }
       .mkString("[", ",", "]")
-    val tmp = new Path(logDir, f".$v%020d.checkpoint.tmp")
+    // unique tmp per call: two concurrent checkpoints at the same version
+    // must not share a tmp file (one would publish the other's partial
+    // write); their final content is identical, so the rename race is
+    // harmless. The file count makes truncation detectable on read.
+    val tmp = new Path(logDir,
+      s".ckp_${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
-    out.write(s"""{"version":$v,"files":$body}""".getBytes("UTF-8"))
+    out.write(s"""{"version":$v,"n":${sorted.size},"files":$body}""".getBytes("UTF-8"))
     out.close()
     fs.rename(tmp, checkpointPath(v))
     v
   }
 
-  /** Newest checkpoint at or before `v`, if any. */
+  /** Newest VALID checkpoint at or before `v`, if any (a checkpoint whose
+    * parsed file count disagrees with its `n` header — a torn write — is
+    * ignored, falling back to the next older one). */
   private def latestCheckpointAtOrBefore(v: Long): Option[(Long, Map[String, String])] = {
     if (!fs.exists(new Path(logDir))) return None
     val cvs = fs.listStatus(new Path(logDir)).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".checkpoint.json"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".checkpoint.json").toLong).toOption)
       .filter(_ <= v)
-    if (cvs.isEmpty) return None
-    val cv = cvs.max
-    val in = fs.open(checkpointPath(cv))
-    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val files = """\{"path":"([^"]+)","part":"([^"]*)"\}""".r.findAllMatchIn(raw)
-      .map(m => m.group(1) -> m.group(2)).toMap
-    Some(cv -> files)
+      .sorted(Ordering[Long].reverse)
+    cvs.iterator.flatMap { cv =>
+      val in = fs.open(checkpointPath(cv))
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val declared = """"n":(\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
+      val files = """\{"path":"([^"]+)","part":"([^"]*)"\}""".r.findAllMatchIn(raw)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      if (declared.contains(files.size)) Some(cv -> files) else None
+    }.nextOption()
   }
 
   /** Live (path → partition value) file set at version `v`, resolved
@@ -269,23 +292,38 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     val src = new Path(sinkDir)
     require(fs.exists(src), s"no such dir: $sinkDir")
     val txid = java.util.UUID.randomUUID().toString.take(8)
-    val n = spark.read.parquet(sinkDir).count() // before any move
-    val adds = scala.collection.mutable.ArrayBuffer.empty[Add]
     fs.listStatus(src).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith(s"$partitionCol="))
       .foreach { partDir =>
-        val part = partDir.getName.stripPrefix(s"$partitionCol=")
         val dest = new Path(s"$dataDir/${partDir.getName}")
         fs.mkdirs(dest)
         fs.listStatus(partDir).filter(_.isFile).map(_.getPath)
           .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .foreach { f =>
-            val name = s"${txid}_${f.getName}"
-            fs.rename(f, new Path(dest, name))
-            adds += Add(s"data/${partDir.getName}/$name", part)
-          }
-        if (fs.listStatus(partDir).isEmpty) fs.delete(partDir, false)
+          .foreach(f => fs.rename(f, new Path(dest, s"${txid}_${f.getName}")))
+        // recursive: listStatus hides .crc checksum siblings, which would
+        // fail a non-recursive delete of the "empty" dir
+        if (fs.listStatus(partDir).isEmpty) fs.delete(partDir, true)
       }
+    // Crash-safe resume: the adds (and the row count) come from a sweep of
+    // data/ AFTER the moves, not from a pre-move plan — the log is empty,
+    // so every file under data/ belongs to this import or to a previous
+    // CRASHED one, and both must land in the single commit (a pre-move
+    // count would silently drop the files a crashed run already moved).
+    val adds = scala.collection.mutable.ArrayBuffer.empty[Add]
+    if (fs.exists(new Path(dataDir))) {
+      fs.listStatus(new Path(dataDir)).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(s"$partitionCol="))
+        .foreach { partDir =>
+          val part = partDir.getName.stripPrefix(s"$partitionCol=")
+          fs.listStatus(partDir).filter(_.isFile).map(_.getPath)
+            .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .foreach(f => adds += Add(s"data/${partDir.getName}/${f.getName}", part))
+        }
+    }
+    val n =
+      if (adds.isEmpty) 0L
+      else spark.read.option("basePath", dataDir)
+        .parquet(adds.map(a => s"$root/${a.path}").sorted.toSeq: _*).count()
     commit(Entry(1L, txid, System.currentTimeMillis(), "append",
       adds.toSeq, Seq.empty, inserted = n, updated = 0))
   }

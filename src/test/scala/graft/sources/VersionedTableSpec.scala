@@ -237,6 +237,50 @@ class VersionedTableSpec extends AnyFunSuite with TestSpark {
     intercept[IllegalArgumentException](t.importFrom(sinkDir))
   }
 
+  test("importFrom resumes after a crash: files a dead run already moved still land in the commit") {
+    val s = spark; import s.implicits._
+    val sinkDir = Files.createTempDirectory("graft_vt_res").toString + "/bars"
+    val sink = new MergeSink(spark, sinkDir, keyCols = Seq("ticker", "seq"), partitionCol = "m")
+    sink.upsert(Seq(("AAPL", 1L, 10.0, 1), ("MSFT", 1L, 20.0, 2))
+      .toDF("ticker", "seq", "price", "m"))
+    val root = Files.createTempDirectory("graft_vt_res_t").toString + "/t"
+    val t = new VersionedTable(spark, root, partitionCol = "m")
+    // simulate a previous import that moved m=1 into data/ and DIED
+    // before committing (no log entry exists)
+    Files.createDirectories(Paths.get(root, "data", "m=1"))
+    val src1 = Paths.get(sinkDir, "m=1")
+    Files.list(src1).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(f => Files.move(f,
+        Paths.get(root, "data", "m=1", "dead0000_" + f.getFileName.toString)))
+    // re-run imports the REMAINING source AND sweeps up the orphans
+    assert(t.importFrom(sinkDir) === 1L)
+    assert(t.history().head.inserted === 2L)
+    val got = t.read().select("ticker", "price").as[(String, Double)].collect().toSet
+    assert(got === Set(("AAPL", 10.0), ("MSFT", 20.0)))
+  }
+
+  test("checkpoint refuses while a torn in-flight entry exists below the head (no frozen skip)") {
+    val s = spark; import s.implicits._
+    val (dir, t) = mkTable("torn")
+    t.append(Seq(("AAPL", 1L, 10.0, 1)).toDF("ticker", "seq", "price", "m")) // v1
+    // a concurrent writer's entry at v2, caught mid-write (undecodable);
+    // a blind append then leapfrogs it to v3 — the freeze shape
+    Files.writeString(Paths.get(dir, "_graft_log", f"${2L}%020d.json"), """{"version":2,"txi""")
+    t.append(Seq(("MSFT", 1L, 20.0, 2)).toDF("ticker", "seq", "price", "m")) // v3
+    assert(t.latestVersion === 3L)
+    assert(t.checkpoint() === 0L) // refused: a post-checkpoint resolve would never replay v2
+    assert(!Files.exists(Paths.get(dir, "_graft_log", f"${3L}%020d.checkpoint.json")))
+    // the in-flight writer finishes (or its entry is cleaned up) → works
+    Files.delete(Paths.get(dir, "_graft_log", f"${2L}%020d.json"))
+    assert(t.checkpoint() === 3L)
+    assert(t.read().count() === 2)
+    // a torn entry ABOVE the head is harmless: checkpoint lands at the
+    // last decodable version and the tail replays once it completes
+    Files.writeString(Paths.get(dir, "_graft_log", f"${4L}%020d.json"), """{"version":4,"txi""")
+    assert(t.checkpoint() === 3L)
+  }
+
   test("log checkpoint: snapshots resolve across it, time travel before it still works") {
     val s = spark; import s.implicits._
     val (_, t) = mkTable("ckp")
