@@ -23,7 +23,8 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = if (args.length > 1) args.drop(1).toSeq
     else Seq("q2_filter_range", "q4_join_inner", "q11_win_rolling",
-      "q30_asof_join", "q54_cosine_topk", "q1_agg")
+      "q30_asof_join", "q54_cosine_topk", "q1_agg",
+      "q51_ngram_jaccard", "q87_ljung_box", "q89_hurst")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
