@@ -439,6 +439,16 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       .flatMap(_.adds.map(_.path)).toSet
     val doomed = (everAdded -- liveAtOrAfter).toSeq.sorted
     doomed.foreach(p => fs.delete(new Path(s"$root/$p"), false))
+    // Superseded checkpoints: older checkpoints stay CORRECT as fold
+    // starting points (later entries' removes cover their stale paths),
+    // but only the newest one is ever chosen — drop the rest.
+    if (fs.exists(new Path(logDir))) {
+      val cvs = fs.listStatus(new Path(logDir)).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".checkpoint.json"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".checkpoint.json").toLong).toOption)
+        .sorted
+      cvs.dropRight(1).foreach(cv => fs.delete(checkpointPath(cv), false))
+    }
     // Staging dirs with no committed txid are abandoned writers — but a
     // LIVE writer between staging write and commit looks identical, so
     // (as Delta does with its retention window) only reclaim dirs whose
