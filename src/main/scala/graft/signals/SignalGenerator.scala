@@ -22,7 +22,11 @@ object SignalGenerator {
       maxRisk: Double = 0.75,
       atrStopMult: Double = 2.0,
       minRiskReward: Double = 2.0,
-      frictionBps: Double = 10.0)
+      frictionBps: Double = 10.0,
+      // Confidence calibrator applied to the raw damped core — plug
+      // PortfolioMath.plattApply(a, b) fitted on realized outcomes for
+      // the reference's Platt-calibrated confidence (:3724-4069)
+      calibrate: Double => Double = identity)
 
   final case class Inputs(
       ticker: String,
@@ -54,7 +58,7 @@ object SignalGenerator {
       0.2 * snr + 0.4 * edge
     // volatility damping: high per-step vol deflates confidence
     val volFactor = 1.0 / (1.0 + 10.0 * in.vol.headOption.getOrElse(0.0))
-    val confidence = math.max(0.0, math.min(1.0, rawConf * volFactor))
+    val confidence = math.max(0.0, math.min(1.0, cfg.calibrate(rawConf * volFactor)))
 
     // risk score: vol + CI width relative to price
     val riskScore = math.min(1.0,
