@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.exec.PortfolioEngine
 import graft.forecast.ForecastEngine
-import graft.signals.SignalGenerator
+import graft.signals.{QuantGate, SignalGenerator}
 
 /** The trading cycle loop — rebuild of /root/reference/scripts/
   * run_auto_trader.py:3876-4200: per cycle, prepare a lookback market
@@ -28,7 +28,8 @@ object AutoTrader {
   def run(spark: SparkSession, bars: DataFrame, cycles: Int,
       fcCfg: ForecastEngine.Config = ForecastEngine.Config(horizon = 5, mcPaths = 100),
       sigCfg: SignalGenerator.Config = SignalGenerator.Config(),
-      engineCfg: PortfolioEngine.Config = PortfolioEngine.Config()): Seq[CycleResult] = {
+      engineCfg: PortfolioEngine.Config = PortfolioEngine.Config(),
+      gateCfg: Option[QuantGate.Config] = Some(QuantGate.Config())): Seq[CycleResult] = {
     import spark.implicits._
     val dates = bars.select(col("date")).distinct().orderBy(col("date"))
       .collect().map(_.getTimestamp(0))
@@ -63,7 +64,21 @@ object AutoTrader {
             fc.map(_.upperCi).toArray, fc.map(_.vol).toArray,
             modelAgreement = 0.8, diagnosticsScore = 0.7,
             probUp = fc.head.probUp)
-          val sig = SignalGenerator.generate(in, sigCfg)
+          val sig0 = SignalGenerator.generate(in, sigCfg)
+          // quant success-criteria hard gate over the trailing 120-bar
+          // window (run_auto_trader's quant validation; lookback_days
+          // default 120) — insufficient history passes through, as the
+          // reference's profile builder returns None there
+          val sig = gateCfg match {
+            case Some(g) if closes.length > 30 && sig0.action != "HOLD" =>
+              val tail = closes.takeRight(121).map(c => math.max(c, 1e-6))
+              val lr = tail.sliding(2).map(a => math.log(a(1) / a(0))).toArray
+              val dir = if (sig0.action == "SELL") -1.0 else 1.0
+              QuantGate(sig0, QuantGate.evaluate(lr, dir,
+                positionValue = engineCfg.initialCapital * 0.1,
+                netTradeReturn = sig0.expectedReturn, cfg = g))
+            case _ => sig0
+          }
           Iterator((cycle, ticker, arr.last._2, closes.last, sig.action, sig.confidence))
         }
       }
