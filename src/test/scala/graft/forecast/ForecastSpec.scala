@@ -202,6 +202,46 @@ class ForecastSpec extends AnyFunSuite with TestSpark {
     assert(blended(0) === 2.0 && blended(1) === 3.0) // NaN-aware renorm
   }
 
+  test("ensemble DA cap redistributes only to non-penalized models, honoring the contract") {
+    val w = Map("A" -> 0.5, "B" -> 0.3, "C" -> 0.2)
+    val da = Map("A" -> 0.30, "B" -> 0.55, "C" -> 0.58) // A penalized (< 0.45)
+    val capped = Ensemble.applyDaCap(w, da, floor = 0.45, cap = 0.10)
+    assert(capped("A") === 0.10)
+    assert(math.abs(capped.values.sum - 1.0) < 1e-9)
+    // redistribution preserved B:C proportions of the freed budget
+    assert(math.abs(capped("B") / capped("C") - 0.3 / 0.2) < 1e-9)
+    // all-penalized candidate collapses to empty → caller skips it
+    assert(Ensemble.applyDaCap(Map("A" -> 1.0), Map("A" -> 0.1), 0.45, 0.10) === Map.empty)
+    // nothing above the cap → unchanged
+    val under = Map("A" -> 0.05, "B" -> 0.95)
+    assert(Ensemble.applyDaCap(under, Map("A" -> 0.1), 0.45, 0.10) === under)
+  }
+
+  test("ensemble selectFull: auto_directional candidate, regime sets, confidence scaling") {
+    // DA mapping [0.40, 0.60] -> [0, 1]: 0.40 drops out, 0.60 maps to 1.0
+    val auto = Ensemble.daCandidate(Map("A" -> 0.40, "B" -> 0.60, "C" -> 0.50)).get
+    assert(!auto.weights.contains("A"))
+    assert(math.abs(auto.weights("B") - 1.0) < 1e-12 && math.abs(auto.weights("C") - 0.5) < 1e-12)
+    assert(Ensemble.daCandidate(Map("A" -> 0.35)).isEmpty)
+
+    val static_ = Seq(Ensemble.Candidate("duo", Map("A" -> 0.5, "B" -> 0.5)))
+    val crisis = Map("CRISIS" -> Seq(Ensemble.Candidate("defensive", Map("B" -> 1.0))))
+    // regime-specific set replaces the static list for that regime
+    val selCrisis = Ensemble.selectFull(static_, Map("A" -> 0.8, "B" -> 0.8),
+      regime = "CRISIS", regimeCandidates = crisis, cfg = Ensemble.Config(trackDa = false)).get
+    assert(selCrisis.candidate.name === "defensive")
+    // strong DA track record promotes the auto_directional candidate
+    val selDa = Ensemble.selectFull(static_, Map("A" -> 0.9, "B" -> 0.2),
+      da = Map("A" -> 0.60, "B" -> 0.41)).get
+    assert(selDa.candidate.name === "auto_directional")
+    // confidence scaling reweights toward the confident model
+    val scaled = Ensemble.selectFull(static_, Map("A" -> 0.9, "B" -> 0.3),
+      cfg = Ensemble.Config(trackDa = false)).get
+    assert(scaled.candidate.weights("A") > 0.7)
+    // zero-confidence everywhere → no selection survives
+    assert(Ensemble.selectFull(static_, Map("A" -> 0.0, "B" -> 0.0)).isEmpty)
+  }
+
   test("Monte Carlo is seed-deterministic with sane bands") {
     val fc = Array(101.0, 102.0, 103.0)
     val vol = Array(0.01, 0.01, 0.01)
