@@ -84,17 +84,27 @@ object ForecastEngine {
     // ensemble.py:551-561, forecaster.py:2751-3044): refit each model on
     // the train prefix, evaluate on the held-out tail.
     val evalH = math.min(cfg.horizon, math.max(3, prices.length / 20))
-    val confidence: Map[String, Double] = {
+    val (confidence, daScores): (Map[String, Double], Map[String, Double]) = {
       val fitPart = prices.dropRight(evalH)
       val actual = prices.takeRight(evalH)
-      if (fitPart.length < 40) forecasts.map { case (m, _) => m -> 0.5 }
+      if (fitPart.length < 40)
+        (forecasts.map { case (m, _) => m -> 0.5 }, Map.empty[String, Double])
       else {
         def rmse(pred: Array[Double]): Double = math.sqrt(
           pred.zip(actual).map { case (p, a) => (p - a) * (p - a) }.sum / actual.length)
+        // 1-step directional accuracy vs the realized path (metrics.py
+        // sign-match; feeds the ensemble's DA candidate + cap)
+        val prev = fitPart.last +: actual.dropRight(1)
+        def da(pred: Array[Double]): Double =
+          pred.indices.count(i =>
+            math.signum(pred(i) - prev(i)) == math.signum(actual(i) - prev(i))
+          ).toDouble / pred.length
         val rw = rmse(Array.fill(evalH)(fitPart.last))
-        runModels(fitPart, evalH).map { case (m, pred) =>
+        val oos = runModels(fitPart, evalH)
+        (oos.map { case (m, pred) =>
           m -> rw / (rmse(pred) + rw + 1e-12) // 0.5 = ties RW, >0.5 beats it
-        }.withDefaultValue(0.25)
+        }.withDefaultValue(0.25),
+          oos.map { case (m, pred) => m -> da(pred) })
       }
     }
     val candidates = Seq(
@@ -104,9 +114,20 @@ object ForecastEngine {
       Ensemble.Candidate("ssa_only", Map("SSA" -> 1.0)))
       .map(c => c.copy(weights = c.weights.filter(kv => forecasts.contains(kv._1))))
       .filter(_.weights.nonEmpty)
+    // regime-specific candidate sets (config regime_candidate_weights):
+    // CRISIS prunes to defensive blends — the reference's regime-based
+    // candidate pruning perf/safety switch
+    val regimeCandidates = Map(
+      "CRISIS" -> (Seq(
+        Ensemble.Candidate("defensive", Map("NAIVE_DRIFT" -> 0.5, "SSA" -> 0.5)),
+        Ensemble.Candidate("drift_only", Map("NAIVE_DRIFT" -> 1.0)))
+        .map(c => c.copy(weights = c.weights.filter(kv => forecasts.contains(kv._1))))
+        .filter(_.weights.nonEmpty)))
     val fullConfidence = forecasts.keys.map(m =>
       m -> confidence.getOrElse(m, 0.25)).toMap
-    val selected = Ensemble.select(candidates, fullConfidence)
+    val selected = Ensemble.selectFull(candidates, fullConfidence,
+      da = daScores, regime = regime.regime, regimeCandidates = regimeCandidates)
+      .getOrElse(Ensemble.select(candidates, fullConfidence))
     val blended = Ensemble.blend(forecasts, selected.candidate.weights)
 
     val mc = MonteCarlo.simulate(prices.last, blended, volFc,
