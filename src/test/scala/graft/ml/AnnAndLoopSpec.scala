@@ -80,4 +80,13 @@ class AnnAndLoopSpec extends AnyFunSuite with TestSpark {
     assert(totalFills >= 0) // engine ran; fills depend on signal mix
     assert(results.forall(r => !r.realizedPnl.isNaN))
   }
+
+  test("a draconian quant gate holds every signal: no buys, no sells, no fills") {
+    val bars = SyntheticSource.generate(spark, Seq("A1", "A2"), 160, seed = 19).toDF()
+    val gated = AutoTrader.run(spark, bars, cycles = 3,
+      gateCfg = Some(graft.signals.QuantGate.Config(minInformationRatio = 1e9,
+        hardGates = Seq("information_ratio"))))
+    assert(gated.forall(r => r.nBuys === 0 && r.nSells === 0))
+    assert(gated.map(_.nFills).sum === 0)
+  }
 }
