@@ -91,4 +91,42 @@ object Validator {
     val warn = report.missingRatio > missingThreshold || report.nResidualNulls > 0
     report.copy(status = if (fail) "FAIL" else if (warn) "WARN" else "PASS")
   }
+
+  /** PASS/WARN/FAIL → routing classification (preprocessor.py:174-186):
+    * production_ok only on PASS, research_ok unless FAIL, quality tag
+    * CLEAN / HIGH_IMPUTE-or-SPARSE / BLOCKED. `imputedFraction` and
+    * `paddingFraction` come from preprocessing metadata (the reference's
+    * >30% imputed / >20% padded quality warnings). */
+  final case class Classification(productionOk: Boolean, researchOk: Boolean,
+      qualityTag: String)
+
+  def classify(report: QualityReport,
+      imputedFraction: Double = 0.0, paddingFraction: Double = 0.0,
+      maxImputedFraction: Double = 0.30, maxPaddingFraction: Double = 0.20)
+      : Classification = {
+    val highImpute = imputedFraction > maxImputedFraction ||
+      paddingFraction > maxPaddingFraction
+    val status =
+      if (report.status == "FAIL") "FAIL"
+      else if (report.status == "WARN" || highImpute) "WARN"
+      else "PASS"
+    val tag =
+      if (status == "FAIL") "BLOCKED"
+      else if (highImpute) "HIGH_IMPUTE"
+      else if (status == "WARN") "SPARSE_DATA"
+      else "CLEAN"
+    Classification(productionOk = status == "PASS",
+      researchOk = status != "FAIL", qualityTag = tag)
+  }
+
+  /** CHECK-constraint emulation (SURVEY §1.2): Spark has no table CHECK,
+    * so enum validity is enforced by routing — rows whose column value
+    * is outside the allowed set go to a quarantine frame instead of
+    * failing the write. Returns (clean, quarantined); one predicate,
+    * both sides lazily share the scan. */
+  def enforceEnum(df: DataFrame, column: String, allowed: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val ok = col(column).isin(allowed: _*)
+    (df.where(ok), df.where(!ok || col(column).isNull))
+  }
 }

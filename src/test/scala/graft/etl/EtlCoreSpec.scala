@@ -56,6 +56,26 @@ class EtlCoreSpec extends AnyFunSuite with TestSpark {
     assert(hll.status === "PASS" && hll.nTickers === Validator.validate(bars).nTickers)
   }
 
+  test("classification routes PASS/WARN/FAIL to production/research; enums quarantine") {
+    val pass = Validator.validate(bars)
+    val c0 = Validator.classify(pass)
+    assert(c0 === Validator.Classification(productionOk = true, researchOk = true, "CLEAN"))
+    // high imputation demotes a PASS to research-only HIGH_IMPUTE
+    val c1 = Validator.classify(pass, imputedFraction = 0.4)
+    assert(!c1.productionOk && c1.researchOk && c1.qualityTag === "HIGH_IMPUTE")
+    // structural FAIL blocks both routes
+    val corrupt = bars.withColumn("close", lit(-1.0))
+    val c2 = Validator.classify(Validator.validate(corrupt))
+    assert(!c2.productionOk && !c2.researchOk && c2.qualityTag === "BLOCKED")
+    // CHECK-constraint emulation: invalid enum rows route to quarantine
+    val s = spark; import s.implicits._
+    val acts = Seq(("t1", "BUY"), ("t2", "SELL"), ("t3", "SHORT"), ("t4", null))
+      .toDF("id", "action")
+    val (clean, quarantined) = Validator.enforceEnum(acts, "action", Seq("BUY", "SELL", "HOLD"))
+    assert(clean.select("id").as[String].collect().toSet === Set("t1", "t2"))
+    assert(quarantined.select("id").as[String].collect().toSet === Set("t3", "t4"))
+  }
+
   test("forward fill is causal and per-ticker; group mean fills the rest") {
     val gappy = bars.withColumn("close",
       when(dayofmonth(col("date")).isin(10, 11), lit(null)).otherwise(col("close")))
