@@ -1,18 +1,22 @@
 package graft.forecast
 
-/** GARCH(1,1) by Gaussian quasi-MLE — rebuild of the reference's GARCH
-  * operator (/root/reference/forcester_ts/garch.py:66-818): return
-  * clipping at p99.5 (:156-168), (1,1) volatility recursion, EWMA
-  * fallback when the sample is short or the fit fails to improve on it
-  * (:580-633), persistence diagnostics (:519-579).
+/** GARCH(1,1) by quasi-MLE — rebuild of the reference's GARCH operator
+  * (/root/reference/forcester_ts/garch.py:66-818): return clipping at
+  * p99.5 (:156-168), (1,1) volatility recursion, an innovation-
+  * distribution grid (normal and Student-t, the arch-lib dist axis of
+  * the reference's (p,q)×dist×mean AIC grid :225-470; skew-t
+  * deliberately reduced to t per the risk register), AIC selection,
+  * EWMA fallback when the sample is short or the fit fails to improve
+  * on it (:580-633), persistence diagnostics (:519-579).
   *
-  * Optimizer: Nelder–Mead over (ω, α, β) with a stationarity barrier
-  * (α+β<1) — 3 parameters, no gradient needed, deterministic.
+  * Optimizer: Nelder–Mead over (ω, α, β[, ν]) with a stationarity
+  * barrier (α+β<1) — no gradient needed, deterministic.
   */
 object Garch {
 
   final case class Fit(omega: Double, alpha: Double, beta: Double,
-      persistence: Double, logLik: Double, converged: Boolean, usedEwma: Boolean)
+      persistence: Double, logLik: Double, converged: Boolean, usedEwma: Boolean,
+      dist: String = "normal", nu: Double = 0.0, aic: Double = Double.NaN)
 
   def clip(returns: Array[Double], q: Double = 0.995): Array[Double] = {
     if (returns.length < 3) return returns
@@ -35,6 +39,43 @@ object Garch {
       i += 1
     }
     nll
+  }
+
+  /** Student-t negative log-likelihood with unit-variance scaling: the
+    * innovation is t_ν scaled so Var = h_t, i.e. density uses h(ν−2)/ν.
+    * Same variance recursion as the Gaussian filter. */
+  private def negLogLikT(r: Array[Double], omega: Double, alpha: Double,
+      beta: Double, nu: Double): Double = {
+    if (omega <= 0 || alpha < 0 || beta < 0 || alpha + beta >= 0.9999 ||
+      nu <= 2.05 || nu > 200) return 1e12
+    val n = r.length
+    val cst = lnGamma((nu + 1) / 2) - lnGamma(nu / 2) -
+      0.5 * math.log(math.Pi * (nu - 2))
+    var h = r.map(x => x * x).sum / n
+    var nll = 0.0
+    var i = 0
+    while (i < n) {
+      if (i > 0) h = omega + alpha * r(i - 1) * r(i - 1) + beta * h
+      if (h <= 0) return 1e12
+      nll -= cst - 0.5 * math.log(h) -
+        ((nu + 1) / 2) * math.log1p(r(i) * r(i) / (h * (nu - 2)))
+      i += 1
+    }
+    nll
+  }
+
+  /** Lanczos log-gamma (g=7, n=9 — the standard public coefficients). */
+  private[forecast] def lnGamma(x: Double): Double = {
+    if (x < 0.5)
+      return math.log(math.Pi / math.sin(math.Pi * x)) - lnGamma(1 - x)
+    val g = Array(0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    val z = x - 1
+    var a = g(0)
+    val t = z + 7.5
+    (1 until 9).foreach(i => a += g(i) / (z + i))
+    0.5 * math.log(2 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
   }
 
   /** Deterministic Nelder–Mead — shared impl in [[LinAlg.nelderMead]]. */
@@ -62,9 +103,13 @@ object Garch {
     nll
   }
 
-  /** Fit GARCH(1,1); falls back to EWMA (λ=0.94) when the sample is
-    * short or MLE fails to beat the EWMA-equivalent likelihood. */
-  def fit(rawReturns: Array[Double], minObs: Int = 50): Fit = {
+  /** Fit GARCH(1,1) over the {normal, t} innovation grid, selecting by
+    * AIC (normal k=3, t k=4, mirroring the reference's dist axis);
+    * falls back to EWMA (λ=0.94) when the sample is short or neither MLE
+    * beats the EWMA-equivalent likelihood. Pass `dists = Seq("normal")`
+    * to keep the pure-QMLE behavior. */
+  def fit(rawReturns: Array[Double], minObs: Int = 50,
+      dists: Seq[String] = Seq("normal", "t")): Fit = {
     val r = clip(rawReturns)
     val ewmaAsGarch = { // EWMA ≡ IGARCH(ω=0, α=1−λ, β=λ) — the fallback
       val l = 0.94
@@ -72,11 +117,27 @@ object Garch {
     }
     if (r.length < minObs) return ewmaAsGarch
     val v = r.map(x => x * x).sum / r.length
-    val start = Array(0.05 * v, 0.08, 0.90)
-    val (p, nll, conv) = nelderMead(a => negLogLik(r, a(0), a(1), a(2)), start)
-    val fitLl = -nll
-    if (!fitLl.isFinite || fitLl < ewmaAsGarch.logLik) ewmaAsGarch
-    else Fit(p(0), p(1), p(2), p(1) + p(2), fitLl, conv, usedEwma = false)
+    val candidates = dists.flatMap {
+      case "normal" =>
+        val (p, nll, conv) = nelderMead(a => negLogLik(r, a(0), a(1), a(2)),
+          Array(0.05 * v, 0.08, 0.90))
+        val ll = -nll
+        if (!ll.isFinite) None
+        else Some(Fit(p(0), p(1), p(2), p(1) + p(2), ll, conv, usedEwma = false,
+          dist = "normal", aic = 2.0 * 3 - 2.0 * ll))
+      case "t" =>
+        val (p, nll, conv) = nelderMead(
+          a => negLogLikT(r, a(0), a(1), a(2), a(3)),
+          Array(0.05 * v, 0.08, 0.90, 8.0))
+        val ll = -nll
+        if (!ll.isFinite) None
+        else Some(Fit(p(0), p(1), p(2), p(1) + p(2), ll, conv, usedEwma = false,
+          dist = "t", nu = p(3), aic = 2.0 * 4 - 2.0 * ll))
+      case other => throw new IllegalArgumentException(s"unknown dist: $other")
+    }
+    val best = candidates.filter(_.logLik >= ewmaAsGarch.logLik)
+      .sortBy(_.aic).headOption
+    best.getOrElse(ewmaAsGarch)
   }
 
   /** h-step conditional variance forecast:

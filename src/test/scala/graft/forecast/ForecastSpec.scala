@@ -40,6 +40,32 @@ class ForecastSpec extends AnyFunSuite with TestSpark {
     assert(vol.forall(v => v > 0 && v < 0.2))
   }
 
+  test("GARCH dist grid: AIC picks Student-t on fat-tailed innovations and recovers nu") {
+    val rng = new Random(13)
+    val nuTrue = 5.0
+    def tDraw(): Double = { // scaled t_nu with unit variance
+      val z = rng.nextGaussian()
+      // chi2(nu) via sum of squared normals (nu integral here)
+      val chi2 = (1 to nuTrue.toInt).map(_ => math.pow(rng.nextGaussian(), 2)).sum
+      z / math.sqrt(chi2 / nuTrue) * math.sqrt((nuTrue - 2) / nuTrue)
+    }
+    val (om, al, be) = (2e-6, 0.10, 0.85)
+    var h = om / (1 - al - be)
+    val r = Array.fill(4000) {
+      val x = math.sqrt(h) * tDraw()
+      h = om + al * x * x + be * h
+      x
+    }
+    val fit = Garch.fit(r)
+    assert(fit.dist === "t", s"picked ${fit.dist}")
+    assert(fit.nu > 3.0 && fit.nu < 9.0, s"nu=${fit.nu}")
+    assert(math.abs(fit.alpha - al) < 0.06 && math.abs(fit.beta - be) < 0.10)
+    // gaussian data: the 2-point AIC penalty rejects the extra t parameter
+    val rg = { var hh = om / (1 - al - be); Array.fill(4000) {
+      val x = math.sqrt(hh) * rng.nextGaussian(); hh = om + al * x * x + be * hh; x } }
+    assert(Garch.fit(rg).dist === "normal")
+  }
+
   test("GARCH falls back to EWMA on short samples") {
     val r = Array.fill(20)(0.01)
     val fit = Garch.fit(r)
