@@ -16,7 +16,8 @@ object Garch {
 
   final case class Fit(omega: Double, alpha: Double, beta: Double,
       persistence: Double, logLik: Double, converged: Boolean, usedEwma: Boolean,
-      dist: String = "normal", nu: Double = 0.0, aic: Double = Double.NaN)
+      dist: String = "normal", nu: Double = 0.0, aic: Double = Double.NaN,
+      mean: String = "Zero", meanC: Double = 0.0, meanPhi: Double = 0.0)
 
   def clip(returns: Array[Double], q: Double = 0.995): Array[Double] = {
     if (returns.length < 3) return returns
@@ -109,32 +110,57 @@ object Garch {
     * beats the EWMA-equivalent likelihood. Pass `dists = Seq("normal")`
     * to keep the pure-QMLE behavior. */
   def fit(rawReturns: Array[Double], minObs: Int = 50,
-      dists: Seq[String] = Seq("normal", "t")): Fit = {
+      dists: Seq[String] = Seq("normal", "t"),
+      means: Seq[String] = Seq("Zero", "AR")): Fit = {
     val r = clip(rawReturns)
     val ewmaAsGarch = { // EWMA ≡ IGARCH(ω=0, α=1−λ, β=λ) — the fallback
       val l = 0.94
       Fit(0.0, 1 - l, l, 1.0, -ewmaNegLogLik(r, l), converged = false, usedEwma = true)
     }
     if (r.length < minObs) return ewmaAsGarch
-    val v = r.map(x => x * x).sum / r.length
-    val candidates = dists.flatMap {
-      case "normal" =>
-        val (p, nll, conv) = nelderMead(a => negLogLik(r, a(0), a(1), a(2)),
-          Array(0.05 * v, 0.08, 0.90))
-        val ll = -nll
-        if (!ll.isFinite) None
-        else Some(Fit(p(0), p(1), p(2), p(1) + p(2), ll, conv, usedEwma = false,
-          dist = "normal", aic = 2.0 * 3 - 2.0 * ll))
-      case "t" =>
-        val (p, nll, conv) = nelderMead(
-          a => negLogLikT(r, a(0), a(1), a(2), a(3)),
-          Array(0.05 * v, 0.08, 0.90, 8.0))
-        val ll = -nll
-        if (!ll.isFinite) None
-        else Some(Fit(p(0), p(1), p(2), p(1) + p(2), ll, conv, usedEwma = false,
-          dist = "t", nu = p(3), aic = 2.0 * 4 - 2.0 * ll))
-      case other => throw new IllegalArgumentException(s"unknown dist: $other")
+    // mean axis (two-stage QMLE: the mean model is fit by OLS, GARCH runs
+    // on its residuals; its parameter count enters the AIC)
+    // every arm fits on the SAME n-1 observations (the AR arm loses one
+    // row to its lag) — AICs across different spans are not comparable
+    val meanModels: Seq[(String, Double, Double, Array[Double], Int)] = means.map {
+      case "Zero" => ("Zero", 0.0, 0.0, r.drop(1), 0)
+      case "AR" =>
+        val n = r.length - 1
+        val x = r.take(n); val y = r.drop(1)
+        val mx = x.sum / n; val my = y.sum / n
+        val sxx = x.map(v => (v - mx) * (v - mx)).sum
+        val phi = if (sxx > 0) x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum / sxx else 0.0
+        val c = my - phi * mx
+        ("AR", c, phi, y.zip(x).map { case (b, a) => b - c - phi * a }, 2)
+      case other => throw new IllegalArgumentException(s"unknown mean: $other")
     }
+    val candidates = for {
+      (meanName, c, phi, e, kMean) <- meanModels
+      dist <- dists
+      fit <- {
+        val v = e.map(x => x * x).sum / e.length
+        dist match {
+          case "normal" =>
+            val (p, nll, conv) = nelderMead(a => negLogLik(e, a(0), a(1), a(2)),
+              Array(0.05 * v, 0.08, 0.90))
+            val ll = -nll
+            if (!ll.isFinite) None
+            else Some(Fit(p(0), p(1), p(2), p(1) + p(2), ll, conv, usedEwma = false,
+              dist = "normal", aic = 2.0 * (3 + kMean) - 2.0 * ll,
+              mean = meanName, meanC = c, meanPhi = phi))
+          case "t" =>
+            val (p, nll, conv) = nelderMead(
+              a => negLogLikT(e, a(0), a(1), a(2), a(3)),
+              Array(0.05 * v, 0.08, 0.90, 8.0))
+            val ll = -nll
+            if (!ll.isFinite) None
+            else Some(Fit(p(0), p(1), p(2), p(1) + p(2), ll, conv, usedEwma = false,
+              dist = "t", nu = p(3), aic = 2.0 * (4 + kMean) - 2.0 * ll,
+              mean = meanName, meanC = c, meanPhi = phi))
+          case other => throw new IllegalArgumentException(s"unknown dist: $other")
+        }
+      }
+    } yield fit
     val best = candidates.filter(_.logLik >= ewmaAsGarch.logLik)
       .sortBy(_.aic).headOption
     best.getOrElse(ewmaAsGarch)
@@ -143,9 +169,15 @@ object Garch {
   /** h-step conditional variance forecast:
     * h_{t+k} = σ²_∞ + (α+β)^{k−1}(h_{t+1} − σ²_∞). */
   def forecastVol(returns: Array[Double], fit: Fit, horizon: Int): Array[Double] = {
-    val r = clip(returns)
-    if (r.isEmpty) return Array.fill(horizon)(0.0)
-    if (fit.usedEwma) return Ewma.forecastVol(r, horizon)
+    val r0 = clip(returns)
+    if (r0.isEmpty) return Array.fill(horizon)(0.0)
+    if (fit.usedEwma) return Ewma.forecastVol(r0, horizon)
+    // the variance recursion runs on the fit's mean-model residuals
+    val r =
+      if (fit.mean == "AR" && r0.length > 1)
+        r0.drop(1).zip(r0.dropRight(1)).map { case (b, a) =>
+          b - fit.meanC - fit.meanPhi * a }
+      else r0
     var h = r.map(x => x * x).sum / r.length
     var i = 1
     while (i < r.length) {

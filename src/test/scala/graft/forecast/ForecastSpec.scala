@@ -66,6 +66,29 @@ class ForecastSpec extends AnyFunSuite with TestSpark {
     assert(Garch.fit(rg).dist === "normal")
   }
 
+  test("GARCH mean axis: AR mean wins AIC on autocorrelated returns, Zero on centered noise") {
+    val rng = new Random(29)
+    val (om, al, be) = (2e-6, 0.10, 0.85)
+    // returns with a real AR(1) mean structure on top of GARCH noise
+    var h = om / (1 - al - be)
+    var prev = 0.0
+    val r = Array.fill(4000) {
+      val e = { val x = math.sqrt(h) * rng.nextGaussian(); h = om + al * x * x + be * h; x }
+      val v = 0.001 + 0.4 * prev + e
+      prev = v
+      v
+    }
+    val fit = Garch.fit(r)
+    assert(fit.mean === "AR", s"picked mean=${fit.mean}")
+    assert(math.abs(fit.meanPhi - 0.4) < 0.08, s"phi=${fit.meanPhi}")
+    assert(Garch.forecastVol(r, fit, 5).forall(v => v > 0 && v < 0.2))
+    // centered noise: the 2-parameter mean model loses the AIC
+    var h2 = om / (1 - al - be)
+    val rz = Array.fill(4000) {
+      val x = math.sqrt(h2) * rng.nextGaussian(); h2 = om + al * x * x + be * h2; x }
+    assert(Garch.fit(rz).mean === "Zero")
+  }
+
   test("GARCH falls back to EWMA on short samples") {
     val r = Array.fill(20)(0.01)
     val fit = Garch.fit(r)
