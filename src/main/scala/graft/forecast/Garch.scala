@@ -113,9 +113,14 @@ object Garch {
       dists: Seq[String] = Seq("normal", "t"),
       means: Seq[String] = Seq("Zero", "AR")): Fit = {
     val r = clip(rawReturns)
+    // the EWMA fallback likelihood must share the candidates' n-1 span
+    // (every mean arm fits on r.drop(1)) — a full-n EWMA likelihood would
+    // carry ~one extra observation's log-density and bias the
+    // fit-vs-fallback comparison toward the fallback
+    val rCmp = if (r.length > 1) r.drop(1) else r
     val ewmaAsGarch = { // EWMA ≡ IGARCH(ω=0, α=1−λ, β=λ) — the fallback
       val l = 0.94
-      Fit(0.0, 1 - l, l, 1.0, -ewmaNegLogLik(r, l), converged = false, usedEwma = true)
+      Fit(0.0, 1 - l, l, 1.0, -ewmaNegLogLik(rCmp, l), converged = false, usedEwma = true)
     }
     if (r.length < minObs) return ewmaAsGarch
     // mean axis (two-stage QMLE: the mean model is fit by OLS, GARCH runs

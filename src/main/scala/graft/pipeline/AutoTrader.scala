@@ -67,8 +67,12 @@ object AutoTrader {
           val sig0 = SignalGenerator.generate(in, sigCfg)
           // quant success-criteria hard gate over the trailing 120-bar
           // window (run_auto_trader's quant validation; lookback_days
-          // default 120) — insufficient history passes through, as the
-          // reference's profile builder returns None there
+          // default 120). The reference gates any >=2-point window; we
+          // additionally let very short (<~30-bar) histories pass
+          // through rather than hard-block on meaningless statistics.
+          // The trade return is DIRECTION-ADJUSTED like the strategy
+          // returns — a SELL profits from its negative expected move
+          // (without this, expected_profit would veto every short).
           val sig = gateCfg match {
             case Some(g) if closes.length > 30 && sig0.action != "HOLD" =>
               val tail = closes.takeRight(121).map(c => math.max(c, 1e-6))
@@ -76,7 +80,7 @@ object AutoTrader {
               val dir = if (sig0.action == "SELL") -1.0 else 1.0
               QuantGate(sig0, QuantGate.evaluate(lr, dir,
                 positionValue = engineCfg.initialCapital * 0.1,
-                netTradeReturn = sig0.expectedReturn, cfg = g))
+                netTradeReturn = dir * sig0.expectedReturn, cfg = g))
             case _ => sig0
           }
           Iterator((cycle, ticker, arr.last._2, closes.last, sig.action, sig.confidence))

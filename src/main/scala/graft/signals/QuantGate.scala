@@ -63,8 +63,10 @@ object QuantGate {
     }
     val expectedProfit = positionValue * netTradeReturn
     val t = if (sd > 0) mean / (sd / math.sqrt(n.toDouble)) else 0.0
-    // one-sided: evidence the strategy's mean return is ABOVE zero
-    val p = StatTests.tPValue(t, n - 1.0) / 2 + (if (t < 0) 0.5 else 0.0)
+    // one-sided P(mean > 0): half the two-sided tail for t > 0, and its
+    // complement for t < 0 (monotone decreasing in t everywhere)
+    val twoSided = StatTests.tPValue(t, n - 1.0)
+    val p = if (t >= 0) twoSided / 2 else 1.0 - twoSided / 2
     val ir = if (sd > 0) mean / sd * math.sqrt(252.0) else 0.0
     val omega = PortfolioMath.omega(strat)
     val esEdge = PortfolioMath.esToEdge(strat)
@@ -78,9 +80,13 @@ object QuantGate {
       "es_to_edge" -> (esEdge.isNaN || esEdge <= cfg.maxEsToEdge),
       "crisis_regime_path_risk_block" -> !(crisisRegime && !pathRiskOk))
 
-    // hard set = configured ∩ known, with the two structural invariants
-    // forced in (expected_profit first, crisis block appended)
-    val hard = (("expected_profit" +: cfg.hardGates.filter(gates.contains)) :+
+    // hard set = configured (names validated — a typo'd criterion must
+    // not silently weaken enforcement), with the two structural
+    // invariants forced in (expected_profit first, crisis block appended)
+    val unknown = cfg.hardGates.filterNot(gates.contains)
+    require(unknown.isEmpty,
+      s"unknown hard gate criteria: ${unknown.mkString(",")} (known: ${gates.keys.toSeq.sorted.mkString(",")})")
+    val hard = (("expected_profit" +: cfg.hardGates) :+
       "crisis_regime_path_risk_block").distinct
     val hardFailures = hard.filter(k => !gates(k)).sorted
     Profile(

@@ -165,12 +165,19 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       .filter(_ <= v)
       .sorted(Ordering[Long].reverse)
     cvs.iterator.flatMap { cv =>
-      val in = fs.open(checkpointPath(cv))
-      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val declared = """"n":(\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
-      val files = """\{"path":"([^"]+)","part":"([^"]*)"\}""".r.findAllMatchIn(raw)
-        .map(m => m.group(1) -> m.group(2)).toMap
-      if (declared.contains(files.size)) Some(cv -> files) else None
+      // guarded read: a concurrent vacuum may delete a superseded
+      // checkpoint between our listing and the open — skip and fall back
+      // to an older checkpoint (or the full log fold), like readEntry
+      // tolerates torn entries
+      scala.util.Try {
+        val in = fs.open(checkpointPath(cv))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }.toOption.flatMap { raw =>
+        val declared = """"n":(\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
+        val files = """\{"path":"([^"]+)","part":"([^"]*)"\}""".r.findAllMatchIn(raw)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        if (declared.contains(files.size)) Some(cv -> files) else None
+      }
     }.nextOption()
   }
 

@@ -39,6 +39,33 @@ class QuantGateSpec extends AnyFunSuite {
     assert(p.hardFailures.intersect(Seq("significance", "information_ratio")).nonEmpty)
   }
 
+  test("a profitable SHORT passes: direction-adjusted returns and trade return") {
+    // downtrending underlying: long loses, short wins
+    val down = trendingReturns(250, -0.002, 17)
+    val short = QuantGate.evaluate(down, direction = -1.0,
+      positionValue = 1000.0, netTradeReturn = 0.02) // dir * expectedReturn > 0
+    assert(short.pass, short.hardFailures.mkString(","))
+    val long = QuantGate.evaluate(down, direction = 1.0,
+      positionValue = 1000.0, netTradeReturn = -0.02)
+    assert(!long.pass)
+  }
+
+  test("one-sided p-value is monotone in t: worse strategies have LARGER p") {
+    val good = QuantGate.evaluate(trendingReturns(250, 0.002, 7), 1.0, 1000.0, 0.02)
+    val flat = QuantGate.evaluate(trendingReturns(250, 0.0, 11), 1.0, 1000.0, 0.01)
+    val bad = QuantGate.evaluate(trendingReturns(250, -0.002, 7), 1.0, 1000.0, 0.01)
+    assert(good.metrics("p_value") < flat.metrics("p_value"))
+    assert(flat.metrics("p_value") < bad.metrics("p_value"))
+    assert(bad.metrics("p_value") > 0.9) // significantly bad => p near 1
+  }
+
+  test("unknown hard-gate names are rejected, not silently dropped") {
+    intercept[IllegalArgumentException] {
+      QuantGate.evaluate(trendingReturns(250, 0.002, 7), 1.0, 1000.0, 0.02,
+        cfg = QuantGate.Config(hardGates = Seq("omega_ratio")))
+    }
+  }
+
   test("crisis + bad path risk is a structural block that config cannot remove") {
     val p = QuantGate.evaluate(trendingReturns(250, 0.002, 7), direction = 1.0,
       positionValue = 1000.0, netTradeReturn = 0.02,
