@@ -109,6 +109,42 @@ object AnnIndex {
     cents
   }
 
+  /** Approximate near-dup CANDIDATE pairs from multi-probed IVF lists:
+    * each vector is assigned to its `nProbe` nearest centroids
+    * (multi-assignment, the spill-tree trick), and candidates are the
+    * distinct pairs sharing at least one probed list. Work is bounded
+    * by the per-list populations — no all-pairs join — and recall is a
+    * dial: nProbe=1 is cheapest, nProbe=nLists degenerates to
+    * all-pairs. On the near-orthogonal testdata the 0.45-cosine pairs
+    * straddle lists (53–63° apart), so full recall needs nProbe ≈
+    * nLists/2 — measured in AnnAndLoopSpec; this is why the ORACLED
+    * exact operator (q86) is a block-nested-loop join instead, and
+    * this path is the explicitly-approximate scale dial for corpora
+    * whose near-dups are tight (cosine ≥ 0.8, the common LLM-dedup
+    * case, where nProbe=2 suffices). */
+  def candidatePairs(index: Index, nProbe: Int = 2): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val k = index.centroids.length
+    val np = math.min(nProbe, k)
+    val probeUdf = udf { (e: Seq[Double]) =>
+      val cs = bc.value
+      val ds = cs.map { case (id, c) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = e(j) - c(j); d += t * t; j += 1 }
+        (d, id)
+      }
+      // ties break to the lowest list id (stable across runs)
+      ds.sortBy(x => (x._1, x._2)).take(np).map(_._2)
+    }
+    val probed = index.assigned
+      .select(col("vec_id"),
+        explode(probeUdf(col("embedding").cast("array<double>"))).as("list_id"))
+    probed.as("x").join(probed.as("y"),
+        col("x.list_id") === col("y.list_id") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb")).distinct()
+  }
+
   /** Persist the index: corpus partitioned by `list_id` (so a probe's
     * `where(list_id IN ...)` prunes to its lists' directories at the
     * parquet source — the on-disk layout the scale story depends on)

@@ -162,38 +162,55 @@ object DedupTextQueries extends QueryModule {
     // top-k): every unordered pair with cosine >= 0.45 (the synthetic
     // embeddings are near-orthogonal, so the threshold is calibrated to
     // the data — the operator is threshold-parameterized regardless).
-    // Brute-force all-pairs here is the oracled baseline; at 100 TB the
-    // scale path is AnnIndex's IVF lists (pairs within a list) or q52's
-    // band-bucket shape — candidate generation changes, this exact
-    // verify-side cosine stays.
+    //
+    // EXACT and fully distributed: a block-nested-loop pair join. The
+    // corpus is hashed into C blocks (pmod(vec_id, C)); the C*(C+1)/2
+    // block pairs form the join keys, each row is replicated to the ~C
+    // block pairs it participates in, and each task scores one block
+    // pair with the codegen dot product. No driver collect, no
+    // broadcast of the corpus — per-task memory is two blocks (n/C
+    // rows each), shuffle volume is C·n rows, and the block-pair keys
+    // are uniform by construction (no skew). C scales with cluster
+    // parallelism (~sqrt(tasks)); at 100 TB you'd also pre-project to
+    // (id, normalized vector) so the shuffled payload is minimal.
+    //
+    // Why candidates-from-IVF can't replace this as the ORACLED exact
+    // operator on this data: the qualifying pairs sit at cosine
+    // 0.45–0.60 (angles 53–63°) with thousands of pairs just below the
+    // threshold — measured on the testdata, same-list IVF assignment
+    // (k=8) misses 88/144 true pairs at sf0.1 and still misses 4 with
+    // 3-of-8 multi-probe; 100% recall needs probing half the corpus.
+    // The IVF candidate route (AnnIndex.candidatePairs) is therefore
+    // the explicitly-APPROXIMATE scale dial (recall measured in
+    // AnnAndLoopSpec), while this exact join is the baseline.
     "q86_cosine_neardup" -> ((s, dir) => {
+      import graft.functions.VectorExprs.{dotF64, l2normF64}
       import s.implicits._
-      // The pair scoring runs in a typed broadcast kernel, not Catalyst
-      // higher-order functions: aggregate/zip_with lambdas are
-      // INTERPRETED per element, and at |corpus|² pairs that measured
-      // ~10× slower than this loop (24 s vs 2.4 s at sf0.1). The fold
-      // order (left-to-right, cast-to-double) is identical, so the
-      // doubles — and the oracle hash — are unchanged; round + filter
-      // stay Spark expressions so the rounding semantics match q54's.
-      def norml2(a: Array[Double]): Double = {
-        var ss = 0.0; var i = 0
-        while (i < a.length) { ss += a(i) * a(i); i += 1 }
-        math.sqrt(ss)
-      }
+      val C = 8
+      // norms hoisted BEFORE replication: each row's norm is computed
+      // once, not once per block pair. Dot/norm are native codegen
+      // expressions folding left-to-right like the zip/sum SQL they
+      // replace, so the doubles — and the oracle hash — are unchanged.
       val e = graft.Tables.load(s, dir, "embeddings")
-        .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
-        .as[(Long, Array[Double])]
-      val bc = s.sparkContext.broadcast(
-        e.collect().sortBy(_._1).map { case (id, emb) => (id, emb, norml2(emb)) })
-      e.flatMap { case (va, ea) =>
-        val na = norml2(ea)
-        bc.value.iterator.filter(_._1 > va).map { case (vb, eb, nb) =>
-          var dot = 0.0; var i = 0
-          while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
-          (va, vb, dot / (na * nb))
-        }
-      }.toDF("va", "vb", "raw")
-        .select($"va", $"vb", round($"raw", 6).as("cosine"))
+        .select($"vec_id".cast("long").as("vid"),
+          $"embedding".cast("array<double>").as("ed"))
+        .withColumn("nrm", l2normF64($"ed"))
+        .withColumn("blk", pmod($"vid", lit(C)).cast("int"))
+      val grid = broadcast(
+        (for { i <- 0 until C; j <- i until C } yield (i, j)).toDF("bi", "bj"))
+      val lhs = e.join(grid, $"blk" === $"bi")
+        .select($"bi", $"bj", $"vid".as("ia"), $"ed".as("ea"), $"nrm".as("na"))
+      val rhs = e.join(grid, $"blk" === $"bj")
+        .select($"bi", $"bj", $"vid".as("ib"), $"ed".as("eb"), $"nrm".as("nb"))
+      lhs.join(rhs, Seq("bi", "bj"))
+        // distinct-block pairs appear exactly once; same-block pairs
+        // need the id ordering to drop the mirror duplicate
+        .where($"bi" =!= $"bj" || $"ia" < $"ib")
+        .select(least($"ia", $"ib").as("va"), greatest($"ia", $"ib").as("vb"),
+          // dot and norm product are bitwise symmetric (IEEE a*b = b*a,
+          // index-ascending sum), so emitting the (min,max) orientation
+          // matches the a.vec_id < b.vec_id oracle exactly
+          round(dotF64($"ea", $"eb") / ($"na" * $"nb"), 6).as("cosine"))
         .where($"cosine" >= 0.45)
     }),
 
