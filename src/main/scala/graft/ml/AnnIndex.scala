@@ -43,10 +43,12 @@ object AnnIndex {
       else vecs.sample(withReplacement = false,
         math.min(1.0, trainSample * 1.2 / n), seed).limit(trainSample).collect()
 
+    // closure-captured (not an explicit Broadcast): task binaries are
+    // broadcast + cleaned up by Spark itself, and the centroid table is
+    // a few KB — no per-call Broadcast object left pinned on executors.
     val centroids = lloyd(sample, nLists, seed, maxIter)
-    val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { (e: Seq[Double]) =>
-      val cs = bc.value
+      val cs = centroids
       var best = 0; var bestD = Double.MaxValue
       var i = 0
       while (i < cs.length) {
@@ -115,31 +117,54 @@ object AnnIndex {
     * distinct pairs sharing at least one probed list. Work is bounded
     * by the per-list populations — no all-pairs join — and recall is a
     * dial: nProbe=1 is cheapest, nProbe=nLists degenerates to
-    * all-pairs. On the near-orthogonal testdata the 0.45-cosine pairs
-    * straddle lists (53–63° apart), so full recall needs nProbe ≈
-    * nLists/2 — measured in AnnAndLoopSpec; this is why the ORACLED
+    * all-pairs (full recall by construction). On the near-orthogonal
+    * testdata the 0.45-cosine pairs straddle lists (53–63° apart), so
+    * partial probing misses pairs there — which is why the ORACLED
     * exact operator (q86) is a block-nested-loop join instead, and
     * this path is the explicitly-approximate scale dial for corpora
     * whose near-dups are tight (cosine ≥ 0.8, the common LLM-dedup
-    * case, where nProbe=2 suffices). */
+    * case). Both properties — ≥0.95 recall at nProbe=2 on a tight
+    * corpus, monotone recall in nProbe with 1.0 at nProbe=nLists —
+    * are asserted in AnnAndLoopSpec ("candidatePairs recall"). */
   def candidatePairs(index: Index, nProbe: Int = 2): DataFrame = {
-    val spark = index.assigned.sparkSession
-    val bc = spark.sparkContext.broadcast(index.centroids)
-    val k = index.centroids.length
+    // centroids ride the task closure (k·dim doubles, a few KB for a
+    // coarse quantizer) — Spark broadcasts task binaries internally and
+    // cleans them up, so no explicit Broadcast lifecycle to leak.
+    val cents: Array[(Int, Array[Double])] = index.centroids
+    val k = cents.length
     val np = math.min(nProbe, k)
     val probeUdf = udf { (e: Seq[Double]) =>
-      val cs = bc.value
-      val ds = cs.map { case (id, c) =>
+      val v = e.toArray
+      // partial top-np selection (O(k·np)), not a full O(k log k) sort —
+      // nLists is ~sqrt(corpus) at scale, so this is the per-row hot loop.
+      // Ties break to the lowest list id (stable across runs).
+      val bestIds = new Array[Int](np)
+      val bestDs = Array.fill(np)(Double.MaxValue)
+      var i = 0
+      while (i < k) {
+        val c = cents(i)._2
         var d = 0.0; var j = 0
-        while (j < c.length) { val t = e(j) - c(j); d += t * t; j += 1 }
-        (d, id)
+        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        val id = cents(i)._1
+        // insert into the sorted (d, id) top-np buffer
+        var p = np - 1
+        if (d < bestDs(p) || (d == bestDs(p) && id < bestIds(p))) {
+          while (p > 0 && (d < bestDs(p - 1) ||
+              (d == bestDs(p - 1) && id < bestIds(p - 1)))) {
+            bestDs(p) = bestDs(p - 1); bestIds(p) = bestIds(p - 1); p -= 1
+          }
+          bestDs(p) = d; bestIds(p) = id
+        }
+        i += 1
       }
-      // ties break to the lowest list id (stable across runs)
-      ds.sortBy(x => (x._1, x._2)).take(np).map(_._2)
+      bestIds.toSeq
     }
+    // persist: `probed` feeds BOTH sides of the self-join; without it the
+    // probe UDF (k centroid distances per row) runs twice over the corpus
     val probed = index.assigned
       .select(col("vec_id"),
         explode(probeUdf(col("embedding").cast("array<double>"))).as("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     probed.as("x").join(probed.as("y"),
         col("x.list_id") === col("y.list_id") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb")).distinct()

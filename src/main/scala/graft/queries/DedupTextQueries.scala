@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * top-k; LSH-bucketed scale path in q52).
   *
   * Scale design notes:
-  *  - q51 exact Jaccard joins on raw shingles — correct but skew-prone at
-  *    100 TB (hot shingles fan out). q52 is the scale path: MinHash
-  *    band-bucket join; candidates are then verified with exact Jaccard
-  *    only on the (tiny) candidate set.
+  *  - q90 is the PRIMARY near-dup operator: MinHash/LSH band candidates
+  *    (q52's generator) verified with exact Jaccard on the candidate set
+  *    only — no shingle×shingle self-join anywhere in its plan. q51
+  *    keeps the exact all-pairs semantics as the oracle baseline but is
+  *    skew-prone at 100 TB (a hot shingle fans out quadratically); a
+  *    large-scale run uses q90.
   *  - q54 broadcasts the query set so the big side is never shuffled.
   *  - Cosine sums are order-fixed (array fold) and rounded to 6 decimals
   *    before compare/rank so engine-side summation order cannot flip the
@@ -23,6 +25,54 @@ object DedupTextQueries extends QueryModule {
 
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSql = stop.map(s => s"'$s'").mkString(", ")
+
+  /** Distinct 3-gram shingles per document: (doc_id, sh). */
+  private def shingleSet(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.Tables.load(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"))
+        .as("sh")).distinct()
+  }
+
+  /** MinHash (32 perms) + LSH banding (8 bands × 4 rows) candidate pairs
+    * (da < db) from a (doc_id, sh) shingle set — the 100 TB-safe
+    * candidate generator shared by q52 (candidates as the product) and
+    * q90 (candidates verified with exact Jaccard). Base hash = low 60
+    * bits of md5 (engine-portable → DuckDB-oracled hash-exact). */
+  private def lshCandidates(sh: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val hashed = sh.withColumn("x", expr(
+      "pmod(cast(conv(substring(md5(sh), 18, 15), 16, 10) as bigint), 2147483647L)"))
+    // 32 universal-hash permutations h_i = (a_i*x + b_i) mod (2^31-1);
+    // x < 2^31 and a_i < 2^21 keep every product < 2^52 (ANSI-safe).
+    // The signature is 32 MIN aggregates over ONE shuffle — no 32× row
+    // explosion (that costs ~5× wall time at sf0.1).
+    val minAggs = (0 until 32).map { i =>
+      min(expr(
+        s"pmod((40503L * $i + 12345L) * x + 2971215073L * $i + 1L, 2147483647L)"))
+        .as(s"mh_$i")
+    }
+    val sig = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+    // 8 bands × 4 rows: the band key is the ':'-joined signature slice
+    // (a portable string — avoids engine-specific band hashing)
+    val banded = sig.select(($"doc_id" +: (0 until 8).map { b =>
+      concat_ws(":",
+        (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as(s"band_$b")
+    }): _*)
+    val bandSig = banded.select($"doc_id", explode(array(
+      (0 until 8).map(b => struct(lit(b).as("band"), col(s"band_$b").as("band_key"))): _*))
+      .as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
+    bandSig.as("x").join(bandSig.as("y"),
+        $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("da"), $"y.doc_id".as("db")).distinct()
+  }
 
   override def queries: Map[String, QFn] = Map(
     // Exact dedup census via content hash (hash-groupBy; one agg pass).
@@ -64,39 +114,38 @@ object DedupTextQueries extends QueryModule {
     // near-dup pairs via band-bucket join — the 100 TB-safe dedup path.
     // Base hash = low 60 bits of md5 (engine-portable, so the full
     // pipeline is DuckDB-oracled hash-exact; xxhash64 was not).
-    "q52_minhash_lsh" -> ((s, dir) => {
+    "q52_minhash_lsh" -> ((s, dir) => lshCandidates(shingleSet(s, dir))),
+
+    // PRIMARY near-dup operator: LSH band candidates (q52's generator)
+    // verified with EXACT shingle Jaccard on the candidate set only —
+    // same output contract as q51 (da, db, jaccard ≥ 0.5) with a plan
+    // that has NO shingle×shingle self-join anywhere. The verification
+    // join is keyed on (doc_id, shingle); the right side is unique per
+    // key, so per-key fan-out is 1 — a boilerplate shingle shared by
+    // thousands of docs costs q51 a quadratic hot key but costs this
+    // plan nothing (the pair set was already bounded by LSH banding).
+    // Work: |candidates| × shingles-per-doc rows through one join, vs
+    // q51's Σ_sh freq(sh)² pair explosions. This is the operator a
+    // 100 TB dedup run would use; q51 stays as the exact all-pairs
+    // baseline its oracle anchors. Plan shape asserted in DedupSpec.
+    "q90_neardup_lsh_verify" -> ((s, dir) => {
       import s.implicits._
-      val toks = graft.Tables.load(s, dir, "documents")
-        .select($"doc_id", split($"text", " ").as("t"))
-      val sh = toks.select($"doc_id", explode(expr(
-        "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"))
-        .as("sh")).distinct()
-        .withColumn("x", expr(
-          "pmod(cast(conv(substring(md5(sh), 18, 15), 16, 10) as bigint), 2147483647L)"))
-      // 32 universal-hash permutations h_i = (a_i*x + b_i) mod (2^31-1);
-      // x < 2^31 and a_i < 2^21 keep every product < 2^52 (ANSI-safe).
-      // The signature is 32 MIN aggregates over ONE shuffle — no 32× row
-      // explosion (that costs ~5× wall time at sf0.1).
-      val minAggs = (0 until 32).map { i =>
-        min(expr(
-          s"pmod((40503L * $i + 12345L) * x + 2971215073L * $i + 1L, 2147483647L)"))
-          .as(s"mh_$i")
-      }
-      val sig = sh.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
-      // 8 bands × 4 rows: the band key is the ':'-joined signature slice
-      // (a portable string — avoids engine-specific band hashing)
-      val banded = sig.select(($"doc_id" +: (0 until 8).map { b =>
-        concat_ws(":",
-          (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as(s"band_$b")
-      }): _*)
-      val bandSig = banded.select($"doc_id", explode(array(
-        (0 until 8).map(b => struct(lit(b).as("band"), col(s"band_$b").as("band_key"))): _*))
-        .as("bk"))
-        .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
-      bandSig.as("x").join(bandSig.as("y"),
-          $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("da"), $"y.doc_id".as("db")).distinct()
+      val sh = shingleSet(s, dir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val cand = lshCandidates(sh)
+      // candidate set is tiny relative to the corpus → broadcast it onto
+      // the shingle table; then count shared shingles via a (db, sh)
+      // equi-join whose right side is key-unique (no skew possible).
+      val shared = sh.join(broadcast(cand), $"doc_id" === $"da")
+        .select($"da", $"db", $"sh")
+        .join(sh.select($"doc_id".as("db"), $"sh"), Seq("db", "sh"))
+        .groupBy($"da", $"db").agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .withColumn("jaccard", $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+        .where($"jaccard" >= 0.5)
+        .select($"da", $"db", $"jaccard")
     }),
 
     // SimHash-60 signatures from token hashes (bitwise majority vote).
@@ -186,7 +235,13 @@ object DedupTextQueries extends QueryModule {
     "q86_cosine_neardup" -> ((s, dir) => {
       import graft.functions.VectorExprs.{dotF64, l2normF64}
       import s.implicits._
-      val C = 8
+      // C ~ sqrt(available tasks) so the C(C+1)/2 block pairs keep every
+      // core busy at any cluster size (1000 tasks → C=32 → 528 pairs);
+      // floor 8 keeps the test-scale plan shape stable. C only changes
+      // the block decomposition, never the pair set — the oracle is
+      // C-invariant.
+      val C = math.max(8,
+        math.ceil(math.sqrt(s.sparkContext.defaultParallelism.toDouble)).toInt)
       // norms hoisted BEFORE replication: each row's norm is computed
       // once, not once per block pair. Dot/norm are native codegen
       // expressions folding left-to-right like the zip/sum SQL they
@@ -305,6 +360,34 @@ object DedupTextQueries extends QueryModule {
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
       |  FROM idx)""".stripMargin
 
+  /** DuckDB CTE chain ending in `cand AS (... da, db ...)` — the LSH
+    * band candidate pairs, mirroring [[lshCandidates]]. Shared by the
+    * q52 (candidates) and q90 (verified near-dups) oracles. */
+  private val lshCandSql = {
+    val hexParse =
+      """list_reduce(list_transform(string_split_regex(substr(md5(sh), 18, 15), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+    val minAggs = (0 until 32).map(i =>
+      s"MIN((${40503L * i + 12345L} * x + ${2971215073L * i + 1L}) % 2147483647) AS mh_$i")
+      .mkString(",\n  ")
+    val bands = (0 until 8).map { b =>
+      (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
+        .mkString(" || ':' || ") + s" AS band_$b"
+    }.mkString(",\n  ")
+    val arms = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, band_$b AS band_key FROM banded")
+      .mkString("\n  UNION ALL ")
+    s"""$shingleSql,
+       |hh AS (SELECT doc_id, $hexParse % 2147483647 AS x FROM sh),
+       |sig AS (SELECT doc_id, $minAggs FROM hh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, $bands FROM sig),
+       |bk AS ($arms),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM bk x JOIN bk y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   private val exactTopkSql =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
         |sims AS (
@@ -341,29 +424,23 @@ object DedupTextQueries extends QueryModule {
          |JOIN sizes sa ON da = sa.doc_id
          |JOIN sizes sb ON db = sb.doc_id
          |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5""".stripMargin,
-    "q52_minhash_lsh" -> {
-      val hexParse =
-        """list_reduce(list_transform(string_split_regex(substr(md5(sh), 18, 15), ''),
-          |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
-      val minAggs = (0 until 32).map(i =>
-        s"MIN((${40503L * i + 12345L} * x + ${2971215073L * i + 1L}) % 2147483647) AS mh_$i")
-        .mkString(",\n  ")
-      val bands = (0 until 8).map { b =>
-        (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
-          .mkString(" || ':' || ") + s" AS band_$b"
-      }.mkString(",\n  ")
-      val arms = (0 until 8).map(b =>
-        s"SELECT doc_id, $b AS band, band_$b AS band_key FROM banded")
-        .mkString("\n  UNION ALL ")
-      s"""WITH $shingleSql,
-         |hh AS (SELECT doc_id, $hexParse % 2147483647 AS x FROM sh),
-         |sig AS (SELECT doc_id, $minAggs FROM hh GROUP BY doc_id),
-         |banded AS (SELECT doc_id, $bands FROM sig),
-         |bk AS ($arms)
-         |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-         |FROM bk x JOIN bk y
-         |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id""".stripMargin
-    },
+    "q52_minhash_lsh" -> s"""WITH $lshCandSql
+         |SELECT da, db FROM cand""".stripMargin,
+    "q90_neardup_lsh_verify" ->
+      s"""WITH $lshCandSql,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.da, c.db, COUNT(*) AS shared
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.da
+         |  JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
+         |  GROUP BY 1, 2)
+         |SELECT s.da, s.db,
+         |  CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
+         |FROM shared s
+         |JOIN sizes sa ON s.da = sa.doc_id
+         |JOIN sizes sb ON s.db = sb.doc_id
+         |WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5""".stripMargin,
     "q53_simhash" -> {
       val hexParse =
         """list_reduce(list_transform(string_split_regex(substr(md5(tok), 18, 15), ''),

@@ -37,6 +37,59 @@ class AnnAndLoopSpec extends AnyFunSuite with TestSpark {
     assert(again === approx)
   }
 
+  test("candidatePairs recall: >=0.95 at nProbe=2 on a tight corpus, monotone in nProbe, 1.0 at nProbe=nLists") {
+    // The documented contract of the approximate dedup dial: on a corpus
+    // whose near-dups are TIGHT (cosine >= 0.8 — the common LLM-dedup
+    // case), multi-probe IVF candidates cover nearly all true pairs at
+    // nProbe=2, recall never decreases in nProbe, and probing every list
+    // degenerates to all-pairs (recall 1.0 by construction).
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 40 cluster centers x 5 members, noise sigma=0.1 → within-cluster
+    // cosine ~0.86, cross-cluster ~N(0, 1/dim) — planted tight near-dups
+    val centers = Array.fill(40)(unit(Array.fill(dim)(rng.nextGaussian())))
+    val rows: IndexedSeq[(Long, Array[Double])] =
+      for { ci <- centers.indices; m <- 0 until 5 } yield {
+        val v = unit(centers(ci).map(_ + rng.nextGaussian() * 0.1))
+        (ci * 5L + m, v)
+      }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum // unit vectors
+    val truth = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if cos(rows(i)._2, rows(j)._2) >= 0.8
+    } yield (rows(i)._1, rows(j)._1)).toSet
+    assert(truth.size >= 300, s"planted corpus should be dup-rich: ${truth.size}")
+
+    // nLists ~ sqrt(n): the candidate fraction scales ~nProbe²/nLists,
+    // so too few lists makes the dial pointless (at 8 lists, probing 2
+    // touches half of all pairs)
+    val nLists = 16
+    val index = AnnIndex.build(df, nLists = nLists, seed = 42)
+    def recallAt(np: Int): (Double, Int) = {
+      val cand = AnnIndex.candidatePairs(index, np).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth.count(cand.contains).toDouble / truth.size, cand.size)
+    }
+    val (r1, _) = recallAt(1)
+    val (r2, n2) = recallAt(2)
+    val (r4, _) = recallAt(4)
+    val (rAll, nAll) = recallAt(nLists)
+    assert(r2 >= 0.95, s"recall@nProbe=2 = $r2")
+    assert(r1 <= r2 && r2 <= r4 && r4 <= rAll, s"recall not monotone: $r1 $r2 $r4 $rAll")
+    assert(rAll === 1.0, s"nProbe=nLists must be all-pairs recall, got $rAll")
+    val allPairs = rows.length.toLong * (rows.length - 1) / 2
+    assert(nAll === allPairs.toInt)
+    // and the dial actually prunes: nProbe=2 candidates are a small
+    // fraction of all-pairs, else the "bounded work" claim is empty
+    assert(n2 < allPairs / 3, s"candidate set too dense: $n2 of $allPairs")
+  }
+
   test("saved index: list_id-partitioned layout, loaded queries match in-memory") {
     val emb = graft.Tables.load(spark, dir, "embeddings")
     val index = AnnIndex.build(emb, nLists = 6, seed = 42)

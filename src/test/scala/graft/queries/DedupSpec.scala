@@ -25,6 +25,32 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       s"LSH candidate set too dense: ${candidates.size}")
   }
 
+  test("q90 LSH+verify matches the exact all-pairs near-dup output (q51)") {
+    val exact = DedupTextQueries.queries("q51_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val verified = DedupTextQueries.queries("q90_neardup_lsh_verify")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(verified === exact)
+  }
+
+  test("q90 plan has no shingle-only equi-join (the q51 skew shape)") {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = DedupTextQueries.queries("q90_neardup_lsh_verify")(spark, dir)
+    // every equi-join touching the shingle column must also carry a
+    // doc-id key: a join keyed on `sh` alone is exactly the hot-key
+    // quadratic fan-out q90 exists to avoid.
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case j: Join =>
+        val eqs = j.condition.toSeq.flatMap(_.collect { case e: EqualTo => e })
+        val onShingle = eqs.filter(_.references.exists(_.name == "sh"))
+        val hasOtherKey = eqs.exists(_.references.forall(_.name != "sh"))
+        onShingle.nonEmpty && !hasOtherKey
+    }.count(identity)
+    assert(bad === 0, "found a join keyed on the shingle column alone")
+  }
+
   test("SimHash: near-dup pairs have small hamming distance vs random pairs") {
     val sims = DedupTextQueries.queries("q53_simhash")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
