@@ -2,12 +2,13 @@ package graft.forecast
 
 /** GARCH(1,1) by quasi-MLE — rebuild of the reference's GARCH operator
   * (/root/reference/forcester_ts/garch.py:66-818): return clipping at
-  * p99.5 (:156-168), (1,1) volatility recursion, an innovation-
-  * distribution grid (normal and Student-t, the arch-lib dist axis of
-  * the reference's (p,q)×dist×mean AIC grid :225-470; skew-t
-  * deliberately reduced to t per the risk register), AIC selection,
-  * EWMA fallback when the sample is short or the fit fails to improve
-  * on it (:580-633), persistence diagnostics (:519-579).
+  * p99.5 (:156-168), (1,1) volatility recursion, the full innovation-
+  * distribution grid of the reference's (p,q)×dist×mean AIC search
+  * (:225-470): normal, Student-t, and Hansen (1994) skewed Student-t
+  * (the published two-piece standardized skew-t the arch library's
+  * `skewt` dist implements), AIC selection, EWMA fallback when the
+  * sample is short or the fit fails to improve on it (:580-633),
+  * persistence diagnostics (:519-579).
   *
   * Optimizer: Nelder–Mead over (ω, α, β[, ν]) with a stationarity
   * barrier (α+β<1) — no gradient needed, deterministic.
@@ -17,7 +18,8 @@ object Garch {
   final case class Fit(omega: Double, alpha: Double, beta: Double,
       persistence: Double, logLik: Double, converged: Boolean, usedEwma: Boolean,
       dist: String = "normal", nu: Double = 0.0, aic: Double = Double.NaN,
-      mean: String = "Zero", meanC: Double = 0.0, meanPhi: Double = 0.0)
+      mean: String = "Zero", meanC: Double = 0.0, meanPhi: Double = 0.0,
+      skew: Double = 0.0)
 
   def clip(returns: Array[Double], q: Double = 0.995): Array[Double] = {
     if (returns.length < 3) return returns
@@ -65,6 +67,42 @@ object Garch {
     nll
   }
 
+  /** Hansen (1994) skewed Student-t negative log-likelihood. The
+    * standardized (zero-mean, unit-variance) density is the two-piece
+    *   f(z) = b·c·(1 + ((b·z+a)/(1∓λ))²/(ν−2))^(−(ν+1)/2)
+    * with the (1−λ) scale left of the mode (z < −a/b) and (1+λ) right,
+    * where c = Γ((ν+1)/2)/(√(π(ν−2))·Γ(ν/2)), a = 4λc(ν−2)/(ν−1),
+    * b² = 1+3λ²−a². λ=0 reduces exactly to the standardized t. Same
+    * variance recursion as the Gaussian/t filters; r_t = √h_t · z_t. */
+  private def negLogLikSkewT(r: Array[Double], omega: Double, alpha: Double,
+      beta: Double, nu: Double, lambda: Double): Double = {
+    if (omega <= 0 || alpha < 0 || beta < 0 || alpha + beta >= 0.9999 ||
+      nu <= 2.05 || nu > 200 || lambda <= -0.99 || lambda >= 0.99) return 1e12
+    val lnc = lnGamma((nu + 1) / 2) - lnGamma(nu / 2) -
+      0.5 * math.log(math.Pi * (nu - 2))
+    val c = math.exp(lnc)
+    val a = 4 * lambda * c * (nu - 2) / (nu - 1)
+    val b2 = 1 + 3 * lambda * lambda - a * a
+    if (b2 <= 0) return 1e12
+    val b = math.sqrt(b2)
+    val lnb = 0.5 * math.log(b2)
+    val n = r.length
+    var h = r.map(x => x * x).sum / n
+    var nll = 0.0
+    var i = 0
+    while (i < n) {
+      if (i > 0) h = omega + alpha * r(i - 1) * r(i - 1) + beta * h
+      if (h <= 0) return 1e12
+      val z = r(i) / math.sqrt(h)
+      val denom = if (z < -a / b) 1 - lambda else 1 + lambda
+      val t = (b * z + a) / denom
+      nll -= lnb + lnc -
+        ((nu + 1) / 2) * math.log1p(t * t / (nu - 2)) - 0.5 * math.log(h)
+      i += 1
+    }
+    nll
+  }
+
   /** Lanczos log-gamma (g=7, n=9 — the standard public coefficients). */
   private[forecast] def lnGamma(x: Double): Double = {
     if (x < 0.5)
@@ -104,13 +142,13 @@ object Garch {
     nll
   }
 
-  /** Fit GARCH(1,1) over the {normal, t} innovation grid, selecting by
-    * AIC (normal k=3, t k=4, mirroring the reference's dist axis);
-    * falls back to EWMA (λ=0.94) when the sample is short or neither MLE
-    * beats the EWMA-equivalent likelihood. Pass `dists = Seq("normal")`
-    * to keep the pure-QMLE behavior. */
+  /** Fit GARCH(1,1) over the {normal, t, skewt} innovation grid,
+    * selecting by AIC (normal k=3, t k=4, skewt k=5 — the reference's
+    * dist axis, garch.py:225-470); falls back to EWMA (λ=0.94) when the
+    * sample is short or no MLE beats the EWMA-equivalent likelihood.
+    * Pass `dists = Seq("normal")` to keep the pure-QMLE behavior. */
   def fit(rawReturns: Array[Double], minObs: Int = 50,
-      dists: Seq[String] = Seq("normal", "t"),
+      dists: Seq[String] = Seq("normal", "t", "skewt"),
       means: Seq[String] = Seq("Zero", "AR")): Fit = {
     val r = clip(rawReturns)
     // the EWMA fallback likelihood must share the candidates' n-1 span
@@ -162,6 +200,20 @@ object Garch {
             else Some(Fit(p(0), p(1), p(2), p(1) + p(2), ll, conv, usedEwma = false,
               dist = "t", nu = p(3), aic = 2.0 * (4 + kMean) - 2.0 * ll,
               mean = meanName, meanC = c, meanPhi = phi))
+          case "skewt" =>
+            // two λ starts, one per sign: the simplex is built by
+            // RELATIVE coordinate perturbation, so a λ=0 start would
+            // freeze the skew axis at ~1e-6 and the arm would never
+            // leave the symmetric-t point
+            val (p, nll, conv) = Seq(-0.25, 0.25).map { lam0 =>
+              nelderMead(a => negLogLikSkewT(e, a(0), a(1), a(2), a(3), a(4)),
+                Array(0.05 * v, 0.08, 0.90, 8.0, lam0))
+            }.minBy(_._2)
+            val ll = -nll
+            if (!ll.isFinite) None
+            else Some(Fit(p(0), p(1), p(2), p(1) + p(2), ll, conv, usedEwma = false,
+              dist = "skewt", nu = p(3), aic = 2.0 * (5 + kMean) - 2.0 * ll,
+              mean = meanName, meanC = c, meanPhi = phi, skew = p(4)))
           case other => throw new IllegalArgumentException(s"unknown dist: $other")
         }
       }

@@ -57,13 +57,58 @@ class ForecastSpec extends AnyFunSuite with TestSpark {
       x
     }
     val fit = Garch.fit(r)
-    assert(fit.dist === "t", s"picked ${fit.dist}")
+    // symmetric fat tails must land in the t FAMILY; AIC may spuriously
+    // admit the nested skew parameter (Δll>1 is χ²(1) noise, ~16% of
+    // seeds) but then the recovered skew must be negligible
+    assert(fit.dist === "t" || (fit.dist === "skewt" && math.abs(fit.skew) < 0.12),
+      s"picked ${fit.dist} skew=${fit.skew}")
     assert(fit.nu > 3.0 && fit.nu < 9.0, s"nu=${fit.nu}")
     assert(math.abs(fit.alpha - al) < 0.06 && math.abs(fit.beta - be) < 0.10)
     // gaussian data: the 2-point AIC penalty rejects the extra t parameter
     val rg = { var hh = om / (1 - al - be); Array.fill(4000) {
       val x = math.sqrt(hh) * rng.nextGaussian(); hh = om + al * x * x + be * hh; x } }
     assert(Garch.fit(rg).dist === "normal")
+  }
+
+  test("GARCH dist grid: AIC picks skew-t on skewed innovations, recovers lambda, rejects it on symmetric data") {
+    val rng = new Random(31)
+    // Hansen (1994) standardized skew-t sampler via the two-piece
+    // construction: with prob (1-λ)/2 the standardized-t magnitude goes
+    // left of the mode with scale (1-λ), else right with scale (1+λ)
+    def skewtDraw(nu: Double, lambda: Double): Double = {
+      val c = math.exp(Garch.lnGamma((nu + 1) / 2) - Garch.lnGamma(nu / 2) -
+        0.5 * math.log(math.Pi * (nu - 2)))
+      val a = 4 * lambda * c * (nu - 2) / (nu - 1)
+      val b = math.sqrt(1 + 3 * lambda * lambda - a * a)
+      val z = rng.nextGaussian()
+      val chi2 = (1 to nu.toInt).map(_ => math.pow(rng.nextGaussian(), 2)).sum
+      val g = math.abs(z / math.sqrt(chi2 / nu) * math.sqrt((nu - 2) / nu))
+      val u = rng.nextDouble()
+      if (u < (1 - lambda) / 2) ((1 - lambda) * -g - a) / b
+      else ((1 + lambda) * g - a) / b
+    }
+    val (nuT, lamT) = (6.0, -0.5) // negative skew, the equity-returns shape
+    val (om, al, be) = (2e-6, 0.10, 0.85)
+    var h = om / (1 - al - be)
+    val r = Array.fill(4000) {
+      val x = math.sqrt(h) * skewtDraw(nuT, lamT)
+      h = om + al * x * x + be * h
+      x
+    }
+    val fit = Garch.fit(r)
+    assert(fit.dist === "skewt", s"picked ${fit.dist}")
+    assert(fit.skew > -0.65 && fit.skew < -0.35, s"skew=${fit.skew}")
+    assert(fit.nu > 3.5 && fit.nu < 10.0, s"nu=${fit.nu}")
+    assert(math.abs(fit.alpha - al) < 0.06 && math.abs(fit.beta - be) < 0.10)
+    // symmetric t innovations: the extra skew parameter loses the AIC
+    var h2 = om / (1 - al - be)
+    val rSym = Array.fill(4000) {
+      val x = math.sqrt(h2) * skewtDraw(6.0, 0.0)
+      h2 = om + al * x * x + be * h2
+      x
+    }
+    val fitSym = Garch.fit(rSym)
+    assert(fitSym.dist === "t", s"picked ${fitSym.dist} (skew=${fitSym.skew})")
   }
 
   test("GARCH mean axis: AR mean wins AIC on autocorrelated returns, Zero on centered noise") {
