@@ -6,15 +6,26 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** FIFO paper-trading engine — rebuild of /root/reference/execution/
-  * paper_trading_engine.py:201-2030: Kelly-capped position sizing
-  * (:1040-1165), stop/target/time exits (:1603-1767), and the FIFO lot
-  * allocator with provenance priority (live lots consumed before
-  * synthetic, then by trade id; partial allocation) (:344-455).
+  * paper_trading_engine.py:201-2030: Kelly-capped, regime-multiplied,
+  * confidence-floored position sizing with a tighter short cap
+  * (:1040-1165), slippage + market-impact entry simulation (:1328-1408),
+  * long AND short positions, stop/target/time exits with the trailing
+  * ATR stop ratchet (:1603-1767), and the FIFO lot allocator with
+  * provenance priority (live lots consumed before synthetic, then by
+  * trade id; partial allocation) (:344-455).
   *
   * The engine is an order-dependent state machine, so it runs as a
   * per-ticker `flatMapGroups` over time-sorted events — batch backtests
   * parallelize across tickers; the streaming variant keeps the same
   * per-key state inside mapGroupsWithState (graft.streaming).
+  *
+  * Position model (reference semantics): one-sided per ticker — a SELL
+  * against a long position closes it (never flips short in the same
+  * event), a BUY against a short covers it; SELL while flat opens a
+  * short under the tighter `shortCap`. Stops/targets are POSITION-level
+  * snapshots taken at the first entry from flat (the reference keys
+  * stop_losses/entry_prices/entry_atrs by ticker), and the ratchet only
+  * ever tightens them: long stops move up, short stops move down.
   */
 object PortfolioEngine {
 
@@ -23,19 +34,37 @@ object PortfolioEngine {
       kellyCap: Double = 0.20,
       stopLossPct: Double = 0.05,
       takeProfitPct: Double = 0.10,
-      maxHoldBars: Int = 20)
+      maxHoldBars: Int = 20,
+      // tighter cap for shorts (reference max_short_pct vs max_position_pct,
+      // paper_trading_engine.py:1062-1106); 0 disables the short side
+      shortCap: Double = 0.10,
+      // confidence floor for sizing (reference conf_floor :1063,:1129)
+      confFloor: Double = 0.0,
+      // entry-simulation slippage (reference slippage_pct fallback model
+      // :1402-1408). 0 = frictionless fills (the spec-exact mode); when
+      // >0 every fill also pays size-proportional market impact
+      // (orderValue/10000 * 1bp, the reference's fallback impact term).
+      slippagePct: Double = 0.0)
 
-  /** One bar of engine input: price + that bar's signal action. */
+  /** One bar of engine input: price + that bar's signal action.
+    * `atr` is the entry-time ATR snapshot the trailing ratchet arms on
+    * (0 = unknown → ratchet disabled, mirroring the reference's
+    * missing-snapshot rule); `regimeRiskMult` scales the position cap
+    * (reference _get_regime_risk_multiplier, :1093-1096). */
   final case class Event(
       ticker: String,
       ts: java.sql.Timestamp,
       price: Double,
       action: String, // BUY | SELL | HOLD
       confidence: Double,
-      isSynthetic: Boolean)
+      isSynthetic: Boolean,
+      atr: Double = 0.0,
+      regimeRiskMult: Double = 1.0)
 
   /** An executed fill (open or close). Close rows carry the FIFO
-    * allocations: one ExecRow per consumed lot (partial closes allowed). */
+    * allocations: one ExecRow per consumed lot (partial closes allowed).
+    * `side` is LONG or SHORT; short opens have action SELL and their
+    * covers action BUY (the reference's sign convention). */
   final case class ExecRow(
       ticker: String,
       ts: java.sql.Timestamp,
@@ -47,7 +76,8 @@ object PortfolioEngine {
       entryTradeId: Long,     // -1 for opens
       pnl: Double,            // 0 for opens
       exitReason: String,     // "", SIGNAL, STOP_LOSS, TAKE_PROFIT, TIME
-      isSynthetic: Boolean)
+      isSynthetic: Boolean,
+      side: String = "LONG")
 
   private final case class Lot(tradeId: Long, qty: Double, price: Double,
       barIdx: Int, isSynthetic: Boolean)
@@ -57,86 +87,175 @@ object PortfolioEngine {
     if (events.isEmpty) return Seq.empty
     val ticker = events.head.ticker
     val out = mutable.ArrayBuffer.empty[ExecRow]
-    val lots = mutable.ArrayBuffer.empty[Lot] // open long lots
+    val lots = mutable.ArrayBuffer.empty[Lot]      // open long lots
+    val shortLots = mutable.ArrayBuffer.empty[Lot] // open short lots
     var cash = cfg.initialCapital
     var nextId = 1L
+    // position-level lifecycle snapshot (set on first entry from flat)
+    var entryPrice = 0.0
+    var entryAtr = 0.0
+    var stopLevel = Double.NaN
+    var targetLevel = Double.NaN
+    var entryBar = -1
 
-    def closeLots(ts: java.sql.Timestamp, price: Double, qtyToClose: Double,
-        reason: String, isSynthetic: Boolean): Unit = {
-      var remaining = qtyToClose
-      // provenance-then-FIFO: live lots first, then synthetic; trade id
-      // order inside each class (paper_trading_engine.py:344-414)
-      val ordered = lots.sortBy(l => (l.isSynthetic, l.tradeId))
-      ordered.foreach { lot =>
-        if (remaining > 1e-12 && lot.qty > 1e-12) {
-          val take = math.min(lot.qty, remaining)
-          val pnl = (price - lot.price) * take
-          out += ExecRow(ticker, ts, nextId, "SELL", take, price,
-            isClose = true, lot.tradeId, pnl, reason, isSynthetic)
-          nextId += 1
-          cash += take * price
-          remaining -= take
-          val i = lots.indexWhere(_.tradeId == lot.tradeId)
-          if (lot.qty - take <= 1e-12) lots.remove(i)
-          else lots(i) = lot.copy(qty = lot.qty - take)
-        }
+    // reference fallback fill model (:1402-1408): pct slippage plus
+    // size-proportional impact; adverse on the aggressor's side
+    def fill(raw: Double, qty: Double, buying: Boolean): Double = {
+      if (cfg.slippagePct <= 0) return raw
+      val impact = (qty * raw / 10000.0) * 0.0001
+      val s = cfg.slippagePct + impact
+      if (buying) raw * (1 + s) else raw * (1 - s)
+    }
+
+    def armLifecycle(price: Double, atr: Double, barIdx: Int, short: Boolean): Unit = {
+      entryPrice = price
+      entryAtr = math.max(0.0, atr)
+      entryBar = barIdx
+      if (short) {
+        stopLevel = price * (1 + cfg.stopLossPct)
+        targetLevel = price * (1 - cfg.takeProfitPct)
+      } else {
+        stopLevel = price * (1 - cfg.stopLossPct)
+        targetLevel = price * (1 + cfg.takeProfitPct)
       }
     }
 
-    events.zipWithIndex.foreach { case (ev, barIdx) =>
-      // Exit evaluation happens BEFORE new entries (reference order,
-      // execute_signal → _evaluate_exits first). The reference evaluates
-      // exits at TICKER level (_evaluate_exit_reason:1603-1767 reads the
-      // single per-ticker stop/target/entry state) and a trigger closes the
-      // entire position, with stop checked before target before time
-      // (:1667-1683). Mirror that here: scan live lots for triggers,
-      // prioritize STOP_LOSS > TAKE_PROFIT > TIME across the position,
-      // then close ALL open quantity under that one reason.
-      if (lots.nonEmpty) {
-        var sawStop = false; var sawTarget = false; var sawTime = false
-        lots.foreach { lot =>
-          val ret = if (lot.price != 0) ev.price / lot.price - 1 else 0.0
-          val held = barIdx - lot.barIdx
-          if (ret <= -cfg.stopLossPct) sawStop = true
-          else if (ret >= cfg.takeProfitPct) sawTarget = true
-          else if (held >= cfg.maxHoldBars) sawTime = true
+    def disarm(): Unit = {
+      entryPrice = 0.0; entryAtr = 0.0; entryBar = -1
+      stopLevel = Double.NaN; targetLevel = Double.NaN
+    }
+
+    def closeSide(book: mutable.ArrayBuffer[Lot], ts: java.sql.Timestamp,
+        rawPrice: Double, qtyToClose: Double, reason: String,
+        isSynthetic: Boolean, short: Boolean): Unit = {
+      var remaining = qtyToClose
+      // provenance-then-FIFO: live lots first, then synthetic; trade id
+      // order inside each class (paper_trading_engine.py:344-414)
+      val ordered = book.sortBy(l => (l.isSynthetic, l.tradeId)).toSeq
+      val price = fill(rawPrice, qtyToClose, buying = short) // cover buys, long-close sells
+      ordered.foreach { lot =>
+        if (remaining > 1e-12 && lot.qty > 1e-12) {
+          val take = math.min(lot.qty, remaining)
+          val pnl =
+            if (short) (lot.price - price) * take
+            else (price - lot.price) * take
+          out += ExecRow(ticker, ts, nextId, if (short) "BUY" else "SELL",
+            take, price, isClose = true, lot.tradeId, pnl, reason, isSynthetic,
+            side = if (short) "SHORT" else "LONG")
+          nextId += 1
+          // long close receives proceeds; a cover pays the market (the
+          // short's proceeds were credited at open, so pnl is implicit)
+          cash += (if (short) -take * price else take * price)
+          remaining -= take
+          val i = book.indexWhere(_.tradeId == lot.tradeId)
+          if (lot.qty - take <= 1e-12) book.remove(i)
+          else book(i) = lot.copy(qty = lot.qty - take)
         }
+      }
+      if (book.isEmpty) disarm()
+    }
+
+    // entry-basis equity: cash + long cost basis − short proceeds basis.
+    // (The reference marks to market; entry basis keeps the kernel
+    // deterministic w.r.t. only the event row and is the same at entry.)
+    def equity: Double =
+      cash + lots.map(l => l.qty * l.price).sum - shortLots.map(l => l.qty * l.price).sum
+
+    events.zipWithIndex.foreach { case (ev, barIdx) =>
+      val short = shortLots.nonEmpty
+      val book = if (short) shortLots else lots
+      // Exit evaluation happens BEFORE new entries (reference order,
+      // execute_signal → _evaluate_exits first), at POSITION level with
+      // price exits checked before time (:1667-1683):
+      //   1. trailing ATR ratchet may tighten the stop (:1634-1663)
+      //   2. stop, then target, then time — one reason closes everything
+      if (book.nonEmpty) {
+        // ratchet: arms at >=1.0 ATR of profit (stop → entry), locks
+        // gains at >=1.5 ATR (stop → entry ± 0.5 ATR); only tightens
+        if (entryAtr > 0 && !stopLevel.isNaN) {
+          if (!short) {
+            val profit = ev.price - entryPrice
+            val cand =
+              if (profit >= 1.5 * entryAtr) entryPrice + 0.5 * entryAtr
+              else if (profit >= 1.0 * entryAtr) entryPrice
+              else Double.NaN
+            if (!cand.isNaN && cand > stopLevel) stopLevel = cand
+          } else {
+            val profit = entryPrice - ev.price
+            val cand =
+              if (profit >= 1.5 * entryAtr) entryPrice - 0.5 * entryAtr
+              else if (profit >= 1.0 * entryAtr) entryPrice
+              else Double.NaN
+            if (!cand.isNaN && cand < stopLevel) stopLevel = cand
+          }
+        }
+        val held = if (entryBar >= 0) barIdx - entryBar else 0
         val reason =
-          if (sawStop) "STOP_LOSS"
-          else if (sawTarget) "TAKE_PROFIT"
-          else if (sawTime) "TIME"
+          if (!short && ev.price <= stopLevel) "STOP_LOSS"
+          else if (short && ev.price >= stopLevel) "STOP_LOSS"
+          else if (!short && ev.price >= targetLevel) "TAKE_PROFIT"
+          else if (short && ev.price <= targetLevel) "TAKE_PROFIT"
+          else if (held >= cfg.maxHoldBars) "TIME"
           else ""
         if (reason.nonEmpty)
-          closeLots(ev.ts, ev.price, lots.map(_.qty).sum, reason, ev.isSynthetic)
+          closeSide(book, ev.ts, ev.price, book.map(_.qty).sum, reason,
+            ev.isSynthetic, short)
       }
       ev.action match {
+        case "BUY" if shortLots.nonEmpty =>
+          // covering a short never flips long in the same event (:1100-1106)
+          closeSide(shortLots, ev.ts, ev.price, shortLots.map(_.qty).sum,
+            "SIGNAL", ev.isSynthetic, short = true)
         case "BUY" =>
-          val positionValue = lots.map(l => l.qty * l.price).sum
-          val equity = cash + positionValue
-          val frac = math.min(cfg.kellyCap, cfg.kellyCap * ev.confidence)
-          val budget = math.min(cash, equity * frac)
+          val confW = math.max(ev.confidence, cfg.confFloor)
+          val frac = math.min(cfg.kellyCap, cfg.kellyCap * confW)
+          val budget = math.min(cash,
+            equity * frac * math.max(0.0, ev.regimeRiskMult))
           val qty = if (ev.price > 0) budget / ev.price else 0.0
           if (qty > 1e-9) {
-            out += ExecRow(ev.ticker, ev.ts, nextId, "BUY", qty, ev.price,
-              isClose = false, -1L, 0.0, "", ev.isSynthetic)
-            lots += Lot(nextId, qty, ev.price, barIdx, ev.isSynthetic)
+            val px = fill(ev.price, qty, buying = true)
+            if (lots.isEmpty) armLifecycle(px, ev.atr, barIdx, short = false)
+            out += ExecRow(ev.ticker, ev.ts, nextId, "BUY", qty, px,
+              isClose = false, -1L, 0.0, "", ev.isSynthetic, side = "LONG")
+            lots += Lot(nextId, qty, px, barIdx, ev.isSynthetic)
             nextId += 1
-            cash -= qty * ev.price
+            cash -= qty * px
           }
         case "SELL" if lots.nonEmpty =>
-          closeLots(ev.ts, ev.price, lots.map(_.qty).sum, "SIGNAL", ev.isSynthetic)
+          closeSide(lots, ev.ts, ev.price, lots.map(_.qty).sum, "SIGNAL",
+            ev.isSynthetic, short = false)
+        case "SELL" if cfg.shortCap > 0 =>
+          // flat + SELL → open a short under the tighter cap (:1068-1106)
+          val confW = math.max(ev.confidence, cfg.confFloor)
+          val frac = math.min(cfg.shortCap, cfg.shortCap * confW)
+          val budget = equity * frac * math.max(0.0, ev.regimeRiskMult)
+          val qty = if (ev.price > 0) budget / ev.price else 0.0
+          if (qty > 1e-9) {
+            val px = fill(ev.price, qty, buying = false)
+            if (shortLots.isEmpty) armLifecycle(px, ev.atr, barIdx, short = true)
+            out += ExecRow(ev.ticker, ev.ts, nextId, "SELL", qty, px,
+              isClose = false, -1L, 0.0, "", ev.isSynthetic, side = "SHORT")
+            shortLots += Lot(nextId, qty, px, barIdx, ev.isSynthetic)
+            nextId += 1
+            cash += qty * px // short-sale proceeds
+          }
         case _ => ()
       }
     }
     out.toSeq
   }
 
-  /** Distributed backtest: event frame → fills, one task per ticker. */
+  /** Distributed backtest: event frame → fills, one task per ticker.
+    * Accepts frames without the optional atr/regimeRiskMult columns. */
   def backtest(events: DataFrame, cfg: Config = Config()): Dataset[ExecRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("ticker"), col("ts"), col("price"), col("action"),
-        col("confidence"), col("isSynthetic"))
+    val withDefaults = Seq("atr" -> lit(0.0), "regimeRiskMult" -> lit(1.0))
+      .foldLeft(events) { case (df, (c, d)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, d)
+      }
+    withDefaults.select(col("ticker"), col("ts"), col("price"), col("action"),
+        col("confidence"), col("isSynthetic"), col("atr"), col("regimeRiskMult"))
       .as[Event]
       .groupByKey(_.ticker)
       .flatMapGroups { (_, rows) =>

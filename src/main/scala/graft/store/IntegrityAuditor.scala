@@ -24,6 +24,17 @@ object IntegrityAuditor {
       .join(opens, col("entry_trade_id") === col("open_id"), "left_anti")
   }
 
+  /** Short orphans (pnl_integrity_enforcer.py:760-830): cover rows —
+    * closes whose action is BUY, i.e. short-position exits — with no
+    * matching short opener. A separate audit from [[orphanedCloses]]
+    * because the reference tracks the short side's linkage breakage as
+    * its own violation class. */
+  def shortOrphanedCloses(trades: DataFrame): DataFrame = {
+    val opens = trades.where(!col("is_close")).select(col("trade_id").as("open_id"))
+    trades.where(col("is_close") && col("action") === "BUY")
+      .join(opens, col("entry_trade_id") === col("open_id"), "left_anti")
+  }
+
   def crossModeContamination(trades: DataFrame): DataFrame = {
     val syntheticOpens = trades.where(!col("is_close") && col("is_synthetic"))
       .select(col("trade_id").as("open_id"))
@@ -36,15 +47,18 @@ object IntegrityAuditor {
       !col("action").isin("BUY", "SELL", "HOLD"))
 
   final case class AuditReport(openingLegsWithPnl: Long, orphanedCloses: Long,
-      crossModeContamination: Long, invalidEnums: Long) {
+      crossModeContamination: Long, invalidEnums: Long,
+      shortOrphanedCloses: Long = 0L) {
     def clean: Boolean =
       openingLegsWithPnl == 0 && orphanedCloses == 0 &&
-        crossModeContamination == 0 && invalidEnums == 0
+        crossModeContamination == 0 && invalidEnums == 0 &&
+        shortOrphanedCloses == 0
   }
 
   def audit(trades: DataFrame): AuditReport = AuditReport(
     openingLegsWithPnl(trades).count(),
     orphanedCloses(trades).count(),
     crossModeContamination(trades).count(),
-    invalidEnums(trades).count())
+    invalidEnums(trades).count(),
+    shortOrphanedCloses(trades).count())
 }

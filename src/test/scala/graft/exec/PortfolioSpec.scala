@@ -13,8 +13,8 @@ import graft.store.{IntegrityAuditor, TradeViews}
 class PortfolioSpec extends AnyFunSuite with TestSpark {
 
   private def ev(i: Int, price: Double, action: String, conf: Double = 0.8,
-      synth: Boolean = false) =
-    Event("T", new Timestamp(86400000L * i), price, action, conf, synth)
+      synth: Boolean = false, atr: Double = 0.0) =
+    Event("T", new Timestamp(86400000L * i), price, action, conf, synth, atr)
 
   test("FIFO: closes consume oldest lot first, with partial allocation") {
     // prices stay inside the stop/target bands so only the SELL closes
@@ -155,6 +155,127 @@ class PortfolioSpec extends AnyFunSuite with TestSpark {
     assert(report.clean, report.toString)
   }
 
+  test("short side: flat SELL opens a short, BUY covers FIFO with provenance priority") {
+    val rows = PortfolioEngine.runTicker(Seq(
+      ev(1, 100, "SELL", synth = true), // short opened (synthetic lot)
+      ev(2, 101, "SELL"),               // stacked short (live lot)
+      ev(3, 95, "BUY")))                // covers the whole short
+    val opens = rows.filter(!_.isClose)
+    val covers = rows.filter(_.isClose)
+    assert(opens.size === 2 && opens.forall(o => o.side == "SHORT" && o.action == "SELL"))
+    assert(covers.size === 2 && covers.forall(c => c.side == "SHORT" && c.action == "BUY"))
+    assert(covers.forall(_.exitReason == "SIGNAL"))
+    // provenance priority on the short book too: live covered first
+    val live = opens.find(!_.isSynthetic).get
+    val synth = opens.find(_.isSynthetic).get
+    assert(covers.head.entryTradeId === live.tradeId)
+    assert(covers.last.entryTradeId === synth.tradeId)
+    // short pnl = (entry - cover) * qty, positive on the price drop
+    covers.foreach { c =>
+      val o = opens.find(_.tradeId == c.entryTradeId).get
+      assert(math.abs(c.pnl - (o.price - 95.0) * c.quantity) < 1e-9)
+      assert(c.pnl > 0)
+    }
+  }
+
+  test("property: short-lot conservation — covered quantity never exceeds shorted quantity") {
+    val rng = new scala.util.Random(321)
+    (1 to 60).foreach { _ =>
+      val events = (1 to 40).map { i =>
+        val p = 50.0 + rng.nextDouble() * 100.0
+        val a = rng.nextInt(7) match {
+          case 0 | 1 => "BUY"
+          case 2 | 3 | 4 => "SELL"
+          case _ => "HOLD"
+        }
+        ev(i, p, a)
+      }
+      val rows = PortfolioEngine.runTicker(events)
+      val shortOpens = rows.filter(r => !r.isClose && r.side == "SHORT")
+      val covers = rows.filter(r => r.isClose && r.side == "SHORT")
+      assert(covers.map(_.quantity).sum <= shortOpens.map(_.quantity).sum + 1e-9)
+      // every cover references a real short open, never over-consumes it
+      val openQty = shortOpens.map(r => r.tradeId -> r.quantity).toMap
+      covers.groupBy(_.entryTradeId).foreach { case (id, allocs) =>
+        assert(openQty.contains(id))
+        assert(allocs.map(_.quantity).sum <= openQty(id) + 1e-9)
+      }
+      // sides never coexist: after each event, long XOR short open book
+      assert(rows.forall(r => !r.pnl.isNaN))
+    }
+  }
+
+  test("trailing ATR ratchet locks in gains and only ever tightens the stop") {
+    // long: entry 100, ATR 2 → initial stop 95. +3.5 arms the 1.5-ATR
+    // ratchet (stop → 101); the later dip to 100.9 hits the RATCHETED
+    // stop for a positive pnl — impossible without the ratchet (95 stop).
+    // The intermediate bar at 102 (profit 1.0 ATR, candidate stop 100)
+    // must NOT loosen the 101 stop: monotonicity.
+    val rows = PortfolioEngine.runTicker(Seq(
+      ev(1, 100, "BUY", atr = 2.0), ev(2, 103.5, "HOLD"),
+      ev(3, 102, "HOLD"), ev(4, 100.9, "HOLD")))
+    val closes = rows.filter(_.isClose)
+    assert(closes.nonEmpty && closes.forall(_.exitReason == "STOP_LOSS"))
+    assert(closes.forall(_.pnl > 0), s"ratcheted stop should exit in profit: $closes")
+    assert(closes.forall(c => math.abs(c.price - 100.9) < 1e-9))
+    // without an ATR snapshot the ratchet stays disarmed (reference rule:
+    // missing entry-time ATR leaves the stop unchanged) — no exit at 100.9
+    val noAtr = PortfolioEngine.runTicker(Seq(
+      ev(1, 100, "BUY"), ev(2, 103.5, "HOLD"),
+      ev(3, 102, "HOLD"), ev(4, 100.9, "HOLD")))
+    assert(!noAtr.exists(_.isClose))
+    // short mirror: entry 100, ATR 2 → stop 105; -3.5 ratchets stop to 99;
+    // the bounce to 99.5 stops out with the short still in profit
+    val short = PortfolioEngine.runTicker(Seq(
+      ev(1, 100, "SELL", atr = 2.0), ev(2, 96.5, "HOLD"), ev(3, 99.5, "HOLD")))
+    val sc = short.filter(_.isClose)
+    assert(sc.nonEmpty && sc.forall(_.exitReason == "STOP_LOSS"))
+    assert(sc.forall(_.pnl > 0), s"short ratchet should lock gains: $sc")
+  }
+
+  test("slippage entry simulation: fills are adverse on the aggressor side") {
+    val cfg = Config(slippagePct = 0.001)
+    val rows = PortfolioEngine.runTicker(Seq(
+      ev(1, 100, "BUY"), ev(2, 104, "SELL")), cfg)
+    val open = rows.find(!_.isClose).get
+    val close = rows.find(_.isClose).get
+    assert(open.price > 100.0, s"buy fill should pay up: ${open.price}")
+    assert(close.price < 104.0, s"sell fill should concede: ${close.price}")
+    // pnl strictly worse than the frictionless fill
+    val frictionless = PortfolioEngine.runTicker(Seq(
+      ev(1, 100, "BUY"), ev(2, 104, "SELL")))
+    assert(close.pnl < frictionless.find(_.isClose).get.pnl)
+    // short open concedes, cover pays up
+    val short = PortfolioEngine.runTicker(Seq(
+      ev(1, 100, "SELL"), ev(2, 96, "BUY")), cfg)
+    assert(short.find(!_.isClose).get.price < 100.0)
+    assert(short.find(_.isClose).get.price > 96.0)
+  }
+
+  test("short-orphan audit: clean on engine output, flags an injected orphan cover") {
+    val spark2 = spark
+    import spark2.implicits._
+    val events = (1 to 50).map(i => ev(i, 100 + 8 * math.sin(i / 2.5),
+      if (i % 5 == 2) "SELL" else if (i % 7 == 0) "BUY" else "HOLD"))
+    val fills = PortfolioEngine.runTicker(events)
+    assert(fills.exists(r => r.side == "SHORT" && r.isClose), "scenario must cover shorts")
+    val trades = fills.toDF()
+      .withColumnRenamed("tradeId", "trade_id")
+      .withColumnRenamed("isClose", "is_close")
+      .withColumnRenamed("entryTradeId", "entry_trade_id")
+      .withColumnRenamed("isSynthetic", "is_synthetic")
+      .withColumn("pnl", when(col("is_close"), col("pnl")))
+    assert(IntegrityAuditor.audit(trades).clean)
+    // inject a cover whose opener does not exist → the SHORT audit flags it
+    val orphan = Seq(("T", new Timestamp(0L), 999L, "BUY", 1.0, 50.0, true,
+      888L, 1.0, "SIGNAL", false, "SHORT"))
+      .toDF("ticker", "ts", "trade_id", "action", "quantity", "price",
+        "is_close", "entry_trade_id", "pnl", "exitReason", "is_synthetic", "side")
+    val poisoned = trades.unionByName(orphan)
+    assert(IntegrityAuditor.shortOrphanedCloses(poisoned).count() === 1)
+    assert(IntegrityAuditor.audit(poisoned).shortOrphanedCloses === 1)
+  }
+
   test("signal generator: action thresholds, hold reasons, R:R enforcement") {
     val base = SignalGenerator.Inputs("T", new Timestamp(0), lastPrice = 100,
       atr = 1.0, forecast = Array(101, 102, 104), lowerCi = Array(99, 99, 100),
@@ -173,7 +294,61 @@ class PortfolioSpec extends AnyFunSuite with TestSpark {
       forecast = Array(100.05, 100.05, 100.05)))
     assert(hold.action === "HOLD" && hold.holdReason.nonEmpty)
     val risky = SignalGenerator.generate(base.copy(vol = Array(0.5, 0.5, 0.5)))
-    assert(risky.action === "HOLD" && risky.holdReason === "LOW_CONFIDENCE" ||
-      risky.holdReason === "RISK_TOO_HIGH")
+    assert(risky.action === "HOLD" &&
+      (risky.holdReason === "CONFIDENCE_BELOW_THRESHOLD" ||
+        risky.holdReason === "RISK_TOO_HIGH"))
+  }
+
+  test("friction estimator ladder: microstructure > bid/ask > asset-class default") {
+    import SignalGenerator.{Config, Inputs, estimateFriction}
+    val base = Inputs("T", new Timestamp(0), lastPrice = 100, atr = 1.0,
+      forecast = Array(103.0), lowerCi = Array(102.0), upperCi = Array(104.0),
+      vol = Array(0.01), modelAgreement = 1.0, diagnosticsScore = 1.0, probUp = 0.7)
+    // microstructure columns win: roundtrip = 2 * (txn + impact)
+    val micro = estimateFriction(base.copy(txnCostBps = 3.0, impactBps = 2.0))
+    assert(micro.source === "microstructure" && micro.roundtripBps === 10.0)
+    // bid/ask spread next, floored at the asset-class default
+    val spread = estimateFriction(base.copy(bid = 99.9, ask = 100.1))
+    assert(spread.source === "bid_ask" && math.abs(spread.roundtripBps - 20.0) < 1e-9)
+    val tight = estimateFriction(base.copy(bid = 99.99, ask = 100.01))
+    assert(tight.roundtripBps === 10.0, "floored at the default, not 2bps")
+    // asset-class defaults
+    assert(estimateFriction(base).roundtripBps === 10.0)
+    assert(estimateFriction(base.copy(assetClass = "FX")).roundtripBps === 4.0)
+  }
+
+  test("friction flips a marginal BUY to HOLD with the MIN_RETURN reason") {
+    import SignalGenerator.Inputs
+    // gross +1.05%: clears minExpectedReturn=1% gross but NOT net of the
+    // 10bps default round trip (net 0.95%)
+    val in = Inputs("T", new Timestamp(0), lastPrice = 100, atr = 0.5,
+      forecast = Array(100.4, 100.8, 101.05),
+      lowerCi = Array(100.0, 100.1, 100.3), upperCi = Array(100.8, 101.5, 101.8),
+      vol = Array(0.005), modelAgreement = 1.0, diagnosticsScore = 1.0, probUp = 0.7)
+    val held = SignalGenerator.generate(in)
+    assert(held.action === "HOLD" && held.holdReason === "MIN_RETURN",
+      s"${held.action}/${held.holdReason}")
+    // identical inputs with zero microstructure cost → the BUY goes through
+    val free = SignalGenerator.generate(in.copy(txnCostBps = 0.0, impactBps = 0.0))
+    assert(free.action === "BUY", s"${free.action}/${free.holdReason}")
+    assert(free.expectedReturn > held.expectedReturn)
+  }
+
+  test("SNR gate: a wide CI suppresses an otherwise tradeable signal with reason SNR_GATE") {
+    import SignalGenerator.Inputs
+    // gross +3% but the CI half-width implies sigma ~10% of price:
+    // snr = 0.03 / 0.102 ≈ 0.29 << 1.5 → net zeroed, reason SNR_GATE
+    val wide = Inputs("T", new Timestamp(0), lastPrice = 100, atr = 1.0,
+      forecast = Array(101.0, 102.0, 103.0),
+      lowerCi = Array(90.0, 85.0, 83.0), upperCi = Array(112.0, 119.0, 123.0),
+      vol = Array(0.005), modelAgreement = 1.0, diagnosticsScore = 1.0, probUp = 0.7)
+    val gated = SignalGenerator.generate(wide)
+    assert(gated.action === "HOLD" && gated.holdReason === "SNR_GATE",
+      s"${gated.action}/${gated.holdReason}")
+    assert(gated.expectedReturn === 0.0)
+    // same point forecast with a tight CI sails through the gate
+    val tight = SignalGenerator.generate(wide.copy(
+      lowerCi = Array(100.0, 100.5, 101.0), upperCi = Array(102.0, 103.5, 105.0)))
+    assert(tight.action === "BUY", s"${tight.action}/${tight.holdReason}")
   }
 }
