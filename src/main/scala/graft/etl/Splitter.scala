@@ -23,10 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Splitter {
 
-  /** Distinct sorted dates of the frame — the split dimension. */
-  private def dates(df: DataFrame): Array[java.sql.Timestamp] =
-    df.select(col("date")).distinct().orderBy(col("date"))
+  /** Distinct sorted dates of the frame — the split dimension. This is a
+    * driver collect by design: the date dimension of a bar table is tiny
+    * (decades of daily bars < 20k rows) regardless of how many tickers ×
+    * rows the fact side has. The guard documents and enforces the bound —
+    * if it ever fires, the input isn't bar-shaped and the split spec
+    * (fractions of UNIQUE dates) wouldn't apply anyway. */
+  private def dates(df: DataFrame): Array[java.sql.Timestamp] = {
+    val ds = df.select(col("date")).distinct().orderBy(col("date"))
       .collect().map(_.getTimestamp(0))
+    require(ds.length <= 1000000,
+      s"date dimension unexpectedly large (${ds.length}) — not a bar-frequency table")
+    ds
+  }
 
   /** Tag each row train/validation/testing by unique-date fractions. */
   def chronological(

@@ -116,11 +116,23 @@ object FeatureBuilder {
     out = out
       .withColumn("true_range", tr)
       .withColumn("atr_14", avg(col("true_range")).over(wN(14)))
-    // seasonal one-sided MA trend + residual (decompose-lite, period 126)
+    // seasonal decompose-lite at period 126 (reference :197-208,
+    // statsmodels one-sided additive): trend = one-sided MA(126);
+    // seasonal = per-(ticker, phase) mean of the detrended series with
+    // phase = bar index mod 126 (the same shape q17 oracles at period
+    // 7); resid = detrended − seasonal. The phase index is a tiny
+    // (tickers × 126) dimension → broadcast joined back, so the big
+    // side is never reshuffled for it.
     val trend = avg(close).over(wN(126))
     out = out
       .withColumn("seasonal_trend_126", trend)
-      .withColumn("seasonal_resid_126", close - trend)
+      .withColumn("_detrended", close - trend)
+      .withColumn("_phase", (row_number().over(w) - 1) % 126)
+    val seasonalIdx = out.groupBy(col("ticker"), col("_phase"))
+      .agg(avg(col("_detrended")).as("seasonal_126"))
+    out = out.join(broadcast(seasonalIdx), Seq("ticker", "_phase"), "left")
+      .withColumn("seasonal_resid_126", col("_detrended") - col("seasonal_126"))
+      .drop("_detrended", "_phase")
     // calendar flags
     out = out
       .withColumn("is_month_end",

@@ -117,6 +117,12 @@ object ChunkedWindow {
       }
       m.iterator.map { case (k, (n, tail)) => (pid, k, n, tail.toArray) }
     }.collect()
+    // driver-side by design: one row per (partition, key-run) — at most
+    // p + #keys entries, each carrying ≤ h halo rows. For p=1000 tasks,
+    // 10k keys, h=126 that is ~11k × 126 small structs (a few MB), and
+    // it does NOT grow with fact rows. The guard enforces the bound.
+    require(meta.length <= 1000000,
+      s"halo metadata unexpectedly large (${meta.length} partition-key runs)")
 
     // driver: per-key cumulative offsets + the halo rows partition p must
     // prepend for key k (the last min(h, startRn) rows from earlier pids)

@@ -31,9 +31,14 @@ object AutoTrader {
       engineCfg: PortfolioEngine.Config = PortfolioEngine.Config(),
       gateCfg: Option[QuantGate.Config] = Some(QuantGate.Config())): Seq[CycleResult] = {
     import spark.implicits._
+    // driver collect of the DATE DIMENSION only (distinct daily dates —
+    // thousands of entries for decades of history, independent of the
+    // ticker × row fact volume); same bound rationale as Splitter.dates
     val dates = bars.select(col("date")).distinct().orderBy(col("date"))
       .collect().map(_.getTimestamp(0))
     require(dates.length > cycles + 60, "not enough history for the lookback window")
+    require(dates.length <= 1000000,
+      s"date dimension unexpectedly large (${dates.length}) — not a bar-frequency table")
 
     // signals for every cycle are independent per (ticker, cycle) — one
     // distributed pass computes them all (the driver loop only sequences
@@ -96,6 +101,9 @@ object AutoTrader {
     val fills = PortfolioEngine.backtest(
       signals.select("ticker", "ts", "price", "action", "confidence", "isSynthetic"),
       engineCfg).cache()
+    // driver collect of ONE AGGREGATE ROW PER CYCLE (the groupBy reduces
+    // fills to `cycles` rows before the collect) — bounded by the cycle
+    // count argument, never by fills or bars
     val fillsByCycle = fills.toDF()
       .join(cutoffDf, col("ts") === col("cutoff"), "left")
       .groupBy(col("cycle")).agg(

@@ -112,6 +112,13 @@ object SplitQueries extends QueryModule {
         .agg(sum(($"c" * $"c").cast("decimal(38,18)")).cast("double").as("rk"))
         .agg(sum(($"rk" * $"rk").cast("decimal(38,18)")).cast("double").as("q"),
           count(lit(1)).as("nd"))
+      // single-partition window BY DESIGN (emits the WindowExec "No
+      // Partition Defined" WARN once in the bench tail): its input is
+      // the p×(p+1)/2 ticker-PAIR rows — a p-asset universe yields ~p²/2
+      // rows (5k assets → 12.5M scalars at most, one task's worth) — so
+      // the "all data to a single partition" cost is bounded by the
+      // ASSET count, never the bar count. The fact-side reduction to
+      // pair sums happened in the distributed aggs above.
       val wAll = Window.partitionBy(lit(1))
       val pCol = sum(when($"ta" === $"tb", 1L).otherwise(0L)).over(wAll).cast("double")
       val tr = sum(when($"ta" === $"tb", $"s").otherwise(lit(0.0))

@@ -79,6 +79,44 @@ object TradeQueries extends QueryModule {
       import s.implicits._
       TradeViews.equityCurve(trades(s, dir).where(col("is_close")))
         .select($"ticker", $"trade_id", $"equity")
+    }),
+
+    // Dashboard bridge: latest-run lookup (dashboard_db_bridge.py:357-366
+    // `ORDER BY created_at DESC, id DESC LIMIT 1`) — run_id derived as
+    // the trade's day bucket. TakeOrderedAndProject: no full sort at scale.
+    "q91_latest_run" -> ((s, dir) => {
+      import s.implicits._
+      trades(s, dir)
+        .withColumn("run_id", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd"))
+        .orderBy($"ts".desc, $"trade_id".desc).limit(1)
+        .select($"run_id", $"trade_id")
+    }),
+
+    // Dashboard bridge: provenance census (dashboard_db_bridge.py:382-403
+    // `SELECT source, COUNT(*) ... GROUP BY source`) over the trade
+    // surface's provenance flag.
+    "q92_provenance_counts" -> ((s, dir) => {
+      import s.implicits._
+      trades(s, dir)
+        .withColumn("data_source",
+          when($"is_synthetic", "synthetic").otherwise("live"))
+        .groupBy($"data_source").agg(count(lit(1)).as("n"))
+    }),
+
+    // Dashboard bridge: action mix + the "no exits recorded" health flag
+    // (dashboard_db_bridge.py:2197-2203).
+    "q93_action_counts" -> ((s, dir) => {
+      import s.implicits._
+      val counts = trades(s, dir).groupBy($"action").agg(count(lit(1)).as("n"))
+      // the health flag needs the total SELL count next to every row —
+      // a broadcast cross-join of the ONE-ROW aggregate, not a
+      // single-partition window (no WindowExec WARN, same result)
+      val sells = counts.agg(
+        sum(when($"action" === "SELL", $"n").otherwise(0L)).as("_sells"))
+      counts.crossJoin(broadcast(sells))
+        .withColumn("only_buys_flag",
+          ($"_sells" === 0 && $"action" === "BUY").cast("int"))
+        .drop("_sells")
     })
   )
 
@@ -122,6 +160,31 @@ object TradeQueries extends QueryModule {
          |  CAST(SUM(CAST(pnl AS DECIMAL(38,6))) OVER (
          |    PARTITION BY ticker ORDER BY ts, trade_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS equity
-         |FROM trades WHERE is_close""".stripMargin
+         |FROM trades WHERE is_close""".stripMargin,
+    "q91_latest_run" ->
+      s"""$tradesSql
+         |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS run_id, trade_id
+         |FROM trades
+         |ORDER BY ts DESC, trade_id DESC
+         |LIMIT 1""".stripMargin,
+    "q92_provenance_counts" ->
+      s"""$tradesSql
+         |SELECT CASE WHEN is_synthetic THEN 'synthetic' ELSE 'live' END AS data_source,
+         |  COUNT(*) AS n
+         |FROM trades
+         |GROUP BY 1""".stripMargin,
+    "q93_action_counts" ->
+      s"""$tradesSql,
+         |counts AS (
+         |  SELECT CASE WHEN is_close THEN 'SELL' ELSE 'BUY' END AS action,
+         |    COUNT(*) AS n
+         |  FROM trades GROUP BY 1),
+         |sells AS (
+         |  SELECT SUM(CASE WHEN action = 'SELL' THEN n ELSE 0 END) AS _sells
+         |  FROM counts)
+         |SELECT action, n,
+         |  CAST(CASE WHEN _sells = 0 AND action = 'BUY' THEN 1 ELSE 0 END AS INT)
+         |    AS only_buys_flag
+         |FROM counts CROSS JOIN sells""".stripMargin
   )
 }

@@ -80,6 +80,38 @@ class FeatureBuilderSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("seasonal-126: per-phase index is the phase mean of the detrended series, resid phase-means are zero") {
+    // 300 bars > 2 full cycles of 126 — the reference's statsmodels
+    // precondition for the decomposition to engage (:197-201)
+    val longBars = SyntheticSource
+      .generate(spark, Seq("AAPL"), nBars = 300, seed = 7).toDF()
+    val f = FeatureBuilder.build(longBars, dropNa = false)
+      .orderBy("date")
+      .select("close", "seasonal_trend_126", "seasonal_126", "seasonal_resid_126")
+      .collect()
+    assert(f.length === 300)
+    // recompute the decomposition by hand
+    val close = f.map(_.getDouble(0))
+    val trend = close.indices.map(i =>
+      close.slice(math.max(0, i - 125), i + 1).sum /
+        (i - math.max(0, i - 125) + 1))
+    val detrended = close.indices.map(i => close(i) - trend(i))
+    val phaseMean = detrended.indices.groupBy(_ % 126).view
+      .mapValues(is => is.map(detrended).sum / is.size).toMap
+    f.zipWithIndex.foreach { case (row, i) =>
+      assert(math.abs(row.getDouble(1) - trend(i)) < 1e-9, s"trend@$i")
+      assert(math.abs(row.getDouble(2) - phaseMean(i % 126)) < 1e-9, s"seasonal@$i")
+      assert(math.abs(row.getDouble(3) -
+        (detrended(i) - phaseMean(i % 126))) < 1e-9, s"resid@$i")
+    }
+    // per-phase means of the residual vanish exactly (the seasonal index
+    // IS the phase mean of the detrended series)
+    val resid = f.map(_.getDouble(3))
+    resid.indices.groupBy(_ % 126).values.foreach { is =>
+      assert(math.abs(is.map(resid).sum / is.size) < 1e-9)
+    }
+  }
+
   test("dropNa removes warmup rows only") {
     val dropped = FeatureBuilder.build(bars, dropNa = true)
     assert(dropped.where(col("ret_20").isNull).isEmpty)
