@@ -88,18 +88,21 @@ object AutoTrader {
                 netTradeReturn = dir * sig0.expectedReturn, cfg = g))
             case _ => sig0
           }
-          Iterator((cycle, ticker, arr.last._2, closes.last, sig.action, sig.confidence))
+          Iterator((cycle, ticker, arr.last._2, closes.last, sig.action,
+            sig.confidence, in.atr))
         }
       }
-      .toDF("cycle", "ticker", "ts", "price", "action", "confidence")
+      .toDF("cycle", "ticker", "ts", "price", "action", "confidence", "atr")
       .withColumn("isSynthetic", lit(false))
       .cache()
 
     // execution is stateful across cycles → feed the per-ticker engine
     // the chronological signal sequence once (equivalent to replaying
-    // the cycles in order) and attribute fills back to cycles.
+    // the cycles in order) and attribute fills back to cycles. The ATR
+    // snapshot rides along so the engine's trailing ratchet is armed.
     val fills = PortfolioEngine.backtest(
-      signals.select("ticker", "ts", "price", "action", "confidence", "isSynthetic"),
+      signals.select("ticker", "ts", "price", "action", "confidence",
+        "isSynthetic", "atr"),
       engineCfg).cache()
     // driver collect of ONE AGGREGATE ROW PER CYCLE (the groupBy reduces
     // fills to `cycles` rows before the collect) — bounded by the cycle

@@ -68,7 +68,9 @@ object SignalGenerator {
       ask: Double = Double.NaN,
       txnCostBps: Double = Double.NaN,
       impactBps: Double = 0.0,
-      assetClass: String = "UNKNOWN")
+      assetClass: String = "UNKNOWN",
+      depthNotional: Double = Double.NaN,
+      orderNotional: Double = 10000.0)
 
   /** Estimated round-trip cost and which ladder arm produced it. */
   final case class Friction(source: String, roundtripBps: Double) {
@@ -76,15 +78,29 @@ object SignalGenerator {
   }
 
   /** The reference's friction preference ladder (:1321-1451):
-    * microstructure → bid/ask (floored at default) → default. */
+    * microstructure → LOB walk (when depth is observed) → bid/ask
+    * (floored at default) → default. */
   def estimateFriction(in: Inputs, cfg: Config = Config()): Friction = {
     val defaultBps = cfg.defaultRoundtripBps.getOrElse(in.assetClass,
       cfg.defaultRoundtripBps("UNKNOWN"))
+    val haveQuote = !in.bid.isNaN && !in.ask.isNaN && in.bid > 0 && in.ask > in.bid
     if (!in.txnCostBps.isNaN) {
       val impact = if (in.impactBps.isNaN) 0.0 else in.impactBps
       val perSide = math.max(0.0, in.txnCostBps + impact)
       Friction("microstructure", 2.0 * perSide)
-    } else if (!in.bid.isNaN && !in.ask.isNaN && in.bid > 0 && in.ask > in.bid) {
+    } else if (!in.depthNotional.isNaN && in.depthNotional > 0) {
+      // LOB arm (:1408-1431): walk the synthetic book with the default
+      // order size; roundtrip = 2 × |mid slippage|, floored at default
+      val mid = if (haveQuote) 0.5 * (in.bid + in.ask) else in.lastPrice
+      val hs = if (haveQuote) 0.5 * (in.ask - in.bid) else 0.0
+      if (mid > 0) {
+        val fill = graft.exec.LobSim.marketOrderFill(buy = true, mid,
+          shares = in.orderNotional / mid, halfSpread = hs,
+          depthNotional = in.depthNotional)
+        Friction("lob_sim",
+          math.max(defaultBps, math.abs(fill.midSlippageBps) * 2.0))
+      } else Friction("default", defaultBps)
+    } else if (haveQuote) {
       val spreadBps = (in.ask - in.bid) / (0.5 * (in.bid + in.ask)) * 1e4
       Friction("bid_ask", math.max(spreadBps, defaultBps))
     } else Friction("default", defaultBps)
