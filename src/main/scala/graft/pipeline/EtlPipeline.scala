@@ -78,12 +78,46 @@ object EtlPipeline {
     val normalized = Preprocessor.applyZScore(tagged, stats, cfg.normalizeCols)
     val psi = SplitDiagnostics.psi(tagged, "close").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    store("training", normalized.where(col("split") === "training"))
-    store("validation", normalized.where(col("split") === "validation"))
-    store("testing", normalized.where(col("split") === "testing"))
+    val splitNames = Seq("training", "validation", "testing")
+    if (cfg.versionedStages) {
+      splitNames.foreach(sp => store(sp, normalized.where(col("split") === sp)))
+    } else {
+      // ONE pass over the processed table writes every split (three
+      // per-split writes scanned it once each — two wasted full-table
+      // scans at 100 TB); the split=X partition dirs are then renamed
+      // into the top-level stage-dir contract (metadata ops, no data
+      // movement). Ticker partitioning is preserved beneath each split.
+      val tmp = s"${cfg.outDir}/_splits_tmp"
+      normalized.write.mode("overwrite")
+        .partitionBy("split", "ticker").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      splitNames.foreach { sp =>
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/split=$sp")
+        val dst = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/$sp")
+        fs.delete(dst, true)
+        if (fs.exists(src)) {
+          fs.rename(src, dst)
+          stages(sp) = dst.toString
+        } else {
+          // degenerate empty split (e.g. tiny input): keep the contract
+          // with an explicit empty write so readers see a schema
+          store(sp, normalized.where(col("split") === sp))
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
 
-    val rows = normalized.groupBy(col("split")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // row census: versioned stage dirs hold superseded snapshot files
+    // too, so count through the table lineage there; the plain path
+    // counts the freshly-written split dirs (no recompute of features)
+    val rows =
+      if (cfg.versionedStages)
+        normalized.groupBy(col("split")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      else splitNames.map { sp =>
+        sp -> spark.read.parquet(stages(sp)).count()
+      }.toMap
 
     // run catalog row (checkpoint metadata with a content hash)
     val catalog = spark.createDataFrame(Seq(

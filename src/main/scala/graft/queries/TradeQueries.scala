@@ -103,6 +103,20 @@ object TradeQueries extends QueryModule {
         .groupBy($"data_source").agg(count(lit(1)).as("n"))
     }),
 
+    // Dashboard bridge: open-positions snapshot (the portfolio_positions
+    // read, dashboard_db_bridge.py:2190-2194): opens whose trade never
+    // closed — LEFT ANTI against the close linkage — rolled up per ticker.
+    "q94_open_positions" -> ((s, dir) => {
+      import s.implicits._
+      val t = trades(s, dir)
+      val closed = t.where($"is_close").select($"entry_trade_id".as("cid"))
+      t.where(!$"is_close")
+        .join(closed, $"trade_id" === $"cid", "left_anti")
+        .groupBy($"ticker").agg(
+          count(lit(1)).as("n_open"),
+          dsum($"price" * $"quantity").as("exposure"))
+    }),
+
     // Dashboard bridge: action mix + the "no exits recorded" health flag
     // (dashboard_db_bridge.py:2197-2203).
     "q93_action_counts" -> ((s, dir) => {
@@ -173,6 +187,14 @@ object TradeQueries extends QueryModule {
          |  COUNT(*) AS n
          |FROM trades
          |GROUP BY 1""".stripMargin,
+    "q94_open_positions" ->
+      s"""$tradesSql
+         |SELECT t.ticker, COUNT(*) AS n_open, ${sqlSum("t.price")} AS exposure
+         |FROM trades t
+         |WHERE NOT t.is_close AND NOT EXISTS (
+         |  SELECT 1 FROM trades c
+         |  WHERE c.is_close AND c.entry_trade_id = t.trade_id)
+         |GROUP BY t.ticker""".stripMargin,
     "q93_action_counts" ->
       s"""$tradesSql,
          |counts AS (
