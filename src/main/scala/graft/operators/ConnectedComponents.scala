@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components by iterative min-label propagation — the
+  * operator that turns near-dup PAIRS (q90/q52/q86) into dedup GROUPS:
+  * every document in a component gets the component's minimum doc id as
+  * its cluster id, so `doc_id == cluster_id` selects one canonical
+  * representative per group and the rest are the removable duplicates.
+  *
+  * Scale design: each round is one shuffle (edge join + min aggregate);
+  * rounds needed = graph diameter. Near-dup graphs are unions of small
+  * dense clusters (duplicates of one source document), so the diameter
+  * is tiny in practice — for adversarial long-chain graphs swap in the
+  * alternating small-star/large-star contraction (O(log n) rounds,
+  * same per-round shape). Labels persist per round and unpersist the
+  * previous round, so lineage stays O(1) across iterations.
+  */
+object ConnectedComponents {
+
+  /** `edges`: two numeric columns (src, dst), undirected (one direction
+    * suffices). Returns (node, component) for every endpoint node,
+    * component = min node id in the connected component. */
+  def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // symmetrize once so propagation flows both ways
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the DataFrame whose cache is currently pinned (unpersist must be
+    // called on the EXACT cached plan, not a derived select)
+    var pinned = labels
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node takes the min of its own label and its neighbors'
+      val next = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("new_label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // the convergence probe materializes `next`'s cache while the old
+      // labels are still pinned (next's lineage reads them); only then
+      // is the previous round released — lineage stays one round deep
+      converged = next.join(labels, "node")
+        .where(col("new_label") < col("label")).isEmpty
+      pinned.unpersist()
+      pinned = next
+      labels = next.select(col("node"), col("new_label").as("label"))
+      i += 1
+    }
+    sym.unpersist()
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    labels.select(col("node"), col("label").as("component"))
+  }
+}

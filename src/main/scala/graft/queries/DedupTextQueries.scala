@@ -148,6 +148,18 @@ object DedupTextQueries extends QueryModule {
         .select($"da", $"db", $"jaccard")
     }),
 
+    // Dedup CLUSTERS from the verified near-dup pairs: connected
+    // components by min-label propagation (operators/ConnectedComponents)
+    // — the step a production dedup pipeline runs after pair generation,
+    // so each group keeps one canonical doc (doc_id == cluster_id) and
+    // drops the rest. Oracled against a DuckDB recursive reachability
+    // walk over the same pair set.
+    "q95_dedup_clusters" -> ((s, dir) => {
+      val pairs = queries("q90_neardup_lsh_verify")(s, dir)
+      graft.operators.ConnectedComponents.run(pairs, "da", "db")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    }),
+
     // SimHash-60 signatures from token hashes (bitwise majority vote).
     // 60 SUM aggregates over ONE shuffle — no 60× row explosion (the
     // exploded form cost 11s at sf0.1; this runs in ~1s). Base hash =
@@ -388,6 +400,26 @@ object DedupTextQueries extends QueryModule {
        |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** [[lshCandSql]] extended with the exact-Jaccard verification,
+    * ending in `vp AS (... da, db, jaccard ...)` — the q90 pair set,
+    * shared by the q90 and q95 oracles. */
+  private val verifiedPairsSql =
+    s"""$lshCandSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT c.da, c.db, COUNT(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.da
+       |  JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |vp AS (
+       |  SELECT s.da, s.db,
+       |    CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
+       |  FROM shared s
+       |  JOIN sizes sa ON s.da = sa.doc_id
+       |  JOIN sizes sb ON s.db = sb.doc_id
+       |  WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5)""".stripMargin
+
   private val exactTopkSql =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
         |sims AS (
@@ -427,20 +459,23 @@ object DedupTextQueries extends QueryModule {
     "q52_minhash_lsh" -> s"""WITH $lshCandSql
          |SELECT da, db FROM cand""".stripMargin,
     "q90_neardup_lsh_verify" ->
-      s"""WITH $lshCandSql,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |shared AS (
-         |  SELECT c.da, c.db, COUNT(*) AS shared
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.da
-         |  JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
-         |  GROUP BY 1, 2)
-         |SELECT s.da, s.db,
-         |  CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
-         |FROM shared s
-         |JOIN sizes sa ON s.da = sa.doc_id
-         |JOIN sizes sb ON s.db = sb.doc_id
-         |WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5""".stripMargin,
+      s"""WITH $verifiedPairsSql
+         |SELECT da, db, jaccard FROM vp""".stripMargin,
+    // connected components over the verified near-dup pairs via a
+    // recursive reachability walk: every node's cluster id is the MIN
+    // doc id it can reach in the (symmetrized) pair graph.
+    "q95_dedup_clusters" ->
+      s"""WITH RECURSIVE $verifiedPairsSql,
+         |edges AS (
+         |  SELECT da AS src, db AS dst FROM vp
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM vp),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+         |SELECT node AS doc_id, MIN(label) AS cluster_id
+         |FROM walk GROUP BY node""".stripMargin,
     "q53_simhash" -> {
       val hexParse =
         """list_reduce(list_transform(string_split_regex(substr(md5(tok), 18, 15), ''),

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends AnyFunSuite with TestSpark {
+
+  test("min-label propagation: chain, triangle, and singleton-free components") {
+    val spark2 = spark
+    import spark2.implicits._
+    // component A: chain 1-2-3-4 (diameter 3 — exercises multi-round
+    // propagation); component B: triangle 10-11-12; component C: pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("src", "dst")
+    val got = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("q95 clusters: pair endpoints share a cluster, the canonical doc is the min id") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = DedupTextQueries.queries("q90_neardup_lsh_verify")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupTextQueries.queries("q95_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every pair's endpoints landed in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is a member of its own cluster and the minimum of it
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.min === cid)
+    }
+    // exactly the pair-graph nodes are clustered (singletons excluded)
+    assert(clusters.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+}
