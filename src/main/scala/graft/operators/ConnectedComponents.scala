@@ -38,6 +38,12 @@ object ConnectedComponents {
     var pinned = labels
     var converged = false
     var i = 0
+    // convergence witness: per-node labels are monotone non-increasing,
+    // so the label SUM strictly decreases every non-converged round —
+    // one cheap aggregate on the cached frame instead of a probe join.
+    // DECIMAL(38,0) accumulation keeps the witness exact (a double sum
+    // over ~1e9 64-bit ids could hide a small decrease below ulp)
+    var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIter) {
       // each node takes the min of its own label and its neighbors'
       val next = sym.join(labels, sym("src") === labels("node"))
@@ -45,11 +51,13 @@ object ConnectedComponents {
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("new_label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // the convergence probe materializes `next`'s cache while the old
-      // labels are still pinned (next's lineage reads them); only then
-      // is the previous round released — lineage stays one round deep
-      converged = next.join(labels, "node")
-        .where(col("new_label") < col("label")).isEmpty
+      // the aggregate materializes `next`'s cache while the old labels
+      // are still pinned (next's lineage reads them); only then is the
+      // previous round released — lineage stays one round deep
+      val s = next.agg(sum(col("new_label").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       pinned.unpersist()
       pinned = next
       labels = next.select(col("node"), col("new_label").as("label"))

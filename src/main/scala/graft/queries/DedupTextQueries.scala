@@ -281,6 +281,15 @@ object DedupTextQueries extends QueryModule {
         .where($"cosine" >= 0.45)
     }),
 
+    // Embedding-dedup clusters: the q95 pattern over q86's exact cosine
+    // pairs — both dedup families (text shingles, embeddings) end in
+    // canonical groups through the same ConnectedComponents operator.
+    "q96_embed_clusters" -> ((s, dir) => {
+      val pairs = queries("q86_cosine_neardup")(s, dir)
+      graft.operators.ConnectedComponents.run(pairs, "va", "vb")
+        .select(col("node").as("vec_id"), col("component").as("cluster_id"))
+    }),
+
     // Language-ID heuristic: stopword share of tokens.
     "q55_langid" -> ((s, dir) => {
       import s.implicits._
@@ -420,6 +429,23 @@ object DedupTextQueries extends QueryModule {
        |  JOIN sizes sb ON s.db = sb.doc_id
        |  WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5)""".stripMargin
 
+  /** DuckDB CTE chain ending in `cp AS (... va, vb, cosine ...)` — the
+    * exact embedding near-dup pairs at cosine ≥ 0.45, mirroring the q86
+    * Spark plan's arithmetic. Shared by the q86 and q96 oracles. */
+  private val cosinePairsSql =
+    """e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |allpairs AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    round(
+      |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm),
+      |      6) AS cosine
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      |cp AS (SELECT va, vb, cosine FROM allpairs WHERE cosine >= 0.45)""".stripMargin
+
   private val exactTopkSql =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
         |sims AS (
@@ -493,18 +519,22 @@ object DedupTextQueries extends QueryModule {
     },
     "q54_cosine_topk" -> exactTopkSql,
     "q86_cosine_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS va, b.vec_id AS vb,
-        |    round(
-        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm),
-        |      6) AS cosine
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT va, vb, cosine FROM pairs WHERE cosine >= 0.45""".stripMargin,
+      s"""WITH $cosinePairsSql
+         |SELECT va, vb, cosine FROM cp""".stripMargin,
+    // connected components over the embedding near-dup pairs — the
+    // embedding-side sibling of q95 (same recursive reachability walk).
+    "q96_embed_clusters" ->
+      s"""WITH RECURSIVE $cosinePairsSql,
+         |edges AS (
+         |  SELECT va AS src, vb AS dst FROM cp
+         |  UNION ALL
+         |  SELECT vb AS src, va AS dst FROM cp),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+         |SELECT node AS vec_id, MIN(label) AS cluster_id
+         |FROM walk GROUP BY node""".stripMargin,
     // full probing (nProbe = nLists) makes IVF scan every list, so its
     // result is EXACTLY the brute-force top-k — a hash-exact oracle for
     // the ANN plumbing (coarse quantizer, probe join, per-list ranking)
