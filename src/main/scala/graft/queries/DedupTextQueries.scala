@@ -320,6 +320,29 @@ object DedupTextQueries extends QueryModule {
             lit(0.3) * least($"stop_ratio" * 10.0, lit(1.0)))
     }),
 
+    // TF-IDF (SURVEY §7.2 step 8): smooth-idf scoring, top-5 terms per
+    // document. Two hash aggregations (term frequencies, document
+    // frequencies) + a term-keyed dim join — df is one row per vocab
+    // term (key-unique right side, no skew even for stopwords) and the
+    // corpus size rides in as a broadcast one-row cross join.
+    "q97_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val tok = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val len = tok.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = graft.Tables.load(s, dir, "documents")
+        .agg(countDistinct($"doc_id").as("n"))
+      val scored = tf.join(len, "doc_id").join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(($"tf".cast("double") / $"len") *
+          (log(($"n" + 1.0) / ($"df" + 1.0)) + 1.0), 6))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+      scored.withColumn("rn", row_number().over(w)).where($"rn" <= 5)
+        .select($"doc_id", $"term", $"tfidf", $"rn")
+    }),
+
     // Token counting: whitespace vs BPE-ish regex segmentation.
     "q57_token_count" -> ((s, dir) => {
       import s.implicits._
@@ -567,6 +590,26 @@ object DedupTextQueries extends QueryModule {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
         |FROM documents""".stripMargin,
+    "q97_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |len AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY 1),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    round((CAST(t.tf AS DOUBLE) / l.len)
+        |      * (ln((nn.n + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf t
+        |  JOIN len l USING (doc_id)
+        |  JOIN dfreq d USING (term)
+        |  CROSS JOIN nn),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 5""".stripMargin,
     "q58_fingerprint" ->
       """SELECT doc_id,
         |  substr(sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 16) AS fingerprint
