@@ -4,10 +4,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over the `documents` and `embeddings`
-  * tables: deduplication (exact + n-gram Jaccard near-dup + MinHash/LSH +
-  * SimHash), text analysis (language-ID heuristic, quality scoring, token
-  * counting, fingerprinting), and similarity search (brute-force cosine
-  * top-k; LSH-bucketed scale path in q52).
+  * tables: deduplication end to end (exact q50 · near-dup pairs q51/q90 ·
+  * MinHash/LSH q52 · SimHash q53 · embedding pairs q86 · connected-
+  * component dedup CLUSTERS q95/q96), text analysis (language-ID q55,
+  * quality q56, tokens q57, TF-IDF q97, fingerprint q58), and similarity
+  * search (brute-force cosine top-k q54; IVF ANN q85).
   *
   * Scale design notes:
   *  - q90 is the PRIMARY near-dup operator: MinHash/LSH band candidates
