@@ -57,6 +57,33 @@ object MetricsQueries extends QueryModule {
         dsum12($"ret").as("total_ret"))
     }),
 
+    // Expected-shortfall-to-edge + payoff asymmetry (portfolio_math.py:
+    // 852-1032): ES = −mean of the k = max(1, ⌊0.05·n⌋) worst returns
+    // (rank ties share a value, so any tie order yields the same mean);
+    // the no-positive-edge sentinel is NULL here (SQL has no Infinity —
+    // the library function stats/PortfolioMath.esToEdge keeps it).
+    "q98_es_edge" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
+      val ret = $"price" / lag($"price", 1).over(w) - 1
+      val base = Bars.of(s, dir)
+        .select($"ticker", ret.as("r")).where($"r".isNotNull)
+      val ranked = base
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"ticker").orderBy($"r")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"ticker")))
+      val inTail = $"rn" <= greatest(lit(1.0), floor($"n" * lit(0.05)))
+      ranked.groupBy($"ticker").agg(
+          count(lit(1)).as("n"),
+          (davg12(when(inTail, $"r")) * -1.0).as("es_95"),
+          davg12($"r").as("edge"),
+          davg12(when($"r" > 0, $"r")).as("win_mean"),
+          davg12(when($"r" < 0, $"r")).as("loss_mean"))
+        .withColumn("es_to_edge", when($"edge" > 0, $"es_95" / $"edge"))
+        .withColumn("payoff_asym", $"win_mean" / abs($"loss_mean"))
+        .select($"ticker", $"n", $"es_95", $"edge", $"es_to_edge", $"payoff_asym")
+    }),
+
     // Omega ratio at hurdle τ + fat-tail fractional Kelly (kurtosis dampener).
     "q42_omega_kelly" -> ((s, dir) => {
       import s.implicits._
@@ -415,6 +442,26 @@ object MetricsQueries extends QueryModule {
          |  ${sqlSum12("ret")} AS total_ret
          |FROM rets WHERE ret IS NOT NULL
          |GROUP BY ticker""".stripMargin,
+    "q98_es_edge" ->
+      s"""${Bars.sql},
+         |rets AS (
+         |  SELECT ticker, price / lag(price, 1) OVER ($over) - 1 AS r FROM bars),
+         |ranked AS (
+         |  SELECT ticker, r,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY r) AS rn,
+         |    COUNT(*) OVER (PARTITION BY ticker) AS n
+         |  FROM rets WHERE r IS NOT NULL),
+         |agg AS (
+         |  SELECT ticker, COUNT(*) AS n,
+         |    -(${sqlAvg12("CASE WHEN rn <= greatest(1.0, floor(n * 0.05)) THEN r END")}) AS es_95,
+         |    ${sqlAvg12("r")} AS edge,
+         |    ${sqlAvg12("CASE WHEN r > 0 THEN r END")} AS win_mean,
+         |    ${sqlAvg12("CASE WHEN r < 0 THEN r END")} AS loss_mean
+         |  FROM ranked GROUP BY ticker)
+         |SELECT ticker, n, es_95, edge,
+         |  CASE WHEN edge > 0 THEN es_95 / edge END AS es_to_edge,
+         |  win_mean / abs(loss_mean) AS payoff_asym
+         |FROM agg""".stripMargin,
     "q42_omega_kelly" -> {
       val n = "CAST(COUNT(r) AS DOUBLE)"
       val sx = sqlSum12("r")
