@@ -46,6 +46,21 @@ object PortfolioEngine {
       // (orderValue/10000 * 1bp, the reference's fallback impact term).
       slippagePct: Double = 0.0)
 
+  /** The reference's risk-mode presets (config/risk_mode.yml:38-40,
+    * :82-84, :126-128 via paper_trading_engine.py:1060-1075): position
+    * cap / short cap / confidence floor per operating mode, expressed on
+    * a `base` Config. Production is strict (2%/1%, floor 0.50),
+    * research_production balanced (5%/2%, floor 0.30), diagnostic loose
+    * (10%/5%, floor 0.10). */
+  object RiskMode {
+    def production(base: Config = Config()): Config =
+      base.copy(kellyCap = 0.02, shortCap = 0.01, confFloor = 0.50)
+    def researchProduction(base: Config = Config()): Config =
+      base.copy(kellyCap = 0.05, shortCap = 0.02, confFloor = 0.30)
+    def diagnostic(base: Config = Config()): Config =
+      base.copy(kellyCap = 0.10, shortCap = 0.05, confFloor = 0.10)
+  }
+
   /** One bar of engine input: price + that bar's signal action.
     * `atr` is the entry-time ATR snapshot the trailing ratchet arms on
     * (0 = unknown → ratchet disabled, mirroring the reference's

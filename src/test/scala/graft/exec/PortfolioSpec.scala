@@ -252,6 +252,30 @@ class PortfolioSpec extends AnyFunSuite with TestSpark {
     assert(short.find(_.isClose).get.price > 96.0)
   }
 
+  test("risk modes: stricter modes size smaller positions, floors lift low-confidence sizing") {
+    import PortfolioEngine.RiskMode
+    def openQty(cfg: Config, conf: Double = 0.9): Double =
+      PortfolioEngine.runTicker(Seq(ev(1, 100, "BUY", conf = conf)), cfg)
+        .find(!_.isClose).map(_.quantity).getOrElse(0.0)
+    val prod = openQty(RiskMode.production())
+    val research = openQty(RiskMode.researchProduction())
+    val diag = openQty(RiskMode.diagnostic())
+    assert(prod < research && research < diag, s"$prod $research $diag")
+    // caps are the yml ratios: 2% / 5% / 10% of equity at full confidence
+    assert(math.abs(research / prod - 2.5) < 1e-6)
+    assert(math.abs(diag / prod - 5.0) < 1e-6)
+    // the confidence floor binds: at conf=0.05 production sizes with its
+    // 0.50 floor, not the raw confidence
+    val floored = openQty(RiskMode.production(), conf = 0.05)
+    assert(math.abs(floored - prod * 0.50 / 0.90) < 1e-9)
+    // shorts use the tighter cap (1% vs 2% in production)
+    val shortQty = PortfolioEngine.runTicker(
+      Seq(ev(1, 100, "SELL")), RiskMode.production())
+      .find(!_.isClose).map(_.quantity).getOrElse(0.0)
+    val longQty = openQty(RiskMode.production(), conf = 0.8)
+    assert(math.abs(shortQty / longQty - 0.5) < 1e-6)
+  }
+
   test("short-orphan audit: clean on engine output, flags an injected orphan cover") {
     val spark2 = spark
     import spark2.implicits._
