@@ -57,20 +57,23 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     def timeMin(name: String)(body: => Unit): Double = {
       var best = Double.MaxValue
-      var ok = false
+      var anyOk = false
       var lastDur = 0.0
       (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
         // Failures must be LOUD on stderr AND visible in the machine-read
         // JSON (a swallowed exception reads as a suspiciously fast query —
-        // the round-3 q84 trap).
-        try { body; ok = true } catch {
+        // the round-3 q84 trap). The success flag is PER REP: a rep that
+        // throws must never feed its time-to-exception into the min, even
+        // when an earlier rep succeeded.
+        var repOk = false
+        try { body; repOk = true } catch {
           case t: Throwable => System.err.println(s"[bench] $name FAILED: $t")
         }
         lastDur = (System.nanoTime() - t0) / 1e9
-        if (ok) best = math.min(best, lastDur)
+        if (repOk) { anyOk = true; best = math.min(best, lastDur) }
       }
-      if (!ok) { failed += name; lastDur } else best
+      if (!anyOk) { failed += name; lastDur } else best
     }
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     names.foreach { name => results += name -> timeMin(name)(exec(name)) }

@@ -26,16 +26,20 @@ object Splitter {
   /** Distinct sorted dates of the frame — the split dimension. This is a
     * driver collect by design: the date dimension of a bar table is tiny
     * (decades of daily bars < 20k rows) regardless of how many tickers ×
-    * rows the fact side has. The guard documents and enforces the bound —
-    * if it ever fires, the input isn't bar-shaped and the split spec
-    * (fractions of UNIQUE dates) wouldn't apply anyway. */
-  private def dates(df: DataFrame): Array[java.sql.Timestamp] = {
-    val ds = df.select(col("date")).distinct().orderBy(col("date"))
-      .collect().map(_.getTimestamp(0))
-    require(ds.length <= 1000000,
-      s"date dimension unexpectedly large (${ds.length}) — not a bar-frequency table")
-    ds
+    * rows the fact side has. The bound is probed with a LIMIT count
+    * BEFORE collecting — a guard after the collect couldn't save the
+    * driver from the oversized collect it exists to prevent. Shared by
+    * [[chronological]]/[[cvFolds]] and pipeline.AutoTrader. */
+  private[graft] def distinctDates(df: DataFrame,
+      dateCol: String = "date"): Array[java.sql.Timestamp] = {
+    val distinctDs = df.select(col(dateCol).as("date")).distinct()
+    val probe = distinctDs.limit(1000001).count()
+    require(probe <= 1000000,
+      s"date dimension unexpectedly large (>$probe rows) — not a bar-frequency table")
+    distinctDs.orderBy(col("date")).collect().map(_.getTimestamp(0))
   }
+
+  private def dates(df: DataFrame): Array[java.sql.Timestamp] = distinctDates(df)
 
   /** Tag each row train/validation/testing by unique-date fractions. */
   def chronological(

@@ -226,9 +226,16 @@ object PortfolioEngine {
           val frac = math.min(cfg.kellyCap, cfg.kellyCap * confW)
           val budget = math.min(cash,
             equity * frac * math.max(0.0, ev.regimeRiskMult))
-          val qty = if (ev.price > 0) budget / ev.price else 0.0
+          val qty0 = if (ev.price > 0) budget / ev.price else 0.0
+          // the fill price exceeds the sizing price under slippage, so
+          // cap the quantity at what CASH can pay at the fill — sizing
+          // from the raw price and debiting the slipped one would
+          // overdraw a cash-bound account (px is computed at qty0, an
+          // upper bound: shrinking qty only lowers impact)
+          val px0 = if (qty0 > 0) fill(ev.price, qty0, buying = true) else 0.0
+          val qty = if (px0 > 0) math.min(qty0, cash / px0) else 0.0
           if (qty > 1e-9) {
-            val px = fill(ev.price, qty, buying = true)
+            val px = px0
             if (lots.isEmpty) armLifecycle(px, ev.atr, barIdx, short = false)
             out += ExecRow(ev.ticker, ev.ts, nextId, "BUY", qty, px,
               isClose = false, -1L, 0.0, "", ev.isSynthetic, side = "LONG")

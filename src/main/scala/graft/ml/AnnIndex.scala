@@ -165,9 +165,17 @@ object AnnIndex {
       .select(col("vec_id"),
         explode(probeUdf(col("embedding").cast("array<double>"))).as("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    probed.as("x").join(probed.as("y"),
+    val pairs = probed.as("x").join(probed.as("y"),
         col("x.list_id") === col("y.list_id") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small) pair set, then release the corpus-sized
+    // probe cache — otherwise every call pins rows×nProbe for the
+    // session's lifetime. The returned frame is served from its own
+    // cache; callers may unpersist it when done.
+    pairs.count()
+    probed.unpersist()
+    pairs
   }
 
   /** Persist the index: corpus partitioned by `list_id` (so a probe's

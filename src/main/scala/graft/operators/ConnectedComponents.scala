@@ -22,7 +22,10 @@ object ConnectedComponents {
 
   /** `edges`: two numeric columns (src, dst), undirected (one direction
     * suffices). Returns (node, component) for every endpoint node,
-    * component = min node id in the connected component. */
+    * component = min node id in the connected component. The returned
+    * frame is served from the final round's cache (recomputing it would
+    * replay every round); callers running many components jobs in one
+    * session may `.unpersist()` it when done. */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -56,7 +59,9 @@ object ConnectedComponents {
       // previous round released — lineage stays one round deep
       val s = next.agg(sum(col("new_label").cast("decimal(38,0)")))
         .head().getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // SUM over an empty frame is NULL: an empty edge set has no labels
+      // to propagate and is converged by definition (empty result)
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       pinned.unpersist()
       pinned = next

@@ -33,12 +33,10 @@ object AutoTrader {
     import spark.implicits._
     // driver collect of the DATE DIMENSION only (distinct daily dates —
     // thousands of entries for decades of history, independent of the
-    // ticker × row fact volume); same bound rationale as Splitter.dates
-    val dates = bars.select(col("date")).distinct().orderBy(col("date"))
-      .collect().map(_.getTimestamp(0))
+    // ticker × row fact volume); bound probed before collecting inside
+    // the shared helper
+    val dates = graft.etl.Splitter.distinctDates(bars)
     require(dates.length > cycles + 60, "not enough history for the lookback window")
-    require(dates.length <= 1000000,
-      s"date dimension unexpectedly large (${dates.length}) — not a bar-frequency table")
 
     // signals for every cycle are independent per (ticker, cycle) — one
     // distributed pass computes them all (the driver loop only sequences

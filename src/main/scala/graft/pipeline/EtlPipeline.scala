@@ -78,9 +78,15 @@ object EtlPipeline {
     val normalized = Preprocessor.applyZScore(tagged, stats, cfg.normalizeCols)
     val psi = SplitDiagnostics.psi(tagged, "close").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // Stage outputs deliberately EXCLUDE the `split` column in every
+    // mode (it is constant within a stage dir); the single-pass path
+    // below drops it structurally (it becomes the renamed-away partition
+    // dir), so the versioned and empty-split paths drop it explicitly —
+    // one schema across modes.
     val splitNames = Seq("training", "validation", "testing")
     if (cfg.versionedStages) {
-      splitNames.foreach(sp => store(sp, normalized.where(col("split") === sp)))
+      splitNames.foreach(sp =>
+        store(sp, normalized.where(col("split") === sp).drop("split")))
     } else {
       // ONE pass over the processed table writes every split (three
       // per-split writes scanned it once each — two wasted full-table
@@ -97,12 +103,12 @@ object EtlPipeline {
         val dst = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/$sp")
         fs.delete(dst, true)
         if (fs.exists(src)) {
-          fs.rename(src, dst)
+          require(fs.rename(src, dst), s"stage rename failed: $src -> $dst")
           stages(sp) = dst.toString
         } else {
           // degenerate empty split (e.g. tiny input): keep the contract
           // with an explicit empty write so readers see a schema
-          store(sp, normalized.where(col("split") === sp))
+          store(sp, normalized.where(col("split") === sp).drop("split"))
         }
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)

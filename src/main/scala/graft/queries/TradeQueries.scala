@@ -49,6 +49,7 @@ object TradeQueries extends QueryModule {
       |    CASE WHEN rn % 2 = 0
       |      THEN price - lag(price) OVER (PARTITION BY user_id ORDER BY rn) END AS pnl,
       |    user_id % 3 = 0 AS is_synthetic,
+      |    1.0 AS quantity,
       |    'U' || CAST(user_id AS VARCHAR) AS ticker
       |  FROM purchases)""".stripMargin
 
@@ -189,7 +190,8 @@ object TradeQueries extends QueryModule {
          |GROUP BY 1""".stripMargin,
     "q94_open_positions" ->
       s"""$tradesSql
-         |SELECT t.ticker, COUNT(*) AS n_open, ${sqlSum("t.price")} AS exposure
+         |SELECT t.ticker, COUNT(*) AS n_open,
+         |  ${sqlSum("t.price * t.quantity")} AS exposure
          |FROM trades t
          |WHERE NOT t.is_close AND NOT EXISTS (
          |  SELECT 1 FROM trades c

@@ -26,13 +26,17 @@ object IntegrityAuditor {
 
   /** Short orphans (pnl_integrity_enforcer.py:760-830): cover rows —
     * closes whose action is BUY, i.e. short-position exits — with no
-    * matching short opener. A separate audit from [[orphanedCloses]]
-    * because the reference tracks the short side's linkage breakage as
-    * its own violation class. */
+    * matching SHORT opener (an open with action SELL). Joining against
+    * short opens specifically (not all opens) also catches cross-side
+    * linkage breaks: a cover pointing at a LONG open is a violation even
+    * though the referenced trade id exists. A separate audit from
+    * [[orphanedCloses]] because the reference tracks the short side's
+    * linkage breakage as its own violation class. */
   def shortOrphanedCloses(trades: DataFrame): DataFrame = {
-    val opens = trades.where(!col("is_close")).select(col("trade_id").as("open_id"))
+    val shortOpens = trades.where(!col("is_close") && col("action") === "SELL")
+      .select(col("trade_id").as("open_id"))
     trades.where(col("is_close") && col("action") === "BUY")
-      .join(opens, col("entry_trade_id") === col("open_id"), "left_anti")
+      .join(shortOpens, col("entry_trade_id") === col("open_id"), "left_anti")
   }
 
   def crossModeContamination(trades: DataFrame): DataFrame = {

@@ -298,6 +298,14 @@ class PortfolioSpec extends AnyFunSuite with TestSpark {
     val poisoned = trades.unionByName(orphan)
     assert(IntegrityAuditor.shortOrphanedCloses(poisoned).count() === 1)
     assert(IntegrityAuditor.audit(poisoned).shortOrphanedCloses === 1)
+    // cross-side linkage break: a cover pointing at a LONG opener is a
+    // short-orphan violation even though the referenced trade id exists
+    // (the audit only reads these four columns)
+    val crossSide = Seq(
+      (997L, "BUY", false, -1L), // a LONG open
+      (998L, "BUY", true, 997L)) // a "cover" whose opener is that long
+      .toDF("trade_id", "action", "is_close", "entry_trade_id")
+    assert(IntegrityAuditor.shortOrphanedCloses(crossSide).count() === 1)
   }
 
   test("signal generator: action thresholds, hold reasons, R:R enforcement") {
