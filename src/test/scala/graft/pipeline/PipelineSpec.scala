@@ -30,6 +30,9 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
     m.foreach(r => assert(math.abs(r.getAs[Double]("m")) < 1e-6))
     // feature columns survived the pipeline
     assert(train.columns.contains("atr_14") && train.columns.contains("ret_20"))
+    // the constant split tag is NOT a stage-output column (same schema
+    // contract as versioned mode — split identity is the directory)
+    assert(!train.columns.contains("split"))
     // PSI computed per ticker, finite
     assert(res.psi.size === 2 && res.psi.values.forall(v => !v.isNaN))
     // run catalog row written
@@ -63,6 +66,8 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
     val v1 = table.latestVersion
     val rows1 = table.read().count()
     assert(rows1 === res1.rowsPerSplit("training"))
+    // schema parity with plain mode: no split column in stage outputs
+    assert(!table.read().columns.contains("split"))
 
     // second run with MORE data overwrites into a new version
     val bars2 = SyntheticSource.generate(spark, Seq("AAPL", "MSFT"), 300, seed = 3).toDF()
