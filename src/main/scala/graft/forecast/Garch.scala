@@ -201,14 +201,17 @@ object Garch {
               dist = "t", nu = p(3), aic = 2.0 * (4 + kMean) - 2.0 * ll,
               mean = meanName, meanC = c, meanPhi = phi))
           case "skewt" =>
-            // two λ starts, one per sign: the simplex is built by
-            // RELATIVE coordinate perturbation, so a λ=0 start would
-            // freeze the skew axis at ~1e-6 and the arm would never
-            // leave the symmetric-t point
-            val (p, nll, conv) = Seq(-0.25, 0.25).map { lam0 =>
-              nelderMead(a => negLogLikSkewT(e, a(0), a(1), a(2), a(3), a(4)),
-                Array(0.05 * v, 0.08, 0.90, 8.0, lam0))
-            }.minBy(_._2)
+            // λ starts at the symmetric point: nelderMead's simplex now
+            // floors zero-coordinate perturbations absolutely (LinAlg),
+            // so the skew axis opens 0.05 wide and the optimizer walks
+            // to either sign on its own. One restart from the found
+            // optimum polishes the 5-dim fit: the first run's simplex
+            // can collapse along ν while chasing λ, and reopening it
+            // 25% wide at the optimum recovers the tail axis.
+            val obj = (a: Array[Double]) =>
+              negLogLikSkewT(e, a(0), a(1), a(2), a(3), a(4))
+            val first = nelderMead(obj, Array(0.05 * v, 0.08, 0.90, 8.0, 0.0))
+            val (p, nll, conv) = nelderMead(obj, first._1)
             val ll = -nll
             if (!ll.isFinite) None
             else Some(Fit(p(0), p(1), p(2), p(1) + p(2), ll, conv, usedEwma = false,

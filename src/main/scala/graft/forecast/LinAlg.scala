@@ -93,7 +93,15 @@ object LinAlg {
     val dim = start.length
     var simplex = (0 to dim).map { i =>
       val p = start.clone()
-      if (i > 0) p(i - 1) = p(i - 1) * 1.25 + 1e-6
+      if (i > 0) {
+        val v = p(i - 1)
+        // 25% relative step, with an ABSOLUTE floor for (near-)zero
+        // coordinates: a relative perturbation leaves a 0.0-start axis
+        // ~1e-6 wide, which cannot sense curvature that is flat to first
+        // order at 0 — the objective spread stays under `tol` and the
+        // axis never moves (froze the GARCH skew-t λ at its start).
+        p(i - 1) = if (math.abs(v) < 1e-4) v + 0.05 else v * 1.25 + 1e-6
+      }
       (p, f(p))
     }.sortBy(_._2).toVector
     var iter = 0

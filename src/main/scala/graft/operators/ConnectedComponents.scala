@@ -13,19 +13,24 @@ import org.apache.spark.storage.StorageLevel
   * Scale design: each round is one shuffle (edge join + min aggregate);
   * rounds needed = graph diameter. Near-dup graphs are unions of small
   * dense clusters (duplicates of one source document), so the diameter
-  * is tiny in practice — for adversarial long-chain graphs swap in the
-  * alternating small-star/large-star contraction (O(log n) rounds,
-  * same per-round shape). Labels persist per round and unpersist the
-  * previous round, so lineage stays O(1) across iterations.
+  * is tiny in practice — for adversarial long-chain graphs use
+  * [[runStars]], the alternating large-star/small-star contraction
+  * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii 2014), which
+  * converges in O(log² n) rounds worst-case (observed ≈log n) instead
+  * of O(diameter). Labels persist per round and unpersist the previous
+  * round, so lineage stays O(1) across iterations in both variants.
   */
 object ConnectedComponents {
 
   /** `edges`: two numeric columns (src, dst), undirected (one direction
     * suffices). Returns (node, component) for every endpoint node,
-    * component = min node id in the connected component. The returned
-    * frame is served from the final round's cache (recomputing it would
-    * replay every round); callers running many components jobs in one
-    * session may `.unpersist()` it when done. */
+    * component = min node id in the connected component. The result is
+    * eagerly `localCheckpoint`ed (one cheap read of the final round's
+    * already-pinned cache) and every round cache is released before
+    * returning: repeated calls in one session (bench reps, a dedup
+    * pipeline clustering many pair sets) pin nothing across calls, and
+    * the checkpoint blocks are reclaimed by the ContextCleaner once the
+    * caller drops the frame. */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -70,6 +75,14 @@ object ConnectedComponents {
     }
     sym.unpersist()
     require(converged, s"connected components did not converge in $maxIter rounds")
-    labels.select(col("node"), col("label").as("component"))
+    // copy-and-release: materialize the result OFF the round cache
+    // (eager local checkpoint = one pass over the pinned frame, and it
+    // truncates the N-round lineage so the frame survives the unpersist
+    // below without replaying any round), then drop the last round's
+    // cache so nothing stays pinned after run() returns
+    val out = labels.select(col("node"), col("label").as("component"))
+      .localCheckpoint(true)
+    pinned.unpersist()
+    out
   }
 }

@@ -43,6 +43,26 @@ object SkewSalt {
     saltedFact.join(saltedDim, keys :+ "__salt").drop("__salt")
   }
 
+  /** Inner equi-join where BOTH sides are large (fact × fact, including
+    * self-joins — q51's shingle pair generation): neither side can
+    * replicate per-salt like [[saltedJoin]]'s dim, so each side gets a
+    * deterministic group in [0, groups) and is replicated across the
+    * OTHER side's group axis; the join key becomes (keys, ga, gb). A
+    * matching row pair meets exactly once — at (ga(left row), gb(right
+    * row)) — so the result is row-identical to `left.join(right, keys)`,
+    * while a hot key's work spreads over groups² tasks for a groups×
+    * replication cost per side. Use when the hot key's quadratic output
+    * is inherent (exact all-pairs) and only the BALANCE can be fixed.
+    * The two sides must have disjoint non-key column names. */
+  def saltedFactFactJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      groups: Int = 8): DataFrame = {
+    val l = left.withColumn("__ga", rowSalt(left, groups))
+      .withColumn("__gb", explode(sequence(lit(0), lit(groups - 1))))
+    val r = right.withColumn("__gb", rowSalt(right, groups))
+      .withColumn("__ga", explode(sequence(lit(0), lit(groups - 1))))
+    l.join(r, keys ++ Seq("__ga", "__gb")).drop("__ga", "__gb")
+  }
+
   /** Two-stage skew-safe aggregation: sums/counts named in `sums` /
     * `counts` over `keys`, numerically identical to the direct groupBy
     * (sum re-association only — integer/decimal sums are exact; for

@@ -85,7 +85,13 @@ object DedupTextQueries extends QueryModule {
         (count(lit(1)) - countDistinct(sha2($"text", 256))).as("n_exact_dups"))
     }),
 
-    // Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.5.
+    // Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.5 — the exact
+    // all-pairs BASELINE (q90's LSH+verify is the operative scale path).
+    // The shingle self-join's quadratic output on a hot shingle is
+    // inherent to exact all-pairs, but the BALANCE isn't: the two-sided
+    // salted join spreads each shingle's pair generation over groups²=64
+    // tasks (8× replication per side), so a boilerplate shingle shared
+    // by thousands of docs no longer lands on one straggler task.
     "q51_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val toks = graft.Tables.load(s, dir, "documents")
@@ -98,14 +104,14 @@ object DedupTextQueries extends QueryModule {
       // prune impossible pairs BEFORE the shared-shingle aggregation
       // (the dropped pairs could never pass the final WHERE)
       val shN = sh.join(broadcast(sizes), "doc_id")
-      val a = shN.as("a"); val b = shN.as("b")
-      val pairs = a.join(b, $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
-          $"a.n" * 2 >= $"b.n" && $"b.n" * 2 >= $"a.n")
-        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      val a = shN.select($"doc_id".as("da"), $"sh", $"n".as("na"))
+      val b = shN.select($"doc_id".as("db"), $"sh", $"n".as("nb"))
+      graft.operators.SkewSalt.saltedFactFactJoin(a, b, Seq("sh"))
+        .where($"da" < $"db" && $"na" * 2 >= $"nb" && $"nb" * 2 >= $"na")
+        // na/nb are functions of da/db, so adding them to the group key
+        // changes nothing — and saves the two size rejoins q51 used to do
+        .groupBy($"da", $"db", $"na", $"nb")
         .agg(count(lit(1)).as("shared"))
-      pairs
-        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
         .withColumn("jaccard", $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
         .where($"jaccard" >= 0.5)
         .select($"da", $"db", $"jaccard")

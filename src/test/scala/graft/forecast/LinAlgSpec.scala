@@ -33,6 +33,22 @@ class LinAlgSpec extends AnyFunSuite {
     assert(xs.toArray.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("nelderMead escapes a 0.0-start coordinate that is flat to first order") {
+    // double well (x²−1)²: gradient is exactly 0 at the x=0 start, so a
+    // relative-only simplex perturbation (~1e-6 axis) sees an objective
+    // spread below tol and returns the start — the GARCH skew-t λ freeze.
+    // The absolute perturbation floor must walk it to a well at x=±1.
+    val (x, fx, conv) = LinAlg.nelderMead(
+      a => { val d = a(0) * a(0) - 1.0; d * d }, Array(0.0))
+    assert(conv, "should converge")
+    assert(math.abs(math.abs(x(0)) - 1.0) < 1e-4, s"stuck at ${x(0)}")
+    assert(fx < 1e-8)
+    // and a mixed start: zero coord alongside a nonzero one, both recover
+    val (p, _, _) = LinAlg.nelderMead(
+      a => math.pow(a(0) - 2.0, 2) + math.pow(a(1) + 1.5, 2), Array(0.0, 1.0))
+    assert(math.abs(p(0) - 2.0) < 1e-4 && math.abs(p(1) + 1.5) < 1e-4)
+  }
+
   test("thread-safety hammer: concurrent eigSym/solveSpd/Ssa.forecast never disagree or throw") {
     val rng = new scala.util.Random(13)
     val series = Array.fill(8)(Array.tabulate(200)(i =>

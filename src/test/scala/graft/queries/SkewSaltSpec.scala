@@ -30,6 +30,20 @@ class SkewSaltSpec extends AnyFunSuite with TestSpark {
       .where($"ticker" === "HOT").select("__salt").distinct().count()
     assert(spread === 8)
 
+    // fact×fact two-sided salting (the self-join case saltedJoin can't
+    // cover — no small side to replicate per-salt): row-identical to the
+    // plain join, including the hot key's full quadratic pair set, and
+    // each matching pair meets exactly ONCE (no dup from replication)
+    val left = fact.select($"ticker", $"seq".as("la"), $"qty".as("qa"))
+      .where($"seq" % 100 === 0)
+    val right = fact.select($"ticker", $"seq".as("lb"), $"qty".as("qb"))
+      .where($"seq" % 100 === 50)
+    val ff = SkewSalt.saltedFactFactJoin(left, right, Seq("ticker"), groups = 4)
+    val ffPlain = left.join(right, Seq("ticker"))
+    assert(ff.count() === ffPlain.count())
+    assert(ff.exceptAll(ffPlain).count() === 0)
+    assert(ffPlain.exceptAll(ff).count() === 0)
+
     // two-stage aggregation: bit-identical (long sums are exact)
     val direct = fact.groupBy($"ticker")
       .agg(sum($"qty").as("sum_qty"), count(lit(1)).as("n"))
