@@ -17,8 +17,9 @@ import org.apache.spark.storage.StorageLevel
   * [[runStars]], the alternating large-star/small-star contraction
   * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii 2014), which
   * converges in O(log² n) rounds worst-case (observed ≈log n) instead
-  * of O(diameter). Labels persist per round and unpersist the previous
-  * round, so lineage stays O(1) across iterations in both variants.
+  * of O(diameter). Both variants localCheckpoint each round, so lineage
+  * (and the logical plan) stays O(1) across iterations and nothing is
+  * left pinned when they return.
   */
 object ConnectedComponents {
 
@@ -38,19 +39,24 @@ object ConnectedComponents {
     // symmetrize once so propagation flows both ways
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round's labels are EAGERLY localCheckpoint'ed rather than
+    // persisted: a round references its input twice (propagation join +
+    // union), so the LOGICAL plan doubles per round even under persist
+    // (caching truncates recomputation, not the plan tree) and the plan
+    // string alone OOMs past ~15 rounds. Checkpointing resets lineage to
+    // a scan each round; the previous round's blocks are reclaimed by
+    // the ContextCleaner when the reassignment drops their reference —
+    // nothing stays pinned after run() returns.
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the DataFrame whose cache is currently pinned (unpersist must be
-    // called on the EXACT cached plan, not a derived select)
-    var pinned = labels
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     // convergence witness: per-node labels are monotone non-increasing,
     // so the label SUM strictly decreases every non-converged round —
-    // one cheap aggregate on the cached frame instead of a probe join.
-    // DECIMAL(38,0) accumulation keeps the witness exact (a double sum
-    // over ~1e9 64-bit ids could hide a small decrease below ulp)
+    // one cheap aggregate on the checkpointed frame instead of a probe
+    // join. DECIMAL(38,0) accumulation keeps the witness exact (a double
+    // sum over ~1e9 64-bit ids could hide a small decrease below ulp)
     var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIter) {
       // each node takes the min of its own label and its neighbors'
@@ -58,31 +64,116 @@ object ConnectedComponents {
         .select(col("dst").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("new_label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // the aggregate materializes `next`'s cache while the old labels
-      // are still pinned (next's lineage reads them); only then is the
-      // previous round released — lineage stays one round deep
+        .localCheckpoint(true)
       val s = next.agg(sum(col("new_label").cast("decimal(38,0)")))
         .head().getDecimal(0)
       // SUM over an empty frame is NULL: an empty edge set has no labels
       // to propagate and is converged by definition (empty result)
       converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
-      pinned.unpersist()
-      pinned = next
       labels = next.select(col("node"), col("new_label").as("label"))
       i += 1
     }
     sym.unpersist()
     require(converged, s"connected components did not converge in $maxIter rounds")
-    // copy-and-release: materialize the result OFF the round cache
-    // (eager local checkpoint = one pass over the pinned frame, and it
-    // truncates the N-round lineage so the frame survives the unpersist
-    // below without replaying any round), then drop the last round's
-    // cache so nothing stays pinned after run() returns
-    val out = labels.select(col("node"), col("label").as("component"))
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond", Algorithm 2) — same
+    * (node, component=min id) contract as [[run]], but rounds scale as
+    * O(log² n) worst-case (≈log n observed) instead of O(diameter):
+    * the variant for adversarial long-chain graphs, where min-label
+    * propagation would need diameter rounds.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m(u) = min(N(u) ∪ u) — hooks high nodes straight onto minima.
+    *  - small-star(u): every neighbor v < u, and u itself, re-attach to
+    *    m(u) — flattens the low end into stars.
+    *
+    * Both preserve connectivity exactly (paper, Lemmas 1-2); the fixpoint
+    * is a forest of stars rooted at component minima. Each half-round is
+    * one aggregate + one join on the edge set. Convergence: a cheap
+    * per-round signature (count + exact DECIMAL sums of both endpoints);
+    * when the signature repeats, an EXACT set-equality check (two
+    * anti-joins) confirms the fixpoint — the signature alone cannot prove
+    * set equality, and a false stall here would return wrong labels. */
+  def runStars(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 60): DataFrame = runStarsCounted(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[runStars]] plus the number of (large-star + small-star) rounds
+    * taken — exposed so the O(log n) round-count claim is spec-testable. */
+  def runStarsCounted(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 60): (DataFrame, Int) = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // original endpoint set: the output contract is one label per
+    // endpoint node, including self-loop-only singletons that the
+    // star transforms drop with their self-loops
+    val allNodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+
+    def largeStar(es: DataFrame): DataFrame = {
+      val sym = es.union(es.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      // (v, m(u)) for v ∈ N(u), v > u; v > u ≥ m(u) keeps the src > dst
+      // orientation and makes self-loops impossible
+      sym.join(m, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")).distinct()
+    }
+    // input oriented src > dst, so m(u) over smaller neighbors = min(dst)
+    def smallStar(es: DataFrame): DataFrame = {
+      val m = es.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      es.join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .union(m.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    // canonical orientation (max, min), self-loops dropped. Each round's
+    // edge set is EAGERLY localCheckpoint'ed, not persisted: a round
+    // references its input several times (symmetrize union + min-agg
+    // join), so the logical plan would grow ~4× per round and the plan
+    // STRING alone OOMs by round ~15 — checkpointing truncates lineage
+    // to a fresh scan every round (cache-only truncates recomputation).
+    var e = e0.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst")).distinct()
       .localCheckpoint(true)
-    pinned.unpersist()
-    out
+    var converged = e.isEmpty // no edges: already a (possibly empty) star forest
+    var i = 0
+    var prevSig: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
+    while (!converged && i < maxIter) {
+      // largeStar's output feeds smallStar twice (min-agg + join back):
+      // persist for the round, release once `next` is materialized
+      val ls = largeStar(e).persist(StorageLevel.MEMORY_AND_DISK)
+      val next = smallStar(ls).localCheckpoint(true)
+      val sigRow = next.agg(
+        count(lit(1)),
+        sum(col("src").cast("decimal(38,0)")),
+        sum(col("dst").cast("decimal(38,0)"))).head()
+      val sig = (sigRow.getLong(0), sigRow.getDecimal(1), sigRow.getDecimal(2))
+      if (sig == prevSig) {
+        // signature stalled — prove the fixpoint exactly before stopping
+        converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      }
+      prevSig = sig
+      ls.unpersist()
+      // previous round's checkpoint blocks are reclaimed by the
+      // ContextCleaner once this reassignment drops the last reference
+      e = next
+      i += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIter rounds")
+    // fixpoint edges are (member, root) stars; roots label themselves,
+    // and self-loop-only singletons (no star edge) label themselves too
+    val labeled = e.select(col("src").as("node"), col("dst").as("component"))
+      .union(e.select(col("dst").as("node"), col("dst").as("component")).distinct())
+    val singletons = allNodes.join(labeled.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    val out = labeled.union(singletons).distinct().localCheckpoint(true)
+    (out, i)
   }
 }

@@ -20,6 +20,41 @@ class ConnectedComponentsSpec extends AnyFunSuite with TestSpark {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("large-star/small-star: same labels as min-propagation, O(log n) rounds on a 10k path") {
+    val spark2 = spark
+    import spark2.implicits._
+    // same fixture as the min-propagation test (incl. a self-loop
+    // singleton, which the star transforms must not drop)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L), (30L, 30L)).toDF("src", "dst")
+    val got = ConnectedComponents.runStars(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+
+    // random graph: labels agree with run() exactly
+    val rng = new scala.util.Random(17)
+    val rand = (1 to 400).map(_ => (rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    val viaStars = ConnectedComponents.runStars(rand).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = ConnectedComponents.run(rand).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === viaProp)
+
+    // adversarial diameter: a 10,000-node path. Min-propagation would
+    // need ~10,000 rounds (diameter); the star contraction must finish
+    // in O(log n) — allow 3·log2(n) ≈ 40 (paper bound is O(log² n),
+    // observed ≈log n; the margin covers the +1 stall-detection round).
+    val n = 10000
+    val path = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val (labels, rounds) = ConnectedComponents.runStarsCounted(path)
+    val bound = (3 * math.ceil(math.log(n) / math.log(2))).toInt
+    assert(rounds <= bound, s"$rounds rounds > $bound on a $n-node path")
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(lab.length === n && lab.forall(_._2 === 1L), "one component rooted at 1")
+  }
+
   test("q95 clusters: pair endpoints share a cluster, the canonical doc is the min id") {
     val dir = "/root/testdata/sf0.001"
     val pairs = DedupTextQueries.queries("q90_neardup_lsh_verify")(spark, dir)
