@@ -21,6 +21,7 @@ object SparkEntry {
     MetricsQueries,
     DedupTextQueries,
     TradeQueries,
+    DashboardQueries,
     StreamQueries,
     KernelQueries,
     SplitQueries

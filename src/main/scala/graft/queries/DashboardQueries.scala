@@ -1,0 +1,384 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Det._
+
+/** Dashboard DB-bridge read catalog (SURVEY.md §2.11 "Dashboard DB
+  * bridge") — the reference serves a ~40-query read surface from
+  * `scripts/dashboard_db_bridge.py`; this module oracles the reads that
+  * were previously pattern-covered only. Like [[TradeQueries]], the
+  * relational surfaces (trades, signals, quality snapshots, positions)
+  * are deterministic derivations from the `events` table so every read
+  * is DuckDB-oracle-checkable with the same derivation CTE.
+  *
+  * Scale notes: every "latest X" read is either a TakeOrderedAndProject
+  * (global LIMIT) or a per-ticker row_number window partitioned on the
+  * group key — no global sorts, no collects. The run-level equity roll-up
+  * (q109) windows over the PER-RUN aggregate (one row per day), so the
+  * single-partition window input is dim-sized, not fact-sized.
+  */
+object DashboardQueries extends QueryModule {
+
+  /** trading_signals analog: clicks → one signal per event
+    * (dashboard_db_bridge.py:769 column list). ~1/7 of rows get a NULL
+    * signal_timestamp to exercise the bridge's COALESCE ordering. */
+  private def signals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.load(s, dir, "events")
+      .where($"event_type" === "click")
+      .select(
+        $"event_id".as("id"),
+        concat(lit("U"), $"user_id").as("ticker"),
+        when($"value" >= 10.0, "BUY").otherwise("SELL").as("action"),
+        least($"value" / 20.0, lit(1.0)).as("confidence"),
+        ($"value" / 100.0 - 0.05).as("expected_return"),
+        when($"user_id" % 3 === 0, "synthetic").otherwise("live").as("source"),
+        when($"event_id" % 7 === 0, lit(null).cast("timestamp"))
+          .otherwise($"ts").as("signal_timestamp"),
+        $"ts".as("created_at"))
+  }
+
+  private val signalsSql =
+    """signals AS (
+      |  SELECT event_id AS id,
+      |    'U' || CAST(user_id AS VARCHAR) AS ticker,
+      |    CASE WHEN value >= 10.0 THEN 'BUY' ELSE 'SELL' END AS action,
+      |    least(value / 20.0, 1.0) AS confidence,
+      |    value / 100.0 - 0.05 AS expected_return,
+      |    CASE WHEN user_id % 3 = 0 THEN 'synthetic' ELSE 'live' END AS source,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE ts END AS signal_timestamp,
+      |    ts AS created_at
+      |  FROM events WHERE event_type = 'click')""".stripMargin
+
+  /** ohlcv-ish per-ticker price rows: purchases → (ticker, ts, close). */
+  private def closes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.load(s, dir, "events")
+      .where($"event_type" === "purchase")
+      .select($"event_id", concat(lit("U"), $"user_id").as("ticker"),
+        $"ts", $"value".as("close"))
+  }
+
+  private val closesSql =
+    """closes AS (
+      |  SELECT event_id, 'U' || CAST(user_id AS VARCHAR) AS ticker,
+      |    ts, value AS close
+      |  FROM events WHERE event_type = 'purchase')""".stripMargin
+
+  /** data_quality_snapshots analog: per (ticker, day) profile over all
+    * events (dashboard_db_bridge.py:711 column list). `source` is
+    * functionally dependent on ticker (= user), so adding it to the
+    * group key changes no cardinality. */
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.load(s, dir, "events")
+      .groupBy(
+        concat(lit("U"), $"user_id").as("ticker"),
+        date_trunc("day", $"ts").as("snap_date"),
+        when($"user_id" % 3 === 0, "synthetic").otherwise("live").as("source"))
+      .agg(
+        davg($"value").as("quality_score"),
+        (sum(when($"value" < 1.0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("missing_pct"),
+        (count(lit(1)).cast("double") / 48.0).as("coverage"),
+        (sum(when($"value" > 30.0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("outlier_frac"))
+  }
+
+  private val qualitySql =
+    s"""quality AS (
+       |  SELECT 'U' || CAST(user_id AS VARCHAR) AS ticker,
+       |    date_trunc('day', ts) AS snap_date,
+       |    CASE WHEN user_id % 3 = 0 THEN 'synthetic' ELSE 'live' END AS source,
+       |    ${sqlAvg("value")} AS quality_score,
+       |    CAST(SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / COUNT(*) AS missing_pct,
+       |    CAST(COUNT(*) AS DOUBLE) / 48.0 AS coverage,
+       |    CAST(SUM(CASE WHEN value > 30.0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / COUNT(*) AS outlier_frac
+       |  FROM events
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The bridge's fixed dashboard ticker set (`IN (...)` filters). */
+  private val tickerSet = Seq("U1", "U2", "U3", "U5", "U8")
+  private val tickerSetSql = tickerSet.map("'" + _ + "'").mkString("(", ", ", ")")
+
+  override def queries: Map[String, QFn] = Map(
+    // Ticker census: DISTINCT tickers across the bridge's surfaces
+    // (dashboard_db_bridge.py:294, one query per table, merged) —
+    // union the signal and trade surfaces, top-200 by name.
+    "q100_ticker_census" -> ((s, dir) => {
+      import s.implicits._
+      signals(s, dir).select($"ticker")
+        .union(TradeQueries.trades(s, dir).select($"ticker"))
+        .distinct()
+        .orderBy($"ticker").limit(200)
+    }),
+
+    // Synthetic dataset-id census (dashboard_db_bridge.py:408-411):
+    // DISTINCT non-null non-empty dataset ids from the trade surface.
+    "q101_dataset_census" -> ((s, dir) => {
+      import s.implicits._
+      TradeQueries.trades(s, dir)
+        .withColumn("synthetic_dataset_id",
+          when($"user_id" % 30 === 0, "")
+            .when($"user_id" % 3 === 0, concat(lit("ds-"), $"user_id" % 5)))
+        .where($"synthetic_dataset_id".isNotNull && $"synthetic_dataset_id" =!= "")
+        .select($"synthetic_dataset_id").distinct()
+    }),
+
+    // Latest non-null run id (dashboard_db_bridge.py:357-366): unlike
+    // q91 (latest trade's run), this read must skip trades with no run
+    // id — ORDER BY ... LIMIT 1 over the non-null subset.
+    "q102_latest_run_nonnull" -> ((s, dir) => {
+      import s.implicits._
+      TradeQueries.trades(s, dir)
+        .withColumn("run_id",
+          when($"user_id" % 7 === 0, lit(null).cast("string"))
+            .otherwise(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd")))
+        .where($"run_id".isNotNull)
+        .orderBy($"ts".desc, $"trade_id".desc).limit(1)
+        .select($"run_id", $"trade_id")
+    }),
+
+    // Positions snapshot at the latest position_date
+    // (dashboard_db_bridge.py:473 MAX(position_date), then :487 the
+    // per-ticker rows at that date). The max-date scalar is a broadcast
+    // one-row cross join, not a window over the fact.
+    "q103_positions_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val pos = closes(s, dir)
+        .groupBy($"ticker", date_trunc("day", $"ts").as("position_date"))
+        .agg(count(lit(1)).cast("double").as("shares"),
+          davg($"close").as("average_cost"),
+          dsum($"close").as("market_value"))
+      val latest = pos.agg(max($"position_date").as("_maxd"))
+      pos.crossJoin(broadcast(latest))
+        .where($"position_date" === $"_maxd")
+        .select($"ticker", $"shares", $"average_cost", $"market_value")
+    }),
+
+    // Latest close per ticker (dashboard_db_bridge.py:562-568, the
+    // `ORDER BY date DESC LIMIT 1` per-ticker read) — row_number over
+    // the ticker partition, never a global sort.
+    "q104_latest_close" -> ((s, dir) => {
+      import s.implicits._
+      closes(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"ticker").orderBy($"ts".desc, $"event_id".desc)))
+        .where($"rn" === 1)
+        .select($"ticker", $"close")
+    }),
+
+    // Latest quality snapshot per ticker (dashboard_db_bridge.py:711-716).
+    "q105_quality_latest" -> ((s, dir) => {
+      import s.implicits._
+      quality(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"ticker").orderBy($"snap_date".desc)))
+        .where($"rn" === 1)
+        .select($"ticker", $"quality_score", $"missing_pct",
+          $"coverage", $"outlier_frac", $"source")
+    }),
+
+    // Recent price series per ticker (dashboard_db_bridge.py:738-744,
+    // `ORDER BY date DESC LIMIT lookback*3` per ticker): last 30 closes.
+    "q106_price_series" -> ((s, dir) => {
+      import s.implicits._
+      closes(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"ticker").orderBy($"ts".desc, $"event_id".desc)))
+        .where($"rn" <= 30)
+        .select($"ticker", $"ts", $"close")
+    }),
+
+    // Latest signals for the dashboard ticker set
+    // (dashboard_db_bridge.py:769-776): COALESCE(signal_timestamp,
+    // created_at) DESC, id DESC LIMIT 20 — TakeOrderedAndProject.
+    "q107_latest_signals" -> ((s, dir) => {
+      import s.implicits._
+      signals(s, dir)
+        .where($"ticker".isin(tickerSet: _*))
+        .orderBy(coalesce($"signal_timestamp", $"created_at").desc, $"id".desc)
+        .limit(20)
+        .select($"id", $"ticker", $"action", $"confidence",
+          $"expected_return", $"source", $"signal_timestamp")
+    }),
+
+    // Recent trades for the dashboard ticker set
+    // (dashboard_db_bridge.py:836-839 preferred column list).
+    "q108_recent_trades" -> ((s, dir) => {
+      import s.implicits._
+      TradeQueries.trades(s, dir)
+        .where($"ticker".isin(tickerSet: _*))
+        .orderBy($"ts".desc, $"trade_id".desc).limit(25)
+        .select($"ticker", $"action", $"quantity".as("shares"), $"price",
+          date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("trade_date"),
+          $"ts".as("created_at"))
+    }),
+
+    // Equity curve BY RUN (the run-level roll-up the bridge renders):
+    // per-run performance row + cumulative equity across runs. The
+    // cumulative window's input is the per-run aggregate (a row per
+    // day), so the unpartitioned window is dim-sized by construction.
+    "q109_perf_by_run" -> ((s, dir) => {
+      import s.implicits._
+      val perRun = TradeQueries.trades(s, dir)
+        .where($"is_close")
+        .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("run_id"))
+        .agg(count(lit(1)).as("num_trades"),
+          dsum($"pnl").as("total_pnl"),
+          (sum(when($"pnl" > 0, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("win_rate"))
+      perRun.withColumn("equity",
+        dsumOver($"total_pnl", Window.orderBy($"run_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
+    // Latest performance_metrics row (dashboard_db_bridge.py:918-935):
+    // the canonical summary for the most recent run only.
+    "q110_perf_latest" -> ((s, dir) => {
+      import s.implicits._
+      val closed = TradeQueries.trades(s, dir).where($"is_close")
+        .withColumn("run_id",
+          date_format(date_trunc("day", $"ts"), "yyyy-MM-dd"))
+      val latest = closed.agg(max($"run_id").as("_maxr"))
+      val wins = sum(when($"pnl" > 0, $"pnl").otherwise(0.0).cast("decimal(38,6)")).cast("double")
+      val losses = sum(when($"pnl" < 0, $"pnl").otherwise(0.0).cast("decimal(38,6)")).cast("double")
+      val nWins = sum(when($"pnl" > 0, 1L).otherwise(0L))
+      val nLosses = sum(when($"pnl" < 0, 1L).otherwise(0L))
+      closed.crossJoin(broadcast(latest))
+        .where($"run_id" === $"_maxr")
+        .groupBy($"run_id")
+        .agg(count(lit(1)).as("num_trades"),
+          dsum($"pnl").as("total_return"),
+          (sum(when($"pnl" > 0, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("win_rate"),
+          when(abs(losses) > 0, wins / abs(losses)).as("profit_factor"),
+          when(nWins > 0, wins / nWins).as("avg_win"),
+          when(nLosses > 0, losses / nLosses).as("avg_loss"),
+          max($"pnl").as("largest_win"),
+          min($"pnl").as("largest_loss"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q100_ticker_census" ->
+      s"""${TradeQueries.tradesSql},
+         |$signalsSql
+         |SELECT DISTINCT ticker FROM (
+         |  SELECT ticker FROM signals
+         |  UNION ALL SELECT ticker FROM trades)
+         |ORDER BY ticker LIMIT 200""".stripMargin,
+    "q101_dataset_census" ->
+      s"""${TradeQueries.tradesSql},
+         |sds AS (
+         |  SELECT CASE WHEN user_id % 30 = 0 THEN ''
+         |    WHEN user_id % 3 = 0 THEN 'ds-' || CAST(user_id % 5 AS VARCHAR)
+         |  END AS synthetic_dataset_id
+         |  FROM trades)
+         |SELECT DISTINCT synthetic_dataset_id FROM sds
+         |WHERE synthetic_dataset_id IS NOT NULL AND synthetic_dataset_id != ''""".stripMargin,
+    "q102_latest_run_nonnull" ->
+      s"""${TradeQueries.tradesSql},
+         |runs AS (
+         |  SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+         |    ELSE strftime(CAST(ts AS DATE), '%Y-%m-%d') END AS run_id,
+         |    trade_id, ts
+         |  FROM trades)
+         |SELECT run_id, trade_id FROM runs
+         |WHERE run_id IS NOT NULL
+         |ORDER BY ts DESC, trade_id DESC LIMIT 1""".stripMargin,
+    "q103_positions_snapshot" ->
+      s"""WITH $closesSql,
+         |pos AS (
+         |  SELECT ticker, date_trunc('day', ts) AS position_date,
+         |    CAST(COUNT(*) AS DOUBLE) AS shares,
+         |    ${sqlAvg("close")} AS average_cost,
+         |    ${sqlSum("close")} AS market_value
+         |  FROM closes GROUP BY 1, 2)
+         |SELECT ticker, shares, average_cost, market_value
+         |FROM pos
+         |WHERE position_date = (SELECT MAX(position_date) FROM pos)""".stripMargin,
+    "q104_latest_close" ->
+      s"""WITH $closesSql,
+         |ranked AS (
+         |  SELECT ticker, close, row_number() OVER (
+         |    PARTITION BY ticker ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM closes)
+         |SELECT ticker, close FROM ranked WHERE rn = 1""".stripMargin,
+    "q105_quality_latest" ->
+      s"""WITH $qualitySql,
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY ticker ORDER BY snap_date DESC) AS rn
+         |  FROM quality)
+         |SELECT ticker, quality_score, missing_pct, coverage, outlier_frac, source
+         |FROM ranked WHERE rn = 1""".stripMargin,
+    "q106_price_series" ->
+      s"""WITH $closesSql,
+         |ranked AS (
+         |  SELECT ticker, ts, close, row_number() OVER (
+         |    PARTITION BY ticker ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM closes)
+         |SELECT ticker, ts, close FROM ranked WHERE rn <= 30""".stripMargin,
+    "q107_latest_signals" ->
+      s"""WITH $signalsSql
+         |SELECT id, ticker, action, confidence, expected_return, source,
+         |  signal_timestamp
+         |FROM signals
+         |WHERE ticker IN $tickerSetSql
+         |ORDER BY COALESCE(signal_timestamp, created_at) DESC, id DESC
+         |LIMIT 20""".stripMargin,
+    "q108_recent_trades" ->
+      s"""${TradeQueries.tradesSql}
+         |SELECT ticker,
+         |  CASE WHEN is_close THEN 'SELL' ELSE 'BUY' END AS action,
+         |  quantity AS shares, price,
+         |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS trade_date,
+         |  ts AS created_at
+         |FROM trades
+         |WHERE ticker IN $tickerSetSql
+         |ORDER BY ts DESC, trade_id DESC LIMIT 25""".stripMargin,
+    "q109_perf_by_run" ->
+      s"""${TradeQueries.tradesSql},
+         |per_run AS (
+         |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS run_id,
+         |    COUNT(*) AS num_trades,
+         |    ${sqlSum("pnl")} AS total_pnl,
+         |    CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / COUNT(*) AS win_rate
+         |  FROM trades WHERE is_close GROUP BY 1)
+         |SELECT run_id, num_trades, total_pnl, win_rate,
+         |  CAST(SUM(CAST(total_pnl AS DECIMAL(38,6))) OVER (
+         |    ORDER BY run_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS equity
+         |FROM per_run""".stripMargin,
+    "q110_perf_latest" -> {
+      val wins = "CAST(SUM(CAST(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)"
+      val losses = "CAST(SUM(CAST(CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)"
+      s"""${TradeQueries.tradesSql},
+         |closed AS (
+         |  SELECT *, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS run_id
+         |  FROM trades WHERE is_close)
+         |SELECT run_id, COUNT(*) AS num_trades,
+         |  ${sqlSum("pnl")} AS total_return,
+         |  CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS win_rate,
+         |  CASE WHEN abs($losses) > 0 THEN $wins / abs($losses) END AS profit_factor,
+         |  CASE WHEN SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) > 0
+         |    THEN $wins / SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) END AS avg_win,
+         |  CASE WHEN SUM(CASE WHEN pnl < 0 THEN 1 ELSE 0 END) > 0
+         |    THEN $losses / SUM(CASE WHEN pnl < 0 THEN 1 ELSE 0 END) END AS avg_loss,
+         |  MAX(pnl) AS largest_win,
+         |  MIN(pnl) AS largest_loss
+         |FROM closed
+         |WHERE run_id = (SELECT MAX(run_id) FROM closed)
+         |GROUP BY run_id""".stripMargin
+    }
+  )
+}

@@ -15,8 +15,9 @@ import Det._
   */
 object TradeQueries extends QueryModule {
 
-  /** purchases → alternating open/close trades per user. */
-  private def trades(s: SparkSession, dir: String): DataFrame = {
+  /** purchases → alternating open/close trades per user. Shared with
+    * [[DashboardQueries]], which reads the same derived trade surface. */
+  private[queries] def trades(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Tables.load(s, dir, "events")
       .where($"event_type" === "purchase")
@@ -36,7 +37,7 @@ object TradeQueries extends QueryModule {
         when($"is_close", $"entry_trade_id").otherwise(lit(null)))
   }
 
-  private val tradesSql =
+  private[queries] val tradesSql =
     """WITH purchases AS (
       |  SELECT event_id AS trade_id, user_id, ts, value AS price,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
