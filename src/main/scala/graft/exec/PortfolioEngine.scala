@@ -94,24 +94,69 @@ object PortfolioEngine {
       isSynthetic: Boolean,
       side: String = "LONG")
 
-  private final case class Lot(tradeId: Long, qty: Double, price: Double,
+  final case class Lot(tradeId: Long, qty: Double, price: Double,
       barIdx: Int, isSynthetic: Boolean)
 
-  /** Pure per-ticker kernel: time-sorted events → fills. */
+  /** The engine's complete per-ticker state between events — everything
+    * [[runTicker]] used to hold in local vars, lifted into a product so
+    * the SAME kernel runs per-batch (fold over a sorted Seq) and
+    * per-micro-batch (mapGroupsWithState holds it in the state store;
+    * graft.streaming.LivePortfolio). `stopLevel`/`targetLevel` are NaN
+    * while flat (the disarmed lifecycle). */
+  final case class EngineState(
+      cash: Double,
+      nextId: Long,
+      lots: List[Lot],
+      shortLots: List[Lot],
+      entryPrice: Double,
+      entryAtr: Double,
+      stopLevel: Double,
+      targetLevel: Double,
+      entryBar: Int,
+      barIdx: Int)
+
+  object EngineState {
+    def init(cfg: Config): EngineState = EngineState(
+      cash = cfg.initialCapital, nextId = 1L, lots = Nil, shortLots = Nil,
+      entryPrice = 0.0, entryAtr = 0.0,
+      stopLevel = Double.NaN, targetLevel = Double.NaN,
+      entryBar = -1, barIdx = 0)
+  }
+
+  /** Pure per-ticker kernel: time-sorted events → fills. A fold over
+    * [[step]] from the initial state — batch backtests and the
+    * streaming live engine share every line of event logic. */
   def runTicker(events: Seq[Event], cfg: Config = Config()): Seq[ExecRow] = {
     if (events.isEmpty) return Seq.empty
-    val ticker = events.head.ticker
+    val out = mutable.ArrayBuffer.empty[ExecRow]
+    events.foldLeft(EngineState.init(cfg)) { (st, ev) =>
+      val (st1, fills) = step(st, ev, cfg)
+      out ++= fills
+      st1
+    }
+    out.toSeq
+  }
+
+  /** Advance the engine by ONE event: exits (ratchet → stop → target →
+    * time), then the signal action — identical order and arithmetic to
+    * the original closed-loop kernel. Returns the post-event state and
+    * the fills the event produced. */
+  def step(st: EngineState, ev: Event, cfg: Config): (EngineState, Seq[ExecRow]) = {
+    val ticker = ev.ticker
+    val barIdx = st.barIdx
     val out = mutable.ArrayBuffer.empty[ExecRow]
     val lots = mutable.ArrayBuffer.empty[Lot]      // open long lots
     val shortLots = mutable.ArrayBuffer.empty[Lot] // open short lots
-    var cash = cfg.initialCapital
-    var nextId = 1L
+    lots ++= st.lots
+    shortLots ++= st.shortLots
+    var cash = st.cash
+    var nextId = st.nextId
     // position-level lifecycle snapshot (set on first entry from flat)
-    var entryPrice = 0.0
-    var entryAtr = 0.0
-    var stopLevel = Double.NaN
-    var targetLevel = Double.NaN
-    var entryBar = -1
+    var entryPrice = st.entryPrice
+    var entryAtr = st.entryAtr
+    var stopLevel = st.stopLevel
+    var targetLevel = st.targetLevel
+    var entryBar = st.entryBar
 
     // reference fallback fill model (:1402-1408): pct slippage plus
     // size-proportional impact; adverse on the aggressor's side
@@ -176,7 +221,7 @@ object PortfolioEngine {
     def equity: Double =
       cash + lots.map(l => l.qty * l.price).sum - shortLots.map(l => l.qty * l.price).sum
 
-    events.zipWithIndex.foreach { case (ev, barIdx) =>
+    locally {
       val short = shortLots.nonEmpty
       val book = if (short) shortLots else lots
       // Exit evaluation happens BEFORE new entries (reference order,
@@ -264,7 +309,9 @@ object PortfolioEngine {
         case _ => ()
       }
     }
-    out.toSeq
+    (EngineState(cash, nextId, lots.toList, shortLots.toList,
+      entryPrice, entryAtr, stopLevel, targetLevel, entryBar, barIdx + 1),
+      out.toSeq)
   }
 
   /** Distributed backtest: event frame → fills, one task per ticker.

@@ -23,13 +23,41 @@ object AutoTrader {
   final case class CycleResult(cycle: Int, nSignals: Long, nBuys: Long,
       nSells: Long, nFills: Long, realizedPnl: Double)
 
+  /** Operating-mode routing (reference config/risk_mode.yml via
+    * run_auto_trader's active-mode plumbing): each mode carries the
+    * engine sizing preset (position cap / short cap / sizing floor —
+    * [[PortfolioEngine.RiskMode]]) PLUS the `min_signal_confidence`
+    * ENTRY GATE (risk_mode.yml:32/:76/:120) — a BUY/SELL below the
+    * mode's threshold is held before it ever reaches the engine, which
+    * is a different knob from the sizing floor (that LIFTS the weight
+    * of signals that already passed). */
+  final case class RiskPolicy(name: String, minSignalConfidence: Double,
+      engine: PortfolioEngine.Config => PortfolioEngine.Config)
+
+  object RiskPolicy {
+    val production: RiskPolicy =
+      RiskPolicy("production", 0.55, PortfolioEngine.RiskMode.production(_))
+    val researchProduction: RiskPolicy =
+      RiskPolicy("research_production", 0.45,
+        PortfolioEngine.RiskMode.researchProduction(_))
+    val diagnostic: RiskPolicy =
+      RiskPolicy("diagnostic", 0.10, PortfolioEngine.RiskMode.diagnostic(_))
+    def named(n: String): RiskPolicy = n match {
+      case "production" => production
+      case "research_production" => researchProduction
+      case "diagnostic" => diagnostic
+      case other => throw new IllegalArgumentException(s"unknown risk mode: $other")
+    }
+  }
+
   /** Run `cycles` cycles over the bar table: cycle c sees bars up to
     * (maxDate - cycles + c) and trades on the signal at that bar. */
   def run(spark: SparkSession, bars: DataFrame, cycles: Int,
       fcCfg: ForecastEngine.Config = ForecastEngine.Config(horizon = 5, mcPaths = 100),
       sigCfg: SignalGenerator.Config = SignalGenerator.Config(),
       engineCfg: PortfolioEngine.Config = PortfolioEngine.Config(),
-      gateCfg: Option[QuantGate.Config] = Some(QuantGate.Config())): Seq[CycleResult] = {
+      gateCfg: Option[QuantGate.Config] = Some(QuantGate.Config()),
+      riskMode: Option[RiskPolicy] = None): Seq[CycleResult] = {
     import spark.implicits._
     // driver collect of the DATE DIMENSION only (distinct daily dates —
     // thousands of entries for decades of history, independent of the
@@ -92,16 +120,27 @@ object AutoTrader {
       }
       .toDF("cycle", "ticker", "ts", "price", "action", "confidence", "atr")
       .withColumn("isSynthetic", lit(false))
+      // risk-mode entry gate: sub-threshold BUY/SELL → HOLD before the
+      // engine (the sizing presets apply inside the engine config below)
+      .transform { df =>
+        riskMode.fold(df) { p =>
+          df.withColumn("action",
+            when(col("action") =!= "HOLD" &&
+              col("confidence") < p.minSignalConfidence, "HOLD")
+              .otherwise(col("action")))
+        }
+      }
       .cache()
 
     // execution is stateful across cycles → feed the per-ticker engine
     // the chronological signal sequence once (equivalent to replaying
     // the cycles in order) and attribute fills back to cycles. The ATR
     // snapshot rides along so the engine's trailing ratchet is armed.
+    val effectiveEngineCfg = riskMode.fold(engineCfg)(_.engine(engineCfg))
     val fills = PortfolioEngine.backtest(
       signals.select("ticker", "ts", "price", "action", "confidence",
         "isSynthetic", "atr"),
-      engineCfg).cache()
+      effectiveEngineCfg).cache()
     // driver collect of ONE AGGREGATE ROW PER CYCLE (the groupBy reduces
     // fills to `cycles` rows before the collect) — bounded by the cycle
     // count argument, never by fills or bars

@@ -37,6 +37,66 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("live portfolio engine: streaming micro-batches produce fill-identical output to batch backtest") {
+    import graft.exec.PortfolioEngine
+    import graft.exec.PortfolioEngine.{Config, Event}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a sequence that exercises every state transition the store must
+    // carry across batches: long entry → ratchet arm → take-profit,
+    // short entry → stop, time exit, cover, plus a second ticker with
+    // interleaved timestamps; slippage on so fill arithmetic is live
+    val cfg = Config(slippagePct = 0.001, maxHoldBars = 4)
+    def ev(t: String, min: Int, p: Double, a: String, conf: Double = 0.8,
+        syn: Boolean = false, atr: Double = 2.0) =
+      Event(t, ts(min), p, a, conf, syn, atr, regimeRiskMult = 1.0)
+    val seqA = Seq(
+      ev("A", 0, 100.0, "BUY"),            // open long
+      ev("A", 1, 101.0, "HOLD"),
+      ev("A", 2, 103.5, "BUY", syn = true), // ratchet arms (+1.5 ATR), adds lot
+      ev("A", 3, 111.0, "HOLD"),           // take-profit exit (>= 110)
+      ev("A", 4, 112.0, "SELL"),           // flat + SELL → open short
+      ev("A", 5, 118.5, "HOLD"),           // short stop (>= 117.6)
+      ev("A", 6, 117.0, "BUY"),            // no-op (flat, BUY opens long)
+      ev("A", 7, 116.0, "HOLD"),
+      ev("A", 8, 115.0, "HOLD"),
+      ev("A", 9, 114.0, "HOLD"),
+      ev("A", 10, 113.8, "HOLD"),          // time exit (maxHoldBars=4)
+      ev("A", 11, 113.0, "SELL"))          // open short again
+    val seqB = Seq(
+      ev("B", 0, 50.0, "SELL", conf = 0.4), // open short from flat
+      ev("B", 2, 47.0, "HOLD"),             // ratchet arms
+      ev("B", 4, 44.0, "BUY", syn = true),  // signal cover
+      ev("B", 6, 45.0, "BUY"),              // open long
+      ev("B", 8, 42.5, "HOLD"))             // stop loss (<= 42.75)
+    val all = (seqA ++ seqB).sortBy(_.ts.getTime)
+
+    val batch = PortfolioEngine.backtest(all.toDF(), cfg).collect()
+      .map(r => (r.ticker, r.tradeId, r.action, r.quantity, r.price,
+        r.isClose, r.entryTradeId, r.pnl, r.exitReason, r.isSynthetic, r.side))
+      .sortBy(x => (x._1, x._2))
+
+    val input = MemoryStream[Event]
+    val fills = graft.streaming.LivePortfolio.fills(input.toDS(), cfg)
+    val q = fills.writeStream.format("memory").queryName("live_fills")
+      .outputMode("append").start()
+    try {
+      // deliver in FOUR micro-batches split mid-position (ticker order
+      // preserved): the state store must carry open lots, armed stops,
+      // cash, and the bar counter across batch boundaries
+      val chunks = Seq(all.take(5), all.slice(5, 9), all.slice(9, 14), all.drop(14))
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("live_fills").as[PortfolioEngine.ExecRow].collect()
+        .map(r => (r.ticker, r.tradeId, r.action, r.quantity, r.price,
+          r.isClose, r.entryTradeId, r.pnl, r.exitReason, r.isSynthetic, r.side))
+        .sortBy(x => (x._1, x._2))
+      assert(batch.nonEmpty && batch.exists(_._6), "fixture must close positions")
+      assert(batch.exists(_._11 == "SHORT"), "fixture must exercise shorts")
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("gated stream upserts into the MERGE sink: replays collapse on the bar key") {
     val spark2 = spark
     import spark2.implicits._
