@@ -29,6 +29,46 @@ object KernelQueries extends QueryModule {
           rets.zip(path).map { case ((seq, _), s2) => (ticker, seq, s2) }.iterator
         }
         .toDF("ticker", "seq", "ewma_var")
+    }),
+
+    // End-to-end ForecastEngine lifecycle (SURVEY §3.3; reference audit
+    // rows forcester_ts/forecaster.py:1864-1960): deterministic seeded
+    // fit per ticker bucket → persisted forecast table (parquet write)
+    // → SQL read-back. The float predictions are spec-territory (the
+    // 164-test suite); what the oracle anchors is the ORCHESTRATION
+    // CONTRACT a downstream reader depends on — one ENSEMBLE row per
+    // (ticker, horizon step) after the round trip, with the engine's
+    // row invariants (lower CI ≤ forecast ≤ upper CI, vol ≥ 0,
+    // probUp ∈ [0,1]) holding on every persisted row.
+    "q111_forecast_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val horizon = 5
+      // deterministic per-bucket hourly price series from purchases
+      val series = graft.Tables.load(s, dir, "events")
+        .where($"event_type" === "purchase")
+        .groupBy(concat(lit("B"), $"user_id" % 3).as("ticker"),
+          date_trunc("hour", $"ts").as("h"))
+        .agg(Det.davg($"value").as("px"))
+      val fc = series.as[(String, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (t, rows) =>
+          val px = rows.toArray.sortBy(_._2.getTime).map(_._3)
+          graft.forecast.ForecastEngine.forecastOne(t, px,
+            graft.forecast.ForecastEngine.Config(horizon = horizon,
+              mcPaths = 100)).iterator
+        }
+      // the lifecycle write: forecast table persisted, then read back —
+      // the oracle row is computed from the PERSISTED table only
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_fc_store").toString
+      fc.toDF().write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
+        .where($"model" === "ENSEMBLE")
+        .select($"ticker",
+          $"horizonStep".as("horizon_step"),
+          ($"lowerCi" <= $"forecast" && $"forecast" <= $"upperCi").as("ci_ok"),
+          ($"vol" >= 0.0).as("vol_ok"),
+          ($"probUp" >= 0.0 && $"probUp" <= 1.0).as("prob_ok"))
     })
   )
 
@@ -54,6 +94,22 @@ object KernelQueries extends QueryModule {
          |      + (CAST(1 AS DOUBLE) - CAST(0.94 AS DOUBLE)) * t.r * t.r
          |  FROM numbered t JOIN rec
          |    ON t.ticker = rec.ticker AND t.rn = rec.rn + 1)
-         |SELECT ticker, seq, s2 AS ewma_var FROM rec""".stripMargin
+         |SELECT ticker, seq, s2 AS ewma_var FROM rec""".stripMargin,
+
+    // the lifecycle contract from the base table alone: every purchase
+    // bucket with a fittable history (>=40 hourly points — the engine's
+    // minimum) yields exactly `horizon` ENSEMBLE rows whose invariants
+    // hold; a missing/extra/duplicated row, a broken CI ordering, or a
+    // failed write→read round trip all hash-mismatch
+    "q111_forecast_lifecycle" ->
+      """WITH buckets AS (
+        |  SELECT 'B' || CAST(user_id % 3 AS VARCHAR) AS ticker
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1
+        |  HAVING COUNT(DISTINCT date_trunc('hour', ts)) >= 40),
+        |steps AS (SELECT UNNEST(range(1, 6)) AS horizon_step)
+        |SELECT b.ticker, s.horizon_step,
+        |  TRUE AS ci_ok, TRUE AS vol_ok, TRUE AS prob_ok
+        |FROM buckets b CROSS JOIN steps s""".stripMargin
   )
 }
