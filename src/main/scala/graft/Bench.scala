@@ -107,12 +107,18 @@ object Bench {
     val failed = work.map(_._1).filterNot(best.contains)
     val results: Seq[(String, Double)] =
       work.map { case (name, _) => name -> best.getOrElse(name, lastDur(name)) }.toSeq
-    // Seconds at 2-decimal precision: the driver keeps only a bounded tail
-    // of stdout, so the single JSON line must stay well under ~1800 chars
-    // even with every query listed (r5's 3-decimal line was 1729 chars and
-    // this round adds two entries).
+    // Seconds at 2-decimal precision: the driver keeps only a ~2000-char
+    // tail of stdout, so the single JSON line must stay well under that
+    // or the HEAD of the JSON gets truncated away (r6's full-name line
+    // was 1897 chars at 80 entries; this round crosses 90). Keys are the
+    // unique qNN prefix — the name every other artifact (CORRECTNESS,
+    // VERDICT, BASELINE) already uses — which keeps the line ~1.1k.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def shortName(n: String): String =
+      if (n.startsWith("q")) n.takeWhile(_ != '_') else n
+    require(results.map(r => shortName(r._1)).distinct.size == results.size,
+      "short bench keys must stay unique")
+    val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Print the JSON line as the LAST stdout output of the JVM: silence
