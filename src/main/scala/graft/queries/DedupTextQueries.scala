@@ -167,6 +167,18 @@ object DedupTextQueries extends QueryModule {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     }),
 
+    // q95's clusters through the ALTERNATING large-star/small-star
+    // contraction (operators/ConnectedComponents.runStars) instead of
+    // min-label propagation — the variant a 100 TB run picks when the
+    // pair graph may contain adversarial long chains (O(log² n) rounds
+    // vs O(diameter)). Same output contract, same recursive oracle:
+    // both algorithms must land on identical canonical clusters.
+    "q112_dedup_clusters_stars" -> ((s, dir) => {
+      val pairs = queries("q90_neardup_lsh_verify")(s, dir)
+      graft.operators.ConnectedComponents.runStars(pairs, "da", "db")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    }),
+
     // SimHash-60 signatures from token hashes (bitwise majority vote).
     // 60 SUM aggregates over ONE shuffle — no 60× row explosion (the
     // exploded form cost 11s at sf0.1; this runs in ~1s). Base hash =
@@ -521,6 +533,20 @@ object DedupTextQueries extends QueryModule {
     // recursive reachability walk: every node's cluster id is the MIN
     // doc id it can reach in the (symmetrized) pair graph.
     "q95_dedup_clusters" ->
+      s"""WITH RECURSIVE $verifiedPairsSql,
+         |edges AS (
+         |  SELECT da AS src, db AS dst FROM vp
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM vp),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+         |SELECT node AS doc_id, MIN(label) AS cluster_id
+         |FROM walk GROUP BY node""".stripMargin,
+    // identical oracle to q95 on purpose: the star contraction and
+    // min-label propagation must produce the same canonical clusters
+    "q112_dedup_clusters_stars" ->
       s"""WITH RECURSIVE $verifiedPairsSql,
          |edges AS (
          |  SELECT da AS src, db AS dst FROM vp

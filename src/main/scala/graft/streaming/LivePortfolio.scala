@@ -29,6 +29,30 @@ import graft.exec.PortfolioEngine.{Config, EngineState, Event, ExecRow}
   */
 object LivePortfolio {
 
+  /** Fill stream → MERGE-upsert sink: the exactly-once persistence leg
+    * of the live cycle (the reference INSERTs fills into
+    * trade_executions per cycle; database_manager.py's executions
+    * table). The engine's trade ids are deterministic per ticker (state
+    * carries `nextId`), so (ticker, tradeId) is a natural idempotency
+    * key — a checkpoint replay or restart re-emits the SAME rows and
+    * the MERGE collapses them instead of double-counting fills.
+    * Partitioned by fill date: a replay rewrites only the partitions it
+    * touches. */
+  def upsertFills(fills: Dataset[ExecRow], sink: graft.sources.MergeSink,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, to_date}
+    fills
+      .withColumn("fill_date", to_date(col("ts")))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.upsert(batch): Unit
+      }
+      .start()
+  }
+
   /** events (streaming Dataset) → fills, state held per ticker.
     * Append-mode output: each micro-batch emits only the fills its
     * events produced; positions/cash/stops carry over in the store. */

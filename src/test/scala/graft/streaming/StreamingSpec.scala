@@ -95,6 +95,26 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
       assert(batch.exists(_._11 == "SHORT"), "fixture must exercise shorts")
       assert(streamed.toSeq === batch.toSeq)
     } finally q.stop()
+
+    // exactly-once persistence: the fills stream through the MERGE sink
+    // keyed on (ticker, tradeId); replaying the WHOLE sequence through a
+    // fresh stream (fresh checkpoint — the worst replay) converges the
+    // table instead of double-counting fills
+    val tmp = java.nio.file.Files.createTempDirectory("graft_live_fills")
+    val sink = new graft.sources.MergeSink(spark, s"$tmp/fills",
+      keyCols = Seq("ticker", "tradeId"), partitionCol = "fill_date")
+    def replayAll(): Unit = {
+      val in = MemoryStream[Event]
+      val fq = graft.streaming.LivePortfolio.upsertFills(
+        graft.streaming.LivePortfolio.fills(in.toDS(), cfg), sink,
+        java.nio.file.Files.createTempDirectory("graft_live_ckpt").toString)
+      try { in.addData(all); fq.processAllAvailable() } finally fq.stop()
+    }
+    replayAll()
+    val once = sink.read().count()
+    replayAll() // full duplicate delivery
+    assert(once === batch.length.toLong, "sink row count = batch fill count")
+    assert(sink.read().count() === once, "replay must collapse, not append")
   }
 
   test("gated stream upserts into the MERGE sink: replays collapse on the bar key") {
