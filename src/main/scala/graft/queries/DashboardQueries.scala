@@ -238,6 +238,64 @@ object DashboardQueries extends QueryModule {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }),
 
+    // Positions-from-executions REPLAY (dashboard_db_bridge.py:598-660,
+    // the `trade_executions_fallback` path): rebuild per-ticker position
+    // state by replaying BUY/SELL executions in order — weighted-average
+    // entry on same-side adds, entry carried through partial reductions,
+    // reset on exact close, re-marked on side flips. A sequential
+    // recurrence, so it runs as the engine's per-ticker flatMapGroups
+    // kernel; the oracle replays the IDENTICAL IEEE operation sequence
+    // with a DuckDB recursive CTE (the q47 pattern) — bit-exact compare,
+    // no tolerance.
+    "q113_positions_replay" -> ((s, dir) => {
+      import s.implicits._
+      val execs = graft.Tables.load(s, dir, "events")
+        .where($"event_type".isin("purchase", "click") && $"value" > 0)
+        .select(concat(lit("U"), $"user_id").as("ticker"), $"ts", $"event_id",
+          when($"event_type" === "purchase", "BUY").otherwise("SELL").as("action"),
+          ($"event_id" % 3 + 1).cast("double").as("qty"),
+          $"value".as("price"))
+      execs.as[(String, java.sql.Timestamp, Long, String, Double, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (t, rows) =>
+          val arr = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+          var shares = 0.0
+          var entry: java.lang.Double = null
+          var cur: java.lang.Double = null // latest purchase price
+          arr.foreach { case (_, _, _, action, qty, price) =>
+            if (action == "BUY") cur = price
+            val sq = if (action == "BUY") qty else -qty
+            if (shares == 0.0) { shares = sq; entry = price }
+            else {
+              val sameSide = (shares > 0) == (sq > 0)
+              // entry computed from the PRE-update position (reference
+              // order); parenthesization mirrors the oracle SQL exactly
+              val newEntry: java.lang.Double =
+                if (sameSide)
+                  (math.abs(shares) * entry + math.abs(sq) * price) /
+                    (math.abs(shares) + math.abs(sq))
+                else if (math.abs(sq) < math.abs(shares)) entry
+                else if (math.abs(sq) == math.abs(shares)) null
+                else price
+              shares += sq
+              entry = newEntry
+            }
+          }
+          if (math.abs(shares) >= 1e-6) {
+            val mv: Option[Double] =
+              if (cur != null) Some(cur * shares) else None
+            val unreal: Option[Double] =
+              if (cur != null && entry != null && entry.doubleValue != 0.0)
+                Some((cur / entry - 1.0) * (if (shares > 0) 1.0 else -1.0))
+              else None
+            Iterator((t, math.round(shares).toInt, Option(entry).map(_.doubleValue),
+              Option(cur).map(_.doubleValue), mv, unreal))
+          } else Iterator.empty
+        }
+        .toDF("ticker", "shares", "entry_price", "current_price",
+          "market_value", "unrealized_pnl_pct")
+    }),
+
     // Latest performance_metrics row (dashboard_db_bridge.py:918-935):
     // the canonical summary for the most recent run only.
     "q110_perf_latest" -> ((s, dir) => {
@@ -358,6 +416,66 @@ object DashboardQueries extends QueryModule {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          |    AS equity
          |FROM per_run""".stripMargin,
+    // identical IEEE op order to the Spark kernel: the recursive CTE
+    // steps one execution at a time per ticker, and every arithmetic
+    // expression (weighted-avg entry, ratios) is written with the same
+    // parenthesization — the hash compare is bit-exact
+    "q113_positions_replay" ->
+      """WITH RECURSIVE execs AS (
+        |  SELECT 'U' || CAST(user_id AS VARCHAR) AS ticker, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'BUY' ELSE 'SELL' END AS action,
+        |    CAST(event_id % 3 + 1 AS DOUBLE) AS qty,
+        |    value AS price
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value > 0),
+        |numbered AS (
+        |  SELECT *, row_number() OVER (PARTITION BY ticker ORDER BY ts, event_id) AS rn
+        |  FROM execs),
+        |walk(ticker, rn, shares, entry) AS (
+        |  SELECT ticker, rn,
+        |    CASE WHEN action = 'BUY' THEN qty ELSE -qty END,
+        |    price
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.ticker, n.rn,
+        |    w.shares + (CASE WHEN n.action = 'BUY' THEN n.qty ELSE -n.qty END),
+        |    CASE
+        |      WHEN w.shares = 0 THEN n.price
+        |      WHEN (w.shares > 0) = ((CASE WHEN n.action = 'BUY' THEN n.qty ELSE -n.qty END) > 0)
+        |        THEN (abs(w.shares) * w.entry
+        |              + abs(CASE WHEN n.action = 'BUY' THEN n.qty ELSE -n.qty END) * n.price)
+        |             / (abs(w.shares) + abs(CASE WHEN n.action = 'BUY' THEN n.qty ELSE -n.qty END))
+        |      WHEN abs(CASE WHEN n.action = 'BUY' THEN n.qty ELSE -n.qty END) < abs(w.shares)
+        |        THEN w.entry
+        |      WHEN abs(CASE WHEN n.action = 'BUY' THEN n.qty ELSE -n.qty END) = abs(w.shares)
+        |        THEN NULL
+        |      ELSE n.price
+        |    END
+        |  FROM walk w JOIN numbered n ON n.ticker = w.ticker AND n.rn = w.rn + 1),
+        |final AS (
+        |  SELECT w.ticker, w.shares, w.entry
+        |  FROM walk w
+        |  JOIN (SELECT ticker, MAX(rn) AS mrn FROM numbered GROUP BY ticker) m
+        |    ON m.ticker = w.ticker AND w.rn = m.mrn),
+        |cur AS (
+        |  SELECT ticker, price AS current_price FROM (
+        |    SELECT ticker, price, row_number() OVER (
+        |      PARTITION BY ticker ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM execs WHERE action = 'BUY')
+        |  WHERE rn = 1)
+        |SELECT f.ticker,
+        |  CAST(round(f.shares) AS INT) AS shares,
+        |  f.entry AS entry_price,
+        |  c.current_price,
+        |  c.current_price * f.shares AS market_value,
+        |  CASE WHEN c.current_price IS NOT NULL AND f.entry IS NOT NULL
+        |      AND f.entry != 0
+        |    THEN (c.current_price / f.entry - 1.0)
+        |         * (CASE WHEN f.shares > 0 THEN 1.0 ELSE -1.0 END) END
+        |    AS unrealized_pnl_pct
+        |FROM final f LEFT JOIN cur c ON c.ticker = f.ticker
+        |WHERE abs(f.shares) >= 1e-6""".stripMargin,
+
     "q110_perf_latest" -> {
       val wins = "CAST(SUM(CAST(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)"
       val losses = "CAST(SUM(CAST(CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)"
