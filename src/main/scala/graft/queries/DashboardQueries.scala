@@ -106,6 +106,81 @@ object DashboardQueries extends QueryModule {
   private val tickerSet = Seq("U1", "U2", "U3", "U5", "U8")
   private val tickerSetSql = tickerSet.map("'" + _ + "'").mkString("(", ", ", ")")
 
+  /** Positions-from-executions replay kernel (dashboard_db_bridge.py:
+    * 598-660): input columns (ticker, ts, event_id, action, qty, price),
+    * pre-filtered to BUY/SELL with qty > 0 and price > 0. One state
+    * machine per ticker (sequential recurrence → flatMapGroups); output
+    * is the OPEN book only, marked at the latest BUY price. */
+  def replayPositions(execs: DataFrame): DataFrame = {
+    val s = execs.sparkSession
+    import s.implicits._
+    execs.select(col("ticker"), col("ts"), col("event_id"), col("action"),
+        col("qty"), col("price"))
+      .as[(String, java.sql.Timestamp, Long, String, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t, rows) =>
+        val arr = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+        var shares = 0.0
+        var entry: java.lang.Double = null
+        var cur: java.lang.Double = null // latest purchase price
+        arr.foreach { case (_, _, _, action, qty, price) =>
+          if (action == "BUY") cur = price
+          val sq = if (action == "BUY") qty else -qty
+          if (shares == 0.0) { shares = sq; entry = price }
+          else {
+            val sameSide = (shares > 0) == (sq > 0)
+            // entry computed from the PRE-update position (reference
+            // order); parenthesization mirrors the oracle SQL exactly
+            val newEntry: java.lang.Double =
+              if (sameSide)
+                (math.abs(shares) * entry + math.abs(sq) * price) /
+                  (math.abs(shares) + math.abs(sq))
+              else if (math.abs(sq) < math.abs(shares)) entry
+              else if (math.abs(sq) == math.abs(shares)) null
+              else price
+            shares += sq
+            entry = newEntry
+          }
+        }
+        if (math.abs(shares) >= 1e-6) {
+          val mv: Option[Double] =
+            if (cur != null) Some(cur * shares) else None
+          val unreal: Option[Double] =
+            if (cur != null && entry != null && entry.doubleValue != 0.0)
+              Some((cur / entry - 1.0) * (if (shares > 0) 1.0 else -1.0))
+            else None
+          Iterator((t, math.round(shares).toInt, Option(entry).map(_.doubleValue),
+            Option(cur).map(_.doubleValue), mv, unreal))
+        } else Iterator.empty
+      }
+      .toDF("ticker", "shares", "entry_price", "current_price",
+        "market_value", "unrealized_pnl_pct")
+  }
+
+  /** The bridge's positions ROUTING (dashboard_db_bridge.py:473-486):
+    * serve the snapshot at MAX(position_date) when one exists and is no
+    * older than `maxAgeDays` relative to `asOf`; otherwise fall back to
+    * the executions replay. Returns the frame plus the provenance tag
+    * the reference reports ("portfolio_positions",
+    * "trade_executions_fallback", "trade_executions_fallback_stale").
+    * The MAX probe aggregates ONE row — never a fact-side collect. */
+  def positionsRouted(positionsByDate: DataFrame, execs: DataFrame,
+      asOf: java.sql.Timestamp, maxAgeDays: Double): (DataFrame, String) = {
+    val latest = positionsByDate.agg(max(col("position_date"))).head().get(0)
+    latest match {
+      case null => (replayPositions(execs), "trade_executions_fallback")
+      case d: java.util.Date => // Timestamp or Date column both qualify
+        val ageDays = (asOf.getTime - d.getTime) / 86400000.0
+        if (ageDays > maxAgeDays)
+          (replayPositions(execs), "trade_executions_fallback_stale")
+        else
+          (positionsByDate.where(col("position_date") === lit(d)),
+            "portfolio_positions")
+      case other => throw new IllegalArgumentException(
+        s"position_date must be a date/timestamp, got $other")
+    }
+  }
+
   override def queries: Map[String, QFn] = Map(
     // Ticker census: DISTINCT tickers across the bridge's surfaces
     // (dashboard_db_bridge.py:294, one query per table, merged) —
@@ -249,51 +324,12 @@ object DashboardQueries extends QueryModule {
     // no tolerance.
     "q113_positions_replay" -> ((s, dir) => {
       import s.implicits._
-      val execs = graft.Tables.load(s, dir, "events")
+      replayPositions(graft.Tables.load(s, dir, "events")
         .where($"event_type".isin("purchase", "click") && $"value" > 0)
         .select(concat(lit("U"), $"user_id").as("ticker"), $"ts", $"event_id",
           when($"event_type" === "purchase", "BUY").otherwise("SELL").as("action"),
           ($"event_id" % 3 + 1).cast("double").as("qty"),
-          $"value".as("price"))
-      execs.as[(String, java.sql.Timestamp, Long, String, Double, Double)]
-        .groupByKey(_._1)
-        .flatMapGroups { (t, rows) =>
-          val arr = rows.toArray.sortBy(r => (r._2.getTime, r._3))
-          var shares = 0.0
-          var entry: java.lang.Double = null
-          var cur: java.lang.Double = null // latest purchase price
-          arr.foreach { case (_, _, _, action, qty, price) =>
-            if (action == "BUY") cur = price
-            val sq = if (action == "BUY") qty else -qty
-            if (shares == 0.0) { shares = sq; entry = price }
-            else {
-              val sameSide = (shares > 0) == (sq > 0)
-              // entry computed from the PRE-update position (reference
-              // order); parenthesization mirrors the oracle SQL exactly
-              val newEntry: java.lang.Double =
-                if (sameSide)
-                  (math.abs(shares) * entry + math.abs(sq) * price) /
-                    (math.abs(shares) + math.abs(sq))
-                else if (math.abs(sq) < math.abs(shares)) entry
-                else if (math.abs(sq) == math.abs(shares)) null
-                else price
-              shares += sq
-              entry = newEntry
-            }
-          }
-          if (math.abs(shares) >= 1e-6) {
-            val mv: Option[Double] =
-              if (cur != null) Some(cur * shares) else None
-            val unreal: Option[Double] =
-              if (cur != null && entry != null && entry.doubleValue != 0.0)
-                Some((cur / entry - 1.0) * (if (shares > 0) 1.0 else -1.0))
-              else None
-            Iterator((t, math.round(shares).toInt, Option(entry).map(_.doubleValue),
-              Option(cur).map(_.doubleValue), mv, unreal))
-          } else Iterator.empty
-        }
-        .toDF("ticker", "shares", "entry_price", "current_price",
-          "market_value", "unrealized_pnl_pct")
+          $"value".as("price")))
     }),
 
     // Latest performance_metrics row (dashboard_db_bridge.py:918-935):
