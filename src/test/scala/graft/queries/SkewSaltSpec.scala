@@ -43,6 +43,12 @@ class SkewSaltSpec extends AnyFunSuite with TestSpark {
     assert(ff.count() === ffPlain.count())
     assert(ff.exceptAll(ffPlain).count() === 0)
     assert(ffPlain.exceptAll(ff).count() === 0)
+    // plan-shape guard: the physical join must key on the salt axes too
+    // (a regression to a bare-key join would silently re-concentrate the
+    // hot key on one task while still returning correct rows)
+    val ffPlan = ff.queryExecution.executedPlan.toString
+    assert(ffPlan.contains("__ga") && ffPlan.contains("__gb"),
+      "salted fact-fact join lost its salt keys")
 
     // two-stage aggregation: bit-identical (long sums are exact)
     val direct = fact.groupBy($"ticker")

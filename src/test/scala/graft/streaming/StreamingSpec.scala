@@ -117,6 +117,54 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(sink.read().count() === once, "replay must collapse, not append")
   }
 
+  test("property: streaming/batch fill parity holds under random sequences and random batch splits") {
+    import graft.exec.PortfolioEngine
+    import graft.exec.PortfolioEngine.{Config, Event}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(43)
+    val actions = Array("BUY", "SELL", "HOLD")
+    (1 to 3).foreach { trial =>
+      val cfg = Config(slippagePct = 0.001, maxHoldBars = 3 + rng.nextInt(5),
+        shortCap = if (rng.nextBoolean()) 0.10 else 0.0)
+      // 2 tickers × 40 bars of a jittery random walk with random signals:
+      // enough churn to hit entries, adds, stops, targets, time exits,
+      // shorts and covers in every trial
+      val events = (for {
+        t <- Seq("X", "Y")
+        i <- 0 until 40
+      } yield {
+        val drift = if (t == "X") 0.5 else -0.3
+        Event(t, ts(i), 100.0 + drift * i + rng.nextGaussian() * 3.0,
+          actions(rng.nextInt(3)), 0.3 + rng.nextDouble() * 0.7,
+          isSynthetic = rng.nextBoolean(), atr = 1.0 + rng.nextDouble() * 2.0,
+          regimeRiskMult = 0.5 + rng.nextDouble())
+      }).sortBy(_.ts.getTime)
+
+      val batch = PortfolioEngine.backtest(events.toDF(), cfg).collect()
+        .map(_.toString).sorted
+
+      // random batch boundaries (1..6 chunks), ticker-order preserved
+      // because `events` is globally time-sorted and splits are prefixes
+      val cuts = (Seq(0, events.length) ++
+        Seq.fill(rng.nextInt(5))(rng.nextInt(events.length))).distinct.sorted
+      val input = MemoryStream[Event]
+      val q = graft.streaming.LivePortfolio.fills(input.toDS(), cfg)
+        .writeStream.format("memory").queryName(s"fuzz_fills_$trial")
+        .outputMode("append").start()
+      try {
+        cuts.sliding(2).foreach { case Seq(a, b) =>
+          if (b > a) { input.addData(events.slice(a, b)); q.processAllAvailable() }
+        }
+        val streamed = spark.table(s"fuzz_fills_$trial")
+          .as[PortfolioEngine.ExecRow].collect().map(_.toString).sorted
+        assert(streamed.toSeq === batch.toSeq, s"trial $trial diverged")
+        assert(batch.nonEmpty, s"trial $trial produced no fills (weak fixture)")
+      } finally q.stop()
+    }
+  }
+
   test("gated stream upserts into the MERGE sink: replays collapse on the bar key") {
     val spark2 = spark
     import spark2.implicits._
