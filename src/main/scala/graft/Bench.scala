@@ -82,6 +82,14 @@ object Bench {
           graft.pipeline.EtlPipeline.Config(outDir = s"$etlTmp/out")))
     }
 
+    // Fail FAST on short-key collisions (two q114_* variants): the same
+    // invariant is re-checked at emit time, but catching it here aborts
+    // before any rep is spent rather than after the full timing loop.
+    locally {
+      def sn(n: String): String = if (n.startsWith("q")) n.takeWhile(_ != '_') else n
+      val dup = work.map(w => sn(w._1)).groupBy(identity).filter(_._2.size > 1).keys
+      require(dup.isEmpty, s"short bench keys collide: ${dup.mkString(",")}")
+    }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val lastDur = scala.collection.mutable.Map.empty[String, Double]
     // Passes are the OUTER loop (round-robin): each query's reps sample

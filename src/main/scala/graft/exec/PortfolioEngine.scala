@@ -74,7 +74,20 @@ object PortfolioEngine {
       confidence: Double,
       isSynthetic: Boolean,
       atr: Double = 0.0,
-      regimeRiskMult: Double = 1.0)
+      regimeRiskMult: Double = 1.0,
+      seq: Long = 0L) // monotonic source sequence; tiebreak for equal ts
+
+  /** Total order on a ticker's events: full-precision event time
+    * (getTime truncates to ms — getNanos breaks sub-ms ties), then the
+    * source sequence id. Millisecond-only ordering made two same-ms
+    * events shuffle-order-dependent, so a checkpoint replay could emit
+    * different tradeIds than the original run and the (ticker, tradeId)
+    * MERGE would double-count instead of collapsing. Both the batch
+    * backtest and the streaming kernel sort by THIS key, which is what
+    * makes fill-for-fill parity and exactly-once replay well-defined
+    * even with tied timestamps. */
+  def eventKey(ev: Event): (Long, Int, Long) =
+    (ev.ts.getTime, ev.ts.getNanos, ev.seq)
 
   /** An executed fill (open or close). Close rows carry the FIFO
     * allocations: one ExecRow per consumed lot (partial closes allowed).
@@ -319,16 +332,18 @@ object PortfolioEngine {
   def backtest(events: DataFrame, cfg: Config = Config()): Dataset[ExecRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val withDefaults = Seq("atr" -> lit(0.0), "regimeRiskMult" -> lit(1.0))
+    val withDefaults = Seq("atr" -> lit(0.0), "regimeRiskMult" -> lit(1.0),
+        "seq" -> lit(0L))
       .foldLeft(events) { case (df, (c, d)) =>
         if (df.columns.contains(c)) df else df.withColumn(c, d)
       }
     withDefaults.select(col("ticker"), col("ts"), col("price"), col("action"),
-        col("confidence"), col("isSynthetic"), col("atr"), col("regimeRiskMult"))
+        col("confidence"), col("isSynthetic"), col("atr"), col("regimeRiskMult"),
+        col("seq"))
       .as[Event]
       .groupByKey(_.ticker)
       .flatMapGroups { (_, rows) =>
-        runTicker(rows.toArray.sortBy(_.ts.getTime).toSeq, cfg).iterator
+        runTicker(rows.toArray.sortBy(eventKey).toSeq, cfg).iterator
       }
   }
 }

@@ -119,8 +119,9 @@ object Garch {
 
   /** Deterministic Nelder–Mead — shared impl in [[LinAlg.nelderMead]]. */
   private def nelderMead(f: Array[Double] => Double, start: Array[Double],
-      maxIter: Int = 400, tol: Double = 1e-10): (Array[Double], Double, Boolean) =
-    LinAlg.nelderMead(f, start, maxIter, tol)
+      maxIter: Int = 400, tol: Double = 1e-10,
+      steps: Array[Double] = null): (Array[Double], Double, Boolean) =
+    LinAlg.nelderMead(f, start, maxIter, tol, steps)
 
   /** Gaussian log-likelihood of the EWMA (IGARCH) variance filter
     * h_t = (1−λ)r²_{t−1} + λh_{t−1}. A dedicated recursion — the GARCH
@@ -201,17 +202,23 @@ object Garch {
               dist = "t", nu = p(3), aic = 2.0 * (4 + kMean) - 2.0 * ll,
               mean = meanName, meanC = c, meanPhi = phi))
           case "skewt" =>
-            // λ starts at the symmetric point: nelderMead's simplex now
-            // floors zero-coordinate perturbations absolutely (LinAlg),
-            // so the skew axis opens 0.05 wide and the optimizer walks
-            // to either sign on its own. One restart from the found
-            // optimum polishes the 5-dim fit: the first run's simplex
-            // can collapse along ν while chasing λ, and reopening it
-            // 25% wide at the optimum recovers the tail axis.
+            // λ starts at the symmetric point, which is flat to first
+            // order — it needs a deliberate 0.05 absolute opening, while
+            // ω (~0.05·E[r²], as small as 1e-8 on low-vol series) needs
+            // its natural 25% relative step, so the scales are passed
+            // explicitly. One restart from the found optimum polishes
+            // the 5-dim fit: the first run's simplex can collapse along
+            // ν while chasing λ, and reopening it at the optimum
+            // recovers the tail axis.
             val obj = (a: Array[Double]) =>
               negLogLikSkewT(e, a(0), a(1), a(2), a(3), a(4))
-            val first = nelderMead(obj, Array(0.05 * v, 0.08, 0.90, 8.0, 0.0))
-            val (p, nll, conv) = nelderMead(obj, first._1)
+            val w0 = 0.05 * v
+            val open = Array(0.25 * w0, 0.02, 0.1, 2.0, 0.05)
+            val first = nelderMead(obj, Array(w0, 0.08, 0.90, 8.0, 0.0),
+              steps = open)
+            val (p, nll, conv) = nelderMead(obj, first._1, steps =
+              Array(0.25 * math.max(math.abs(first._1(0)), 1e-12), 0.02,
+                0.05, 1.0, math.max(0.25 * math.abs(first._1(4)), 0.02)))
             val ll = -nll
             if (!ll.isFinite) None
             else Some(Fit(p(0), p(1), p(2), p(1) + p(2), ll, conv, usedEwma = false,

@@ -87,20 +87,30 @@ object LinAlg {
   }
 
   /** Deterministic Nelder-Mead (fixed start simplex, fixed iteration
-    * cap) — shared by the GARCH QMLE and the ARMA CSS refinement. */
+    * cap) — shared by the GARCH QMLE and the ARMA CSS refinement.
+    *
+    * `steps`, when given, sets the signed per-axis opening of the start
+    * simplex (axis i opens at start(i) + steps(i)) for callers that know
+    * their coordinates' natural scales — e.g. the GARCH skew-t λ needs a
+    * 0.05 absolute opening while ω lives at ~1e-8..1e-5 and needs a 25%
+    * relative one. The default keeps the 25% relative step with an
+    * absolute 0.05 opening ONLY for axes that start numerically at zero
+    * (|v| < 1e-12): a relative perturbation leaves a 0.0-start axis too
+    * narrow to sense curvature that is flat to first order at 0 (froze
+    * the skew-t λ), but a wide absolute floor on merely-small coords
+    * would dwarf their natural scale (GARCH ω ≈ 0.05·E[r²]). */
   def nelderMead(f: Array[Double] => Double, start: Array[Double],
-      maxIter: Int = 400, tol: Double = 1e-10): (Array[Double], Double, Boolean) = {
+      maxIter: Int = 400, tol: Double = 1e-10,
+      steps: Array[Double] = null): (Array[Double], Double, Boolean) = {
     val dim = start.length
     var simplex = (0 to dim).map { i =>
       val p = start.clone()
       if (i > 0) {
         val v = p(i - 1)
-        // 25% relative step, with an ABSOLUTE floor for (near-)zero
-        // coordinates: a relative perturbation leaves a 0.0-start axis
-        // ~1e-6 wide, which cannot sense curvature that is flat to first
-        // order at 0 — the objective spread stays under `tol` and the
-        // axis never moves (froze the GARCH skew-t λ at its start).
-        p(i - 1) = if (math.abs(v) < 1e-4) v + 0.05 else v * 1.25 + 1e-6
+        p(i - 1) =
+          if (steps != null) v + steps(i - 1)
+          else if (math.abs(v) < 1e-12) v + 0.05
+          else v * 1.25 + 1e-6
       }
       (p, f(p))
     }.sortBy(_._2).toVector

@@ -119,7 +119,9 @@ object DashboardQueries extends QueryModule {
       .as[(String, java.sql.Timestamp, Long, String, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (t, rows) =>
-        val arr = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+        // full-precision ts (getNanos breaks sub-ms ties) so the kernel
+        // and the oracle's ORDER BY ts, event_id share one total order
+        val arr = rows.toArray.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
         var shares = 0.0
         var entry: java.lang.Double = null
         var cur: java.lang.Double = null // latest purchase price

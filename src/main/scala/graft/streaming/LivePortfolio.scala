@@ -65,8 +65,11 @@ object LivePortfolio {
         (_: String, rows: Iterator[Event], state: GroupState[EngineState]) =>
           var st = state.getOption.getOrElse(EngineState.init(cfg))
           val out = Seq.newBuilder[ExecRow]
-          // sort within the batch: micro-batch shuffle order is arbitrary
-          rows.toArray.sortBy(_.ts.getTime).foreach { ev =>
+          // sort within the batch by the engine's total event order
+          // (full-precision ts + seq tiebreak — same key as the batch
+          // backtest): micro-batch shuffle order is arbitrary, and a
+          // ms-only key would make same-ms events replay-nondeterministic
+          rows.toArray.sortBy(PortfolioEngine.eventKey).foreach { ev =>
             val (st1, fills) = PortfolioEngine.step(st, ev, cfg)
             st = st1
             out ++= fills

@@ -49,6 +49,23 @@ class LinAlgSpec extends AnyFunSuite {
     assert(math.abs(p(0) - 2.0) < 1e-4 && math.abs(p(1) + 1.5) < 1e-4)
   }
 
+  test("nelderMead keeps tiny-but-nonzero coordinates at their natural scale") {
+    // GARCH-ω-shaped axis: scale ~5e-8, optimum at 2e-8. The zero-axis
+    // absolute floor must NOT fire here (a 0.05 opening is 10^6× the
+    // coordinate's scale); explicit per-axis steps pin the opening.
+    val f = (a: Array[Double]) => {
+      val d = (a(0) - 2e-8) * 1e8; d * d
+    }
+    val (x, fx, conv) = LinAlg.nelderMead(f, Array(5e-8),
+      steps = Array(1.25e-8))
+    assert(conv && fx < 1e-8, s"fx=$fx conv=$conv")
+    assert(math.abs(x(0) - 2e-8) < 1e-11, s"x=${x(0)}")
+    // and the default path: 5e-8 is above the 1e-12 zero threshold, so
+    // the simplex must open relatively (not at +0.05) and still converge
+    val (y, fy, _) = LinAlg.nelderMead(f, Array(5e-8))
+    assert(fy < 1e-6, s"default-step fit stuck: fy=$fy y=${y(0)}")
+  }
+
   test("thread-safety hammer: concurrent eigSym/solveSpd/Ssa.forecast never disagree or throw") {
     val rng = new scala.util.Random(13)
     val series = Array.fill(8)(Array.tabulate(200)(i =>
