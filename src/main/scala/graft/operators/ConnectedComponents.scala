@@ -59,14 +59,19 @@ object ConnectedComponents {
     // sum over ~1e9 64-bit ids could hide a small decrease below ulp)
     var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIter) {
-      // each node takes the min of its own label and its neighbors'
+      // each node takes the min of its own label and its neighbors'.
+      // The convergence sum rides the round's OWN materialization: an
+      // `observe` ahead of the eager localCheckpoint collects during the
+      // checkpoint job (withAction fires the observation listener), so
+      // no separate per-round aggregate job is paid.
+      val obs = org.apache.spark.sql.Observation(s"cc_sig_$i")
       val next = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("new_label"))
+        .observe(obs, sum(col("new_label").cast("decimal(38,0)")).as("s"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("new_label").cast("decimal(38,0)")))
-        .head().getDecimal(0)
+      val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
       // SUM over an empty frame is NULL: an empty edge set has no labels
       // to propagate and is converged by definition (empty result)
       converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
@@ -97,16 +102,35 @@ object ConnectedComponents {
     * per-round signature (count + exact DECIMAL sums of both endpoints);
     * when the signature repeats, an EXACT set-equality check (two
     * anti-joins) confirms the fixpoint — the signature alone cannot prove
-    * set equality, and a false stall here would return wrong labels. */
+    * set equality, and a false stall here would return wrong labels.
+    *
+    * Hybrid local finish: the contraction shrinks the edge set
+    * geometrically, so the tail rounds run full distributed-shuffle
+    * machinery over a few thousand edges — on a busy cluster scheduler
+    * those fixed-cost rounds dominate. Once the edge count (known
+    * EXACTLY from the round's own observed signature — never a blind
+    * collect) is ≤ `localFinishEdges`, the remaining edges are drained
+    * to the driver and finished with a union-find whose roots are
+    * component minima — semantically the same star fixpoint, zero
+    * further rounds. 100k edges = ~1.6 MB of longs, driver-safe by
+    * construction; pass `localFinishEdges = 0` to force the pure
+    * distributed path (the round-count specs do). */
   def runStars(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 60): DataFrame = runStarsCounted(edges, srcCol, dstCol, maxIter)._1
+      maxIter: Int = 60, localFinishEdges: Long = 100000L): DataFrame =
+    runStarsCounted(edges, srcCol, dstCol, maxIter, localFinishEdges)._1
 
-  /** [[runStars]] plus the number of (large-star + small-star) rounds
-    * taken — exposed so the O(log n) round-count claim is spec-testable. */
+  /** [[runStars]] plus the number of DISTRIBUTED (large-star +
+    * small-star) rounds taken — exposed so the O(log n) round-count
+    * claim is spec-testable; a local finish adds no rounds. */
   def runStarsCounted(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxIter: Int = 60): (DataFrame, Int) = {
+      dstCol: String = "dst", maxIter: Int = 60,
+      localFinishEdges: Long = 100000L): (DataFrame, Int) = {
+    // persisted for the whole call: BOTH the canonical edge set below and
+    // the labeling tail's `allNodes` read e0 — unpersisted, the input
+    // pipeline (q112's LSH pair generation: a multi-join) would run twice
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // original endpoint set: the output contract is one label per
     // endpoint node, including self-loop-only singletons that the
     // star transforms drop with their self-loops
@@ -138,33 +162,52 @@ object ConnectedComponents {
     // join), so the logical plan would grow ~4× per round and the plan
     // STRING alone OOMs by round ~15 — checkpointing truncates lineage
     // to a fresh scan every round (cache-only truncates recomputation).
+    val obs0 = org.apache.spark.sql.Observation("stars_sig_init")
     var e = e0.where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst")).distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    var converged = e.isEmpty // no edges: already a (possibly empty) star forest
+    var eCount = obs0.get("n").asInstanceOf[Long]
+    var converged = eCount == 0L // no edges: already a (possibly empty) star forest
     var i = 0
     var prevSig: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
     while (!converged && i < maxIter) {
-      // largeStar's output feeds smallStar twice (min-agg + join back):
-      // persist for the round, release once `next` is materialized
-      val ls = largeStar(e).persist(StorageLevel.MEMORY_AND_DISK)
-      val next = smallStar(ls).localCheckpoint(true)
-      val sigRow = next.agg(
-        count(lit(1)),
-        sum(col("src").cast("decimal(38,0)")),
-        sum(col("dst").cast("decimal(38,0)"))).head()
-      val sig = (sigRow.getLong(0), sigRow.getDecimal(1), sigRow.getDecimal(2))
-      if (sig == prevSig) {
-        // signature stalled — prove the fixpoint exactly before stopping
-        converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      if (eCount <= localFinishEdges) {
+        // drain the contracted tail to the driver: row count is the
+        // observed signature count, ≤ localFinishEdges by the branch
+        // guard, so this collect is explicitly bounded
+        e = localStarFinish(e)
+        converged = true
+      } else {
+        // largeStar's output feeds smallStar twice (min-agg + join back):
+        // persist for the round, release once `next` is materialized.
+        // The signature rides the round's own checkpoint job via observe
+        // (see run()) — previously a separate .head() job per round.
+        val ls = largeStar(e).persist(StorageLevel.MEMORY_AND_DISK)
+        val obs = org.apache.spark.sql.Observation(s"stars_sig_$i")
+        val next = smallStar(ls)
+          .observe(obs,
+            count(lit(1)).as("n"),
+            sum(col("src").cast("decimal(38,0)")).as("ssrc"),
+            sum(col("dst").cast("decimal(38,0)")).as("sdst"))
+          .localCheckpoint(true)
+        val m = obs.get
+        val sig = (m("n").asInstanceOf[Long],
+          m("ssrc").asInstanceOf[java.math.BigDecimal],
+          m("sdst").asInstanceOf[java.math.BigDecimal])
+        if (sig == prevSig) {
+          // signature stalled — prove the fixpoint exactly before stopping
+          converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+        }
+        prevSig = sig
+        eCount = sig._1
+        ls.unpersist()
+        // previous round's checkpoint blocks are reclaimed by the
+        // ContextCleaner once this reassignment drops the last reference
+        e = next
+        i += 1
       }
-      prevSig = sig
-      ls.unpersist()
-      // previous round's checkpoint blocks are reclaimed by the
-      // ContextCleaner once this reassignment drops the last reference
-      e = next
-      i += 1
     }
     require(converged, s"star contraction did not converge in $maxIter rounds")
     // fixpoint edges are (member, root) stars; roots label themselves,
@@ -174,6 +217,35 @@ object ConnectedComponents {
     val singletons = allNodes.join(labeled.select("node"), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
     val out = labeled.union(singletons).distinct().localCheckpoint(true)
+    e0.unpersist() // out is materialized; nothing pinned across calls
     (out, i)
+  }
+
+  /** Drain a ≤`localFinishEdges`-row contracted edge set to the driver
+    * and finish with a min-root union-find: union always attaches the
+    * larger root under the smaller, so every root is its component's
+    * minimum — exactly the star fixpoint the distributed rounds converge
+    * to. Returns the (member → root) star edges; the caller's labeling
+    * tail treats them identically to a distributed fixpoint. */
+  private def localStarFinish(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val rows = e.select(col("src"), col("dst")).collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x0
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { row =>
+      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+    rows.foreach { row => nodes += row.getLong(0); nodes += row.getLong(1) }
+    nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+      .toSeq.toDF("src", "dst")
   }
 }

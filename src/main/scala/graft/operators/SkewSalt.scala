@@ -63,6 +63,52 @@ object SkewSalt {
     l.join(r, keys ++ Seq("__ga", "__gb")).drop("__ga", "__gb")
   }
 
+  /** [[saltedFactFactJoin]] with the salt tax paid ONLY where it buys
+    * balance: a sampled per-key frequency histogram (one cheap agg over
+    * a `sampleFraction` sample of each side) finds the hot keys first,
+    * and the join splits BY KEY — hot keys through the two-sided grid
+    * salt, everything else through the plain equi-join. With no hot key
+    * the plain join is returned untouched, so unskewed data pays only
+    * the sampled histogram instead of the blanket groups× replication
+    * (which cost q51 ~2× on unskewed sf0.1 data).
+    *
+    * A key is flagged hot when its sampled count implies ≥
+    * `hotRowThreshold` rows on a side (≥ hotRowThreshold² join pairs) —
+    * detection at half the expected sampled count, so a genuinely hot
+    * key is caught with high probability while a false positive merely
+    * pays the salt tax on one key. The hot set is bounded by
+    * construction (each hot key carries ≥ threshold rows, so there are
+    * at most |rows|/threshold of them) and is broadcast to both arms;
+    * hotness is a property of the KEY, so no hot-cold cross pair exists
+    * and the two arms partition the output exactly. */
+  def adaptiveSaltedFactFactJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], groups: Int = 8, hotRowThreshold: Long = 1000L,
+      sampleFraction: Double = 0.05, seed: Long = 42L,
+      selfJoin: Boolean = false): DataFrame = {
+    val kCols = keys.map(col)
+    val cut = math.max(1.0, sampleFraction * hotRowThreshold * 0.5)
+    def hotOf(df: DataFrame) = df.sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(kCols: _*).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= cut).select(kCols: _*)
+    // selfJoin: both sides carry the same key multiset (q51's shingle
+    // self-join) — one sampled histogram covers both and skips a full
+    // second scan of the input pipeline
+    val hot =
+      if (selfJoin) hotOf(left).collect()
+      else hotOf(left).union(hotOf(right)).distinct().collect()
+    if (hot.isEmpty) left.join(right, keys)
+    else {
+      val s = left.sparkSession
+      val hotDf = broadcast(s.createDataFrame(
+        java.util.Arrays.asList(hot: _*), left.select(kCols: _*).schema))
+      val lh = left.join(hotDf, keys, "left_semi")
+      val lc = left.join(hotDf, keys, "left_anti")
+      val rh = right.join(hotDf, keys, "left_semi")
+      val rc = right.join(hotDf, keys, "left_anti")
+      lc.join(rc, keys).unionByName(saltedFactFactJoin(lh, rh, keys, groups))
+    }
+  }
+
   /** Two-stage skew-safe aggregation: sums/counts named in `sums` /
     * `counts` over `keys`, numerically identical to the direct groupBy
     * (sum re-association only — integer/decimal sums are exact; for

@@ -88,10 +88,11 @@ object DedupTextQueries extends QueryModule {
     // Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.5 — the exact
     // all-pairs BASELINE (q90's LSH+verify is the operative scale path).
     // The shingle self-join's quadratic output on a hot shingle is
-    // inherent to exact all-pairs, but the BALANCE isn't: the two-sided
-    // salted join spreads each shingle's pair generation over groups²=64
-    // tasks (8× replication per side), so a boilerplate shingle shared
-    // by thousands of docs no longer lands on one straggler task.
+    // inherent to exact all-pairs, but the BALANCE isn't: the ADAPTIVE
+    // two-sided salted join samples the shingle-frequency histogram
+    // first and salts only shingles hot enough to straggle (spread over
+    // groups²=64 tasks); unskewed data takes the plain equi-join and
+    // skips the blanket 8× replication tax entirely.
     "q51_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val toks = graft.Tables.load(s, dir, "documents")
@@ -106,7 +107,8 @@ object DedupTextQueries extends QueryModule {
       val shN = sh.join(broadcast(sizes), "doc_id")
       val a = shN.select($"doc_id".as("da"), $"sh", $"n".as("na"))
       val b = shN.select($"doc_id".as("db"), $"sh", $"n".as("nb"))
-      graft.operators.SkewSalt.saltedFactFactJoin(a, b, Seq("sh"))
+      graft.operators.SkewSalt.adaptiveSaltedFactFactJoin(a, b, Seq("sh"),
+          selfJoin = true)
         .where($"da" < $"db" && $"na" * 2 >= $"nb" && $"nb" * 2 >= $"na")
         // na/nb are functions of da/db, so adding them to the group key
         // changes nothing — and saves the two size rejoins q51 used to do

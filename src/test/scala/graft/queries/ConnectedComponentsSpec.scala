@@ -32,23 +32,35 @@ class ConnectedComponentsSpec extends AnyFunSuite with TestSpark {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
 
-    // random graph: labels agree with run() exactly
+    // random graph: labels agree with run() exactly, on BOTH the pure
+    // distributed path (localFinishEdges = 0) and the hybrid that runs
+    // distributed rounds until the contracted edge set fits the driver
+    // threshold (here forced low so real rounds precede the local finish)
     val rng = new scala.util.Random(17)
     val rand = (1 to 400).map(_ => (rng.nextInt(300).toLong, rng.nextInt(300).toLong))
       .filter(p => p._1 != p._2).toDF("src", "dst")
-    val viaStars = ConnectedComponents.runStars(rand).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = ConnectedComponents.runStars(rand, localFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaProp = ConnectedComponents.run(rand).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaStars === viaProp)
+    val (hybridLabels, hybridRounds) =
+      ConnectedComponents.runStarsCounted(rand, localFinishEdges = 50L)
+    val viaHybrid = hybridLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaHybrid === viaProp)
+    assert(hybridRounds >= 1, "threshold below |E| must run distributed rounds first")
 
     // adversarial diameter: a 10,000-node path. Min-propagation would
     // need ~10,000 rounds (diameter); the star contraction must finish
     // in O(log n) — allow 3·log2(n) ≈ 40 (paper bound is O(log² n),
     // observed ≈log n; the margin covers the +1 stall-detection round).
+    // localFinishEdges = 0 forces every round distributed: the bound is
+    // about the ALGORITHM, not the driver shortcut.
     val n = 10000
     val path = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
-    val (labels, rounds) = ConnectedComponents.runStarsCounted(path)
+    val (labels, rounds) =
+      ConnectedComponents.runStarsCounted(path, localFinishEdges = 0L)
     val bound = (3 * math.ceil(math.log(n) / math.log(2))).toInt
     assert(rounds <= bound, s"$rounds rounds > $bound on a $n-node path")
     val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1))

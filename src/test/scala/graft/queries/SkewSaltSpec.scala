@@ -50,6 +50,27 @@ class SkewSaltSpec extends AnyFunSuite with TestSpark {
     assert(ffPlan.contains("__ga") && ffPlan.contains("__gb"),
       "salted fact-fact join lost its salt keys")
 
+    // ADAPTIVE fact×fact: the HOT key (90% of rows, far past the sampled
+    // threshold) must be detected and routed through the salted arm;
+    // result stays row-identical to the plain join
+    val aff = SkewSalt.adaptiveSaltedFactFactJoin(left, right, Seq("ticker"),
+      groups = 4, hotRowThreshold = 50, sampleFraction = 0.5)
+    assert(aff.exceptAll(ffPlain).count() === 0)
+    assert(ffPlain.exceptAll(aff).count() === 0)
+    val affPlan = aff.queryExecution.executedPlan.toString
+    assert(affPlan.contains("__ga") && affPlan.contains("__gb"),
+      "adaptive join did not salt the hot key")
+
+    // unskewed input → NO salt arm at all: the plain join comes back
+    // untouched (the whole point — no blanket replication tax)
+    val flatL = (1 to 2000).map(i => (s"K${i % 500}", i.toLong)).toDF("ticker", "la")
+    val flatR = (1 to 2000).map(i => (s"K${i % 500}", i.toLong)).toDF("ticker", "lb")
+    val flat = SkewSalt.adaptiveSaltedFactFactJoin(flatL, flatR, Seq("ticker"),
+      groups = 4, hotRowThreshold = 1000, sampleFraction = 0.5)
+    val flatPlan = flat.queryExecution.executedPlan.toString
+    assert(!flatPlan.contains("__ga"), "unskewed input must not pay the salt tax")
+    assert(flat.exceptAll(flatL.join(flatR, Seq("ticker"))).count() === 0)
+
     // two-stage aggregation: bit-identical (long sums are exact)
     val direct = fact.groupBy($"ticker")
       .agg(sum($"qty").as("sum_qty"), count(lit(1)).as("n"))
