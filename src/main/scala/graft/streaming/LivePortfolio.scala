@@ -21,11 +21,13 @@ import graft.exec.PortfolioEngine.{Config, EngineState, Event, ExecRow}
   * book — millions of tickers would still be a few hundred bytes each in
   * the state store, checkpointed and recoverable.
   *
-  * Ordering contract: events are sorted by event time WITHIN each
-  * micro-batch; ACROSS batches the source must not deliver a ticker's
-  * events out of order (true of the reference's poll loop, and of any
-  * log-compacted feed keyed by ticker). A late event would need an
-  * explicit watermark + buffer stage in front ([[QuoteStream.barGate]]).
+  * Ordering contract: [[fills]] sorts events by the engine's total
+  * event order WITHIN each micro-batch; ACROSS batches the source must
+  * not deliver a ticker's events out of order (true of the reference's
+  * poll loop, and of any log-compacted feed keyed by ticker). For
+  * sources that CAN reorder across batches, [[fillsOrdered]] enforces
+  * the contract in code with a watermark + per-ticker event-time buffer
+  * in the same state store.
   */
 object LivePortfolio {
 
@@ -51,6 +53,77 @@ object LivePortfolio {
         sink.upsert(batch): Unit
       }
       .start()
+  }
+
+  /** [[fills]] state plus the out-of-order front's reorder buffer:
+    * events not yet releasable by the watermark, and the key of the last
+    * event fed to the engine (for the truly-late drop). One state object
+    * per ticker keeps the whole pipeline a SINGLE stateful operator —
+    * Spark does not allow a second flatMapGroupsWithState downstream of
+    * the first, so buffering must live with the engine state, not in
+    * front of it. */
+  final case class OrderedState(
+      engine: EngineState,
+      buffered: Seq[Event],
+      lastTs: Long, lastNanos: Int, lastSeq: Long)
+
+  private val keyOrd = Ordering.Tuple3[Long, Int, Long]
+
+  /** Late-tolerant live engine: [[fills]]' ordering contract enforced IN
+    * CODE instead of assumed of the source. Events are buffered per
+    * ticker and released to [[PortfolioEngine.step]] in full event-time
+    * order only once the watermark passes them, so a feed that delivers
+    * a ticker's events out of order ACROSS micro-batches (a Kafka-style
+    * bus with partition lag, a backfilling poller) still produces
+    * fill-for-fill batch parity — the reference's poll loop never
+    * reorders, but its real-time extractor documents exactly this
+    * bounded-lateness front (etl/real_time_extractor.py:115-179).
+    *
+    * Contract: an event is processed in order iff it arrives BEFORE the
+    * watermark (max event time − `delay`) passes its timestamp; after
+    * that it is dropped iff it sorts at-or-before the last event already
+    * fed to the engine (replaying it would corrupt state), and is still
+    * processed in order otherwise. Buffer occupancy per ticker is
+    * bounded by the events inside one `delay` window — O(events/`delay`
+    * span), the price of tolerating reorder; [[fills]] remains the
+    * zero-latency variant for sources with a per-ticker order guarantee.
+    * Flush: an EventTimeTimeout at the earliest buffered timestamp
+    * re-fires the group when the watermark reaches it, so quiescent
+    * tickers drain without new data. */
+  def fillsOrdered(events: Dataset[Event], cfg: Config = Config(),
+      delay: String = "10 minutes"): Dataset[ExecRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.ticker)
+      .flatMapGroupsWithState[OrderedState, ExecRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[Event], state: GroupState[OrderedState]) =>
+          val st = state.getOption.getOrElse(OrderedState(
+            EngineState.init(cfg), Seq.empty, Long.MinValue, 0, Long.MinValue))
+          val lastKey = (st.lastTs, st.lastNanos, st.lastSeq)
+          val incoming = rows.filter(ev =>
+            keyOrd.gt(PortfolioEngine.eventKey(ev), lastKey)).toSeq
+          val wm = state.getCurrentWatermarkMs()
+          val (due, keep) = (st.buffered ++ incoming)
+            .partition(_.ts.getTime <= wm)
+          val released = due.sortBy(PortfolioEngine.eventKey)(keyOrd)
+          var eng = st.engine
+          val out = Seq.newBuilder[ExecRow]
+          released.foreach { ev =>
+            val (e2, fs) = PortfolioEngine.step(eng, ev, cfg)
+            eng = e2
+            out ++= fs
+          }
+          val newLast = released.lastOption
+            .map(PortfolioEngine.eventKey).getOrElse(lastKey)
+          state.update(OrderedState(eng, keep, newLast._1, newLast._2, newLast._3))
+          // keep's timestamps are all > wm (partition above), so this is
+          // a legal future timeout; it fires when the watermark passes
+          // the earliest buffered event even if no new data arrives
+          if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_.ts.getTime).min)
+          out.result().iterator
+      }
   }
 
   /** events (streaming Dataset) → fills, state held per ticker.

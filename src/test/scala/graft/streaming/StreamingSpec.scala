@@ -117,6 +117,79 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(sink.read().count() === once, "replay must collapse, not append")
   }
 
+  test("out-of-order front: events SHUFFLED across micro-batches still match the batch backtest") {
+    import graft.exec.PortfolioEngine
+    import graft.exec.PortfolioEngine.{Config, Event}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = Config(slippagePct = 0.001, maxHoldBars = 4)
+    // same state-transition-heavy shape as the in-order parity test, with
+    // seq ids so tied-timestamp ordering is total
+    def ev(t: String, min: Int, p: Double, a: String, conf: Double = 0.8,
+        syn: Boolean = false) =
+      Event(t, ts(min), p, a, conf, syn, atr = 2.0, regimeRiskMult = 1.0,
+        seq = min.toLong)
+    val base = Seq(
+      ev("A", 0, 100.0, "BUY"), ev("A", 1, 101.0, "HOLD"),
+      ev("A", 2, 103.5, "BUY", syn = true), ev("A", 3, 111.0, "HOLD"),
+      ev("A", 4, 112.0, "SELL"), ev("A", 5, 118.5, "HOLD"),
+      ev("A", 6, 117.0, "BUY"), ev("A", 7, 116.0, "HOLD"),
+      ev("A", 8, 115.0, "HOLD"), ev("A", 9, 114.0, "HOLD"),
+      ev("A", 10, 113.8, "HOLD"), ev("A", 11, 113.0, "SELL"),
+      ev("B", 0, 50.0, "SELL", conf = 0.4), ev("B", 2, 47.0, "HOLD"),
+      ev("B", 4, 44.0, "BUY", syn = true), ev("B", 6, 45.0, "BUY"),
+      ev("B", 8, 42.5, "HOLD"))
+    // flush sentinel: far enough ahead that the watermark (max ts − 30m)
+    // passes every base event; harmless to the engine (HOLD at the last
+    // price, no stop/target/time boundary crossed)
+    val sentinel = ev("A", 59, 113.0, "HOLD", conf = 0.0)
+    val batch = PortfolioEngine.backtest((base :+ sentinel).toDF(), cfg)
+      .collect().map(_.toString).sorted
+
+    val input = MemoryStream[Event]
+    val fills = graft.streaming.LivePortfolio.fillsOrdered(
+      input.toDS(), cfg, delay = "30 minutes")
+    val q = fills.writeStream.format("memory").queryName("ooo_fills")
+      .outputMode("append").start()
+    try {
+      // ADVERSARIAL delivery: one ticker's events shuffled across four
+      // micro-batches (the in-order tests' forbidden input) — the
+      // watermark buffer must reassemble event-time order before the
+      // engine sees anything
+      val shuffled = new scala.util.Random(7).shuffle(base)
+      shuffled.grouped(5).foreach { c => input.addData(c); q.processAllAvailable() }
+      input.addData(Seq(sentinel))
+      q.processAllAvailable() // watermark jump + timeout flush
+      val streamed = spark.table("ooo_fills")
+        .as[PortfolioEngine.ExecRow].collect().map(_.toString).sorted
+      assert(batch.nonEmpty && streamed.nonEmpty, "fixture must fill")
+      assert(streamed.toSeq === batch.toSeq,
+        "shuffled cross-batch delivery must replay to batch parity")
+    } finally q.stop()
+
+    // incremental-release scenario: bounded jitter (±2 min) under a
+    // 5-minute delay, so the watermark passes events MID-stream and the
+    // engine consumes the buffer batch by batch, not in one final flush
+    val rng = new scala.util.Random(11)
+    val jittered = base.sortBy(ev => ev.ts.getTime + (rng.nextInt(5) - 2) * 60000L)
+    val input2 = MemoryStream[Event]
+    val q2 = graft.streaming.LivePortfolio.fillsOrdered(
+        input2.toDS(), cfg, delay = "5 minutes")
+      .writeStream.format("memory").queryName("ooo_fills2")
+      .outputMode("append").start()
+    try {
+      jittered.grouped(4).foreach { c => input2.addData(c); q2.processAllAvailable() }
+      val preFlush = spark.table("ooo_fills2").count()
+      input2.addData(Seq(sentinel))
+      q2.processAllAvailable()
+      val streamed2 = spark.table("ooo_fills2")
+        .as[PortfolioEngine.ExecRow].collect().map(_.toString).sorted
+      assert(streamed2.toSeq === batch.toSeq, "jittered delivery diverged")
+      assert(preFlush > 0, "watermark must release fills before the final flush")
+    } finally q2.stop()
+  }
+
   test("property: streaming/batch fill parity holds under random sequences and random batch splits") {
     import graft.exec.PortfolioEngine
     import graft.exec.PortfolioEngine.{Config, Event}
