@@ -57,7 +57,19 @@ object AutoTrader {
       sigCfg: SignalGenerator.Config = SignalGenerator.Config(),
       engineCfg: PortfolioEngine.Config = PortfolioEngine.Config(),
       gateCfg: Option[QuantGate.Config] = Some(QuantGate.Config()),
-      riskMode: Option[RiskPolicy] = None): Seq[CycleResult] = {
+      riskMode: Option[RiskPolicy] = None): Seq[CycleResult] =
+    runDetailed(spark, bars, cycles, fcCfg, sigCfg, engineCfg, gateCfg,
+      riskMode)._1
+
+  /** [[run]] plus the fill table itself — the streaming cycle
+    * ([[graft.streaming.LiveCycle]]) specs fill-for-fill parity against
+    * these rows, not just the per-cycle aggregates. */
+  def runDetailed(spark: SparkSession, bars: DataFrame, cycles: Int,
+      fcCfg: ForecastEngine.Config = ForecastEngine.Config(horizon = 5, mcPaths = 100),
+      sigCfg: SignalGenerator.Config = SignalGenerator.Config(),
+      engineCfg: PortfolioEngine.Config = PortfolioEngine.Config(),
+      gateCfg: Option[QuantGate.Config] = Some(QuantGate.Config()),
+      riskMode: Option[RiskPolicy] = None): (Seq[CycleResult], DataFrame) = {
     import spark.implicits._
     // driver collect of the DATE DIMENSION only (distinct daily dates —
     // thousands of entries for decades of history, independent of the
@@ -81,42 +93,11 @@ object AutoTrader {
       .flatMapGroups { (key, rows) =>
         val (ticker, cycle) = key
         val arr = rows.toArray.sortBy(_._2.getTime)
-        val closes = arr.map(_._3)
-        val atr = arr.takeRight(15).sliding(2).map { case Array(a, b) =>
-          math.max(b._4 - b._5, math.max(math.abs(b._4 - a._3), math.abs(b._5 - a._3)))
-        }.toArray
-        val fc = ForecastEngine.forecastOne(ticker, closes, fcCfg)
-          .filter(_.model == "ENSEMBLE").sortBy(_.horizonStep)
-        if (fc.isEmpty) Iterator.empty
-        else {
-          val in = SignalGenerator.Inputs(ticker, arr.last._2, closes.last,
-            if (atr.nonEmpty) atr.sum / atr.length else 1.0,
-            fc.map(_.forecast).toArray, fc.map(_.lowerCi).toArray,
-            fc.map(_.upperCi).toArray, fc.map(_.vol).toArray,
-            modelAgreement = 0.8, diagnosticsScore = 0.7,
-            probUp = fc.head.probUp)
-          val sig0 = SignalGenerator.generate(in, sigCfg)
-          // quant success-criteria hard gate over the trailing 120-bar
-          // window (run_auto_trader's quant validation; lookback_days
-          // default 120). The reference gates any >=2-point window; we
-          // additionally let very short (<~30-bar) histories pass
-          // through rather than hard-block on meaningless statistics.
-          // The trade return is DIRECTION-ADJUSTED like the strategy
-          // returns — a SELL profits from its negative expected move
-          // (without this, expected_profit would veto every short).
-          val sig = gateCfg match {
-            case Some(g) if closes.length > 30 && sig0.action != "HOLD" =>
-              val tail = closes.takeRight(121).map(c => math.max(c, 1e-6))
-              val lr = tail.sliding(2).map(a => math.log(a(1) / a(0))).toArray
-              val dir = if (sig0.action == "SELL") -1.0 else 1.0
-              QuantGate(sig0, QuantGate.evaluate(lr, dir,
-                positionValue = engineCfg.initialCapital * 0.1,
-                netTradeReturn = dir * sig0.expectedReturn, cfg = g))
-            case _ => sig0
-          }
-          Iterator((cycle, ticker, arr.last._2, closes.last, sig.action,
-            sig.confidence, in.atr))
-        }
+          .map(r => (r._2, r._3, r._4, r._5))
+        signalForHistory(ticker, arr, fcCfg, sigCfg, gateCfg, engineCfg)
+          .map { case (ts, price, action, conf, atr) =>
+            (cycle, ticker, ts, price, action, conf, atr)
+          }.iterator
       }
       .toDF("cycle", "ticker", "ts", "price", "action", "confidence", "atr")
       .withColumn("isSynthetic", lit(false))
@@ -152,13 +133,64 @@ object AutoTrader {
       .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Int]).getOrElse(-1) ->
         (r.getLong(1), r.getDouble(2))).toMap
 
-    (0 until cycles).map { c =>
+    val resultsSeq = (0 until cycles).map { c =>
       val cycleSignals = signals.where(col("cycle") === c)
       val acts = cycleSignals.groupBy(col("action")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val (nf, pnl) = fillsByCycle.getOrElse(c, (0L, 0.0))
       CycleResult(c, acts.values.sum, acts.getOrElse("BUY", 0L),
         acts.getOrElse("SELL", 0L), nf, pnl)
+    }
+    (resultsSeq, fills.toDF())
+  }
+
+  /** One trade decision for a ticker given its full bar history
+    * ((ts, close, high, low), ascending) — the forecast → signal →
+    * quant-gate slice of the cycle, shared VERBATIM by the batch loop
+    * above and the streaming cycle ([[graft.streaming.LiveCycle]]) so
+    * the two modes cannot drift. Returns None when the forecaster
+    * declines the bucket (too little history), exactly like the batch
+    * loop's empty iterator: the engine never sees that bar.
+    * Output: (ts, price, action, confidence, atr snapshot). */
+  def signalForHistory(ticker: String,
+      arr: Array[(java.sql.Timestamp, Double, Double, Double)],
+      fcCfg: ForecastEngine.Config, sigCfg: SignalGenerator.Config,
+      gateCfg: Option[QuantGate.Config], engineCfg: PortfolioEngine.Config)
+      : Option[(java.sql.Timestamp, Double, String, Double, Double)] = {
+    val closes = arr.map(_._2)
+    val atr = arr.takeRight(15).sliding(2).map { case Array(a, b) =>
+      math.max(b._3 - b._4, math.max(math.abs(b._3 - a._2), math.abs(b._4 - a._2)))
+    }.toArray
+    val fc = ForecastEngine.forecastOne(ticker, closes, fcCfg)
+      .filter(_.model == "ENSEMBLE").sortBy(_.horizonStep)
+    if (fc.isEmpty) None
+    else {
+      val in = SignalGenerator.Inputs(ticker, arr.last._1, closes.last,
+        if (atr.nonEmpty) atr.sum / atr.length else 1.0,
+        fc.map(_.forecast).toArray, fc.map(_.lowerCi).toArray,
+        fc.map(_.upperCi).toArray, fc.map(_.vol).toArray,
+        modelAgreement = 0.8, diagnosticsScore = 0.7,
+        probUp = fc.head.probUp)
+      val sig0 = SignalGenerator.generate(in, sigCfg)
+      // quant success-criteria hard gate over the trailing 120-bar
+      // window (run_auto_trader's quant validation; lookback_days
+      // default 120). The reference gates any >=2-point window; we
+      // additionally let very short (<~30-bar) histories pass
+      // through rather than hard-block on meaningless statistics.
+      // The trade return is DIRECTION-ADJUSTED like the strategy
+      // returns — a SELL profits from its negative expected move
+      // (without this, expected_profit would veto every short).
+      val sig = gateCfg match {
+        case Some(g) if closes.length > 30 && sig0.action != "HOLD" =>
+          val tail = closes.takeRight(121).map(c => math.max(c, 1e-6))
+          val lr = tail.sliding(2).map(a => math.log(a(1) / a(0))).toArray
+          val dir = if (sig0.action == "SELL") -1.0 else 1.0
+          QuantGate(sig0, QuantGate.evaluate(lr, dir,
+            positionValue = engineCfg.initialCapital * 0.1,
+            netTradeReturn = dir * sig0.expectedReturn, cfg = g))
+        case _ => sig0
+      }
+      Some((arr.last._1, closes.last, sig.action, sig.confidence, in.atr))
     }
   }
 }

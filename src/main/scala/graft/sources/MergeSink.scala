@@ -57,6 +57,15 @@ final class MergeSink(spark: SparkSession, path: String,
 
     if (!exists) {
       val n = batch.count()
+      if (n == 0) {
+        // an empty first batch must NOT create the table: a zero-row
+        // partitionBy write leaves a directory with no parquet footer,
+        // and every later upsert/read dies on schema inference (a
+        // streaming query whose first micro-batch produces no rows —
+        // e.g. warmup bars — hits exactly this)
+        batch.unpersist()
+        return MergeStats(inserted = 0, updated = 0, partitions = 0)
+      }
       batch.write.partitionBy(partitionCol).parquet(path)
       val parts = batch.select(partitionCol).distinct()
         .collect().map(r => String.valueOf(r.get(0))).toSeq
