@@ -1,12 +1,53 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.{FormattedMode, SparkPlan}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Dev main: dump the interesting physical-plan lines (scans, pushed
   * filters, read schemas, joins, exchanges) for a set of queries so
-  * pushdown/broadcast regressions are visible at a glance. */
+  * pushdown/broadcast regressions are visible at a glance.
+  *
+  * `--windows` mode instead AUDITS every SparkEntry query:
+  * an unpartitioned WindowExec moves its whole input to one task, which
+  * is correct only on a dim-sized frame — and the engine's two such
+  * sites are dim-sized by construction (the macro as-of `lead` feeds a
+  * broadcast join; q109's cumulative equity reads a per-day aggregate).
+  * The audit makes that claim structural instead of a comment: every
+  * zero-partition-spec WindowExec must show dim EVIDENCE in its plan,
+  * or the audit fails loud. Without this, the known-benign WARN noise
+  * would mask a real unpartitioned window the day one appears. */
 object ExplainAudit {
+
+  /** Dim evidence for an unpartitioned WindowExec: its input subtree
+    * contains an aggregate / limit / literal local table (the frame was
+    * reduced before the window), OR the window's OUTPUT feeds a
+    * BroadcastExchange (the planner itself sized the frame as a dim).
+    * Returns a violation line per unpartitioned window with NO such
+    * evidence. */
+  def unpartitionedWindowViolations(plan: SparkPlan): Seq[String] = {
+    def dimEvidence(p: SparkPlan): Boolean = p.find { n =>
+      val c = n.getClass.getSimpleName
+      c.contains("Aggregate") || c.contains("Limit") ||
+        c.contains("TakeOrderedAndProject") || c.contains("LocalTableScan")
+    }.isDefined
+    val out = Seq.newBuilder[String]
+    def walk(p: SparkPlan, underBroadcast: Boolean): Unit = {
+      val ub = underBroadcast ||
+        p.getClass.getSimpleName.contains("BroadcastExchange")
+      p match {
+        case w: WindowExec if w.partitionSpec.isEmpty
+            && !ub && !dimEvidence(w.child) =>
+          out += s"unpartitioned WindowExec over non-dim input: ${w.simpleString(120)}"
+        case _ => ()
+      }
+      p.children.foreach(walk(_, ub))
+      p.subqueries.foreach(walk(_, ub))
+    }
+    walk(plan, underBroadcast = false)
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
@@ -14,6 +55,18 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.contains("--windows")) {
+      val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          unpartitionedWindowViolations(
+            fn(spark, dir).queryExecution.sparkPlan).map(v => s"$name: $v")
+      }
+      bad.foreach(v => System.err.println(s"[windows-audit] $v"))
+      println(if (bad.isEmpty) "[windows-audit] PASS"
+        else s"[windows-audit] ${bad.size} violations")
+      spark.stop()
+      sys.exit(if (bad.isEmpty) 0 else 1)
+    }
     val qs = if (args.nonEmpty) args.toSeq else Seq(
       "q2_filter_range", "q3_topk", "q4_join_inner", "q30_asof_join",
       "q50_dedup_exact", "q61_dedup_gate")
