@@ -69,6 +69,41 @@ object KernelQueries extends QueryModule {
           ($"lowerCi" <= $"forecast" && $"forecast" <= $"upperCi").as("ci_ok"),
           ($"vol" >= 0.0).as("vol_ok"),
           ($"probUp" >= 0.0 && $"probUp" <= 1.0).as("prob_ok"))
+    }),
+
+    // q111 anchors the lifecycle CONTRACT; this query anchors the
+    // FLOATS: the σ forecast of the ENSEMBLE rows, hash-exact with no
+    // tolerance. Capping each bucket at its first 50 hourly points
+    // keeps the return series under the GARCH fit's 50-observation
+    // minimum, which routes the fit to its deterministic EWMA(0.94)
+    // fallback (garch.py:580-633) — σ = sqrt of the EWMA variance
+    // recursion over the 99.5%-|r|-clipped returns, flat across the
+    // horizon. Every op (davg bucketing, clip cap selection, the
+    // recursion, sqrt) is replayed by the DuckDB oracle in the same
+    // IEEE order, through a parquet persist → read-back round trip.
+    "q114_vol_forecast_floats" -> ((s, dir) => {
+      import s.implicits._
+      val horizon = 5
+      val series = graft.Tables.load(s, dir, "events")
+        .where($"event_type" === "purchase")
+        .groupBy(concat(lit("B"), $"user_id" % 3).as("ticker"),
+          date_trunc("hour", $"ts").as("h"))
+        .agg(Det.davg($"value").as("px"))
+      val fc = series.as[(String, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (t, rows) =>
+          val px = rows.toArray.sortBy(_._2.getTime).map(_._3).take(50)
+          graft.forecast.ForecastEngine.forecastOne(t, px,
+            graft.forecast.ForecastEngine.Config(horizon = horizon,
+              mcPaths = 100)).iterator
+        }
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_fc_floats").toString
+      fc.toDF().write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
+        .where($"model" === "ENSEMBLE")
+        .select($"ticker", $"horizonStep".as("horizon_step"),
+          $"vol".as("sigma"))
     })
   )
 
@@ -110,6 +145,57 @@ object KernelQueries extends QueryModule {
         |steps AS (SELECT UNNEST(range(1, 6)) AS horizon_step)
         |SELECT b.ticker, s.horizon_step,
         |  TRUE AS ci_ok, TRUE AS vol_ok, TRUE AS prob_ok
-        |FROM buckets b CROSS JOIN steps s""".stripMargin
+        |FROM buckets b CROSS JOIN steps s""".stripMargin,
+
+    // the engine's EWMA-fallback σ path replayed op-for-op: davg hourly
+    // buckets → first 50 per ticker → simple returns → clip at the abs
+    // value ranked floor(0.995·(m−1))+1 (Garch.clip's index arithmetic)
+    // → the q47 recursion over the CLIPPED series → sqrt of the final
+    // variance, flat across the 5-step horizon. DOUBLE casts force the
+    // same IEEE constants Scala uses.
+    "q114_vol_forecast_floats" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT 'B' || CAST(user_id % 3 AS VARCHAR) AS ticker,
+        |         date_trunc('hour', ts) AS h,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |           / COUNT(value) AS px
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |firstn AS (
+        |  SELECT ticker, h, px,
+        |         row_number() OVER (PARTITION BY ticker ORDER BY h) AS rn,
+        |         count(*) OVER (PARTITION BY ticker) AS cnt
+        |  FROM px),
+        |sel AS (SELECT ticker, h, px FROM firstn WHERE rn <= 50 AND cnt >= 40),
+        |rets AS (
+        |  SELECT ticker,
+        |         px / lag(px) OVER (PARTITION BY ticker ORDER BY h) - 1 AS r,
+        |         row_number() OVER (PARTITION BY ticker ORDER BY h) - 1 AS rn
+        |  FROM sel),
+        |r2 AS (
+        |  SELECT ticker, r, rn, count(*) OVER (PARTITION BY ticker) AS m
+        |  FROM rets WHERE r IS NOT NULL),
+        |caps AS (
+        |  SELECT ticker, aval AS cap FROM (
+        |    SELECT ticker, ABS(r) AS aval, m,
+        |           row_number() OVER (PARTITION BY ticker ORDER BY ABS(r)) AS arn
+        |    FROM r2) ranked
+        |  WHERE arn = CAST(FLOOR(CAST(0.995 AS DOUBLE) * (m - 1)) AS BIGINT) + 1),
+        |clipped AS (
+        |  SELECT r2.ticker, r2.rn, r2.m,
+        |         GREATEST(-caps.cap, LEAST(caps.cap, r2.r)) AS c
+        |  FROM r2 JOIN caps ON r2.ticker = caps.ticker),
+        |rec AS (
+        |  SELECT ticker, rn, m, c * c AS s2 FROM clipped WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.ticker, t.rn, t.m,
+        |         CAST(0.94 AS DOUBLE) * rec.s2
+        |           + (CAST(1 AS DOUBLE) - CAST(0.94 AS DOUBLE)) * t.c * t.c
+        |  FROM clipped t JOIN rec
+        |    ON t.ticker = rec.ticker AND t.rn = rec.rn + 1),
+        |final AS (SELECT ticker, SQRT(s2) AS sigma FROM rec WHERE rn = m),
+        |steps AS (SELECT UNNEST(range(1, 6)) AS horizon_step)
+        |SELECT f.ticker, s.horizon_step, f.sigma
+        |FROM final f CROSS JOIN steps s""".stripMargin
   )
 }
