@@ -113,8 +113,44 @@ object Bench {
       }
     }
     val failed = work.map(_._1).filterNot(best.contains)
+
+    // CC soak (unfiltered runs only): ~1M-edge synthetic graph — 100k
+    // dense 6-node clusters + 16k 32-node chains — timing min-label
+    // propagation (O(diameter) rounds: ~33 here) against the star
+    // contraction (O(log n) rounds + bounded local finish) on the SAME
+    // edges, with label parity REQUIRED after the clocks stop. Single
+    // shot, not min-of-3: each algorithm runs tens of jobs, so rep noise
+    // amortizes internally, and 3 reps of a ~30 s propagation would
+    // dominate the whole bench budget.
+    val soak: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else {
+        import graft.operators.ConnectedComponents
+        val edges = ConnectedComponents.soakEdges(spark)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count() // materialize the generator outside the clocks
+        def clock(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        var stars: org.apache.spark.sql.DataFrame = null
+        var rounds = -1
+        val tStars = clock {
+          val (df, r) = ConnectedComponents.runStarsCounted(edges)
+          stars = df; rounds = r; stars.count(): Unit
+        }
+        var prop: org.apache.spark.sql.DataFrame = null
+        val tProp = clock { prop = ConnectedComponents.run(edges); prop.count(): Unit }
+        require(stars.exceptAll(prop).isEmpty && prop.exceptAll(stars).isEmpty,
+          "cc soak: star-contraction labels diverged from min-propagation")
+        System.err.println(
+          f"[bench] cc_soak: stars=$tStars%.2fs ($rounds%d rounds + local finish), " +
+            f"prop=$tProp%.2fs")
+        edges.unpersist()
+        Seq("cc_soak_stars_1m" -> tStars, "cc_soak_prop_1m" -> tProp)
+      }
+
     val results: Seq[(String, Double)] =
-      work.map { case (name, _) => name -> best.getOrElse(name, lastDur(name)) }.toSeq
+      work.map { case (name, _) => name -> best.getOrElse(name, lastDur(name)) }.toSeq ++ soak
     // Seconds at 2-decimal precision: the driver keeps only a ~2000-char
     // tail of stdout, so the single JSON line must stay well under that
     // or the HEAD of the JSON gets truncated away (r6's full-name line
@@ -128,7 +164,10 @@ object Bench {
       "short bench keys must stay unique")
     val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // headline total = the repeatable query workload; the cc_soak pair is
+    // a one-shot scale experiment (~70 s of deliberate O(diameter) work)
+    // and would swamp round-over-round total comparisons
+    val total = results.filterNot(_._1.startsWith("cc_soak")).map(_._2).sum
     // Print the JSON line as the LAST stdout output of the JVM: silence
     // Spark and stop the session first so no shutdown log line can trail
     // it if the driver merges stderr into the captured stream.

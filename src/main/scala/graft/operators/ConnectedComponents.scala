@@ -221,6 +221,28 @@ object ConnectedComponents {
     (out, i)
   }
 
+  /** Deterministic soak graph for the bench: `clusters` dense 6-node
+    * star clusters (the real near-dup shape — shallow) plus `chains`
+    * chains of `chainLen` nodes (the adversarial-diameter shape), node
+    * id ranges disjoint. ~1M edges at the defaults: min-propagation
+    * pays O(chainLen) rounds on the chains while the star contraction
+    * stays O(log n) + a bounded local finish — the crossover the class
+    * header claims, measured instead of asserted. */
+  def soakEdges(spark: org.apache.spark.sql.SparkSession,
+      clusters: Long = 100000L, chains: Long = 16000L,
+      chainLen: Long = 32L): DataFrame = {
+    val cl = spark.range(clusters * 6)
+      .where(col("id") % 6 =!= 0)
+      .select(col("id").as("src"), (col("id") - col("id") % 6).as("dst"))
+    // NB: `/` on longs is TRUE division in Spark SQL (returns double);
+    // chain arithmetic needs integer `div` or node ids go fractional
+    val perChain = chainLen - 1
+    val pos = expr(s"10000000L + (id div $perChain) * $chainLen + (id % $perChain)")
+    val ch = spark.range(chains * perChain)
+      .select(pos.as("src"), (pos + 1).as("dst"))
+    cl.union(ch)
+  }
+
   /** Drain a ≤`localFinishEdges`-row contracted edge set to the driver
     * and finish with a min-root union-find: union always attaches the
     * larger root under the smaller, so every root is its component's

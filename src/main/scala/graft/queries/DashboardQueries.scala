@@ -102,6 +102,37 @@ object DashboardQueries extends QueryModule {
        |  FROM events
        |  GROUP BY 1, 2, 3)""".stripMargin
 
+  /** time_series_forecasts analog (dashboard_db_bridge.py:2156 column
+    * list): one forecast row per click event; ~1/5 rows carry NULL
+    * params to exercise the bridge's IS NOT NULL arm. */
+  private def forecasts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.load(s, dir, "events")
+      .where($"event_type" === "click")
+      .select(
+        $"event_id".as("id"),
+        concat(lit("U"), $"user_id").as("ticker"),
+        when($"user_id" % 4 === 0, "SARIMAX")
+          .when($"user_id" % 4 === 1, "GARCH")
+          .when($"user_id" % 4 === 2, "SSA")
+          .otherwise("ENSEMBLE").as("model_type"),
+        when($"event_id" % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("{\"p\":"), ($"user_id" % 5).cast("string"),
+            lit("}"))).as("params"),
+        $"ts".as("created_at"))
+  }
+
+  private val forecastsSql =
+    """forecasts AS (
+      |  SELECT event_id AS id,
+      |    'U' || CAST(user_id AS VARCHAR) AS ticker,
+      |    CASE user_id % 4 WHEN 0 THEN 'SARIMAX' WHEN 1 THEN 'GARCH'
+      |      WHEN 2 THEN 'SSA' ELSE 'ENSEMBLE' END AS model_type,
+      |    CASE WHEN event_id % 5 = 0 THEN NULL
+      |      ELSE '{"p":' || CAST(user_id % 5 AS VARCHAR) || '}' END AS params,
+      |    ts AS created_at
+      |  FROM events WHERE event_type = 'click')""".stripMargin
+
   /** The bridge's fixed dashboard ticker set (`IN (...)` filters). */
   private val tickerSet = Seq("U1", "U2", "U3", "U5", "U8")
   private val tickerSetSql = tickerSet.map("'" + _ + "'").mkString("(", ", ", ")")
@@ -358,6 +389,146 @@ object DashboardQueries extends QueryModule {
           when(nLosses > 0, losses / nLosses).as("avg_loss"),
           max($"pnl").as("largest_win"),
           min($"pnl").as("largest_loss"))
+    }),
+
+    // Classified trade events (dashboard_db_bridge.py:689-705 event
+    // taxonomy + :808-842 filtered fetch): entry / exit_win / exit_loss
+    // / exit, dashboard ticker set, latest 40.
+    "q115_trade_events_classified" -> ((s, dir) => {
+      import s.implicits._
+      TradeQueries.trades(s, dir)
+        .where($"ticker".isin(tickerSet: _*))
+        .withColumn("event_class",
+          when(!$"is_close", "entry")
+            .when($"pnl" > 0, "exit_win")
+            .when($"pnl" < 0, "exit_loss")
+            .otherwise("exit"))
+        .orderBy($"ts".desc, $"trade_id".desc).limit(40)
+        .select($"ticker", $"action", $"event_class", $"price", $"pnl")
+    }),
+
+    // Latest model params (dashboard_db_bridge.py:2156-2163): newest 400
+    // non-null param rows across tickers — a global TakeOrderedAndProject.
+    "q116_model_params_latest" -> ((s, dir) => {
+      import s.implicits._
+      forecasts(s, dir)
+        .where($"params".isNotNull)
+        .orderBy($"created_at".desc, $"id".desc).limit(400)
+        .select($"ticker", $"model_type", $"params", $"created_at")
+    }),
+
+    // Forecast history per ticker (the dashboard's per-ticker model
+    // history panel): latest 10 forecast rows per dashboard ticker.
+    "q117_forecast_history" -> ((s, dir) => {
+      import s.implicits._
+      forecasts(s, dir)
+        .where($"ticker".isin(tickerSet: _*))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"ticker").orderBy($"created_at".desc, $"id".desc)))
+        .where($"rn" <= 10)
+        .select($"ticker", $"id", $"model_type", $"created_at")
+    }),
+
+    // Per-ticker equity detail: running realized-PnL equity over each
+    // dashboard ticker's closed trades — window PARTITIONED on ticker
+    // (never global), decimal-accumulated.
+    "q118_equity_by_ticker" -> ((s, dir) => {
+      import s.implicits._
+      TradeQueries.trades(s, dir)
+        .where($"is_close" && $"ticker".isin(tickerSet: _*))
+        .withColumn("equity", dsumOver($"pnl",
+          Window.partitionBy($"ticker").orderBy($"ts", $"trade_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"ticker", $"ts", $"trade_id", $"pnl", $"equity")
+    }),
+
+    // Data checks (dashboard_db_bridge.py:2190-2206): the bridge's
+    // one-row diagnostics — position rows, action mix (the only-buys
+    // trap), performance-row presence.
+    "q119_data_checks" -> ((s, dir) => {
+      import s.implicits._
+      val t = TradeQueries.trades(s, dir)
+      t.agg(
+        count(lit(1)).as("n_trade_rows"),
+        sum(when($"action" === "BUY", 1L).otherwise(0L)).as("n_buys"),
+        sum(when($"action" === "SELL", 1L).otherwise(0L)).as("n_sells"),
+        (sum(when($"action" === "BUY", 1L).otherwise(0L)) > 0 &&
+          sum(when($"action" === "SELL", 1L).otherwise(0L)) === 0)
+          .as("only_buys"),
+        countDistinct(when($"is_close",
+          date_format(date_trunc("day", $"ts"), "yyyy-MM-dd")))
+          .as("n_perf_rows"))
+    }),
+
+    // Positions snapshot, MINIMAL projection (dashboard_db_bridge.py:
+    // 491-494 — the fallback arm when the full column set is absent).
+    "q120_positions_min" -> ((s, dir) => {
+      import s.implicits._
+      val pos = closes(s, dir)
+        .groupBy($"ticker", date_trunc("day", $"ts").as("position_date"))
+        .agg(count(lit(1)).cast("double").as("shares"),
+          davg($"close").as("average_cost"))
+      val latest = pos.agg(max($"position_date").as("_maxd"))
+      pos.crossJoin(broadcast(latest))
+        .where($"position_date" === $"_maxd")
+        .select($"ticker", $"shares", $"average_cost")
+    }),
+
+    // OHLCV provenance census (dashboard_db_bridge.py:388-391):
+    // source → row count over the price surface (q92 covers the trade
+    // surface's provenance; this is the bars arm).
+    "q121_ohlcv_provenance" -> ((s, dir) => {
+      import s.implicits._
+      closes(s, dir)
+        .withColumn("source",
+          when(substring($"ticker", 2, 10).cast("long") % 3 === 0,
+            "synthetic").otherwise("live"))
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+    }),
+
+    // db_metadata key lookup (dashboard_db_bridge.py:370-374): the
+    // bridge reads single values from a (key, value) metadata dim; the
+    // dim here derives from the event table itself.
+    "q122_db_metadata" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "events")
+        .agg(max($"ts").as("max_ts"), count(lit(1)).as("n"))
+        .selectExpr(
+          """stack(3,
+            |  'last_ts', date_format(max_ts, 'yyyy-MM-dd HH:mm:ss'),
+            |  'n_events', cast(n as string),
+            |  'schema_version', 'v1') AS (key, value)""".stripMargin)
+        .where($"key" === "last_ts")
+        .limit(1)
+    }),
+
+    // Barbell bucket roll-up (dashboard_db_bridge.py:314-352): the
+    // static ticker→bucket map applied to the trade surface, counted
+    // per bucket.
+    "q123_barbell_buckets" -> ((s, dir) => {
+      import s.implicits._
+      TradeQueries.trades(s, dir)
+        .withColumn("bucket",
+          when($"user_id" % 10 < 3, "aggressive_growth")
+            .when($"user_id" % 10 < 6, "core")
+            .otherwise("defensive_value"))
+        .groupBy($"bucket")
+        .agg(countDistinct($"ticker").as("n_tickers"),
+          count(lit(1)).as("n_trades"))
+    }),
+
+    // Default ticker list (dashboard_db_bridge.py:268-294): the bridge
+    // probes surfaces IN PRIORITY ORDER and serves the first non-empty
+    // one's distinct tickers (signals first, trades as fallback).
+    "q124_default_tickers" -> ((s, dir) => {
+      import s.implicits._
+      val u = signals(s, dir).select($"ticker").distinct()
+        .withColumn("pri", lit(0))
+        .union(TradeQueries.trades(s, dir).select($"ticker").distinct()
+          .withColumn("pri", lit(1)))
+      val top = u.agg(min($"pri").as("_minp"))
+      u.crossJoin(broadcast(top)).where($"pri" === $"_minp")
+        .select($"ticker").orderBy($"ticker").limit(200)
     })
   )
 
@@ -535,6 +706,105 @@ object DashboardQueries extends QueryModule {
          |FROM closed
          |WHERE run_id = (SELECT MAX(run_id) FROM closed)
          |GROUP BY run_id""".stripMargin
-    }
+    },
+
+    "q115_trade_events_classified" ->
+      s"""${TradeQueries.tradesSql},
+         |classified AS (
+         |  SELECT ticker,
+         |    CASE WHEN is_close THEN 'SELL' ELSE 'BUY' END AS action,
+         |    price, pnl, ts, trade_id,
+         |    CASE WHEN NOT is_close THEN 'entry'
+         |         WHEN pnl > 0 THEN 'exit_win'
+         |         WHEN pnl < 0 THEN 'exit_loss'
+         |         ELSE 'exit' END AS event_class
+         |  FROM trades WHERE ticker IN $tickerSetSql)
+         |SELECT ticker, action, event_class, price, pnl
+         |FROM classified ORDER BY ts DESC, trade_id DESC LIMIT 40""".stripMargin,
+
+    "q116_model_params_latest" ->
+      s"""WITH $forecastsSql
+         |SELECT ticker, model_type, params, created_at
+         |FROM forecasts WHERE params IS NOT NULL
+         |ORDER BY created_at DESC, id DESC LIMIT 400""".stripMargin,
+
+    "q117_forecast_history" ->
+      s"""WITH $forecastsSql,
+         |ranked AS (
+         |  SELECT ticker, id, model_type, created_at, row_number() OVER (
+         |    PARTITION BY ticker ORDER BY created_at DESC, id DESC) AS rn
+         |  FROM forecasts WHERE ticker IN $tickerSetSql)
+         |SELECT ticker, id, model_type, created_at
+         |FROM ranked WHERE rn <= 10""".stripMargin,
+
+    "q118_equity_by_ticker" ->
+      s"""${TradeQueries.tradesSql}
+         |SELECT ticker, ts, trade_id, pnl,
+         |  CAST(SUM(CAST(pnl AS DECIMAL(38,6))) OVER (
+         |    PARTITION BY ticker ORDER BY ts, trade_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS equity
+         |FROM trades WHERE is_close AND ticker IN $tickerSetSql""".stripMargin,
+
+    "q119_data_checks" ->
+      s"""${TradeQueries.tradesSql}
+         |SELECT COUNT(*) AS n_trade_rows,
+         |  CAST(SUM(CASE WHEN NOT is_close THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_buys,
+         |  CAST(SUM(CASE WHEN is_close THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sells,
+         |  SUM(CASE WHEN NOT is_close THEN 1 ELSE 0 END) > 0
+         |    AND SUM(CASE WHEN is_close THEN 1 ELSE 0 END) = 0
+         |    AS only_buys,
+         |  COUNT(DISTINCT CASE WHEN is_close
+         |    THEN strftime(CAST(ts AS DATE), '%Y-%m-%d') END) AS n_perf_rows
+         |FROM trades""".stripMargin,
+
+    "q120_positions_min" ->
+      s"""WITH $closesSql,
+         |pos AS (
+         |  SELECT ticker, date_trunc('day', ts) AS position_date,
+         |    CAST(COUNT(*) AS DOUBLE) AS shares,
+         |    ${sqlAvg("close")} AS average_cost
+         |  FROM closes GROUP BY 1, 2)
+         |SELECT ticker, shares, average_cost
+         |FROM pos
+         |WHERE position_date = (SELECT MAX(position_date) FROM pos)""".stripMargin,
+
+    "q121_ohlcv_provenance" ->
+      s"""WITH $closesSql
+         |SELECT CASE WHEN CAST(substr(ticker, 2) AS BIGINT) % 3 = 0
+         |    THEN 'synthetic' ELSE 'live' END AS source,
+         |  COUNT(*) AS n
+         |FROM closes GROUP BY 1""".stripMargin,
+
+    "q122_db_metadata" ->
+      """WITH meta AS (
+        |  SELECT strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts_val,
+        |    CAST(COUNT(*) AS VARCHAR) AS n_val
+        |  FROM events),
+        |kv AS (
+        |  SELECT 'last_ts' AS key, last_ts_val AS value FROM meta
+        |  UNION ALL SELECT 'n_events', n_val FROM meta
+        |  UNION ALL SELECT 'schema_version', 'v1' FROM meta)
+        |SELECT key, value FROM kv WHERE key = 'last_ts' LIMIT 1""".stripMargin,
+
+    "q123_barbell_buckets" ->
+      s"""${TradeQueries.tradesSql}
+         |SELECT CASE WHEN user_id % 10 < 3 THEN 'aggressive_growth'
+         |    WHEN user_id % 10 < 6 THEN 'core'
+         |    ELSE 'defensive_value' END AS bucket,
+         |  COUNT(DISTINCT ticker) AS n_tickers,
+         |  COUNT(*) AS n_trades
+         |FROM trades GROUP BY 1""".stripMargin,
+
+    "q124_default_tickers" ->
+      s"""${TradeQueries.tradesSql},
+         |$signalsSql,
+         |u AS (
+         |  SELECT DISTINCT ticker, 0 AS pri FROM signals
+         |  UNION ALL SELECT DISTINCT ticker, 1 AS pri FROM trades)
+         |SELECT ticker FROM u WHERE pri = (SELECT MIN(pri) FROM u)
+         |ORDER BY ticker LIMIT 200""".stripMargin
   )
 }

@@ -67,6 +67,25 @@ class ConnectedComponentsSpec extends AnyFunSuite with TestSpark {
     assert(lab.length === n && lab.forall(_._2 === 1L), "one component rooted at 1")
   }
 
+  test("soak graph: clusters + chains, parity between propagation and stars, O(log n) rounds") {
+    // the bench's 1M-edge soak shape at 1/50 scale: 2k dense clusters +
+    // 300 chains of 32 nodes. Expected components are known in closed
+    // form, so this checks the GENERATOR as well as both algorithms.
+    val edges = ConnectedComponents.soakEdges(spark,
+      clusters = 2000L, chains = 300L, chainLen = 32L)
+    assert(edges.count() === 2000L * 5 + 300L * 31)
+    val prop = ConnectedComponents.run(edges)
+    val (stars, rounds) = ConnectedComponents.runStarsCounted(edges)
+    assert(stars.exceptAll(prop).isEmpty && prop.exceptAll(stars).isEmpty,
+      "label parity violated on the soak shape")
+    // 2000 cluster components + 300 chain components
+    assert(prop.select("component").distinct().count() === 2300L)
+    // chain diameter is 31; stars must stay logarithmic (+ local finish)
+    val n = 2000L * 6 + 300L * 32
+    assert(rounds <= 3 * math.ceil(math.log(n.toDouble) / math.log(2)).toInt,
+      s"$rounds rounds on the soak shape")
+  }
+
   test("q95 clusters: pair endpoints share a cluster, the canonical doc is the min id") {
     val dir = "/root/testdata/sf0.001"
     val pairs = DedupTextQueries.queries("q90_neardup_lsh_verify")(spark, dir)
