@@ -413,6 +413,35 @@ object DedupTextQueries extends QueryModule {
           greatest(lit(1), round($"w" * $"scale_f").cast("int")).as("out_w"),
           greatest(lit(1), round($"h" * $"scale_f").cast("int")).as("out_h"),
           $"scale_f")
+    }),
+
+    // Benchmark CONTAMINATION detection — the decontamination pass a
+    // training-data pipeline runs before emitting a corpus: a training
+    // document sharing ≥3 distinct 5-gram shingles with the EVAL set
+    // (the deterministic doc_id % 11 == 0 slice here) is flagged so the
+    // eval benchmark never leaks into training. Scale design: the
+    // benchmark is tiny relative to the corpus, so its DISTINCT
+    // shingles BROADCAST; the 100 TB corpus side left-semi-joins on the
+    // broadcast hash (never shuffling on the shingle key — no hot
+    // boilerplate-shingle task) and the per-doc hit count is a
+    // map-side-combined groupBy on doc_id.
+    "q125_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val sh5 = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(size(t) - 4, 0)), " +
+            "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))"))
+          .as("sh")).distinct()
+      val bench = sh5.where($"doc_id" % 11 === 0).select($"sh").distinct()
+      val corpus = sh5.where($"doc_id" % 11 =!= 0)
+      val docs = corpus.select($"doc_id").distinct()
+      val hits = corpus.join(broadcast(bench), Seq("sh"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("h"))
+      docs.join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"h", lit(0L)).as("n_hits"),
+          (coalesce($"h", lit(0L)) >= 3).as("contaminated"))
     })
   )
 
@@ -674,6 +703,30 @@ object DedupTextQueries extends QueryModule {
          |  greatest(1, CAST(round(h * scale_f) AS INT)) AS out_h,
          |  scale_f
          |FROM sc""".stripMargin
-    }
+    },
+
+    "q125_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+        |  FROM toks),
+        |sh5 AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] AS sh
+        |  FROM idx),
+        |bench AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 11 = 0),
+        |corpus AS (SELECT doc_id, sh FROM sh5 WHERE doc_id % 11 <> 0),
+        |docs AS (SELECT DISTINCT doc_id FROM corpus),
+        |hits AS (
+        |  SELECT c.doc_id, COUNT(*) AS h
+        |  FROM corpus c JOIN bench b ON c.sh = b.sh
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(h.h, 0) >= 3 AS contaminated
+        |FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin
   )
 }

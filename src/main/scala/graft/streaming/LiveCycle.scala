@@ -49,6 +49,51 @@ object LiveCycle {
     * ≥ the forecaster's effective lookback or long-history parity with
     * an uncapped batch run decays (default 4096 daily bars ≈ 16 years).
     */
+  /** Shared per-ticker fold: ordered bars through same-bar gate →
+    * history append → [[AutoTrader.signalForHistory]] → risk-mode entry
+    * gate → engine step. Both the in-order and the reorder-buffered
+    * variants run exactly this. */
+  private def foldBars(ticker: String, ordered: Seq[Bar], st0: CycleState,
+      minBars: Int, histCap: Int, fcCfg: ForecastEngine.Config,
+      sigCfg: SignalGenerator.Config, engineCfg: PortfolioEngine.Config,
+      gateCfg: Option[QuantGate.Config],
+      riskMode: Option[AutoTrader.RiskPolicy],
+      effCfg: PortfolioEngine.Config): (CycleState, Seq[ExecRow]) = {
+    var st = st0
+    val out = Seq.newBuilder[ExecRow]
+    ordered.foreach { b =>
+      val lastTs = st.hist.lastOption.map(_._1).getOrElse(Long.MinValue)
+      if (b.ts.getTime > lastTs) { // same-bar gate
+        val hist = (st.hist :+ ((b.ts.getTime, b.close, b.high, b.low)))
+          .takeRight(histCap)
+        var eng = st.engine
+        if (hist.length >= minBars) {
+          val arr = hist.map { case (ms, c, h, l) =>
+            (new java.sql.Timestamp(ms), c, h, l)
+          }.toArray
+          AutoTrader.signalForHistory(ticker, arr, fcCfg, sigCfg,
+              gateCfg, engineCfg).foreach {
+            case (ts, price, action0, conf, atr) =>
+              // risk-mode entry gate, same rule as the batch loop's
+              // column transform: sub-threshold BUY/SELL → HOLD
+              val action = riskMode match {
+                case Some(p) if action0 != "HOLD" &&
+                  conf < p.minSignalConfidence => "HOLD"
+                case _ => action0
+              }
+              val (e2, fs) = PortfolioEngine.step(eng,
+                Event(ticker, ts, price, action, conf,
+                  isSynthetic = false, atr = atr), effCfg)
+              eng = e2
+              out ++= fs
+          }
+        }
+        st = CycleState(hist, eng)
+      }
+    }
+    (st, out.result())
+  }
+
   def fills(bars: Dataset[Bar], minBars: Int,
       fcCfg: ForecastEngine.Config = ForecastEngine.Config(horizon = 5, mcPaths = 100),
       sigCfg: SignalGenerator.Config = SignalGenerator.Config(),
@@ -63,41 +108,59 @@ object LiveCycle {
       .flatMapGroupsWithState[CycleState, ExecRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (ticker: String, rows: Iterator[Bar], state: GroupState[CycleState]) =>
-          var st = state.getOption.getOrElse(
+          val st0 = state.getOption.getOrElse(
             CycleState(Vector.empty, EngineState.init(effCfg)))
-          val out = Seq.newBuilder[ExecRow]
-          rows.toArray.sortBy(_.ts.getTime).foreach { b =>
-            val lastTs = st.hist.lastOption.map(_._1).getOrElse(Long.MinValue)
-            if (b.ts.getTime > lastTs) { // same-bar gate
-              val hist = (st.hist :+ ((b.ts.getTime, b.close, b.high, b.low)))
-                .takeRight(histCap)
-              var eng = st.engine
-              if (hist.length >= minBars) {
-                val arr = hist.map { case (ms, c, h, l) =>
-                  (new java.sql.Timestamp(ms), c, h, l)
-                }.toArray
-                AutoTrader.signalForHistory(ticker, arr, fcCfg, sigCfg,
-                    gateCfg, engineCfg).foreach {
-                  case (ts, price, action0, conf, atr) =>
-                    // risk-mode entry gate, same rule as the batch loop's
-                    // column transform: sub-threshold BUY/SELL → HOLD
-                    val action = riskMode match {
-                      case Some(p) if action0 != "HOLD" &&
-                        conf < p.minSignalConfidence => "HOLD"
-                      case _ => action0
-                    }
-                    val (e2, fs) = PortfolioEngine.step(eng,
-                      Event(ticker, ts, price, action, conf,
-                        isSynthetic = false, atr = atr), effCfg)
-                    eng = e2
-                    out ++= fs
-                }
-              }
-              st = CycleState(hist, eng)
-            }
-          }
+          val (st, out) = foldBars(ticker, rows.toArray.sortBy(_.ts.getTime).toSeq,
+            st0, minBars, histCap, fcCfg, sigCfg, engineCfg, gateCfg,
+            riskMode, effCfg)
           state.update(st)
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** [[CycleState]] plus the reorder buffer of the late-tolerant
+    * variant — one state object so the whole cycle stays a single
+    * stateful operator (see [[LivePortfolio.fillsOrdered]]). */
+  final case class OrderedCycleState(
+      buffered: Seq[Bar],
+      hist: Seq[(Long, Double, Double, Double)],
+      engine: EngineState)
+
+  /** [[fills]] with the ordering contract enforced in code: bars buffer
+    * per ticker and reach the cycle only in full event-time order once
+    * the watermark (max event time − `delay`) passes them, so a feed
+    * that reorders bars ACROSS micro-batches still matches the batch
+    * auto-trader fill-for-fill. Bars at-or-before the last bar already
+    * consumed are dropped (the same-bar gate generalized to late data);
+    * an EventTimeTimeout at the earliest buffered bar drains quiescent
+    * tickers without new input. */
+  def fillsOrdered(bars: Dataset[Bar], minBars: Int, delay: String,
+      fcCfg: ForecastEngine.Config = ForecastEngine.Config(horizon = 5, mcPaths = 100),
+      sigCfg: SignalGenerator.Config = SignalGenerator.Config(),
+      engineCfg: PortfolioEngine.Config = PortfolioEngine.Config(),
+      gateCfg: Option[QuantGate.Config] = Some(QuantGate.Config()),
+      riskMode: Option[AutoTrader.RiskPolicy] = None,
+      histCap: Int = 4096): Dataset[ExecRow] = {
+    import bars.sparkSession.implicits._
+    val effCfg = riskMode.fold(engineCfg)(_.engine(engineCfg))
+    bars
+      .withWatermark("ts", delay)
+      .groupByKey(_.ticker)
+      .flatMapGroupsWithState[OrderedCycleState, ExecRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (ticker: String, rows: Iterator[Bar], state: GroupState[OrderedCycleState]) =>
+          val st0 = state.getOption.getOrElse(
+            OrderedCycleState(Seq.empty, Vector.empty, EngineState.init(effCfg)))
+          val wm = state.getCurrentWatermarkMs()
+          val (due, keep) = (st0.buffered ++ rows).partition(_.ts.getTime <= wm)
+          val (st, out) = foldBars(ticker, due.sortBy(_.ts.getTime),
+            CycleState(st0.hist, st0.engine), minBars, histCap, fcCfg,
+            sigCfg, engineCfg, gateCfg, riskMode, effCfg)
+          state.update(OrderedCycleState(keep, st.hist, st.engine))
+          // keep's timestamps are all > wm (partition above): legal
+          // future timeout, fires when the watermark reaches it
+          if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_.ts.getTime).min)
+          out.iterator
       }
   }
 }
