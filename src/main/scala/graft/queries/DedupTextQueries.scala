@@ -442,6 +442,72 @@ object DedupTextQueries extends QueryModule {
         .select($"doc_id",
           coalesce($"h", lit(0L)).as("n_hits"),
           (coalesce($"h", lit(0L)) >= 3).as("contaminated"))
+    }),
+
+    // Corpus-level n-gram frequency, top 50 — the boilerplate-detection
+    // table a filtering pipeline thresholds against. Frequencies count
+    // every occurrence (NOT the per-doc-distinct shingle set q51 uses),
+    // and the aggregation runs through SkewSalt.saltedAgg: the classic
+    // hot key here IS the answer (the most frequent n-gram), so the
+    // two-stage salted aggregation caps the reducer-side hot partition
+    // while map-side combine does the volume. TakeOrderedAndProject for
+    // the top-50, never a global sort.
+    "q126_ngram_freq" -> ((s, dir) => {
+      import s.implicits._
+      val sh = graft.Tables.load(s, dir, "documents")
+        .select(split($"text", " ").as("t"))
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(t) - 2, 0)), " +
+            "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))")).as("sh"))
+      graft.operators.SkewSalt.saltedAgg(sh, Seq("sh"), Seq.empty)
+        .orderBy($"n".desc, $"sh").limit(50)
+    }),
+
+    // The CAPSTONE corpus filter — the decision a training-data pipeline
+    // actually emits, composing the whole family: benchmark exclusion
+    // (q125's eval slice), exact dedup (canonical = min doc id per
+    // content), near-dup dedup (q95's cluster canonicals), contamination
+    // (q125), language (q55), and quality (q56) gates, with a FIRST-
+    // MATCH drop-reason taxonomy. Every input operator is independently
+    // oracled; this row pins their composition.
+    "q127_corpus_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = graft.Tables.load(s, dir, "documents")
+      // exact-dup canonical: min doc_id per exact content (hash-groupBy
+      // shape; grouping on the text value is the same exchange with the
+      // hash computed by the shuffle writer)
+      val canon = docs.groupBy($"text").agg(min($"doc_id").as("canon_id"))
+      val exact = docs.join(canon, "text")
+        .select($"doc_id", ($"doc_id" =!= $"canon_id").as("is_exact_dup"))
+      val clusters = queries("q95_dedup_clusters")(s, dir)
+        .withColumnRenamed("cluster_id", "cid")
+      val lq = docs.select($"doc_id", $"text", split($"text", " ").as("t"))
+        .select($"doc_id",
+          (expr(s"size(filter(t, x -> x IN ($stopSql)))").cast("double") /
+            expr("size(t)")).as("stop_ratio"),
+          (regexp_count($"text", lit("[^a-z0-9 ]")).cast("double") /
+            length($"text")).as("punct_ratio"),
+          expr("size(t)").as("n_tokens"))
+        .withColumn("quality",
+          lit(0.4) * least($"n_tokens".cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - $"punct_ratio") +
+            lit(0.3) * least($"stop_ratio" * 10.0, lit(1.0)))
+      val contam = queries("q125_contamination")(s, dir)
+        .select($"doc_id", $"contaminated")
+      docs.select($"doc_id")
+        .join(exact, Seq("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .join(lq.select($"doc_id", $"stop_ratio", $"quality"), Seq("doc_id"))
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when($"doc_id" % 11 === 0, "benchmark")
+            .when($"is_exact_dup", "exact_dup")
+            .when($"cid".isNotNull && $"cid" =!= $"doc_id", "near_dup")
+            .when(coalesce($"contaminated", lit(false)), "contaminated")
+            .when($"stop_ratio" < 0.05, "lang")
+            .when($"quality" < 0.5, "low_quality")
+            .otherwise("keep"))
+        .select($"doc_id", ($"reason" === "keep").as("keep"), $"reason")
     })
   )
 
@@ -727,6 +793,79 @@ object DedupTextQueries extends QueryModule {
         |SELECT d.doc_id,
         |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
         |  COALESCE(h.h, 0) >= 3 AS contaminated
-        |FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin
+        |FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
+    "q126_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |  FROM toks),
+        |grams AS (
+        |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx)
+        |SELECT sh, COUNT(*) AS n FROM grams
+        |GROUP BY 1 ORDER BY n DESC, sh LIMIT 50""".stripMargin,
+
+    "q127_corpus_filter" ->
+      s"""WITH RECURSIVE $verifiedPairsSql,
+         |edges AS (
+         |  SELECT da AS src, db AS dst FROM vp
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM vp),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+         |clusters AS (SELECT node AS doc_id, MIN(label) AS cid FROM walk GROUP BY node),
+         |exact AS (
+         |  SELECT doc_id,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_exact_dup
+         |  FROM documents),
+         |lq AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stop_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |lq2 AS (
+         |  SELECT doc_id, stop_ratio,
+         |    0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |    + 0.3 * (1.0 - punct_ratio)
+         |    + 0.3 * least(stop_ratio * 10.0, 1.0) AS quality
+         |  FROM lq),
+         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |cidx AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+         |  FROM ctoks),
+         |csh5 AS (
+         |  SELECT DISTINCT doc_id,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |      || ' ' || t[i+4] AS sh
+         |  FROM cidx),
+         |cbench AS (SELECT DISTINCT sh FROM csh5 WHERE doc_id % 11 = 0),
+         |chits AS (
+         |  SELECT c.doc_id, COUNT(*) AS h
+         |  FROM csh5 c JOIN cbench b ON c.sh = b.sh
+         |  WHERE c.doc_id % 11 <> 0
+         |  GROUP BY 1),
+         |labeled AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 11 = 0 THEN 'benchmark'
+         |         WHEN e.is_exact_dup THEN 'exact_dup'
+         |         WHEN c.cid IS NOT NULL AND c.cid <> d.doc_id THEN 'near_dup'
+         |         WHEN COALESCE(h.h, 0) >= 3 THEN 'contaminated'
+         |         WHEN l.stop_ratio < 0.05 THEN 'lang'
+         |         WHEN l.quality < 0.5 THEN 'low_quality'
+         |         ELSE 'keep' END AS reason
+         |  FROM documents d
+         |  JOIN exact e ON e.doc_id = d.doc_id
+         |  LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |  JOIN lq2 l ON l.doc_id = d.doc_id
+         |  LEFT JOIN chits h ON h.doc_id = d.doc_id)
+         |SELECT doc_id, reason = 'keep' AS keep, reason FROM labeled""".stripMargin
   )
 }

@@ -51,6 +51,16 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(bad === 0, "found a join keyed on the shingle column alone")
   }
 
+  test("q125 contamination plan: benchmark shingles broadcast, corpus never shuffles on sh") {
+    val df = DedupTextQueries.queries("q125_contamination")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "benchmark side must broadcast")
+    // a sort-merge join on the shingle key would re-introduce the hot-key
+    // shuffle the broadcast design exists to avoid
+    assert(!plan.contains("SortMergeJoin"), "corpus side shuffled on sh")
+  }
+
   test("SimHash: near-dup pairs have small hamming distance vs random pairs") {
     val sims = DedupTextQueries.queries("q53_simhash")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
