@@ -508,6 +508,37 @@ object DedupTextQueries extends QueryModule {
             .when($"quality" < 0.5, "low_quality")
             .otherwise("keep"))
         .select($"doc_id", ($"reason" === "keep").as("keep"), $"reason")
+    }),
+
+    // Repetition signals (the Gopher-rule family): share of the most
+    // frequent token, share of the most frequent bigram, and the
+    // duplicate-bigram fraction — the quality gates that catch
+    // degenerate/boilerplate text that length and stopword ratios miss.
+    // All three are per-doc aggregations keyed on doc_id (map-side
+    // combined, one shuffle family); integer counts divide in double at
+    // the end, so the oracle compare is exact.
+    "q128_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val docs = graft.Tables.load(s, dir, "documents")
+      val tok = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val n = tok.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+      val top1 = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_tok"))
+      val big = docs.select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(size(t) - 1, 0)), " +
+            "i -> concat(t[i-1], ' ', t[i]))")).as("bg"))
+      val top2 = big.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_big"),
+          count(lit(1)).as("n_distinct_bg"), sum($"c").as("n_bg"))
+      n.join(top1, "doc_id").join(top2, "doc_id")
+        .select($"doc_id",
+          ($"top_tok".cast("double") / $"n_tokens").as("top_token_share"),
+          ($"top_big".cast("double") / $"n_bg").as("top_bigram_share"),
+          (lit(1.0) - $"n_distinct_bg".cast("double") / $"n_bg")
+            .as("dup_bigram_frac"))
+        .withColumn("repetitive",
+          $"top_token_share" > 0.2 || $"dup_bigram_frac" > 0.5)
     })
   )
 
@@ -866,6 +897,34 @@ object DedupTextQueries extends QueryModule {
          |  LEFT JOIN clusters c ON c.doc_id = d.doc_id
          |  JOIN lq2 l ON l.doc_id = d.doc_id
          |  LEFT JOIN chits h ON h.doc_id = d.doc_id)
-         |SELECT doc_id, reason = 'keep' AS keep, reason FROM labeled""".stripMargin
+         |SELECT doc_id, reason = 'keep' AS keep, reason FROM labeled""".stripMargin,
+
+    "q128_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+        |t1 AS (
+        |  SELECT doc_id, MAX(c) AS top_tok FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2) x
+        |  GROUP BY 1),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        |  FROM toks),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg FROM idx),
+        |t2 AS (
+        |  SELECT doc_id, MAX(c) AS top_big, COUNT(*) AS n_distinct_bg,
+        |    SUM(c) AS n_bg
+        |  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2) x
+        |  GROUP BY 1)
+        |SELECT n.doc_id,
+        |  CAST(t1.top_tok AS DOUBLE) / n.n_tokens AS top_token_share,
+        |  CAST(t2.top_big AS DOUBLE) / t2.n_bg AS top_bigram_share,
+        |  1.0 - CAST(t2.n_distinct_bg AS DOUBLE) / t2.n_bg AS dup_bigram_frac,
+        |  CAST(t1.top_tok AS DOUBLE) / n.n_tokens > 0.2
+        |    OR 1.0 - CAST(t2.n_distinct_bg AS DOUBLE) / t2.n_bg > 0.5
+        |    AS repetitive
+        |FROM n JOIN t1 ON t1.doc_id = n.doc_id JOIN t2 ON t2.doc_id = n.doc_id""".stripMargin
   )
 }
