@@ -20,6 +20,7 @@ object SparkEntry {
     JoinQueries,
     MetricsQueries,
     DedupTextQueries,
+    CorpusQueries,
     TradeQueries,
     DashboardQueries,
     StreamQueries,

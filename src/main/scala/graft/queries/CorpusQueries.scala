@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * AFTER the per-doc signals exist: corpus-internal duplication profiling
+  * (q129), reproducible subsampling (q130), stratified sampling (q131),
+  * domain-mixture rebalancing (q132), and the LSH-bucketed embedding
+  * near-dup path (q133) — the approximate sibling of q86's exact block
+  * join (reference semantics: `etl/data_preprocessor.py` quality gates +
+  * the dedup family in `DedupTextQueries`).
+  *
+  * Scale design notes:
+  *  - q130/q131 sample by md5 of the key, never `rand()`: at 100 TB a
+  *    sample must be REPRODUCIBLE across engines, retries, and partial
+  *    re-runs (a task retry under rand() silently changes the corpus).
+  *    Hash sampling is a pure map-side filter — zero shuffles.
+  *  - q131 stratifies by VALUE bands (lang × quality band), not by rank:
+  *    a global ntile/percent_rank needs a single-partition sort at scale,
+  *    while value bands assign in-map and the per-stratum top-N is an
+  *    ordinary partitioned window.
+  *  - q132 is two tiny aggregates broadcast back over the group list —
+  *    the mixture table is dims-sized (langs × sources), never sharded.
+  *  - q133 trades recall for candidate volume with the bits-per-band
+  *    dial (8 bands × 8 sign bits here): more bits → fewer, more-precise
+  *    candidates. The verify stage only scores candidate pairs, so the
+  *    quadratic term of q86 drops to the bucket-collision volume.
+  */
+object CorpusQueries extends QueryModule {
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopSql = stop.map(s => s"'$s'").mkString(", ")
+
+  override def queries: Map[String, QFn] = Map(
+    // Corpus-internal duplication profile: per document, the fraction of
+    // its 5-gram INSTANCES whose gram also appears in at least one other
+    // document (RefinedWeb-style "duplicated n-gram share" — catches
+    // boilerplate that exact/near dedup misses because the whole doc is
+    // unique but its parts are everywhere). Two aggregates keyed on the
+    // gram plus one join of two ALREADY-AGGREGATED tables (same shape as
+    // q97's df join): the instance side is capped at one row per
+    // (doc, gram), so a hot boilerplate gram contributes its document
+    // frequency, never its raw occurrence count, to the join.
+    "q129_dup_ngram_frac" -> ((s, dir) => {
+      import s.implicits._
+      val inst = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(size(t) - 4, 0)), " +
+            "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))"))
+          .as("sh"))
+      val perDoc = inst.groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
+      val df = perDoc.groupBy($"sh").agg(count(lit(1)).as("df"))
+      perDoc.join(df, "sh")
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_grams"),
+          sum(when($"df" >= 2, $"c").otherwise(0L)).as("dup_grams"))
+        .select($"doc_id", $"n_grams", $"dup_grams",
+          ($"dup_grams".cast("double") / $"n_grams").as("dup_frac"))
+    }),
+
+    // Reproducible ~10% corpus sample: keep a doc iff the first two hex
+    // chars of md5(doc_id) fall under '1a' (26/256 ≈ 10.2%). Pure
+    // map-side predicate — no shuffle, no rand(), bit-identical across
+    // engines, retries, and incremental re-runs, which is what makes a
+    // 100 TB sample auditable.
+    "q130_hash_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "documents")
+        .withColumn("hkey", substring(md5($"doc_id".cast("string")), 1, 2))
+        .where($"hkey" < "1a")
+        .select($"doc_id", $"lang", $"source", $"hkey")
+    }),
+
+    // Stratified sample: up to 3 docs per (lang × quality-band) stratum,
+    // chosen by deterministic md5 order. The quality score is q56's
+    // oracled formula verbatim (IEEE-identical both engines, so the
+    // band boundary floor(quality*10) cannot disagree); the per-stratum
+    // pick is a partitioned window — no global sort anywhere.
+    "q131_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val scored = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text", split($"text", " ").as("t"))
+        .select($"doc_id", $"lang",
+          (expr(s"size(filter(t, x -> x IN ($stopSql)))").cast("double") /
+            expr("size(t)")).as("stop_ratio"),
+          (regexp_count($"text", lit("[^a-z0-9 ]")).cast("double") /
+            length($"text")).as("punct_ratio"),
+          expr("size(t)").as("n_tokens"))
+        .withColumn("quality",
+          lit(0.4) * least($"n_tokens".cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - $"punct_ratio") +
+            lit(0.3) * least($"stop_ratio" * 10.0, lit(1.0)))
+        .withColumn("qband", floor($"quality" * 10.0).cast("int"))
+      val w = Window.partitionBy($"lang", $"qband")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      scored.withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+        .select($"lang", $"qband", $"doc_id", $"rn")
+    }),
+
+    // Domain-mixture rebalancing: per (lang × source) cell, the sampling
+    // weight that flattens the corpus to a uniform mixture
+    // (weight = target_share / actual_share). Two scalar aggregates
+    // broadcast over the dims-sized group table; the weights are what a
+    // training loader multiplies into per-doc sampling probabilities.
+    "q132_mix_weights" -> ((s, dir) => {
+      import s.implicits._
+      val g = graft.Tables.load(s, dir, "documents")
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
+      val tot = g.agg(sum($"n_docs").as("total"),
+        count(lit(1)).as("n_groups"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("share", $"n_docs".cast("double") / $"total")
+        .select($"lang", $"source", $"n_docs", $"share",
+          ((lit(1.0) / $"n_groups") / $"share").as("weight"))
+    }),
+
+    // LSH-bucketed embedding near-dup: random-hyperplane LSH with
+    // axis-aligned planes — 8 bands × 8 sign bits of the embedding
+    // (dims 1-8, 9-16, …, 57-64); two vectors are CANDIDATES iff some
+    // band's sign pattern matches exactly, and only candidates pay the
+    // exact-cosine verify (same ≥ 0.45 gate as q86, so the output is a
+    // recall-measurable subset of the exact pairs — CorpusQueriesSpec
+    // pins the measured recall and the candidate-reduction factor).
+    // The oracle replays the identical banding, so the APPROXIMATE
+    // operator is still hash-exact. Scale: candidate volume is the
+    // bucket-collision count (n²/2^bits per band), not n²/2; bits per
+    // band is the dial.
+    "q133_lsh_embed_neardup" -> ((s, dir) => {
+      import graft.functions.VectorExprs.{dotF64, l2normF64}
+      import s.implicits._
+      val e = graft.Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("ed"))
+        .withColumn("nrm", l2normF64($"ed"))
+      val bands = e.select($"vec_id", explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"), expr(
+          s"concat_ws('', transform(sequence(${b * 8 + 1}, ${b * 8 + 8}), " +
+            "i -> CASE WHEN element_at(ed, i) >= 0D THEN '1' ELSE '0' END))")
+          .as("bkey"))
+      }: _*)).as("bk"))
+        .select($"vec_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
+            $"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("va"), $"y.vec_id".as("vb")).distinct()
+      cand
+        .join(e.select($"vec_id".as("va"), $"ed".as("ea"), $"nrm".as("na")), "va")
+        .join(e.select($"vec_id".as("vb"), $"ed".as("eb"), $"nrm".as("nb")), "vb")
+        .select($"va", $"vb",
+          round(dotF64($"ea", $"eb") / ($"na" * $"nb"), 6).as("cosine"))
+        .where($"cosine" >= 0.45)
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q129_dup_ngram_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+        |  FROM toks),
+        |inst AS (
+        |  SELECT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] AS sh
+        |  FROM idx),
+        |per_doc AS (SELECT doc_id, sh, COUNT(*) AS c FROM inst GROUP BY 1, 2),
+        |dfreq AS (SELECT sh, COUNT(*) AS df FROM per_doc GROUP BY 1)
+        |SELECT p.doc_id,
+        |  CAST(SUM(p.c) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN d.df >= 2 THEN p.c ELSE 0 END) AS BIGINT) AS dup_grams,
+        |  CAST(SUM(CASE WHEN d.df >= 2 THEN p.c ELSE 0 END) AS DOUBLE)
+        |    / SUM(p.c) AS dup_frac
+        |FROM per_doc p JOIN dfreq d ON p.sh = d.sh
+        |GROUP BY 1""".stripMargin,
+
+    "q130_hash_sample" ->
+      """SELECT doc_id, lang, source,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hkey
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin,
+
+    "q131_stratified_sample" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stop_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |      + 0.3 * (1.0 - punct_ratio)
+         |      + 0.3 * least(stop_ratio * 10.0, 1.0)) * 10.0) AS INT) AS qband
+         |  FROM base),
+         |ranked AS (
+         |  SELECT lang, qband, doc_id,
+         |    row_number() OVER (PARTITION BY lang, qband
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM scored)
+         |SELECT lang, qband, doc_id, rn FROM ranked WHERE rn <= 3""".stripMargin,
+
+    "q132_mix_weights" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM g)
+        |SELECT lang, source, n_docs,
+        |  CAST(n_docs AS DOUBLE) / total AS share,
+        |  (1.0 / n_groups) / (CAST(n_docs AS DOUBLE) / total) AS weight
+        |FROM g, tot""".stripMargin,
+
+    "q133_lsh_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |bands AS (
+        |  SELECT vec_id, b.band,
+        |    list_reduce(list_transform(generate_series(b.band * 8 + 1, b.band * 8 + 8),
+        |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END),
+        |      (x, y) -> x || y) AS bkey
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        |verified AS (
+        |  SELECT c.va, c.vb,
+        |    round(
+        |      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (ea.nrm * eb.nrm),
+        |      6) AS cosine
+        |  FROM cand c
+        |  JOIN e ea ON ea.vec_id = c.va
+        |  JOIN e eb ON eb.vec_id = c.vb)
+        |SELECT va, vb, cosine FROM verified WHERE cosine >= 0.45""".stripMargin
+  )
+}

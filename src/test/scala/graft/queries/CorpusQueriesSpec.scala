@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property checks for the corpus-curation operators (q129-q133):
+  * the duplicate-n-gram profile on a hand-built corpus, hash-sampling
+  * determinism, stratified-sample caps, mixture-weight conservation,
+  * and LSH-bucketed near-dup recall/reduction against the exact q86
+  * pairs.
+  */
+class CorpusQueriesSpec extends AnyFunSuite with TestSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q129 dup-ngram fraction on a crafted corpus: cross-doc grams count, within-doc repeats don't") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    Seq(
+      // A and B share the 5-gram "w1 w2 w3 w4 w5"; each has one unique gram
+      (0L, "w1 w2 w3 w4 w5 w6", "en", "s0", 17L),
+      (1L, "w1 w2 w3 w4 w5 xx", "en", "s0", 17L),
+      // C: all grams unique corpus-wide
+      (2L, "c1 c2 c3 c4 c5 c6", "en", "s0", 17L),
+      // D: gram "a b c d e" occurs TWICE within the doc but in no other
+      // doc — document frequency 1, so none of its 6 instances are dups
+      (3L, "a b c d e a b c d e", "en", "s0", 19L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = CorpusQueries.queries("q129_dup_ngram_frac")(s, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) === ((2L, 1L, 0.5)))
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 0L, 0.0)))
+    assert(got(3L) === ((6L, 0L, 0.0)))
+  }
+
+  test("q130 hash sample is deterministic, correctly bounded, and exactly the md5 predicate") {
+    val s = spark; import s.implicits._
+    val a = CorpusQueries.queries("q130_hash_sample")(s, dir).collect()
+    val b = CorpusQueries.queries("q130_hash_sample")(s, dir).collect()
+    assert(a.toSeq === b.toSeq, "hash sampling must be run-to-run identical")
+    val n = graft.Tables.load(s, dir, "documents").count()
+    // 26/256 expected acceptance; allow wide slack for small n
+    assert(a.length > n / 50 && a.length < n / 4, s"sample size ${a.length} of $n")
+    // every kept row satisfies the predicate, recomputed independently
+    val recount = graft.Tables.load(s, dir, "documents")
+      .where(substring(md5($"doc_id".cast("string")), 1, 2) < "1a").count()
+    assert(a.length.toLong === recount)
+  }
+
+  test("q131 stratified sample: at most 3 per (lang, qband), ranks contiguous from 1") {
+    val s = spark; import s.implicits._
+    val rows = CorpusQueries.queries("q131_stratified_sample")(s, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, g) =>
+      assert(g.length <= 3, s"stratum $k overfull")
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length), s"ranks not contiguous in $k")
+    }
+  }
+
+  test("q132 mixture weights conserve mass: weight × share = 1/G, Σ share = 1, Σ weight·n = total") {
+    val s = spark; import s.implicits._
+    val rows = CorpusQueries.queries("q132_mix_weights")(s, dir)
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val g = rows.length
+    val total = rows.map(_._1).sum
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    rows.foreach { case (_, share, weight) =>
+      assert(math.abs(weight * share - 1.0 / g) < 1e-12)
+    }
+    assert(math.abs(rows.map(r => r._3 * r._1).sum - total.toDouble) < 1e-6)
+  }
+
+  test("q133 LSH near-dup: subset of exact q86 pairs, recall floor, candidate reduction") {
+    val s = spark; import s.implicits._
+    val exact = DedupTextQueries.queries("q86_cosine_neardup")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = CorpusQueries.queries("q133_lsh_embed_neardup")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    // every LSH-verified pair must be an exact pair with the same cosine
+    lsh.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"pair $k not in exact set (or cosine drift)")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall $recall below floor (lsh=${lsh.size}, exact=${exact.size})")
+    // the candidate volume (pre-verify) must be a small fraction of all pairs
+    val e = graft.Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("ed"))
+    val bands = e.select($"vec_id", explode(array((0 until 8).map { b =>
+      struct(lit(b).as("band"), expr(
+        s"concat_ws('', transform(sequence(${b * 8 + 1}, ${b * 8 + 8}), " +
+          "i -> CASE WHEN element_at(ed, i) >= 0D THEN '1' ELSE '0' END))").as("bkey"))
+    }: _*)).as("bk"))
+      .select($"vec_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val nCand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id", $"y.vec_id").distinct().count()
+    val n = e.count()
+    assert(nCand < n * (n - 1) / 2 / 10,
+      s"LSH candidates $nCand not a >=10x reduction over ${n * (n - 1) / 2}")
+  }
+}
