@@ -104,4 +104,29 @@ object Kalman {
     maLags.zip(maCoefs).foreach { case (l, c) => theta(l - 1) = c }
     armaLoglik(z, phi, theta)
   }
+
+  /** Local-level (random-walk-plus-noise) Kalman filter with fixed state
+    * noise `q` and observation noise `r`: a₀ = y₀, P₀ = r; then per step
+    * P⁻ = P + q, K = P⁻/(P⁻ + r), a += K·(y − a), P = (1 − K)·P⁻.
+    * Returns (level, levelVar) per observation. The IEEE operation order
+    * is pinned — the q134 DuckDB recursive-CTE oracle replays it
+    * verbatim, so do not re-associate these expressions. With q = 0 the
+    * filter degenerates to the running mean (KalmanSpec pins this). */
+  def levelFilter(y: Array[Double], q: Double, r: Double): Array[(Double, Double)] = {
+    val out = new Array[(Double, Double)](y.length)
+    if (y.isEmpty) return out
+    var a = y(0)
+    var p = r
+    out(0) = (a, p)
+    var t = 1
+    while (t < y.length) {
+      val pp = p + q
+      val k = pp / (pp + r)
+      a = a + k * (y(t) - a)
+      p = (1.0 - k) * pp
+      out(t) = (a, p)
+      t += 1
+    }
+    out
+  }
 }

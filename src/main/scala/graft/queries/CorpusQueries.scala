@@ -150,6 +150,29 @@ object CorpusQueries extends QueryModule {
         .select($"va", $"vb",
           round(dotF64($"ea", $"eb") / ($"na" * $"nb"), 6).as("cosine"))
         .where($"cosine" >= 0.45)
+    }),
+
+    // Token-length distribution profile: exact p50/p90/p99 of per-doc
+    // token counts within each language, selected by RANK ARITHMETIC
+    // (value at row floor(p·(n−1))+1 of the sorted lengths) — integer
+    // in, integer out, so the oracle compare is exact with no quantile-
+    // interpolation ambiguity. The window partitions by lang (never a
+    // global sort). At 100 TB the same report would come from a mergeable
+    // sketch (percentile_approx) — the exact-rank path is the oracle
+    // baseline the sketch's error is measured against.
+    "q136_len_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val lens = graft.Tables.load(s, dir, "documents")
+        .select($"lang", $"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
+      val ranked = lens
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"lang")))
+      val ps = broadcast(Seq(0.5, 0.9, 0.99).toDF("p"))
+      ranked.join(ps,
+          $"rn" === (floor($"p" * ($"cnt" - 1)) + 1))
+        .select($"lang", $"p", $"n_tokens")
     })
   )
 
@@ -238,6 +261,21 @@ object CorpusQueries extends QueryModule {
         |  FROM cand c
         |  JOIN e ea ON ea.vec_id = c.va
         |  JOIN e eb ON eb.vec_id = c.vb)
-        |SELECT va, vb, cosine FROM verified WHERE cosine >= 0.45""".stripMargin
+        |SELECT va, vb, cosine FROM verified WHERE cosine >= 0.45""".stripMargin,
+
+    "q136_len_percentiles" ->
+      """WITH lens AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM lens),
+        |ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |  CAST(0.99 AS DOUBLE)]) AS p)
+        |SELECT r.lang, ps.p, r.n_tokens
+        |FROM ranked r JOIN ps ON r.rn = CAST(floor(ps.p * (r.cnt - 1)) AS BIGINT) + 1""".stripMargin
   )
 }

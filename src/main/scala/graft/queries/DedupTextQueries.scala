@@ -539,6 +539,26 @@ object DedupTextQueries extends QueryModule {
             .as("dup_bigram_frac"))
         .withColumn("repetitive",
           $"top_token_share" > 0.2 || $"dup_bigram_frac" > 0.5)
+    }),
+
+    // INCREMENTAL dedup — the shape a continuously-crawling pipeline
+    // runs: a new shard (doc_id % 10 == 7 here) deduped AGAINST the
+    // existing corpus, emitting (new_doc, old_doc, jaccard) for every
+    // verified near-dup whose sides straddle the boundary. At 100 TB
+    // the old corpus's band table is a PERSISTED index and only the new
+    // shard is shingled/banded/joined against it (cost ∝ shard, not
+    // corpus); here the pair graph re-derives from base tables because
+    // the oracle must be self-contained (q127's artifact class). The
+    // same-side pairs are excluded — new-vs-new dups are next cycle's
+    // intra-shard dedup, and old-vs-old were already resolved.
+    "q135_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      queries("q90_neardup_lsh_verify")(s, dir)
+        .where(($"da" % 10 === 7) =!= ($"db" % 10 === 7))
+        .select(
+          when($"da" % 10 === 7, $"da").otherwise($"db").as("new_doc"),
+          when($"da" % 10 === 7, $"db").otherwise($"da").as("old_doc"),
+          $"jaccard")
     })
   )
 
@@ -925,6 +945,15 @@ object DedupTextQueries extends QueryModule {
         |  CAST(t1.top_tok AS DOUBLE) / n.n_tokens > 0.2
         |    OR 1.0 - CAST(t2.n_distinct_bg AS DOUBLE) / t2.n_bg > 0.5
         |    AS repetitive
-        |FROM n JOIN t1 ON t1.doc_id = n.doc_id JOIN t2 ON t2.doc_id = n.doc_id""".stripMargin
+        |FROM n JOIN t1 ON t1.doc_id = n.doc_id JOIN t2 ON t2.doc_id = n.doc_id""".stripMargin,
+
+    "q135_incremental_dedup" ->
+      s"""WITH $verifiedPairsSql
+         |SELECT
+         |  CASE WHEN da % 10 = 7 THEN da ELSE db END AS new_doc,
+         |  CASE WHEN da % 10 = 7 THEN db ELSE da END AS old_doc,
+         |  jaccard
+         |FROM vp
+         |WHERE (da % 10 = 7) <> (db % 10 = 7)""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.forecast.Ewma
+import graft.forecast.{Ewma, Kalman}
 
 /** Sequential-recurrence kernels surfaced through the oracle gate.
   *
@@ -104,6 +104,30 @@ object KernelQueries extends QueryModule {
         .where($"model" === "ENSEMBLE")
         .select($"ticker", $"horizonStep".as("horizon_step"),
           $"vol".as("sigma"))
+    }),
+
+    // Local-level Kalman smoothing of every bar series — the third
+    // float path under the gate (after q47's EWMA recursion and q114's
+    // σ pipeline), and the first with TWO coupled recurrent states
+    // (level a and variance P, linked through the gain division each
+    // step). Per-ticker sequential state runs task-side in the same
+    // flatMapGroups shape as q47; the DuckDB oracle replays the exact
+    // IEEE sequence via a recursive CTE carrying (a, P). Q/R fixed
+    // (0.1 / 2.0) — parameter estimation is Ar/Garch territory.
+    "q134_kalman_level" -> ((s, dir) => {
+      import s.implicits._
+      Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", $"price")
+        .as[(String, java.sql.Timestamp, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (ticker, rows) =>
+          val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+          val path = Kalman.levelFilter(sorted.map(_._4), q = 0.1, r = 2.0)
+          sorted.zip(path).map { case ((_, _, seq, _), (a, p)) =>
+            (ticker, seq, a, p)
+          }.iterator
+        }
+        .toDF("ticker", "seq", "level", "level_var")
     })
   )
 
@@ -196,6 +220,32 @@ object KernelQueries extends QueryModule {
         |final AS (SELECT ticker, SQRT(s2) AS sigma FROM rec WHERE rn = m),
         |steps AS (SELECT UNNEST(range(1, 6)) AS horizon_step)
         |SELECT f.ticker, s.horizon_step, f.sigma
-        |FROM final f CROSS JOIN steps s""".stripMargin
+        |FROM final f CROSS JOIN steps s""".stripMargin,
+
+    // the filter recursion replayed step for step: the CTE carries
+    // (a, P); the gain k = (P+Q)/((P+Q)+R) is inlined (recomputed
+    // sub-expressions are value-identical), and every literal is CAST
+    // to DOUBLE so DuckDB uses the same IEEE constants Scala does.
+    // Ops in Scala order: a' = a + k*(y−a); P' = (1−k)*(P+Q).
+    "q134_kalman_level" ->
+      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+         |numbered AS (
+         |  SELECT ticker, seq, price AS y,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
+         |  FROM bars),
+         |rec AS (
+         |  SELECT ticker, seq, rn, y AS a, CAST(2.0 AS DOUBLE) AS p
+         |  FROM numbered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.ticker, t.seq, t.rn,
+         |    rec.a + ((rec.p + CAST(0.1 AS DOUBLE))
+         |        / ((rec.p + CAST(0.1 AS DOUBLE)) + CAST(2.0 AS DOUBLE)))
+         |      * (t.y - rec.a),
+         |    (CAST(1 AS DOUBLE) - ((rec.p + CAST(0.1 AS DOUBLE))
+         |        / ((rec.p + CAST(0.1 AS DOUBLE)) + CAST(2.0 AS DOUBLE))))
+         |      * (rec.p + CAST(0.1 AS DOUBLE))
+         |  FROM numbered t JOIN rec
+         |    ON t.ticker = rec.ticker AND t.rn = rec.rn + 1)
+         |SELECT ticker, seq, a AS level, p AS level_var FROM rec""".stripMargin
   )
 }

@@ -87,4 +87,33 @@ class KalmanSpec extends AnyFunSuite {
         s"seed=$seed: chosen fit spans ${f.n} of $diffedLen obs — a CSS fallback won the re-rank")
     }
   }
+
+  test("levelFilter with q=0 and P0=r degenerates to the running mean") {
+    // p=r, q=0: step t has gain 1/(t+1), so a_t is exactly the
+    // incremental mean a + (y-a)/(t+1) — compare against the direct
+    // running mean within fp tolerance (different summation order).
+    val rng = new scala.util.Random(11)
+    val y = Array.fill(200)(rng.nextDouble() * 100 - 30)
+    val path = Kalman.levelFilter(y, q = 0.0, r = 3.0)
+    var s = 0.0
+    y.zipWithIndex.foreach { case (v, i) =>
+      s += v
+      assert(math.abs(path(i)._1 - s / (i + 1)) < 1e-9,
+        s"level at $i drifted from the running mean")
+    }
+    // P shrinks like r/(t+1): monotone decreasing toward 0
+    path.sliding(2).foreach { case Array(a, b) => assert(b._2 < a._2) }
+  }
+
+  test("levelFilter with tiny r tracks the observations; gain bounded in (0,1)") {
+    val rng = new scala.util.Random(29)
+    val y = Array.fill(100)(rng.nextDouble() * 10)
+    val path = Kalman.levelFilter(y, q = 1.0, r = 1e-9)
+    y.indices.drop(1).foreach { i =>
+      assert(math.abs(path(i)._1 - y(i)) < 1e-6, s"level should chase y at r≈0 (i=$i)")
+    }
+    // steady-state variance solves P = (1-K)(P+q) with K=(P+q)/(P+q+r):
+    // for q=1, r=1e-9 the fixed point is ~r — P stays tiny and positive
+    assert(path.last._2 > 0 && path.last._2 < 1e-6)
+  }
 }
