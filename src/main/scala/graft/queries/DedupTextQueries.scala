@@ -559,6 +559,21 @@ object DedupTextQueries extends QueryModule {
           when($"da" % 10 === 7, $"da").otherwise($"db").as("new_doc"),
           when($"da" % 10 === 7, $"db").otherwise($"da").as("old_doc"),
           $"jaccard")
+    }),
+
+    // Curation MONITORING roll-up — the report a pipeline operator
+    // actually watches: per (source × drop-reason) counts over the q127
+    // taxonomy. A source whose exact_dup or contaminated share spikes is
+    // a crawler bug or a benchmark leak; the roll-up is a dims-sized
+    // aggregate over the per-doc decisions (same artifact-class cost as
+    // q127 — in deployment both read the materialized decision table).
+    "q137_source_report" -> ((s, dir) => {
+      import s.implicits._
+      val decisions = queries("q127_corpus_filter")(s, dir)
+      val src = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source")
+      decisions.join(src, "doc_id")
+        .groupBy($"source", $"reason").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -652,6 +667,69 @@ object DedupTextQueries extends QueryModule {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
         |  FROM sims)
         |SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= 5""".stripMargin
+
+  /** DuckDB CTE chain ending in `labeled AS (... doc_id, reason ...)` — the
+    * q127 corpus-filter taxonomy, shared by the q127 (per-doc decisions)
+    * and q137 (per-source report) oracles. */
+  private lazy val corpusFilterSql =
+      s"""WITH RECURSIVE $verifiedPairsSql,
+         |edges AS (
+         |  SELECT da AS src, db AS dst FROM vp
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM vp),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+         |clusters AS (SELECT node AS doc_id, MIN(label) AS cid FROM walk GROUP BY node),
+         |exact AS (
+         |  SELECT doc_id,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_exact_dup
+         |  FROM documents),
+         |lq AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stop_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |lq2 AS (
+         |  SELECT doc_id, stop_ratio,
+         |    0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |    + 0.3 * (1.0 - punct_ratio)
+         |    + 0.3 * least(stop_ratio * 10.0, 1.0) AS quality
+         |  FROM lq),
+         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |cidx AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+         |  FROM ctoks),
+         |csh5 AS (
+         |  SELECT DISTINCT doc_id,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |      || ' ' || t[i+4] AS sh
+         |  FROM cidx),
+         |cbench AS (SELECT DISTINCT sh FROM csh5 WHERE doc_id % 11 = 0),
+         |chits AS (
+         |  SELECT c.doc_id, COUNT(*) AS h
+         |  FROM csh5 c JOIN cbench b ON c.sh = b.sh
+         |  WHERE c.doc_id % 11 <> 0
+         |  GROUP BY 1),
+         |labeled AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 11 = 0 THEN 'benchmark'
+         |         WHEN e.is_exact_dup THEN 'exact_dup'
+         |         WHEN c.cid IS NOT NULL AND c.cid <> d.doc_id THEN 'near_dup'
+         |         WHEN COALESCE(h.h, 0) >= 3 THEN 'contaminated'
+         |         WHEN l.stop_ratio < 0.05 THEN 'lang'
+         |         WHEN l.quality < 0.5 THEN 'low_quality'
+         |         ELSE 'keep' END AS reason
+         |  FROM documents d
+         |  JOIN exact e ON e.doc_id = d.doc_id
+         |  LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |  JOIN lq2 l ON l.doc_id = d.doc_id
+         |  LEFT JOIN chits h ON h.doc_id = d.doc_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q50_dedup_exact" ->
@@ -858,66 +936,19 @@ object DedupTextQueries extends QueryModule {
         |SELECT sh, COUNT(*) AS n FROM grams
         |GROUP BY 1 ORDER BY n DESC, sh LIMIT 50""".stripMargin,
 
+    // NOTE: plain concatenation — corpusFilterSql is already margin-
+    // stripped, and a second stripMargin would eat the `||` string-
+    // concat continuations inside it.
     "q127_corpus_filter" ->
-      s"""WITH RECURSIVE $verifiedPairsSql,
-         |edges AS (
-         |  SELECT da AS src, db AS dst FROM vp
-         |  UNION ALL
-         |  SELECT db AS src, da AS dst FROM vp),
-         |walk(node, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
-         |clusters AS (SELECT node AS doc_id, MIN(label) AS cid FROM walk GROUP BY node),
-         |exact AS (
-         |  SELECT doc_id,
-         |    doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_exact_dup
-         |  FROM documents),
-         |lq AS (
-         |  SELECT doc_id,
-         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSql))) AS DOUBLE)
-         |      / len(string_split(text, ' ')) AS stop_ratio,
-         |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-         |      / length(text) AS punct_ratio,
-         |    len(string_split(text, ' ')) AS n_tokens
-         |  FROM documents),
-         |lq2 AS (
-         |  SELECT doc_id, stop_ratio,
-         |    0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-         |    + 0.3 * (1.0 - punct_ratio)
-         |    + 0.3 * least(stop_ratio * 10.0, 1.0) AS quality
-         |  FROM lq),
-         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |cidx AS (
-         |  SELECT doc_id, t,
-         |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
-         |  FROM ctoks),
-         |csh5 AS (
-         |  SELECT DISTINCT doc_id,
-         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-         |      || ' ' || t[i+4] AS sh
-         |  FROM cidx),
-         |cbench AS (SELECT DISTINCT sh FROM csh5 WHERE doc_id % 11 = 0),
-         |chits AS (
-         |  SELECT c.doc_id, COUNT(*) AS h
-         |  FROM csh5 c JOIN cbench b ON c.sh = b.sh
-         |  WHERE c.doc_id % 11 <> 0
-         |  GROUP BY 1),
-         |labeled AS (
-         |  SELECT d.doc_id,
-         |    CASE WHEN d.doc_id % 11 = 0 THEN 'benchmark'
-         |         WHEN e.is_exact_dup THEN 'exact_dup'
-         |         WHEN c.cid IS NOT NULL AND c.cid <> d.doc_id THEN 'near_dup'
-         |         WHEN COALESCE(h.h, 0) >= 3 THEN 'contaminated'
-         |         WHEN l.stop_ratio < 0.05 THEN 'lang'
-         |         WHEN l.quality < 0.5 THEN 'low_quality'
-         |         ELSE 'keep' END AS reason
-         |  FROM documents d
-         |  JOIN exact e ON e.doc_id = d.doc_id
-         |  LEFT JOIN clusters c ON c.doc_id = d.doc_id
-         |  JOIN lq2 l ON l.doc_id = d.doc_id
-         |  LEFT JOIN chits h ON h.doc_id = d.doc_id)
-         |SELECT doc_id, reason = 'keep' AS keep, reason FROM labeled""".stripMargin,
+      (corpusFilterSql +
+        "\nSELECT doc_id, reason = 'keep' AS keep, reason FROM labeled"),
+
+    "q137_source_report" ->
+      (corpusFilterSql +
+        "\nSELECT d2.source, l.reason, COUNT(*) AS n" +
+        "\nFROM labeled l JOIN documents d2 ON d2.doc_id = l.doc_id" +
+        "\nGROUP BY 1, 2"),
+
 
     "q128_repetition" ->
       """WITH tok AS (

@@ -104,4 +104,27 @@ class CorpusQueriesSpec extends AnyFunSuite with TestSpark {
     assert(nCand < n * (n - 1) / 2 / 10,
       s"LSH candidates $nCand not a >=10x reduction over ${n * (n - 1) / 2}")
   }
+
+  test("q136 exact percentiles bound the percentile_approx sketch (the 100 TB path)") {
+    val s = spark; import s.implicits._
+    // the exact rank-arithmetic values are the baseline the mergeable
+    // sketch is measured against — with accuracy 10000 on these
+    // cardinalities the sketch must land within one neighbor rank
+    val exact = CorpusQueries.queries("q136_len_percentiles")(s, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val sk = graft.Tables.load(s, dir, "documents")
+      .select($"lang", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .groupBy($"lang")
+      .agg(expr("percentile_approx(n_tokens, array(0.5D, 0.9D, 0.99D), 10000)").as("qs"))
+      .collect().flatMap { r =>
+        val qs = r.getSeq[Long](1)
+        Seq(0.5, 0.9, 0.99).zip(qs).map { case (p, v) => (r.getString(0), p) -> v }
+      }.toMap
+    assert(exact.nonEmpty && sk.keySet === exact.keySet)
+    exact.foreach { case (k, v) =>
+      val approx = sk(k)
+      assert(math.abs(approx - v) <= math.max(2L, v / 10),
+        s"sketch $approx far from exact $v at $k")
+    }
+  }
 }
