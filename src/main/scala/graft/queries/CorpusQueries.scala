@@ -173,8 +173,95 @@ object CorpusQueries extends QueryModule {
       ranked.join(ps,
           $"rn" === (floor($"p" * ($"cnt" - 1)) + 1))
         .select($"lang", $"p", $"n_tokens")
+    }),
+
+    // Semantic clustering: distributed Lloyd's k-means (k=8, 2 update
+    // rounds, k-lowest-vec_id init) with oracle-exact decimal distance
+    // arithmetic — see ml/ExactKMeans for the aggregate→collect→
+    // broadcast round shape (per-round shuffle volume k·dim·partitions,
+    // independent of corpus size). The assignment is the partition
+    // function SemDeDup (q139) and mixture analysis run on top of.
+    "q138_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      graft.ml.ExactKMeans
+        .run(graft.Tables.load(s, dir, "embeddings"), k = 8, updates = 2)
+        .select($"vec_id", $"cluster", $"dist2".cast("double").as("dist2"))
+    }),
+
+    // SemDeDup: semantic near-dup pruning WITHIN k-means clusters — the
+    // quadratic cosine scoring only ever pairs vectors that share a
+    // cluster, so the all-pairs term drops from n²/2 to Σ|cluster|²/2
+    // (the whole point of clustering first; at 100 TB k scales with the
+    // corpus to bound per-cluster populations). A vector is pruned iff
+    // some LOWER-id vector in its cluster has cosine ≥ 0.45 with it —
+    // the deterministic min-id keeper rule, same threshold and rounded
+    // float arithmetic as q86/q133.
+    "q139_semdedup" -> ((s, dir) => {
+      import graft.functions.VectorExprs.{dotF64, l2normF64}
+      import s.implicits._
+      val asg = graft.ml.ExactKMeans
+        .run(graft.Tables.load(s, dir, "embeddings"), k = 8, updates = 2)
+        .withColumn("nrm", l2normF64($"ed"))
+        .select($"vec_id", $"cluster", $"ed", $"nrm")
+      val a = asg.select($"cluster", $"vec_id".as("va"), $"ed".as("ea"),
+        $"nrm".as("na"))
+      val b = asg.select($"cluster", $"vec_id".as("vb"), $"ed".as("eb"),
+        $"nrm".as("nb"))
+      val pruned = a.join(b, "cluster")
+        .where($"va" < $"vb" &&
+          round(dotF64($"ea", $"eb") / ($"na" * $"nb"), 6) >= 0.45)
+        .select($"vb".as("vec_id")).distinct()
+      asg.select($"vec_id", $"cluster")
+        .join(pruned.withColumn("p", lit(true)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cluster", coalesce($"p", lit(false)).as("pruned"))
     })
   )
+
+  /** DuckDB replay of ml/ExactKMeans (k=8, 2 update rounds): exploded-dim
+    * joins against unrolled centroid CTEs, DECIMAL(38,12) distance sums,
+    * Det.davg12-style centroid means — the same associative arithmetic
+    * the Spark kernel uses, so assignments and distances hash-match with
+    * no tolerance. Ends at `a3` (vec_id, cl, dist2, rn; rn=1 is the
+    * argmin row). Shared by the q138 and q139 oracles. */
+  private val kmeansSql: String = {
+    def assign(a: String, c: String) =
+      s"""${a}d AS (
+         |  SELECT vec_id, cl,
+         |    SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS dist2
+         |  FROM dx JOIN $c USING (d) GROUP BY vec_id, cl),
+         |$a AS (
+         |  SELECT vec_id, cl, dist2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cl) AS rn
+         |  FROM ${a}d)""".stripMargin
+    def update(u: String, a: String, prev: String, c: String) =
+      s"""$u AS (
+         |  SELECT cl, d,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM dx JOIN (SELECT vec_id, cl FROM $a WHERE rn = 1) USING (vec_id)
+         |  GROUP BY cl, d),
+         |$c AS (
+         |  SELECT p.cl, p.d, COALESCE(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN $u u ON u.cl = p.cl AND u.d = p.d)""".stripMargin
+    s"""dxe AS (
+       |  SELECT vec_id, embedding,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS d
+       |  FROM embeddings),
+       |dx AS (SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x FROM dxe),
+       |ki AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+       |ki2 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, embedding
+       |  FROM ki),
+       |kie AS (
+       |  SELECT cl, embedding,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS d
+       |  FROM ki2),
+       |c0 AS (SELECT cl, d, CAST(embedding[d + 1] AS DOUBLE) AS c FROM kie),
+       |${assign("a1", "c0")},
+       |${update("u1", "a1", "c0", "c1")},
+       |${assign("a2", "c1")},
+       |${update("u2", "a2", "c1", "c2")},
+       |${assign("a3", "c2")}""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     "q129_dup_ngram_frac" ->
@@ -276,6 +363,33 @@ object CorpusQueries extends QueryModule {
         |ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
         |  CAST(0.99 AS DOUBLE)]) AS p)
         |SELECT r.lang, ps.p, r.n_tokens
-        |FROM ranked r JOIN ps ON r.rn = CAST(floor(ps.p * (r.cnt - 1)) AS BIGINT) + 1""".stripMargin
+        |FROM ranked r JOIN ps ON r.rn = CAST(floor(ps.p * (r.cnt - 1)) AS BIGINT) + 1""".stripMargin,
+
+    // NOTE: plain concatenation — kmeansSql is already margin-stripped.
+    "q138_kmeans" ->
+      (s"WITH $kmeansSql" +
+        "\nSELECT vec_id, cl AS cluster, CAST(dist2 AS DOUBLE) AS dist2" +
+        "\nFROM a3 WHERE rn = 1"),
+
+    "q139_semdedup" ->
+      (s"WITH $kmeansSql," + """
+        |asg AS (SELECT vec_id, cl AS cluster FROM a3 WHERE rn = 1),
+        |en AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |pp AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    round(
+        |      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (ea.nrm * eb.nrm), 6) AS cosine
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN en ea ON ea.vec_id = a.vec_id
+        |  JOIN en eb ON eb.vec_id = b.vec_id),
+        |pr AS (SELECT DISTINCT vb AS vec_id FROM pp WHERE cosine >= 0.45)
+        |SELECT s.vec_id, s.cluster, pr.vec_id IS NOT NULL AS pruned
+        |FROM asg s LEFT JOIN pr ON pr.vec_id = s.vec_id""".stripMargin)
   )
 }

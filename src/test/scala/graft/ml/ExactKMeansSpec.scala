@@ -1,0 +1,87 @@
+package graft.ml
+
+import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** ml/ExactKMeans (q138) and the SemDeDup pruning built on it (q139):
+  * the distributed kernel must agree with an independent driver-side
+  * replay of the documented semantics — exact decimal distance sums,
+  * min-(dist, cluster) argmin, Det-style centroid means — and Lloyd's
+  * objective must not increase across update rounds. */
+class ExactKMeansSpec extends AnyFunSuite with TestSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = graft.Tables.load(spark, dir, "embeddings")
+
+  /** (x−c)² per dim, each rounded to scale 12 HALF_UP, summed exactly —
+    * the spec'd arithmetic of ExactKMeans.dist2To. */
+  private def dist2(v: Array[Double], c: Array[Double]): JBD = {
+    var s = JBD.ZERO
+    var i = 0
+    while (i < v.length) {
+      val d = v(i) - c(i)
+      s = s.add(new JBD(d * d, MathContext.UNLIMITED)
+        .setScale(12, RoundingMode.HALF_UP))
+      i += 1
+    }
+    s
+  }
+
+  test("q138 assignment is the exact argmin against the final centroids") {
+    val s = spark; import s.implicits._
+    val (asgDf, cents) = ExactKMeans.fit(emb, k = 8, updates = 2)
+    val asg = asgDf.select($"vec_id", $"ed", $"cluster", $"dist2".cast("double"))
+      .as[(Long, Seq[Double], Int, Double)].collect()
+    assert(asg.length === emb.count())
+    assert(asg.map(_._3).toSet.subsetOf((0 until 8).toSet))
+    asg.foreach { case (id, ed, cl, d2) =>
+      val v = ed.toArray
+      val ds = cents.zipWithIndex.map { case (c, j) => (dist2(v, c), j) }
+      val (bd, bj) = ds.minBy { case (d, j) => (d, j) }
+      assert(bj === cl, s"vec $id assigned $cl, argmin is $bj")
+      assert(math.abs(bd.doubleValue - d2) < 1e-9, s"vec $id dist2 off")
+    }
+  }
+
+  test("Lloyd objective is non-increasing over update rounds") {
+    val s = spark; import s.implicits._
+    val objs = (0 to 2).map { u =>
+      ExactKMeans.fit(emb, k = 8, updates = u)._1
+        .agg(org.apache.spark.sql.functions.sum($"dist2"))
+        .head().getDecimal(0).doubleValue
+    }
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"objective rose: $objs")
+    }
+  }
+
+  test("q139 prunes exactly the vectors with a lower-id in-cluster near-dup") {
+    val s = spark; import s.implicits._
+    val got = graft.queries.CorpusQueries.queries("q139_semdedup")(s, dir)
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val vecs = ExactKMeans.fit(emb, k = 8, updates = 2)._1
+      .select($"vec_id", $"ed", $"cluster")
+      .as[(Long, Seq[Double], Int)].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      new JBD(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, RoundingMode.HALF_UP).doubleValue
+    }
+    vecs.foreach { case (id, ed, cl) =>
+      val expect = vecs.exists { case (id2, ed2, cl2) =>
+        cl2 == cl && id2 < id && cos(ed, ed2) >= 0.45
+      }
+      assert(got(id) === ((cl, expect)), s"vec $id")
+    }
+    // the threshold actually bites at this scale: some but not all pruned
+    val np = got.values.count(_._2)
+    assert(np > 0 && np < got.size)
+  }
+}
