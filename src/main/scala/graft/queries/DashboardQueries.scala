@@ -529,6 +529,103 @@ object DashboardQueries extends QueryModule {
       val top = u.agg(min($"pri").as("_minp"))
       u.crossJoin(broadcast(top)).where($"pri" === $"_minp")
         .select($"ticker").orderBy($"ticker").limit(200)
+    }),
+
+    // Provenance ORIGIN verdict (dashboard_db_bridge.py:426-446): the
+    // one-row synthetic/live/mixed classification the payload serves,
+    // over the q121/q92 provenance counts plus the q101 dataset-id
+    // census. Three one-row aggregates broadcast-crossed — never a
+    // fact-side join.
+    "q140_provenance_origin" -> ((s, dir) => {
+      import s.implicits._
+      val oc = closes(s, dir).agg(
+        sum(when(substring($"ticker", 2, 10).cast("long") % 3 === 0, 1L)
+          .otherwise(0L)).as("n_ohlcv_synthetic"),
+        sum(when(substring($"ticker", 2, 10).cast("long") % 3 =!= 0, 1L)
+          .otherwise(0L)).as("n_ohlcv_live"))
+      val tc = TradeQueries.trades(s, dir).agg(
+        sum(when($"is_synthetic", 1L).otherwise(0L)).as("n_trade_synthetic"),
+        sum(when(!$"is_synthetic", 1L).otherwise(0L)).as("n_trade_live"))
+      val ds = TradeQueries.trades(s, dir)
+        .withColumn("synthetic_dataset_id",
+          when($"user_id" % 30 === 0, "")
+            .when($"user_id" % 3 === 0, concat(lit("ds-"), $"user_id" % 5)))
+        .where($"synthetic_dataset_id".isNotNull && $"synthetic_dataset_id" =!= "")
+        .agg(countDistinct($"synthetic_dataset_id").as("n_dataset_ids"))
+      oc.crossJoin(broadcast(tc)).crossJoin(broadcast(ds))
+        .withColumn("_hs", $"n_ohlcv_synthetic" > 0 ||
+          $"n_trade_synthetic" > 0 || $"n_dataset_ids" > 0)
+        .withColumn("_hl", $"n_ohlcv_live" > 0 || $"n_trade_live" > 0)
+        .select(
+          when($"_hs" && $"_hl", "mixed")
+            .when($"_hs", "synthetic").otherwise("live").as("origin"),
+          $"n_ohlcv_synthetic", $"n_ohlcv_live",
+          $"n_trade_synthetic", $"n_trade_live", $"n_dataset_ids")
+    }),
+
+    // Trade events filtered to the LATEST RUN (dashboard_db_bridge.py:
+    // 824-828, the run_clause arm of :808's filtered fetch — q115 covers
+    // the unfiltered arm): q102's latest-non-null-run scalar broadcast
+    // onto the classified event feed, newest 40.
+    "q141_trade_events_latest_run" -> ((s, dir) => {
+      import s.implicits._
+      val t = TradeQueries.trades(s, dir)
+        .withColumn("run_id",
+          when($"user_id" % 7 === 0, lit(null).cast("string"))
+            .otherwise(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd")))
+      val latest = t.where($"run_id".isNotNull)
+        .orderBy($"ts".desc, $"trade_id".desc).limit(1)
+        .select($"run_id".as("_run"))
+      t.join(broadcast(latest), $"run_id" === $"_run")
+        .where($"ticker".isin(tickerSet: _*))
+        .withColumn("event_class",
+          when(!$"is_close", "entry")
+            .when($"pnl" > 0, "exit_win")
+            .when($"pnl" < 0, "exit_loss")
+            .otherwise("exit"))
+        .orderBy($"ts".desc, $"trade_id".desc).limit(40)
+        .select($"ticker", $"action", $"event_class", $"price", $"pnl",
+          $"run_id")
+    }),
+
+    // Canonical PnL integrity metrics (dashboard_db_bridge.py:997-1036 →
+    // integrity/pnl_integrity_enforcer.py:365-416): the q72 performance
+    // shape restricted to PRODUCTION closes (synthetic-opener anti-join,
+    // pnl non-null) plus the enforcer's exclusion counters. Loss
+    // aggregates use the repo-wide pnl<0 convention (the enforcer's <=0
+    // differs only on exact-zero pnl rows). One-row aggregates
+    // broadcast-crossed.
+    "q142_pnl_canonical" -> ((s, dir) => {
+      import s.implicits._
+      val t = TradeQueries.trades(s, dir)
+      val synthOpens = t.where(!$"is_close" && $"is_synthetic")
+        .select($"trade_id".as("open_id"))
+      val prod = graft.store.TradeViews.productionClosedTrades(t)
+        .where($"pnl".isNotNull)
+      val excl = t.where($"is_close" && $"pnl".isNotNull)
+        .join(broadcast(synthOpens), $"entry_trade_id" === $"open_id",
+          "left_semi")
+        .agg(count(lit(1)).as("synthetic_excluded"))
+      val op = t.where(!$"is_close" && $"pnl".isNotNull)
+        .agg(count(lit(1)).as("opening_legs_with_pnl"))
+      val pnl = $"pnl"
+      val wins = sum(when(pnl > 0, pnl).otherwise(lit(0.0))
+        .cast("decimal(38,6)")).cast("double")
+      val losses = sum(when(pnl < 0, pnl).otherwise(lit(0.0))
+        .cast("decimal(38,6)")).cast("double")
+      val nWin = sum(when(pnl > 0, 1).otherwise(0))
+      val nLoss = sum(when(pnl < 0, 1).otherwise(0))
+      prod.agg(
+        count(lit(1)).as("trade_count"),
+        dsum(pnl).as("total_realized_pnl"),
+        (nWin.cast("double") / count(lit(1))).as("win_rate"),
+        when(abs(losses) > 0, wins / abs(losses)).as("profit_factor"),
+        when(nWin > 0, wins / nWin).as("avg_win"),
+        when(nLoss > 0, losses / nLoss).as("avg_loss"),
+        coalesce(max(when(pnl > 0, pnl)), lit(0.0)).as("largest_win"),
+        coalesce(min(when(pnl < 0, pnl)), lit(0.0)).as("largest_loss"))
+        .crossJoin(broadcast(excl))
+        .crossJoin(broadcast(op))
     })
   )
 
@@ -805,6 +902,98 @@ object DashboardQueries extends QueryModule {
          |  SELECT DISTINCT ticker, 0 AS pri FROM signals
          |  UNION ALL SELECT DISTINCT ticker, 1 AS pri FROM trades)
          |SELECT ticker FROM u WHERE pri = (SELECT MIN(pri) FROM u)
-         |ORDER BY ticker LIMIT 200""".stripMargin
+         |ORDER BY ticker LIMIT 200""".stripMargin,
+
+    "q140_provenance_origin" ->
+      s"""${TradeQueries.tradesSql},
+         |$closesSql,
+         |oc AS (
+         |  SELECT CAST(SUM(CASE WHEN CAST(substr(ticker, 2) AS BIGINT) % 3 = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ohlcv_synthetic,
+         |    CAST(SUM(CASE WHEN CAST(substr(ticker, 2) AS BIGINT) % 3 <> 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ohlcv_live
+         |  FROM closes),
+         |tc AS (
+         |  SELECT CAST(SUM(CASE WHEN is_synthetic THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_trade_synthetic,
+         |    CAST(SUM(CASE WHEN NOT is_synthetic THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_trade_live
+         |  FROM trades),
+         |ds AS (
+         |  SELECT CAST(COUNT(DISTINCT CASE WHEN user_id % 30 <> 0
+         |    AND user_id % 3 = 0 THEN 'ds-' || CAST(user_id % 5 AS VARCHAR)
+         |    END) AS BIGINT) AS n_dataset_ids
+         |  FROM trades)
+         |SELECT CASE
+         |    WHEN (n_ohlcv_synthetic > 0 OR n_trade_synthetic > 0
+         |        OR n_dataset_ids > 0)
+         |      AND (n_ohlcv_live > 0 OR n_trade_live > 0) THEN 'mixed'
+         |    WHEN n_ohlcv_synthetic > 0 OR n_trade_synthetic > 0
+         |      OR n_dataset_ids > 0 THEN 'synthetic'
+         |    ELSE 'live' END AS origin,
+         |  n_ohlcv_synthetic, n_ohlcv_live, n_trade_synthetic, n_trade_live,
+         |  n_dataset_ids
+         |FROM oc, tc, ds""".stripMargin,
+
+    "q141_trade_events_latest_run" ->
+      s"""${TradeQueries.tradesSql},
+         |runs AS (
+         |  SELECT t.*, CASE WHEN user_id % 7 = 0 THEN NULL
+         |    ELSE strftime(CAST(ts AS DATE), '%Y-%m-%d') END AS run_id
+         |  FROM trades t),
+         |latest AS (
+         |  SELECT run_id FROM runs WHERE run_id IS NOT NULL
+         |  ORDER BY ts DESC, trade_id DESC LIMIT 1),
+         |ev AS (
+         |  SELECT ticker, ts, trade_id, price, pnl, run_id,
+         |    CASE WHEN is_close THEN 'SELL' ELSE 'BUY' END AS action,
+         |    CASE WHEN NOT is_close THEN 'entry'
+         |      WHEN pnl > 0 THEN 'exit_win'
+         |      WHEN pnl < 0 THEN 'exit_loss'
+         |      ELSE 'exit' END AS event_class
+         |  FROM runs JOIN latest USING (run_id)
+         |  WHERE ticker IN $tickerSetSql)
+         |SELECT ticker, action, event_class, price, pnl, run_id
+         |FROM ev ORDER BY ts DESC, trade_id DESC LIMIT 40""".stripMargin,
+
+    "q142_pnl_canonical" -> {
+      val wins = "CAST(SUM(CAST(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)"
+      val losses = "CAST(SUM(CAST(CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)"
+      s"""${TradeQueries.tradesSql},
+         |prod AS (
+         |  SELECT t.* FROM trades t
+         |  WHERE t.is_close AND t.pnl IS NOT NULL AND NOT EXISTS (
+         |    SELECT 1 FROM trades o
+         |    WHERE o.trade_id = t.entry_trade_id AND NOT o.is_close
+         |      AND o.is_synthetic)),
+         |excl AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS synthetic_excluded
+         |  FROM trades t
+         |  WHERE t.is_close AND t.pnl IS NOT NULL AND EXISTS (
+         |    SELECT 1 FROM trades o
+         |    WHERE o.trade_id = t.entry_trade_id AND NOT o.is_close
+         |      AND o.is_synthetic)),
+         |op AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS opening_legs_with_pnl
+         |  FROM trades WHERE NOT is_close AND pnl IS NOT NULL),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS trade_count,
+         |    ${sqlSum("pnl")} AS total_realized_pnl,
+         |    CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / COUNT(*) AS win_rate,
+         |    CASE WHEN abs($losses) > 0
+         |      THEN $wins / abs($losses) END AS profit_factor,
+         |    CASE WHEN SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) > 0
+         |      THEN $wins / SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END)
+         |      END AS avg_win,
+         |    CASE WHEN SUM(CASE WHEN pnl < 0 THEN 1 ELSE 0 END) > 0
+         |      THEN $losses / SUM(CASE WHEN pnl < 0 THEN 1 ELSE 0 END)
+         |      END AS avg_loss,
+         |    COALESCE(MAX(CASE WHEN pnl > 0 THEN pnl END), 0.0) AS largest_win,
+         |    COALESCE(MIN(CASE WHEN pnl < 0 THEN pnl END), 0.0) AS largest_loss
+         |  FROM prod)
+         |SELECT m.*, excl.synthetic_excluded, op.opening_legs_with_pnl
+         |FROM m, excl, op""".stripMargin
+    }
   )
 }

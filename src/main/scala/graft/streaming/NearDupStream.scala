@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-dup candidate generation — the q52/q90
+  * candidate stage applied to a continuous crawl, and the streaming
+  * sibling of q135's shard-vs-corpus incremental dedup: each arriving
+  * document's band keys probe a persistent band index held in the state
+  * store, and every (new, existing) bucket collision is emitted as a
+  * candidate pair the moment it becomes knowable. Signature arithmetic
+  * is the batch generator's exactly (3-gram shingles → low-60-bit md5 →
+  * 32 universal-hash permutations → 8 bands × 4 rows, reference
+  * semantics `etl/data_preprocessor.py`'s dedup family), so the distinct
+  * candidate set over any delivery order equals the batch q52 pair set
+  * on the same corpus — NearDupStreamSpec proves it on real documents
+  * shuffled across micro-batches.
+  *
+  * Scale design:
+  *  - State is keyed by (band, band_key): a bucket's state is its member
+  *    doc-id list — the SAME persisted band index a batch incremental
+  *    run (q135) joins against, sharded across executors by bucket key.
+  *    Per-bucket work on arrival is |bucket| pair emissions, exactly the
+  *    collision volume the batch band self-join pays.
+  *  - A hot bucket (boilerplate band) is LSH's known skew; `maxBucket`
+  *    caps membership as an explicit RECALL dial (docs beyond the cap
+  *    join no pairs through that bucket — their other 7 bands still
+  *    probe). The default is uncapped, which is the batch-parity
+  *    setting.
+  *  - A pair sharing several bands is emitted once per colliding band
+  *    (bucket states are independent; Spark rejects a second stateful
+  *    dedup stage downstream of flatMapGroupsWithState). Contract is
+  *    therefore at-least-once per pair; the exactly-once collapse
+  *    belongs to the MERGE sink (sources/MergeSink, (da, db) key) just
+  *    as fills do in LivePortfolio, and the spec compares DISTINCT sets.
+  *  - Doc ids are assumed unique across the stream (redelivery of a doc
+  *    id re-pairs it; content-level replay safety is CorpusStream's
+  *    exact-dedup front).
+  */
+object NearDupStream {
+
+  final case class Doc(docId: Long, text: String)
+  final case class Band(band: Int, bandKey: String, docId: Long)
+  final case class BucketState(members: Seq[Long])
+  final case class CandPair(da: Long, db: Long)
+
+  private val P = 2147483647L
+
+  /** Distinct 3-gram shingles — batch `shingleSet` semantics (docs with
+    * <3 tokens are degenerate there and excluded here; corpus documents
+    * are long). */
+  private[streaming] def shingles(text: String): Set[String] = {
+    val t = text.split(" ")
+    if (t.length < 3) Set.empty
+    else t.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  /** Low 60 bits of md5 mod (2^31−1) — the engine-portable base hash of
+    * the batch generator (`substring(md5(sh), 18, 15)` parsed base-16). */
+  private def md5Low60(sh: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(17, 32), 16) % P
+  }
+
+  /** The 8 (band, band_key) probes of one document: 32 min-hash values
+    * h_i = (a_i·x + b_i) mod (2^31−1) sliced 4 per band, keys joined
+    * ':' — identical constants and string shape to the batch bands. */
+  private[streaming] def bandKeys(text: String): Seq[(Int, String)] = {
+    val shs = shingles(text)
+    if (shs.isEmpty) return Seq.empty
+    val xs = shs.toArray.map(md5Low60)
+    val sig = Array.tabulate(32) { i =>
+      val a = 40503L * i + 12345L
+      val b = 2971215073L * i + 1L
+      var m = Long.MaxValue
+      var j = 0
+      while (j < xs.length) {
+        val h = Math.floorMod(a * xs(j) + b, P)
+        if (h < m) m = h
+        j += 1
+      }
+      m
+    }
+    (0 until 8).map(b => (b, (0 until 4).map(r => sig(b * 4 + r)).mkString(":")))
+  }
+
+  /** Candidate pairs (da < db by doc id) as they become knowable; the
+    * distinct output set over the whole stream equals batch q52. */
+  def candidates(docs: Dataset[Doc],
+      maxBucket: Int = Int.MaxValue): Dataset[CandPair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .flatMap(d => bandKeys(d.text).map { case (b, k) => Band(b, k, d.docId) })
+      .groupByKey(b => (b.band, b.bandKey))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), rows: Iterator[Band], state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[CandPair]
+          rows.toArray.sortBy(_.docId).foreach { r =>
+            if (members.size < maxBucket) {
+              members.foreach { m =>
+                if (m != r.docId)
+                  out += CandPair(math.min(m, r.docId), math.max(m, r.docId))
+              }
+              members = members :+ r.docId
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+}

@@ -127,4 +127,32 @@ class CorpusQueriesSpec extends AnyFunSuite with TestSpark {
         s"sketch $approx far from exact $v at $k")
     }
   }
+
+  test("HLL approx distinct tracks exact shingle counts (the 100 TB cardinality path)") {
+    val s = spark; import s.implicits._
+    // SURVEY §2 routes 100 TB distinct-count profiling through
+    // approx_count_distinct (a mergeable HLL sketch — one pass, no
+    // shuffle-wide exact distinct); this pins its error against the
+    // exact counts on the 5-gram corpus, per language (group-level
+    // merge included) and globally. rsd=0.02 → expect well under 5%.
+    val grams = graft.Tables.load(s, dir, "documents")
+      .select($"lang", split($"text", " ").as("t"))
+      .select($"lang", explode(expr(
+        "transform(sequence(1, greatest(size(t) - 4, 0)), " +
+          "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))"))
+        .as("sh"))
+    val both = grams.groupBy($"lang").agg(
+      countDistinct($"sh").as("exact"),
+      approx_count_distinct($"sh", 0.02).as("approx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(both.nonEmpty)
+    both.foreach { case (lang, e, a) =>
+      assert(e > 100, s"degenerate stratum $lang")
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"HLL off by ${math.abs(a - e).toDouble / e} at $lang ($a vs $e)")
+    }
+    val g = grams.agg(countDistinct($"sh").as("e"),
+      approx_count_distinct($"sh", 0.02).as("a")).head()
+    assert(math.abs(g.getLong(1) - g.getLong(0)).toDouble / g.getLong(0) <= 0.05)
+  }
 }
