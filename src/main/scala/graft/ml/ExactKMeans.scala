@@ -54,13 +54,46 @@ object ExactKMeans {
       (acc, v) => (acc + v).cast(decAcc))
       .cast(dec12)
 
+  // Cheap-filter margin for the hybrid argmin below. The codegen double
+  // distance (‖x‖² − 2x·c + ‖c‖² rearrangement) and the oracle's decimal
+  // sum of per-dim squares differ by at most ~dims·(fold ulps + the
+  // 5e-13 half-ulp of each scale-12 cast) ≈ 1e-10 at unit-scale
+  // embeddings — so when the double winner leads by more than this
+  // margin, the decimal argmin provably agrees and the per-row cost
+  // drops from k interpreted decimal folds to k codegen dots + ONE
+  // decimal fold. Contested rows (and exact centroid duplicates from
+  // empty clusters) take the full decimal sort.
+  private val argminMargin = 1e-6
+
   /** Attach (cluster, dist2) = argmin over the literal centroid set; ties
-    * break to the lowest cluster id via the lexicographic struct sort. */
+    * break to the lowest cluster id via the lexicographic struct sort.
+    * dist2 is ALWAYS the decimal sum (the oracle arithmetic) — the
+    * double distances only select which single fold to evaluate. */
   private def withAssign(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val cand = cents.zipWithIndex.map { case (c, j) =>
+    import graft.functions.VectorExprs.dotF64
+    val decCand = cents.zipWithIndex.map { case (c, j) =>
       struct(dist2To(c).as("dist2"), lit(j).as("cluster"))
     }
-    ed.withColumn("best", sort_array(array(cand.toIndexedSeq: _*)).getItem(0))
+    val dblCand = cents.zipWithIndex.map { case (c, j) =>
+      val c2 = c.foldLeft(0.0)((a, v) => a + v * v)
+      struct((col("sq") - lit(2.0) * dotF64(col("ed"), typedLit(c.toSeq)) +
+        lit(c2)).as("d"), lit(j).as("cluster"))
+    }
+    val sortedD = sort_array(array(dblCand.toIndexedSeq: _*))
+    val bestD = sortedD.getItem(0)
+    val safe = (sortedD.getItem(1).getField("d") - bestD.getField("d")) >
+      lit(argminMargin)
+    val cheapCluster = bestD.getField("cluster")
+    // CASE WHEN is lazy per row: exactly one decimal fold runs here
+    val cheapDist2 = cents.indices.tail.foldLeft(
+      when(cheapCluster === 0, dist2To(cents(0)))) { (acc, j) =>
+      acc.when(cheapCluster === j, dist2To(cents(j)))
+    }
+    val slowBest = sort_array(array(decCand.toIndexedSeq: _*)).getItem(0)
+    ed.withColumn("sq", dotF64(col("ed"), col("ed")))
+      .withColumn("best",
+        when(safe, struct(cheapDist2.as("dist2"), cheapCluster.as("cluster")))
+          .otherwise(slowBest))
       .select(col("vec_id"), col("ed"),
         col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
   }
