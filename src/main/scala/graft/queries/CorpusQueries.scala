@@ -214,6 +214,60 @@ object CorpusQueries extends QueryModule {
       asg.select($"vec_id", $"cluster")
         .join(pruned.withColumn("p", lit(true)), Seq("vec_id"), "left")
         .select($"vec_id", $"cluster", coalesce($"p", lit(false)).as("pruned"))
+    }),
+
+    // Semantic-mixture report: the cluster × label contingency table over
+    // the q138 partition plus per-cluster purity (majority-label share) —
+    // the eval a curation pipeline runs before using clusters for
+    // mixture rebalancing (q132's sibling keyed on SEMANTIC clusters
+    // instead of metadata cells). The windows partition on cluster over
+    // the ALREADY-AGGREGATED k×labels table — dims-sized at any corpus
+    // scale.
+    "q143_cluster_mix" -> ((s, dir) => {
+      import s.implicits._
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      val asg = graft.ml.ExactKMeans.run(emb, k = 8, updates = 2)
+        .select($"vec_id", $"cluster")
+      val cells = asg.join(emb.select($"vec_id", $"label"), "vec_id")
+        .groupBy($"cluster", $"label").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"cluster")
+      cells
+        .withColumn("cl_n", sum($"n").over(w))
+        .withColumn("max_n", max($"n").over(w))
+        .select($"cluster", $"label", $"n",
+          ($"max_n".cast("double") / $"cl_n").as("purity"))
+    }),
+
+    // Sequence packing: boundary-respecting greedy fill of documents
+    // into fixed 1024-token training bins, per source shard in doc-id
+    // order — the step between a curated corpus and a pretraining data
+    // loader. A doc that would overflow the open bin starts a new one
+    // (an oversized doc gets a bin to itself), so no document is ever
+    // split. The fill state is a sequential recurrence → a per-shard
+    // flatMapGroups kernel with a DuckDB recursive-CTE oracle (the
+    // q47/q134 pattern); at 100 TB packing is per-shard by construction
+    // (no cross-shard order dependency), so parallelism ∝ shards and
+    // the kernel never sees more than one shard's docs.
+    "q144_seq_pack" -> ((s, dir) => {
+      import s.implicits._
+      val L = 1024L
+      graft.Tables.load(s, dir, "documents")
+        .select($"source", $"doc_id",
+          size(split($"text", " ")).cast("long").as("n"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (src, rows) =>
+          val arr = rows.toArray.sortBy(_._2)
+          var bin = 0L
+          var fill = 0L
+          arr.iterator.map { case (_, id, n) =>
+            if (fill + n > L && fill > 0) { bin += 1; fill = 0 }
+            val off = fill
+            fill += n
+            (src, id, n, bin, off)
+          }
+        }
+        .toDF("source", "doc_id", "n_tokens", "bin", "off")
     })
   )
 
@@ -390,6 +444,38 @@ object CorpusQueries extends QueryModule {
         |  JOIN en eb ON eb.vec_id = b.vec_id),
         |pr AS (SELECT DISTINCT vb AS vec_id FROM pp WHERE cosine >= 0.45)
         |SELECT s.vec_id, s.cluster, pr.vec_id IS NOT NULL AS pruned
-        |FROM asg s LEFT JOIN pr ON pr.vec_id = s.vec_id""".stripMargin)
+        |FROM asg s LEFT JOIN pr ON pr.vec_id = s.vec_id""".stripMargin),
+
+    "q143_cluster_mix" ->
+      (s"WITH $kmeansSql," + """
+        |asg AS (SELECT vec_id, cl AS cluster FROM a3 WHERE rn = 1),
+        |cells AS (
+        |  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM asg JOIN embeddings USING (vec_id)
+        |  GROUP BY 1, 2)
+        |SELECT cluster, label, n,
+        |  CAST(MAX(n) OVER (PARTITION BY cluster) AS DOUBLE)
+        |    / SUM(n) OVER (PARTITION BY cluster) AS purity
+        |FROM cells""".stripMargin),
+
+    // The packing recurrence replayed row-by-row per source shard: the
+    // recursive CTE walks docs in doc-id order carrying (bin, off).
+    "q144_seq_pack" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack(source, rn, doc_id, n, bin, off) AS (
+        |  SELECT source, rn, doc_id, n, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.n,
+        |    CASE WHEN p.off + p.n + d.n > 1024 AND p.off + p.n > 0
+        |      THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.off + p.n + d.n > 1024 AND p.off + p.n > 0
+        |      THEN CAST(0 AS BIGINT) ELSE p.off + p.n END
+        |  FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, doc_id, n AS n_tokens, bin, off FROM pack""".stripMargin
   )
 }

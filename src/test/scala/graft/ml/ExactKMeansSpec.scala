@@ -84,4 +84,19 @@ class ExactKMeansSpec extends AnyFunSuite with TestSpark {
     val np = got.values.count(_._2)
     assert(np > 0 && np < got.size)
   }
+
+  test("q143 mixture cells conserve mass and purity is the majority share") {
+    val s = spark; import s.implicits._
+    val rows = graft.queries.CorpusQueries.queries("q143_cluster_mix")(s, dir)
+      .as[(Int, Int, Long, Double)].collect()
+    assert(rows.map(_._3).sum === emb.count())
+    rows.groupBy(_._1).foreach { case (cl, cells) =>
+      val tot = cells.map(_._3).sum
+      val expect = cells.map(_._3).max.toDouble / tot
+      cells.foreach { c =>
+        assert(math.abs(c._4 - expect) < 1e-12, s"purity off in cluster $cl")
+      }
+      assert(expect >= 1.0 / tot && expect <= 1.0)
+    }
+  }
 }

@@ -155,4 +155,30 @@ class CorpusQueriesSpec extends AnyFunSuite with TestSpark {
       approx_count_distinct($"sh", 0.02).as("a")).head()
     assert(math.abs(g.getLong(1) - g.getLong(0)).toDouble / g.getLong(0) <= 0.05)
   }
+
+  test("q144 packing: every doc once, bins never overflow, offsets contiguous") {
+    val s = spark; import s.implicits._
+    val L = 1024L
+    val rows = CorpusQueries.queries("q144_seq_pack")(s, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).distinct.length ===
+      graft.Tables.load(s, dir, "documents").count())
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((src, bin), ds) =>
+      val tot = ds.map(_._3).sum
+      // a bin exceeds L only when it holds a single oversized doc
+      assert(tot <= L || ds.length == 1, s"overflowing multi-doc bin $bin in $src")
+      // offsets are the prefix sums of sizes in doc-id order
+      val sorted = ds.sortBy(_._2)
+      sorted.foldLeft(0L) { (expOff, d) =>
+        assert(d._5 === expOff, s"gap at doc ${d._2} in $src/$bin")
+        expOff + d._3
+      }
+    }
+    // bins are used densely per source
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      val bins = ds.map(_._4).distinct.sorted
+      assert(bins.toSeq === (0L until bins.length.toLong), s"sparse bins in $src")
+      assert(bins.length > 1, s"packing trivial in $src")
+    }
+  }
 }
