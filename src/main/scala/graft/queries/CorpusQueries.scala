@@ -268,6 +268,22 @@ object CorpusQueries extends QueryModule {
           }
         }
         .toDF("source", "doc_id", "n_tokens", "bin", "off")
+    }),
+
+    // Packing efficiency report over q144: bins, docs, token mass and
+    // utilization (= tokens / (bins × L), the padding-waste metric a
+    // training loader tracks per shard; >1 only when oversized single-doc
+    // bins exist). Dims-sized roll-up of the pack table.
+    "q145_pack_stats" -> ((s, dir) => {
+      import s.implicits._
+      queries("q144_seq_pack")(s, dir)
+        .groupBy($"source")
+        .agg(
+          (max($"bin") + 1).as("n_bins"),
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"))
+        .select($"source", $"n_bins", $"n_docs", $"n_tokens",
+          ($"n_tokens".cast("double") / ($"n_bins" * 1024.0)).as("utilization"))
     })
   )
 
@@ -460,8 +476,29 @@ object CorpusQueries extends QueryModule {
 
     // The packing recurrence replayed row-by-row per source shard: the
     // recursive CTE walks docs in doc-id order carrying (bin, off).
+    // Shared by the q144 (per-doc placement) and q145 (per-shard
+    // utilization) oracles. NOTE: already margin-stripped — concatenate,
+    // never re-stripMargin.
     "q144_seq_pack" ->
-      """WITH RECURSIVE docs AS (
+      (s"WITH RECURSIVE $packSql" +
+        "\nSELECT source, doc_id, n AS n_tokens, bin, off FROM pack"),
+
+    "q145_pack_stats" ->
+      (s"WITH RECURSIVE $packSql," + """
+        |st AS (
+        |  SELECT source, MAX(bin) + 1 AS n_bins,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n) AS BIGINT) AS n_tokens
+        |  FROM pack GROUP BY 1)
+        |SELECT source, n_bins, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / (n_bins * 1024.0) AS utilization
+        |FROM st""".stripMargin)
+  )
+
+  /** DuckDB CTE chain (docs → pack) replaying the q144 fill recurrence;
+    * ends in `pack(source, rn, doc_id, n, bin, off)`. */
+  private val packSql =
+      """docs AS (
         |  SELECT source, doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
@@ -475,7 +512,5 @@ object CorpusQueries extends QueryModule {
         |      THEN p.bin + 1 ELSE p.bin END,
         |    CASE WHEN p.off + p.n + d.n > 1024 AND p.off + p.n > 0
         |      THEN CAST(0 AS BIGINT) ELSE p.off + p.n END
-        |  FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1)
-        |SELECT source, doc_id, n AS n_tokens, bin, off FROM pack""".stripMargin
-  )
+        |  FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1)""".stripMargin
 }

@@ -246,7 +246,22 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       // rebases only past winners that touched DISJOINT partitions —
       // a winner in our partitions means our merge read a stale
       // snapshot of exactly the rows it rewrote.
-      val winner = readEntry(entry.version)
+      //
+      // The winner's entry may still be MID-WRITE when we read it (we
+      // lose the create race the instant its file EXISTS, not when its
+      // content is complete) — a torn read here is overwhelmingly an
+      // in-flight writer, not a crash, so poll briefly before judging
+      // the conflict. A writer that died mid-write keeps the entry torn
+      // past the budget and still lands in the conservative throw.
+      val winner = {
+        var w = readEntry(entry.version)
+        var waited = 0
+        while (w.isEmpty && waited < 100) {
+          Thread.sleep(10); waited += 1
+          w = readEntry(entry.version)
+        }
+        w
+      }
       if (entry.op == "overwrite") {
         // Full-snapshot replace: a disjoint-partition rebase would let the
         // winner's rows survive the "replace everything" — instead rebase
