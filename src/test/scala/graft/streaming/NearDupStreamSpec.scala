@@ -53,6 +53,41 @@ class NearDupStreamSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("checkpoint restart: band index resumes and the MERGE sink converges to batch q52") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_rs")
+    val sink = new graft.sources.MergeSink(spark, s"$tmp/pairs",
+      keyCols = Seq("da", "db"), partitionCol = "shard")
+    val input = MemoryStream[Doc]
+    def startQ() = NearDupStream.candidates(input.toDS())
+      .withColumn("shard", pmod(col("da"), lit(4L)).cast("string"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) => sink.upsert(batch): Unit }
+      .start()
+    val all = docs
+    val (h1, h2) = all.splitAt(all.size / 2)
+    // first query sees half the corpus (bucket members live in the
+    // state store at the stop), then a hard stop
+    val q1 = startQ()
+    try { input.addData(h1); q1.processAllAvailable() } finally q1.stop()
+    // a NEW query on the same checkpoint: cross-half pairs require the
+    // restored band index; across-band duplicate emissions collapse in
+    // the (da, db) MERGE — the documented exactly-once story
+    val q2 = startQ()
+    try {
+      input.addData(h2); q2.processAllAvailable()
+      val got = sink.read().select($"da", $"db").as[(Long, Long)]
+        .collect().toSet
+      assert(got === batchPairs,
+        "restart from checkpoint diverged from the batch candidate set")
+    } finally q2.stop()
+  }
+
   test("maxBucket recall dial: cap 1 emits no pairs, uncapped is batch-complete") {
     val spark2 = spark
     import spark2.implicits._
