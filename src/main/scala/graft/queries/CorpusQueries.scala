@@ -284,6 +284,31 @@ object CorpusQueries extends QueryModule {
           sum($"n_tokens").as("n_tokens"))
         .select($"source", $"n_bins", $"n_docs", $"n_tokens",
           ($"n_tokens".cast("double") / ($"n_bins" * 1024.0)).as("utilization"))
+    }),
+
+    // Deterministic training ORDER over the q144 bins: shuffle-like but
+    // reproducible and global-sort-free. Bins are md5-ordered WITHIN
+    // each shard (a partitioned window), shards are round-robin
+    // interleaved by pure arithmetic (pos = rn·n_shards + shard_idx), so
+    // consecutive read positions rotate across shards and the order
+    // replays bit-identically on any engine or retry — rand()-shuffled
+    // epochs can't. The only unpartitioned window ranks the DISTINCT
+    // source list (dims-sized).
+    "q146_train_order" -> ((s, dir) => {
+      import s.implicits._
+      val bins = queries("q144_seq_pack")(s, dir)
+        .select($"source", $"bin").distinct()
+      val srcs = bins.select($"source").distinct()
+      val srcIdx = srcs.withColumn("src_idx",
+        row_number().over(Window.orderBy($"source")) - 1)
+      val n = srcs.agg(count(lit(1)).as("n_shards"))
+      val w = Window.partitionBy($"source")
+        .orderBy(md5(concat($"source", lit(":"), $"bin".cast("string"))), $"bin")
+      bins.join(broadcast(srcIdx), "source").crossJoin(broadcast(n))
+        .withColumn("rn", row_number().over(w))
+        .select($"source", $"bin",
+          (($"rn" - 1).cast("long") * $"n_shards" + $"src_idx")
+            .as("global_pos"))
     })
   )
 
@@ -492,7 +517,24 @@ object CorpusQueries extends QueryModule {
         |  FROM pack GROUP BY 1)
         |SELECT source, n_bins, n_docs, n_tokens,
         |  CAST(n_tokens AS DOUBLE) / (n_bins * 1024.0) AS utilization
-        |FROM st""".stripMargin)
+        |FROM st""".stripMargin),
+
+    "q146_train_order" ->
+      (s"WITH RECURSIVE $packSql," + """
+        |bins AS (SELECT DISTINCT source, bin FROM pack),
+        |srcs AS (SELECT DISTINCT source FROM bins),
+        |si AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx
+        |  FROM srcs),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shards FROM srcs),
+        |rb AS (
+        |  SELECT source, bin,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(bin AS VARCHAR)), bin) AS rn
+        |  FROM bins)
+        |SELECT rb.source, rb.bin,
+        |  CAST(rn - 1 AS BIGINT) * n_shards + src_idx AS global_pos
+        |FROM rb JOIN si USING (source), ns""".stripMargin)
   )
 
   /** DuckDB CTE chain (docs → pack) replaying the q144 fill recurrence;

@@ -181,4 +181,24 @@ class CorpusQueriesSpec extends AnyFunSuite with TestSpark {
       assert(bins.length > 1, s"packing trivial in $src")
     }
   }
+
+  test("q146 training order: unique positions, round-robin shard rotation, replayable") {
+    val s = spark; import s.implicits._
+    val rows = CorpusQueries.queries("q146_train_order")(s, dir)
+      .as[(String, Long, Long)].collect()
+    val nShards = rows.map(_._1).distinct.length
+    // every bin exactly once, at a unique position
+    assert(rows.map(_._3).distinct.length === rows.length)
+    // arithmetic interleave: position mod n_shards identifies the shard,
+    // so consecutive occupied positions rotate across shards
+    val shardOf = rows.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.map(_._3 % nShards).distinct.toSeq
+    }
+    shardOf.values.foreach(m => assert(m.length === 1))
+    assert(shardOf.values.flatten.toSet.size === nShards)
+    // deterministic: a second evaluation replays the identical order
+    val again = CorpusQueries.queries("q146_train_order")(s, dir)
+      .as[(String, Long, Long)].collect()
+    assert(again.sortBy(_._3).toSeq === rows.sortBy(_._3).toSeq)
+  }
 }
