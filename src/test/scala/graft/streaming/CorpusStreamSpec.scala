@@ -56,6 +56,41 @@ class CorpusStreamSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("checkpoint restart: dedup markers resume and decisions stay batch-identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_rs")
+    val sink = new graft.sources.MergeSink(spark, s"$tmp/decisions",
+      keyCols = Seq("docId"), partitionCol = "shard")
+    val input = MemoryStream[Doc]
+    def startQ() = CorpusStream.ingest(input.toDS())
+      .withColumn("shard", pmod(col("docId"), lit(4L)).cast("string"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) => sink.upsert(batch): Unit }
+      .start()
+    val h1 = Seq(Doc(1, good, "en", "s0"), Doc(2, noStops.trim, "und", "s0"))
+    // h2 re-delivers batch-1 CONTENT under new ids: only the restored
+    // sha-keyed markers can classify them as exact_dup
+    val h2 = Seq(Doc(3, good, "en", "s1"), Doc(4, goodB, "en", "s2"),
+      Doc(5, noStops.trim, "und", "s1"))
+    val q1 = startQ()
+    try { input.addData(h1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = startQ()
+    try {
+      input.addData(h2); q2.processAllAvailable()
+      val got = sink.read().select($"docId", $"keep", $"reason")
+        .as[(Long, Boolean, String)].collect()
+        .map(d => d._1 -> (d._2, d._3)).toMap
+      assert(got === expected(h1 ++ h2),
+        "restart from checkpoint diverged from the batch taxonomy")
+      assert(got(3)._2 === "exact_dup" && got(5)._2 === "exact_dup")
+    } finally q2.stop()
+  }
+
   test("single-batch delivery decides identically to micro-batched delivery") {
     val spark2 = spark
     import spark2.implicits._
