@@ -105,6 +105,20 @@ object ExactKMeans {
     val s = emb.sparkSession
     import s.implicits._
     val ed = emb.select($"vec_id", $"embedding".cast("array<double>").as("ed"))
+    // Loud scale gate for the two comment-documented assumptions above:
+    // decAcc(20,12) overflows to NULL (non-ANSI cast) once any (x−c)² ≥
+    // 1e8, and the 1e-6 hybrid-argmin margin's error analysis assumes
+    // near-unit magnitudes. |x| ≤ 100 keeps (x−c)² ≤ 4e4 (4 orders from
+    // overflow) and the double-vs-decimal discrepancy ≤ ~1e-8 at
+    // dims ≤ 64 — fail here instead of silently desyncing from the
+    // oracle on out-of-scale input. One extra flat pass, once per fit.
+    val maxAbs = ed.select(max(expr(
+      "aggregate(ed, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))")))
+      .head().getDouble(0)
+    require(maxAbs <= 100.0,
+      s"ExactKMeans input out of scale: max |embedding dim| = $maxAbs > 100 — " +
+        "the DECIMAL(20,12) fold and the 1e-6 argmin margin assume " +
+        "near-unit-scale embeddings; normalize the input first")
     var cents: Array[Array[Double]] = ed.orderBy($"vec_id").limit(k)
       .select($"ed").as[Seq[Double]].collect().map(_.toArray)
     var u = 0

@@ -86,16 +86,32 @@ object SkewSalt {
       sampleFraction: Double = 0.05, seed: Long = 42L,
       selfJoin: Boolean = false): DataFrame = {
     val kCols = keys.map(col)
-    val cut = math.max(1.0, sampleFraction * hotRowThreshold * 0.5)
+    val cut = sampleFraction * hotRowThreshold * 0.5
+    // Detection resolution: with cut < ~5 a key seen once or twice in
+    // the sample is flagged hot, so nearly EVERY distinct key would be
+    // collected to the driver and blanket-salted — the opposite of the
+    // adaptive intent, plus a driver-OOM risk. Fail loud instead of
+    // silently degrading (raise sampleFraction or hotRowThreshold).
+    require(cut >= 5.0,
+      s"adaptive salt under-resolved: sampleFraction*hotRowThreshold/2 = $cut < 5 " +
+        "flags near-singleton sampled keys as hot (driver-side hot-set blowup); " +
+        "raise sampleFraction or hotRowThreshold")
     def hotOf(df: DataFrame) = df.sample(withReplacement = false, sampleFraction, seed)
       .groupBy(kCols: _*).agg(count(lit(1)).as("__c"))
       .where(col("__c") >= cut).select(kCols: _*)
     // selfJoin: both sides carry the same key multiset (q51's shingle
     // self-join) — one sampled histogram covers both and skips a full
-    // second scan of the input pipeline
+    // second scan of the input pipeline. The collect is belt-and-braces
+    // bounded: beyond maxHotKeys the "hot minority" premise is wrong
+    // (broadcast + per-key salting no longer fit) — fail loud.
+    val maxHotKeys = 100000
     val hot =
-      if (selfJoin) hotOf(left).collect()
-      else hotOf(left).union(hotOf(right)).distinct().collect()
+      (if (selfJoin) hotOf(left)
+       else hotOf(left).union(hotOf(right)).distinct())
+        .limit(maxHotKeys + 1).collect()
+    require(hot.length <= maxHotKeys,
+      s"adaptive salt found > $maxHotKeys hot keys — skew is not a minority " +
+        "of keys here; use saltedFactFactJoin (blanket salt) or repartition")
     if (hot.isEmpty) left.join(right, keys)
     else {
       val s = left.sparkSession

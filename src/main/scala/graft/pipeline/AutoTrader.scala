@@ -92,7 +92,9 @@ object AutoTrader {
       .groupByKey(r => (r._1, r._6))
       .flatMapGroups { (key, rows) =>
         val (ticker, cycle) = key
-        val arr = rows.toArray.sortBy(_._2.getTime)
+        // same (ms, nanos, close) order as LiveCycle.barKey so tied
+        // timestamps resolve identically in batch and stream
+        val arr = rows.toArray.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
           .map(r => (r._2, r._3, r._4, r._5))
         signalForHistory(ticker, arr, fcCfg, sigCfg, gateCfg, engineCfg)
           .map { case (ts, price, action, conf, atr) =>

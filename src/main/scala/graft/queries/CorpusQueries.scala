@@ -47,8 +47,7 @@ object CorpusQueries extends QueryModule {
       val inst = graft.Tables.load(s, dir, "documents")
         .select($"doc_id", split($"text", " ").as("t"))
         .select($"doc_id", explode(expr(
-          "transform(sequence(1, greatest(size(t) - 4, 0)), " +
-            "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))"))
+          graft.functions.TextGrams.gramsSql(5)))
           .as("sh"))
       val perDoc = inst.groupBy($"doc_id", $"sh").agg(count(lit(1)).as("c"))
       val df = perDoc.groupBy($"sh").agg(count(lit(1)).as("df"))

@@ -38,6 +38,16 @@ object LiveCycle {
   final case class Bar(ticker: String, ts: java.sql.Timestamp,
       close: Double, high: Double, low: Double)
 
+  /** Total bar order: (ms, nanos, close) — the bar analog of
+    * [[graft.exec.PortfolioEngine.eventKey]]. An ms-only sort leaves
+    * two same-ms bars in shuffle order, so which one survives the
+    * same-bar gate would differ across checkpoint replays; the close
+    * tiebreak makes the survivor deterministic (and the batch loop
+    * sorts by the same key, so stream/batch parity holds for tied
+    * timestamps too). */
+  def barKey(b: Bar): (Long, Int, Double) =
+    (b.ts.getTime, b.ts.getNanos, b.close)
+
   /** Rolling history (ms-epoch, close, high, low) + engine state. */
   final case class CycleState(
       hist: Seq[(Long, Double, Double, Double)],
@@ -110,7 +120,7 @@ object LiveCycle {
         (ticker: String, rows: Iterator[Bar], state: GroupState[CycleState]) =>
           val st0 = state.getOption.getOrElse(
             CycleState(Vector.empty, EngineState.init(effCfg)))
-          val (st, out) = foldBars(ticker, rows.toArray.sortBy(_.ts.getTime).toSeq,
+          val (st, out) = foldBars(ticker, rows.toArray.sortBy(barKey).toSeq,
             st0, minBars, histCap, fcCfg, sigCfg, engineCfg, gateCfg,
             riskMode, effCfg)
           state.update(st)
@@ -153,7 +163,7 @@ object LiveCycle {
             OrderedCycleState(Seq.empty, Vector.empty, EngineState.init(effCfg)))
           val wm = state.getCurrentWatermarkMs()
           val (due, keep) = (st0.buffered ++ rows).partition(_.ts.getTime <= wm)
-          val (st, out) = foldBars(ticker, due.sortBy(_.ts.getTime),
+          val (st, out) = foldBars(ticker, due.sortBy(barKey),
             CycleState(st0.hist, st0.engine), minBars, histCap, fcCfg,
             sigCfg, engineCfg, gateCfg, riskMode, effCfg)
           state.update(OrderedCycleState(keep, st.hist, st.engine))

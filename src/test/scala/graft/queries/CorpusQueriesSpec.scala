@@ -138,9 +138,7 @@ class CorpusQueriesSpec extends AnyFunSuite with TestSpark {
     val grams = graft.Tables.load(s, dir, "documents")
       .select($"lang", split($"text", " ").as("t"))
       .select($"lang", explode(expr(
-        "transform(sequence(1, greatest(size(t) - 4, 0)), " +
-          "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))"))
-        .as("sh"))
+        graft.functions.TextGrams.gramsSql(5))).as("sh"))
     val both = grams.groupBy($"lang").agg(
       countDistinct($"sh").as("exact"),
       approx_count_distinct($"sh", 0.02).as("approx"))

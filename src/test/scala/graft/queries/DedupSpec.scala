@@ -79,6 +79,46 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       s"near-dup mean=${dupDist.sum.toDouble / dupDist.length} rand=${randDist.sum.toDouble / randDist.length}")
   }
 
+  test("short docs generate ZERO n-grams (no null grams, no engine-mismatch rows)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // sequence(1, 0) steps DOWN to [1, 0] in Spark, so the unguarded
+    // idiom emitted NULL grams for docs shorter than n while DuckDB's
+    // generate_series(1, 0) is empty — TextGrams.gramsSql guards this.
+    val grams3 = Seq(Tuple1("a b")).toDF("text")
+      .select(split($"text", " ").as("t"))
+      .select(explode(expr(graft.functions.TextGrams.gramsSql(3))).as("sh"))
+    assert(grams3.count() === 0L, "2-token doc must yield no 3-grams")
+    val grams5 = Seq(Tuple1("a b c d")).toDF("text")
+      .select(split($"text", " ").as("t"))
+      .select(explode(expr(graft.functions.TextGrams.gramsSql(5))).as("sh"))
+    assert(grams5.count() === 0L, "4-token doc must yield no 5-grams")
+    val exact3 = Seq(Tuple1("a b c")).toDF("text")
+      .select(split($"text", " ").as("t"))
+      .select(explode(expr(graft.functions.TextGrams.gramsSql(3))).as("sh"))
+      .collect().map(_.getString(0))
+    assert(exact3.toSeq === Seq("a b c"))
+
+    // end-to-end: a corpus with short docs — the gram-family queries
+    // must DROP them (the oracle's generate_series semantics), never
+    // emit null-gram or n_hits=0 phantom rows
+    val tmp = java.nio.file.Files.createTempDirectory("graft_short").toString
+    Seq(
+      (1L, "w1 w2 w3 w4 w5 w6", "en", "s0", 17L),
+      (2L, "w1 w2 w3 w4 w5 xx", "en", "s0", 17L),
+      (11L, "w1 w2 w3 w4 w5 zz", "en", "s0", 17L), // doc_id%11==0 → q125 bench slice
+      (3L, "too short", "en", "s0", 9L), // 2 tokens: no 3- or 5-grams
+      (4L, "just four tokens here", "en", "s0", 21L) // 4 tokens: no 5-grams
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val contam = DedupTextQueries.queries("q125_contamination")(s, tmp).collect()
+    assert(contam.map(_.getLong(0)).toSet === Set(1L, 2L),
+      "q125 must omit docs with no 5-grams, exactly as the oracle does")
+    val dupFrac = CorpusQueries.queries("q129_dup_ngram_frac")(s, tmp).collect()
+    assert(dupFrac.map(_.getLong(0)).toSet === Set(1L, 2L, 11L))
+    assert(dupFrac.forall(r => !r.isNullAt(1)))
+  }
+
   test("cosine top-k: ranks are 1..5 per query, self excluded, scores sorted") {
     val rows = DedupTextQueries.queries("q54_cosine_topk")(spark, dir).collect()
     val byQ = rows.groupBy(_.getLong(0))
