@@ -34,7 +34,7 @@ object DedupTextQueries extends QueryModule {
     graft.Tables.load(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("t"))
       .select($"doc_id", explode(expr(
-        "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"))
+        graft.functions.TextGrams.gramsSql(3)))
         .as("sh")).distinct()
   }
 
@@ -98,7 +98,7 @@ object DedupTextQueries extends QueryModule {
       val toks = graft.Tables.load(s, dir, "documents")
         .select($"doc_id", split($"text", " ").as("t"))
       val sh = toks.select($"doc_id", explode(expr(
-        "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"))
+        graft.functions.TextGrams.gramsSql(3)))
         .as("sh")).distinct()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       // size filter: J(A,B) >= 0.5 requires min(|A|,|B|) >= 0.5*max —
@@ -430,8 +430,7 @@ object DedupTextQueries extends QueryModule {
       val sh5 = graft.Tables.load(s, dir, "documents")
         .select($"doc_id", split($"text", " ").as("t"))
         .select($"doc_id", explode(expr(
-          "transform(sequence(1, greatest(size(t) - 4, 0)), " +
-            "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))"))
+          graft.functions.TextGrams.gramsSql(5)))
           .as("sh")).distinct()
       val bench = sh5.where($"doc_id" % 11 === 0).select($"sh").distinct()
       val corpus = sh5.where($"doc_id" % 11 =!= 0)
@@ -457,8 +456,7 @@ object DedupTextQueries extends QueryModule {
       val sh = graft.Tables.load(s, dir, "documents")
         .select(split($"text", " ").as("t"))
         .select(explode(expr(
-          "transform(sequence(1, greatest(size(t) - 2, 0)), " +
-            "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))")).as("sh"))
+          graft.functions.TextGrams.gramsSql(3))).as("sh"))
       graft.operators.SkewSalt.saltedAgg(sh, Seq("sh"), Seq.empty)
         .orderBy($"n".desc, $"sh").limit(50)
     }),
@@ -526,8 +524,7 @@ object DedupTextQueries extends QueryModule {
         .groupBy($"doc_id").agg(max($"c").as("top_tok"))
       val big = docs.select($"doc_id", split($"text", " ").as("t"))
         .select($"doc_id", explode(expr(
-          "transform(sequence(1, greatest(size(t) - 1, 0)), " +
-            "i -> concat(t[i-1], ' ', t[i]))")).as("bg"))
+          graft.functions.TextGrams.gramsSql(2))).as("bg"))
       val top2 = big.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
         .groupBy($"doc_id").agg(max($"c").as("top_big"),
           count(lit(1)).as("n_distinct_bg"), sum($"c").as("n_bg"))
@@ -574,6 +571,37 @@ object DedupTextQueries extends QueryModule {
         .select($"doc_id", $"source")
       decisions.join(src, "doc_id")
         .groupBy($"source", $"reason").agg(count(lit(1)).as("n"))
+    }),
+
+    // INCREMENTAL component maintenance (operators/IncrementalCC) — the
+    // continuous-crawl closure of q95: the verified pair set arrives in
+    // three deterministic shards, each folded into a PERSISTED
+    // VersionedTable component table by MERGEing only the delta (new
+    // nodes + rows of merged components). The final table must equal
+    // the batch q95 clusters on the full pair set — same recursive
+    // reachability oracle, hash-exact. The pair re-derivation is the
+    // oracle self-containment cost (q127's artifact class); a deployed
+    // crawl folds pairs as they stream (IncrementalCCSpec's
+    // NearDupStream case) and pays only the per-batch delta.
+    "q147_incremental_cc" -> ((s, dir) => {
+      import s.implicits._
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_inccc_q147")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists) rm(root)
+      val pairs = queries("q90_neardup_lsh_verify")(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vt = graft.operators.IncrementalCC.table(s, root.toString)
+      (0 until 3).foreach { k =>
+        graft.operators.IncrementalCC.updateTable(s, vt,
+          pairs.where(pmod($"da" + $"db", lit(3)) === k), "da", "db")
+      }
+      pairs.unpersist()
+      graft.operators.IncrementalCC.readComps(s, vt)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     })
   )
 
@@ -773,6 +801,20 @@ object DedupTextQueries extends QueryModule {
     // identical oracle to q95 on purpose: the star contraction and
     // min-label propagation must produce the same canonical clusters
     "q112_dedup_clusters_stars" ->
+      s"""WITH RECURSIVE $verifiedPairsSql,
+         |edges AS (
+         |  SELECT da AS src, db AS dst FROM vp
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst FROM vp),
+         |walk(node, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+         |SELECT node AS doc_id, MIN(label) AS cluster_id
+         |FROM walk GROUP BY node""".stripMargin,
+    // identical oracle to q95 again: incremental maintenance must land
+    // on exactly the batch clusters over the unioned pair set
+    "q147_incremental_cc" ->
       s"""WITH RECURSIVE $verifiedPairsSql,
          |edges AS (
          |  SELECT da AS src, db AS dst FROM vp
