@@ -25,8 +25,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - A hot bucket (boilerplate band) is LSH's known skew; `maxBucket`
   *    caps membership as an explicit RECALL dial (docs beyond the cap
   *    join no pairs through that bucket — their other 7 bands still
-  *    probe). The default is uncapped, which is the batch-parity
-  *    setting.
+  *    probe). The DEFAULT is finite (64): an uncapped boilerplate
+  *    bucket accumulates O(n) member state and O(n²) pair emission in
+  *    ONE state-store key — the hot-shingle skew q51 salts against —
+  *    and a bucket past ~64 members is near-certainly boilerplate
+  *    whose pairs exact-dedup/contamination already catch. Pass
+  *    `maxBucket = Int.MaxValue` for strict batch-q52 parity (what the
+  *    parity specs do); the recall-delta spec measures exactly what a
+  *    finite cap drops on a boilerplate-heavy corpus.
   *  - A pair sharing several bands is emitted once per colliding band
   *    (bucket states are independent; Spark rejects a second stateful
   *    dedup stage downstream of flatMapGroupsWithState). Contract is
@@ -88,7 +94,7 @@ object NearDupStream {
   /** Candidate pairs (da < db by doc id) as they become knowable; the
     * distinct output set over the whole stream equals batch q52. */
   def candidates(docs: Dataset[Doc],
-      maxBucket: Int = Int.MaxValue): Dataset[CandPair] = {
+      maxBucket: Int = 64): Dataset[CandPair] = {
     val s = docs.sparkSession
     import s.implicits._
     docs

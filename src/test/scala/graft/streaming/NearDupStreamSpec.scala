@@ -39,7 +39,9 @@ class NearDupStreamSpec extends AnyFunSuite with TestSpark {
     // micro-batches (mod-3 split is independent of content)
     val batches = all.groupBy(_.docId % 3).toSeq.sortBy(_._1).map(_._2)
     val input = MemoryStream[Doc]
-    val q = NearDupStream.candidates(input.toDS())
+    // batch-parity setting: the cap is OFF (the production default 64
+    // is a recall dial, exercised by the boilerplate spec below)
+    val q = NearDupStream.candidates(input.toDS(), maxBucket = Int.MaxValue)
       .writeStream.format("memory").queryName("neardup_cands")
       .outputMode("append").start()
     try {
@@ -63,7 +65,7 @@ class NearDupStreamSpec extends AnyFunSuite with TestSpark {
     val sink = new graft.sources.MergeSink(spark, s"$tmp/pairs",
       keyCols = Seq("da", "db"), partitionCol = "shard")
     val input = MemoryStream[Doc]
-    def startQ() = NearDupStream.candidates(input.toDS())
+    def startQ() = NearDupStream.candidates(input.toDS(), maxBucket = Int.MaxValue)
       .withColumn("shard", pmod(col("da"), lit(4L)).cast("string"))
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -86,6 +88,42 @@ class NearDupStreamSpec extends AnyFunSuite with TestSpark {
       assert(got === batchPairs,
         "restart from checkpoint diverged from the batch candidate set")
     } finally q2.stop()
+  }
+
+  test("finite maxBucket on a boilerplate-heavy corpus: genuine pairs keep 100% recall, hot-bucket pairs truncate to the cap") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 20 identical boilerplate docs (one hot bucket per band) + 3
+    // genuine near-dup pairs on disjoint vocab (2-member buckets)
+    val boiler = (1000L until 1020L).map(i =>
+      Doc(i, "bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8"))
+    val genuine = Seq(
+      Doc(1L, "g1 g2 g3 g4 g5"), Doc(2L, "g1 g2 g3 g4 g5"),
+      Doc(3L, "h1 h2 h3 h4 h5"), Doc(4L, "h1 h2 h3 h4 h5"),
+      Doc(5L, "k1 k2 k3 k4 k5"), Doc(6L, "k1 k2 k3 k4 k5"))
+    val genuinePairs = Set((1L, 2L), (3L, 4L), (5L, 6L))
+    val cap = 8
+    val input = MemoryStream[Doc]
+    val q = NearDupStream.candidates(input.toDS(), maxBucket = cap)
+      .writeStream.format("memory").queryName("neardup_boiler")
+      .outputMode("append").start()
+    try {
+      input.addData(boiler ++ genuine); q.processAllAvailable()
+      val got = spark.table("neardup_boiler").as[CandPair].collect()
+        .map(p => (p.da, p.db)).toSet
+      // recall floor: every genuine pair survives the cap
+      assert(genuinePairs.subsetOf(got), s"cap dropped genuine pairs: ${genuinePairs -- got}")
+      // recall delta, exactly: within one batch a bucket admits its
+      // `cap` LOWEST doc ids, so the hot bucket contributes C(cap,2)
+      // pairs instead of C(20,2)=190 — and its state stays bounded
+      val admitted = boiler.map(_.docId).sorted.take(cap)
+      val hotPairs = (for {
+        a <- admitted; b <- admitted if a < b
+      } yield (a, b)).toSet
+      assert(got === genuinePairs ++ hotPairs,
+        s"expected genuine + C($cap,2)=${hotPairs.size} hot pairs, got ${got.size}")
+    } finally q.stop()
   }
 
   test("maxBucket recall dial: cap 1 emits no pairs, uncapped is batch-complete") {
