@@ -21,6 +21,7 @@ object SparkEntry {
     MetricsQueries,
     DedupTextQueries,
     CorpusQueries,
+    ServeQueries,
     TradeQueries,
     DashboardQueries,
     StreamQueries,

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The DEPLOYMENT arms of the expensive corpus queries.
+  *
+  * q127/q135/q137/q139/q143's oracle arms re-derive the near-dup pair
+  * graph / k-means partition from base tables on every invocation
+  * because an oracle row must be self-contained — ~13 s of the sf0.1
+  * bench is that honesty tax, not the cost a deployment pays. A real
+  * pipeline materializes those artifacts ONCE (the pair table, the
+  * cluster table, the contamination table, the per-doc decision table,
+  * the k-means assignment) and every downstream read pays only the
+  * final joins. These `qNNNs` serve arms read exactly those persisted
+  * artifacts ([[ServeArtifacts]] writes them once per sf-dir) and
+  * produce BIT-IDENTICAL output to their oracle-arm siblings — each
+  * serve query is hash-gated against the SAME DuckDB oracle SQL, so
+  * the cheap path is proven correct, not assumed. The bench times both
+  * arms; the delta IS the artifact-reuse win.
+  */
+object ServeQueries extends QueryModule {
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopSql = stop.map(s => s"'$s'").mkString(", ")
+
+  override def queries: Map[String, QFn] = Map(
+    // q127's taxonomy with the two expensive inputs (near-dup clusters,
+    // contamination) read from the artifact store; the per-row signals
+    // (exact-dup canon, stop/punct/quality) recompute in-line — they
+    // are one cheap pass each and a deployment often recomputes them
+    // too (they version with the gate config, not with the corpus).
+    "q127s_corpus_filter_serve" -> ((s, dir) => {
+      import s.implicits._
+      val art = ServeArtifacts.ensure(s, dir)
+      val docs = graft.Tables.load(s, dir, "documents")
+      val canon = docs.groupBy($"text").agg(min($"doc_id").as("canon_id"))
+      val exact = docs.join(canon, "text")
+        .select($"doc_id", ($"doc_id" =!= $"canon_id").as("is_exact_dup"))
+      val clusters = s.read.parquet(s"$art/clusters.parquet")
+        .withColumnRenamed("cluster_id", "cid")
+      val lq = docs.select($"doc_id", $"text", split($"text", " ").as("t"))
+        .select($"doc_id",
+          (expr(s"size(filter(t, x -> x IN ($stopSql)))").cast("double") /
+            expr("size(t)")).as("stop_ratio"),
+          (regexp_count($"text", lit("[^a-z0-9 ]")).cast("double") /
+            length($"text")).as("punct_ratio"),
+          expr("size(t)").as("n_tokens"))
+        .withColumn("quality",
+          lit(0.4) * least($"n_tokens".cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - $"punct_ratio") +
+            lit(0.3) * least($"stop_ratio" * 10.0, lit(1.0)))
+      val contam = s.read.parquet(s"$art/contam.parquet")
+        .select($"doc_id", $"contaminated")
+      docs.select($"doc_id")
+        .join(exact, Seq("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .join(lq.select($"doc_id", $"stop_ratio", $"quality"), Seq("doc_id"))
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when($"doc_id" % 11 === 0, "benchmark")
+            .when($"is_exact_dup", "exact_dup")
+            .when($"cid".isNotNull && $"cid" =!= $"doc_id", "near_dup")
+            .when(coalesce($"contaminated", lit(false)), "contaminated")
+            .when($"stop_ratio" < 0.05, "lang")
+            .when($"quality" < 0.5, "low_quality")
+            .otherwise("keep"))
+        .select($"doc_id", ($"reason" === "keep").as("keep"), $"reason")
+    }),
+
+    // q135 with the pair graph read from the persisted pair table —
+    // the incremental-shard filter is all that executes.
+    "q135s_incremental_dedup_serve" -> ((s, dir) => {
+      import s.implicits._
+      val art = ServeArtifacts.ensure(s, dir)
+      s.read.parquet(s"$art/pairs.parquet")
+        .where(($"da" % 10 === 7) =!= ($"db" % 10 === 7))
+        .select(
+          when($"da" % 10 === 7, $"da").otherwise($"db").as("new_doc"),
+          when($"da" % 10 === 7, $"db").otherwise($"da").as("old_doc"),
+          $"jaccard")
+    }),
+
+    // q137 reading the persisted per-doc decision table: one join +
+    // one dims-sized aggregate — the cost the monitoring page pays.
+    "q137s_source_report_serve" -> ((s, dir) => {
+      import s.implicits._
+      val art = ServeArtifacts.ensure(s, dir)
+      val decisions = s.read.parquet(s"$art/decisions.parquet")
+      val src = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source")
+      decisions.join(src, "doc_id")
+        .groupBy($"source", $"reason").agg(count(lit(1)).as("n"))
+    }),
+
+    // q139 with the k-means partition read from the persisted
+    // assignment table (vectors re-read from the embeddings base table,
+    // same cast/norm arithmetic): only the in-cluster pairing runs.
+    "q139s_semdedup_serve" -> ((s, dir) => {
+      import graft.functions.VectorExprs.{dotF64, l2normF64}
+      import s.implicits._
+      val art = ServeArtifacts.ensure(s, dir)
+      val vecs = graft.Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("ed"))
+        .withColumn("nrm", l2normF64($"ed"))
+      val asg = s.read.parquet(s"$art/kmeans.parquet")
+        .join(vecs, "vec_id")
+        .select($"vec_id", $"cluster", $"ed", $"nrm")
+      val a = asg.select($"cluster", $"vec_id".as("va"), $"ed".as("ea"),
+        $"nrm".as("na"))
+      val b = asg.select($"cluster", $"vec_id".as("vb"), $"ed".as("eb"),
+        $"nrm".as("nb"))
+      val pruned = a.join(b, "cluster")
+        .where($"va" < $"vb" &&
+          round(dotF64($"ea", $"eb") / ($"na" * $"nb"), 6) >= 0.45)
+        .select($"vb".as("vec_id")).distinct()
+      asg.select($"vec_id", $"cluster")
+        .join(pruned.withColumn("p", lit(true)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cluster", coalesce($"p", lit(false)).as("pruned"))
+    }),
+
+    // q143 over the persisted assignment: one join + a dims-sized
+    // contingency table with its windows.
+    "q143s_cluster_mix_serve" -> ((s, dir) => {
+      import s.implicits._
+      val art = ServeArtifacts.ensure(s, dir)
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      val asg = s.read.parquet(s"$art/kmeans.parquet")
+      val cells = asg.join(emb.select($"vec_id", $"label"), "vec_id")
+        .groupBy($"cluster", $"label").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"cluster")
+      cells
+        .withColumn("cl_n", sum($"n").over(w))
+        .withColumn("max_n", max($"n").over(w))
+        .select($"cluster", $"label", $"n",
+          ($"max_n".cast("double") / $"cl_n").as("purity"))
+    })
+  )
+
+  // Each serve arm answers to the SAME oracle as its oracle-arm
+  // sibling: identical results from a different (cheaper) plan.
+  override def oracles: Map[String, String] = Map(
+    "q127s_corpus_filter_serve" ->
+      DedupTextQueries.oracles("q127_corpus_filter"),
+    "q135s_incremental_dedup_serve" ->
+      DedupTextQueries.oracles("q135_incremental_dedup"),
+    "q137s_source_report_serve" ->
+      DedupTextQueries.oracles("q137_source_report"),
+    "q139s_semdedup_serve" ->
+      CorpusQueries.oracles("q139_semdedup"),
+    "q143s_cluster_mix_serve" ->
+      CorpusQueries.oracles("q143_cluster_mix")
+  )
+}
+
+/** One-time materialization of the pipeline artifacts the serve arms
+  * read: pair table (q90), cluster table (q95), contamination (q125),
+  * per-doc decisions (q127), k-means assignment (q138's fit). Keyed by
+  * sf-dir path + source-table mtimes, so regenerated testdata rebuilds
+  * instead of serving stale artifacts. */
+object ServeArtifacts {
+
+  private def key(dir: String): String = {
+    val mtimes = Seq("documents.parquet", "embeddings.parquet")
+      .map(t => new java.io.File(dir, t))
+      .map(f => if (f.exists) f.lastModified else 0L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$dir:${mtimes.mkString(",")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    hex.take(12)
+  }
+
+  /** Build the artifact set for `dir` if absent; returns its root. */
+  def ensure(s: SparkSession, dir: String): String = synchronized {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_serve_${key(dir)}")
+    val done = new java.io.File(root, "_done")
+    if (!done.exists) {
+      import org.apache.spark.storage.StorageLevel
+      val pairs = DedupTextQueries.queries("q90_neardup_lsh_verify")(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.write.mode("overwrite").parquet(s"$root/pairs.parquet")
+      graft.operators.ConnectedComponents.run(pairs, "da", "db")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .write.mode("overwrite").parquet(s"$root/clusters.parquet")
+      pairs.unpersist()
+      DedupTextQueries.queries("q125_contamination")(s, dir)
+        .write.mode("overwrite").parquet(s"$root/contam.parquet")
+      DedupTextQueries.queries("q127_corpus_filter")(s, dir)
+        .write.mode("overwrite").parquet(s"$root/decisions.parquet")
+      graft.ml.ExactKMeans
+        .run(graft.Tables.load(s, dir, "embeddings"), k = 8, updates = 2)
+        .select(col("vec_id"), col("cluster"))
+        .write.mode("overwrite").parquet(s"$root/kmeans.parquet")
+      done.createNewFile(): Unit
+    }
+    root.toString
+  }
+}
