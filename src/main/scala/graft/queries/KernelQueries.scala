@@ -13,6 +13,13 @@ import graft.forecast.{Ewma, Kalman}
   */
 object KernelQueries extends QueryModule {
 
+  /** Fixed per-query scratch dir (mode=overwrite on every use): the
+    * bench's min-of-3 × multi-pass loop re-runs these queries dozens of
+    * times per JVM, so a fresh `createTempDirectory` per invocation
+    * leaks one parquet dir per rep. */
+  private def scratch(name: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_$name").toString
+
   override def queries: Map[String, QFn] = Map(
     "q47_ewma_vol" -> ((s, dir) => {
       import s.implicits._
@@ -59,8 +66,7 @@ object KernelQueries extends QueryModule {
         }
       // the lifecycle write: forecast table persisted, then read back —
       // the oracle row is computed from the PERSISTED table only
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_fc_store").toString
+      val store = scratch("fc_store")
       fc.toDF().write.mode("overwrite").parquet(store)
       s.read.parquet(store)
         .where($"model" === "ENSEMBLE")
@@ -97,8 +103,7 @@ object KernelQueries extends QueryModule {
             graft.forecast.ForecastEngine.Config(horizon = horizon,
               mcPaths = 100)).iterator
         }
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_fc_floats").toString
+      val store = scratch("fc_floats")
       fc.toDF().write.mode("overwrite").parquet(store)
       s.read.parquet(store)
         .where($"model" === "ENSEMBLE")
@@ -128,6 +133,64 @@ object KernelQueries extends QueryModule {
           }.iterator
         }
         .toDF("ticker", "seq", "level", "level_var")
+    }),
+
+    // The AR(p)-via-OLS forecast MEAN under the hash gate — the last
+    // unanchored float family out of the forecast stack (q114 pinned σ,
+    // q134 the Kalman states; this pins the mean). AR(2), d=0, on
+    // q114's hourly davg series: the kernel assembles the normal
+    // equations X'X / X'y in ONE documented sequential pass (ascending
+    // row index, one accumulator per entry — the IEEE order the oracle
+    // CTE replays), solves them through the ENGINE's real Cholesky
+    // (forecast/LinAlg.solveSpd — the exact scalar op sequence of its
+    // loops is unrolled in the oracle, ridge arm unreachable on these
+    // well-conditioned systems), and forecasts through the ENGINE's
+    // real recursion (Ar.forecast, d=0 arm). The only engine code NOT
+    // on this anchored path is Ar.fitLags' breeze matmul assembly —
+    // the solve and the recursion are the shared kernels. Hash-exact
+    // through a parquet round trip, no tolerance.
+    "q148_ar_ols_mean" -> ((s, dir) => {
+      import s.implicits._
+      val series = graft.Tables.load(s, dir, "events")
+        .where($"event_type" === "purchase")
+        .groupBy(concat(lit("B"), $"user_id" % 3).as("ticker"),
+          date_trunc("hour", $"ts").as("h"))
+        .agg(Det.davg($"value").as("px"))
+      val fc = series.as[(String, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (t, rows) =>
+          val x = rows.toArray.sortBy(_._2.getTime).map(_._3).take(50)
+          val n = x.length
+          if (n < 40) Iterator.empty
+          else {
+            // X'X / X'y for columns [1, lag1, lag2], rows i = 2..n-1,
+            // each accumulator summed in ascending-i order
+            var s00 = 0.0; var s01 = 0.0; var s02 = 0.0
+            var s11 = 0.0; var s12 = 0.0; var s22 = 0.0
+            var t0 = 0.0; var t1 = 0.0; var t2 = 0.0
+            var i = 2
+            while (i < n) {
+              val y = x(i); val l1 = x(i - 1); val l2 = x(i - 2)
+              s00 += 1.0; s01 += l1; s02 += l2
+              s11 += l1 * l1; s12 += l1 * l2; s22 += l2 * l2
+              t0 += y; t1 += l1 * y; t2 += l2 * y
+              i += 1
+            }
+            val beta = graft.forecast.LinAlg.solveSpd(
+              breeze.linalg.DenseMatrix((s00, s01, s02), (s01, s11, s12),
+                (s02, s12, s22)),
+              breeze.linalg.DenseVector(t0, t1, t2))
+            val fit = graft.forecast.Ar.Fit(p = 2, d = 0,
+              intercept = beta(0), coefs = Array(beta(1), beta(2)),
+              sigma2 = 1.0, aic = 0.0, n = n - 2)
+            val (mu, _, _) = graft.forecast.Ar.forecast(x, fit, horizon = 5)
+            mu.zipWithIndex.iterator.map { case (m, h) => (t, h + 1, m) }
+          }
+        }
+      val store = scratch("ar_ols_mean")
+      fc.toDF("ticker", "horizon_step", "mu")
+        .write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
     })
   )
 
@@ -246,6 +309,75 @@ object KernelQueries extends QueryModule {
          |      * (rec.p + CAST(0.1 AS DOUBLE))
          |  FROM numbered t JOIN rec
          |    ON t.ticker = rec.ticker AND t.rn = rec.rn + 1)
-         |SELECT ticker, seq, a AS level, p AS level_var FROM rec""".stripMargin
+         |SELECT ticker, seq, a AS level, p AS level_var FROM rec""".stripMargin,
+
+    // Replays the kernel's exact IEEE sequence: the normal-equation
+    // accumulators step in ascending row order (one recursive CTE), the
+    // 3×3 Cholesky + both substitutions unroll solveSpd's scalar op
+    // order (subtraction order in parens matters), and the 5-step mean
+    // recursion mirrors Ar.forecast's d=0 arm (Scala's Array.sum folds
+    // from 0.0 left-to-right → b0 + (b1*x + b2*y)).
+    "q148_ar_ols_mean" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT 'B' || CAST(user_id % 3 AS VARCHAR) AS ticker,
+        |         date_trunc('hour', ts) AS h,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |           / COUNT(value) AS px
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |firstn AS (
+        |  SELECT ticker, h, px,
+        |         row_number() OVER (PARTITION BY ticker ORDER BY h) AS rn,
+        |         count(*) OVER (PARTITION BY ticker) AS cnt
+        |  FROM px),
+        |sel AS (SELECT ticker, rn, px FROM firstn WHERE rn <= 50 AND cnt >= 40),
+        |lagd AS (
+        |  SELECT ticker, rn, px AS y,
+        |         lag(px, 1) OVER (PARTITION BY ticker ORDER BY rn) AS l1,
+        |         lag(px, 2) OVER (PARTITION BY ticker ORDER BY rn) AS l2
+        |  FROM sel),
+        |rows3 AS (SELECT ticker, rn, y, l1, l2 FROM lagd WHERE rn >= 3),
+        |acc AS (
+        |  SELECT ticker, rn,
+        |    CAST(1 AS DOUBLE) AS s00, l1 AS s01, l2 AS s02,
+        |    l1*l1 AS s11, l1*l2 AS s12, l2*l2 AS s22,
+        |    y AS t0, l1*y AS t1, l2*y AS t2
+        |  FROM rows3 WHERE rn = 3
+        |  UNION ALL
+        |  SELECT r.ticker, r.rn,
+        |    a.s00 + CAST(1 AS DOUBLE), a.s01 + r.l1, a.s02 + r.l2,
+        |    a.s11 + r.l1*r.l1, a.s12 + r.l1*r.l2, a.s22 + r.l2*r.l2,
+        |    a.t0 + r.y, a.t1 + r.l1*r.y, a.t2 + r.l2*r.y
+        |  FROM rows3 r JOIN acc a ON r.ticker = a.ticker AND r.rn = a.rn + 1),
+        |nf AS (
+        |  SELECT a.* FROM acc a
+        |  JOIN (SELECT ticker, MAX(rn) AS mx FROM rows3 GROUP BY 1) m
+        |    ON a.ticker = m.ticker AND a.rn = m.mx),
+        |c1 AS (SELECT *, sqrt(s00) AS l00 FROM nf),
+        |c2 AS (SELECT *, s01 / l00 AS l10, s02 / l00 AS l20 FROM c1),
+        |c3 AS (SELECT *, sqrt(s11 - l10*l10) AS l11 FROM c2),
+        |c4 AS (SELECT *, (s12 - l20*l10) / l11 AS l21 FROM c3),
+        |c5 AS (SELECT *, sqrt((s22 - l20*l20) - l21*l21) AS l22 FROM c4),
+        |f0 AS (SELECT *, t0 / l00 AS w0 FROM c5),
+        |f1 AS (SELECT *, (t1 - l10*w0) / l11 AS w1 FROM f0),
+        |f2 AS (SELECT *, ((t2 - l20*w0) - l21*w1) / l22 AS w2 FROM f1),
+        |k2 AS (SELECT *, w2 / l22 AS b2 FROM f2),
+        |k1 AS (SELECT *, (w1 - l21*b2) / l11 AS b1 FROM k2),
+        |k0 AS (SELECT *, ((w0 - l10*b1) - l20*b2) / l00 AS b0 FROM k1),
+        |lastx AS (
+        |  SELECT s.ticker,
+        |    MAX(CASE WHEN s.rn = m.mx THEN s.px END) AS xa,
+        |    MAX(CASE WHEN s.rn = m.mx - 1 THEN s.px END) AS xb
+        |  FROM sel s JOIN (SELECT ticker, MAX(rn) AS mx FROM sel GROUP BY 1) m
+        |    ON s.ticker = m.ticker
+        |  GROUP BY 1),
+        |fc AS (
+        |  SELECT k.ticker, 1 AS h, k.b0 + (k.b1*l.xa + k.b2*l.xb) AS p,
+        |         l.xa AS prev
+        |  FROM k0 k JOIN lastx l ON k.ticker = l.ticker
+        |  UNION ALL
+        |  SELECT f.ticker, f.h + 1, k.b0 + (k.b1*f.p + k.b2*f.prev), f.p
+        |  FROM fc f JOIN k0 k ON f.ticker = k.ticker WHERE f.h < 5)
+        |SELECT ticker, h AS horizon_step, p AS mu FROM fc""".stripMargin
   )
 }
