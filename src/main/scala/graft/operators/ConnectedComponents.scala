@@ -253,6 +253,18 @@ object ConnectedComponents {
     val s = e.sparkSession
     import s.implicits._
     val rows = e.select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    minRootStars(rows).toSeq.toDF("src", "dst")
+  }
+
+  /** Driver min-root union-find over edge tuples: union attaches the
+    * larger root under the smaller, so every root is its component's
+    * minimum. Returns (node → root) for every non-root node — the star
+    * edges of the fixpoint. Shared by the hybrid local finish above and
+    * [[IncrementalCC]]'s micro-batch fast path; callers must have
+    * bounded the edge count before collecting. */
+  private[operators] def minRootStars(
+      rows: Array[(Long, Long)]): Iterator[(Long, Long)] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
       var r = x0
@@ -261,13 +273,12 @@ object ConnectedComponents {
       while (c != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    rows.foreach { row =>
-      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+    rows.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
     val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
-    rows.foreach { row => nodes += row.getLong(0); nodes += row.getLong(1) }
+    rows.foreach { case (a, b) => nodes += a; nodes += b }
     nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
-      .toSeq.toDF("src", "dst")
   }
 }

@@ -86,12 +86,27 @@ object IncrementalCC {
       .select(col("la").as("src"), col("lb").as("dst"))
       .where(col("src") =!= col("dst"))
 
-    // components of the reduced graph → (label, new root); roots are
-    // minima over merged labels = minima over merged components
-    val roots = ConnectedComponents.runStars(red)
+    // components of the reduced graph → (old label → new root); roots
+    // are minima over merged labels = minima over merged components.
+    // A micro-batch-sized reduced graph (the normal continuous-ingest
+    // case) takes ONE bounded collect into a driver union-find — the
+    // distributed star contraction would spend ~8 fixed-cost scheduled
+    // jobs on a graph of a few hundred edges. Batches past the bound
+    // (a bulk backfill) fall back to runStars, whose own hybrid local
+    // finish takes over once contraction shrinks the edge set.
+    val maxLocalEdges = 100000
+    val s = pairs.sparkSession
+    import s.implicits._
+    val redRows = red.limit(maxLocalEdges + 1)
+      .as[(Long, Long)].collect()
     val relabel = broadcast(
-      roots.where(col("node") =!= col("component"))
-        .select(col("node").as("old_lab"), col("component").as("new_lab")))
+      if (redRows.length <= maxLocalEdges)
+        ConnectedComponents.minRootStars(redRows).toSeq
+          .toDF("old_lab", "new_lab")
+      else
+        ConnectedComponents.runStars(red)
+          .where(col("node") =!= col("component"))
+          .select(col("node").as("old_lab"), col("component").as("new_lab")))
 
     // delta: brand-new nodes at their final label, plus every existing
     // row of a merged component relabeled — nothing else changes
