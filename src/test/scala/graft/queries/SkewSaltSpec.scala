@@ -81,4 +81,46 @@ class SkewSaltSpec extends AnyFunSuite with TestSpark {
     assert(direct.select("ticker", "sum_qty", "n")
       .exceptAll(twoStage.select("ticker", "sum_qty", "n")).count() === 0)
   }
+
+  test("adaptive salt × AQE: row-identical with adaptive on and off, and no AQE skew-split fires on the salted arm") {
+    val s = spark; import s.implicits._
+    // same heavy-skew fixture as above: 90% of rows on HOT
+    val fact = (1 to 50000).map { i =>
+      val k = if (i % 10 == 0) s"T${i % 7}" else "HOT"
+      (k, i.toLong, (i % 997) * 1L)
+    }.toDF("ticker", "seq", "qty")
+    val left = fact.select($"ticker", $"seq".as("la")).where($"seq" % 100 === 0)
+    val right = fact.select($"ticker", $"seq".as("lb")).where($"seq" % 100 === 50)
+    def run() = SkewSalt.adaptiveSaltedFactFactJoin(left, right, Seq("ticker"),
+      groups = 4, hotRowThreshold = 50, sampleFraction = 0.5)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.select($"ticker", $"la", $"lb").as[(String, Long, Long)]
+        .collect().sorted.toSeq
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key)
+    try {
+      // Both the manual grid salt and AQE's OptimizeSkewedJoin target
+      // the same skew; they must COMPOSE, not conflict. The grid salt
+      // runs at plan-build time, so by the time AQE sees runtime
+      // partition sizes the hot key is already spread across
+      // groups² salt cells — AQE should find nothing to split on the
+      // salted arm (its skew marker stays absent), and the result must
+      // not depend on whether AQE re-plans around it.
+      s.conf.set(key, "true")
+      val dfOn = run()
+      val on = rowsOf(dfOn) // collect first: AQE finalizes plans lazily
+      val finalPlan = dfOn.queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("skew=true"),
+        "AQE skew-split fired inside the salted arm — the grid salt and " +
+          "AQE are double-handling the same key")
+      s.conf.set(key, "false")
+      val off = rowsOf(run())
+      assert(on === off,
+        "adaptive salt results depend on spark.sql.adaptive.enabled")
+      // the multiset equality above is the exactly-once-pair-meeting
+      // guarantee: it holds against the plain join too
+      val plain = rowsOf(left.join(right, Seq("ticker")))
+      assert(on === plain)
+    } finally s.conf.set(key, prev)
+  }
 }
