@@ -153,11 +153,29 @@ object IncrementalCC {
   }
 
   /** [[step]] against the persisted table: probe it, compute the delta,
-    * MERGE only the delta (affected partitions only). Returns the merge
-    * stats; the updated snapshot is `readComps` afterwards. */
+    * MERGE only the delta (affected partitions only). Every
+    * `compactEvery` commits the table is compacted + vacuumed — a
+    * continuous stream otherwise adds one small file per touched
+    * partition per micro-batch, and the probe join's scan cost creeps
+    * with the file count (the standard streaming-MERGE small-files
+    * story; checkpoint() keeps log-fold cost O(commits since last)). */
   def updateTable(spark: SparkSession, vt: VersionedTable,
-      pairs: DataFrame, srcCol: String = "src", dstCol: String = "dst"): Unit = {
+      pairs: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      compactEvery: Long = 32L): Unit = {
     val delta = step(readComps(spark, vt), pairs, srcCol, dstCol).delta
-    vt.upsert(withShard(delta), keyCols = Seq("node")): Unit
+    val stats = vt.upsert(withShard(delta), keyCols = Seq("node"))
+    if (compactEvery > 0 && stats.version > 0 &&
+        stats.version % compactEvery == 0) {
+      vt.compact()
+      vt.checkpoint()
+      // keepLast = 0: reclaim everything but the post-compaction
+      // snapshot — any keepLast ≥ 1 would keep the PRE-compaction
+      // snapshot alive and with it every small file the compaction
+      // just replaced. The component table is maintained STATE (the
+      // log keeps full history entries, but snapshots older than the
+      // compaction cadence stop being re-readable); pass
+      // compactEvery = 0 when time travel over the table matters.
+      vt.vacuum(keepLast = 0): Unit
+    }
   }
 }

@@ -93,6 +93,45 @@ class IncrementalCCSpec extends AnyFunSuite with TestSpark {
       "incremental fold diverged from the batch clusters")
   }
 
+  test("streaming-cadence compaction keeps the table identical and bounds live files") {
+    val s = spark; import s.implicits._
+    val root = freshRoot("graft_inccc_compact")
+    val vt = IncrementalCC.table(s, root)
+    // 20 disjoint pairs, all landing in shards 0/1 (node % 16), one
+    // commit each — the per-micro-batch small-file worst case
+    val pairsSeq = (1 to 20).map(i => (i.toLong * 32, i.toLong * 32 + 1))
+    pairsSeq.foreach { p =>
+      IncrementalCC.updateTable(s, vt, Seq(p).toDF("src", "dst"),
+        compactEvery = 8L)
+    }
+    val want = compsOf(ConnectedComponents.run(pairsSeq.toDF("src", "dst")))
+    assert(compsOf(IncrementalCC.readComps(s, vt)) === want,
+      "compaction/vacuum changed the table contents")
+    def diskFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root, "data"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    // 20 merge commits each ADD files (rewriting their touched
+    // partitions) — without maintenance the data dir would hold every
+    // file ever added (~130 here). The two in-loop compact+vacuum
+    // rounds keep disk growth to the post-vacuum tail (files added
+    // since the last maintenance, dead or alive)
+    val midGrowth = diskFiles()
+    assert(midGrowth < 60, s"maintenance not reclaiming: $midGrowth files on disk")
+    // the LIVE snapshot itself stays small: replay the log's adds/removes
+    val live = vt.history().foldLeft(Set.empty[String]) { (acc, e) =>
+      acc -- e.removes ++ e.adds.map(_.path)
+    }
+    assert(live.size <= 10, s"live snapshot holds ${live.size} files")
+    // a final maintenance round collapses disk to the live snapshot
+    vt.compact(); vt.checkpoint(); vt.vacuum(keepLast = 0)
+    assert(compsOf(IncrementalCC.readComps(s, vt)) === want)
+    val endFiles = diskFiles()
+    assert(endFiles <= 6, s"vacuum left $endFiles files for a 2-shard table")
+  }
+
   test("streaming seam: NearDupStream pairs folded per micro-batch land on the batch q52 clusters") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
