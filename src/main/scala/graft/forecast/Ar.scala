@@ -92,7 +92,29 @@ object Ar {
       xm(i, 0) = 1.0
       lags.zipWithIndex.foreach { case (l, j) => xm(i, j + 1) = x(maxLag + i - l) }
     }
-    val beta = LinAlg.solveSpd(xm.t * xm, xm.t * y)
+    // Normal equations assembled with explicit ascending-row loops
+    // rather than breeze's matmul: each X'X / X'y entry is a sequential
+    // sum over i, which is the documented IEEE order the q148 oracle
+    // replays — this puts the PRODUCTION fit (not a parallel
+    // reimplementation) on the hash-anchored path. Values differ from
+    // dgemm only by summation-order ulps; everything downstream of the
+    // solve is already sequential scalar code.
+    val cols = lags.length + 1
+    val xtx = DenseMatrix.zeros[Double](cols, cols)
+    val xty = DenseVector.zeros[Double](cols)
+    var i = 0
+    while (i < n) {
+      var a = 0
+      while (a < cols) {
+        val ra = xm(i, a)
+        xty(a) += ra * y(i)
+        var b = 0
+        while (b < cols) { xtx(a, b) += ra * xm(i, b); b += 1 }
+        a += 1
+      }
+      i += 1
+    }
+    val beta = LinAlg.solveSpd(xtx, xty)
     val resid = y - xm * beta
     val sigma2 = math.max(1e-12, (resid.t * resid) / n.toDouble)
     val k = lags.length + 2.0 // intercept + coefs + sigma

@@ -138,17 +138,16 @@ object KernelQueries extends QueryModule {
     // The AR(p)-via-OLS forecast MEAN under the hash gate — the last
     // unanchored float family out of the forecast stack (q114 pinned σ,
     // q134 the Kalman states; this pins the mean). AR(2), d=0, on
-    // q114's hourly davg series: the kernel assembles the normal
-    // equations X'X / X'y in ONE documented sequential pass (ascending
-    // row index, one accumulator per entry — the IEEE order the oracle
-    // CTE replays), solves them through the ENGINE's real Cholesky
-    // (forecast/LinAlg.solveSpd — the exact scalar op sequence of its
-    // loops is unrolled in the oracle, ridge arm unreachable on these
-    // well-conditioned systems), and forecasts through the ENGINE's
-    // real recursion (Ar.forecast, d=0 arm). The only engine code NOT
-    // on this anchored path is Ar.fitLags' breeze matmul assembly —
-    // the solve and the recursion are the shared kernels. Hash-exact
-    // through a parquet round trip, no tolerance.
+    // q114's hourly davg series, through the ENGINE'S PRODUCTION FIT:
+    // Ar.fitArP assembles the normal equations with explicit
+    // ascending-row loops (one accumulator per X'X / X'y entry — the
+    // IEEE order the oracle CTE replays), solves them through
+    // LinAlg.solveSpd (the 3×3 Cholesky + both substitutions unroll to
+    // the oracle's scalar expressions, ridge arm unreachable on these
+    // well-conditioned systems), and Ar.forecast's d=0 recursion
+    // yields the means. Nothing here is a reimplementation — the real
+    // fit path is hash-exact through a parquet round trip, no
+    // tolerance.
     "q148_ar_ols_mean" -> ((s, dir) => {
       import s.implicits._
       val series = graft.Tables.load(s, dir, "events")
@@ -160,31 +159,12 @@ object KernelQueries extends QueryModule {
         .groupByKey(_._1)
         .flatMapGroups { (t, rows) =>
           val x = rows.toArray.sortBy(_._2.getTime).map(_._3).take(50)
-          val n = x.length
-          if (n < 40) Iterator.empty
-          else {
-            // X'X / X'y for columns [1, lag1, lag2], rows i = 2..n-1,
-            // each accumulator summed in ascending-i order
-            var s00 = 0.0; var s01 = 0.0; var s02 = 0.0
-            var s11 = 0.0; var s12 = 0.0; var s22 = 0.0
-            var t0 = 0.0; var t1 = 0.0; var t2 = 0.0
-            var i = 2
-            while (i < n) {
-              val y = x(i); val l1 = x(i - 1); val l2 = x(i - 2)
-              s00 += 1.0; s01 += l1; s02 += l2
-              s11 += l1 * l1; s12 += l1 * l2; s22 += l2 * l2
-              t0 += y; t1 += l1 * y; t2 += l2 * y
-              i += 1
-            }
-            val beta = graft.forecast.LinAlg.solveSpd(
-              breeze.linalg.DenseMatrix((s00, s01, s02), (s01, s11, s12),
-                (s02, s12, s22)),
-              breeze.linalg.DenseVector(t0, t1, t2))
-            val fit = graft.forecast.Ar.Fit(p = 2, d = 0,
-              intercept = beta(0), coefs = Array(beta(1), beta(2)),
-              sigma2 = 1.0, aic = 0.0, n = n - 2)
-            val (mu, _, _) = graft.forecast.Ar.forecast(x, fit, horizon = 5)
-            mu.zipWithIndex.iterator.map { case (m, h) => (t, h + 1, m) }
+          if (x.length < 40) Iterator.empty
+          else graft.forecast.Ar.fitArP(x, 2, 0) match {
+            case Some(fit) =>
+              val (mu, _, _) = graft.forecast.Ar.forecast(x, fit, horizon = 5)
+              mu.zipWithIndex.iterator.map { case (m, h) => (t, h + 1, m) }
+            case None => Iterator.empty
           }
         }
       val store = scratch("ar_ols_mean")
