@@ -115,8 +115,21 @@ object Ar {
       i += 1
     }
     val beta = LinAlg.solveSpd(xtx, xty)
-    val resid = y - xm * beta
-    val sigma2 = math.max(1e-12, (resid.t * resid) / n.toDouble)
+    // residual sum of squares by the same explicit sequential loops
+    // (dgemv + dot were the remaining unreplayable steps): per row the
+    // prediction folds left over columns, rss folds over ascending rows
+    // — σ² and with it the forecast CI are now oracle-replayable too
+    var rss = 0.0
+    i = 0
+    while (i < n) {
+      var pred = 0.0
+      var j = 0
+      while (j < cols) { pred += xm(i, j) * beta(j); j += 1 }
+      val r = y(i) - pred
+      rss += r * r
+      i += 1
+    }
+    val sigma2 = math.max(1e-12, rss / n.toDouble)
     val k = lags.length + 2.0 // intercept + coefs + sigma
     val ll = -0.5 * n * (math.log(2 * math.Pi * sigma2) + 1)
     val aic = 2 * k - 2 * ll

@@ -162,13 +162,13 @@ object KernelQueries extends QueryModule {
           if (x.length < 40) Iterator.empty
           else graft.forecast.Ar.fitArP(x, 2, 0) match {
             case Some(fit) =>
-              val (mu, _, _) = graft.forecast.Ar.forecast(x, fit, horizon = 5)
-              mu.zipWithIndex.iterator.map { case (m, h) => (t, h + 1, m) }
+              val (mu, lo, hi) = graft.forecast.Ar.forecast(x, fit, horizon = 5)
+              (0 until 5).iterator.map(h => (t, h + 1, mu(h), lo(h), hi(h)))
             case None => Iterator.empty
           }
         }
       val store = scratch("ar_ols_mean")
-      fc.toDF("ticker", "horizon_step", "mu")
+      fc.toDF("ticker", "horizon_step", "mu", "lo", "hi")
         .write.mode("overwrite").parquet(store)
       s.read.parquet(store)
     })
@@ -351,6 +351,22 @@ object KernelQueries extends QueryModule {
         |  FROM sel s JOIN (SELECT ticker, MAX(rn) AS mx FROM sel GROUP BY 1) m
         |    ON s.ticker = m.ticker
         |  GROUP BY 1),
+        |rs AS (
+        |  SELECT r.ticker, r.rn,
+        |    (r.y - ((k.b0 + r.l1*k.b1) + r.l2*k.b2))
+        |      * (r.y - ((k.b0 + r.l1*k.b1) + r.l2*k.b2)) AS rss
+        |  FROM rows3 r JOIN k0 k ON r.ticker = k.ticker WHERE r.rn = 3
+        |  UNION ALL
+        |  SELECT r.ticker, r.rn,
+        |    rs.rss + (r.y - ((k.b0 + r.l1*k.b1) + r.l2*k.b2))
+        |      * (r.y - ((k.b0 + r.l1*k.b1) + r.l2*k.b2))
+        |  FROM rows3 r
+        |  JOIN rs ON r.ticker = rs.ticker AND r.rn = rs.rn + 1
+        |  JOIN k0 k ON r.ticker = k.ticker),
+        |sg AS (
+        |  SELECT a.ticker,
+        |    sqrt(GREATEST(CAST(1e-12 AS DOUBLE), f.rss / a.s00)) AS se
+        |  FROM nf a JOIN rs f ON a.ticker = f.ticker AND f.rn = a.rn),
         |fc AS (
         |  SELECT k.ticker, 1 AS h, k.b0 + (k.b1*l.xa + k.b2*l.xb) AS p,
         |         l.xa AS prev
@@ -358,6 +374,9 @@ object KernelQueries extends QueryModule {
         |  UNION ALL
         |  SELECT f.ticker, f.h + 1, k.b0 + (k.b1*f.p + k.b2*f.prev), f.p
         |  FROM fc f JOIN k0 k ON f.ticker = k.ticker WHERE f.h < 5)
-        |SELECT ticker, h AS horizon_step, p AS mu FROM fc""".stripMargin
+        |SELECT f.ticker, f.h AS horizon_step, f.p AS mu,
+        |  f.p - CAST(1.959963984540054 AS DOUBLE) * g.se AS lo,
+        |  f.p + CAST(1.959963984540054 AS DOUBLE) * g.se AS hi
+        |FROM fc f JOIN sg g ON f.ticker = g.ticker""".stripMargin
   )
 }
