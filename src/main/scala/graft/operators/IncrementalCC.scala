@@ -59,8 +59,12 @@ object IncrementalCC {
     * empty frame is fine); passing a non-canonical table would break
     * the representative reduction, so labels are NOT re-derived here.
     */
+  /** `maxLocalEdges`: reduced graphs at or below this take the bounded
+    * collect → driver union-find fast path; larger ones (a bulk
+    * backfill) go through the distributed star contraction. */
   def step(comps: DataFrame, pairs: DataFrame,
-      srcCol: String = "src", dstCol: String = "dst"): Step = {
+      srcCol: String = "src", dstCol: String = "dst",
+      maxLocalEdges: Int = 100000): Step = {
     val e = pairs.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -94,7 +98,6 @@ object IncrementalCC {
     // jobs on a graph of a few hundred edges. Batches past the bound
     // (a bulk backfill) fall back to runStars, whose own hybrid local
     // finish takes over once contraction shrinks the edge set.
-    val maxLocalEdges = 100000
     val s = pairs.sparkSession
     import s.implicits._
     val redRows = red.limit(maxLocalEdges + 1)

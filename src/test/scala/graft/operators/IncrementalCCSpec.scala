@@ -72,6 +72,20 @@ class IncrementalCCSpec extends AnyFunSuite with TestSpark {
       50L -> 50L, 51L -> 50L))
   }
 
+  test("distributed fallback (maxLocalEdges=0) produces the same step as the driver fast path") {
+    val s = spark; import s.implicits._
+    val comps0 = Seq((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("node", "component")
+    val batch = Seq((5L, 11L), (11L, 21L), (30L, 31L)).toDF("src", "dst")
+    val fast = IncrementalCC.step(comps0, batch)
+    val dist = IncrementalCC.step(comps0, batch, maxLocalEdges = 0)
+    assert(compsOf(fast.delta) === compsOf(dist.delta))
+    assert(compsOf(fast.updated) === compsOf(dist.updated))
+    // the merge itself is right: 5 joins {10,11}+{20,21} → all label 5
+    assert(compsOf(fast.updated) === Map(5L -> 5L, 10L -> 5L, 11L -> 5L,
+      20L -> 5L, 21L -> 5L, 30L -> 30L, 31L -> 30L))
+  }
+
   test("within-component pair is a no-op delta; brand-new pair adds exactly two rows") {
     val s = spark; import s.implicits._
     val comps0 = Seq((10L, 10L), (11L, 10L)).toDF("node", "component")
