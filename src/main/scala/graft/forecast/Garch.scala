@@ -233,8 +233,29 @@ object Garch {
     best.getOrElse(ewmaAsGarch)
   }
 
+  /** The (1,1) conditional-variance filter itself — the recursion
+    * negLogLik and forecastVol share, exposed so the oracle gate (q149)
+    * can pin its floats: h_1 = Σr²/n (unconditional init, summed in
+    * array order), h_i = ω + α·r²_{i−1} + β·h_{i−1}. */
+  def variancePath(r: Array[Double], omega: Double, alpha: Double,
+      beta: Double): Array[Double] = {
+    if (r.isEmpty) return Array.empty
+    val out = new Array[Double](r.length)
+    out(0) = r.map(x => x * x).sum / r.length
+    var i = 1
+    while (i < r.length) {
+      out(i) = omega + alpha * r(i - 1) * r(i - 1) + beta * out(i - 1)
+      i += 1
+    }
+    out
+  }
+
   /** h-step conditional variance forecast:
-    * h_{t+k} = σ²_∞ + (α+β)^{k−1}(h_{t+1} − σ²_∞). */
+    * h_{t+k} = σ²_∞ + (α+β)^{k−1}(h_{t+1} − σ²_∞). The power term is a
+    * cumulative product (pk ← pk·ρ per step) rather than math.pow — the
+    * same recursion the closed form telescopes from, and bit-replayable
+    * across engines (libm pow implementations differ in the last ulp),
+    * which is what lets q149 hash-gate this path. */
   def forecastVol(returns: Array[Double], fit: Fit, horizon: Int): Array[Double] = {
     val r0 = clip(returns)
     if (r0.isEmpty) return Array.fill(horizon)(0.0)
@@ -245,17 +266,18 @@ object Garch {
         r0.drop(1).zip(r0.dropRight(1)).map { case (b, a) =>
           b - fit.meanC - fit.meanPhi * a }
       else r0
-    var h = r.map(x => x * x).sum / r.length
-    var i = 1
-    while (i < r.length) {
-      h = fit.omega + fit.alpha * r(i - 1) * r(i - 1) + fit.beta * h
-      i += 1
-    }
+    val h = variancePath(r, fit.omega, fit.alpha, fit.beta).last
     val h1 = fit.omega + fit.alpha * r.last * r.last + fit.beta * h
     val persistence = fit.alpha + fit.beta
     val longRun = if (persistence < 1) fit.omega / (1 - persistence) else h1
-    (1 to horizon).map { k =>
-      math.sqrt(math.max(0.0, longRun + math.pow(persistence, k - 1.0) * (h1 - longRun)))
-    }.toArray
+    val out = new Array[Double](horizon)
+    var pk = 1.0
+    var k = 0
+    while (k < horizon) {
+      out(k) = math.sqrt(math.max(0.0, longRun + pk * (h1 - longRun)))
+      pk *= persistence
+      k += 1
+    }
+    out
   }
 }
