@@ -17,9 +17,24 @@ object Tables {
     // microsecond TIMESTAMP, so oracle comparisons agree.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    val shimmed =
+      if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    normalizeTimestamps(shimmed)
+  }
+
+  /** Canonicalize TIMESTAMP_NTZ columns to TIMESTAMP. The driver's testdata
+    * has flipped between TIMESTAMP(NANOS) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false); the latter makes Spark 4 infer TimestampNTZType,
+    * which `unix_micros` and `Row.getTimestamp` both reject. The session runs
+    * in UTC, so the cast is value-preserving and matches how DuckDB reads the
+    * same naive file into its microsecond TIMESTAMP — oracle hashes agree. */
+  private def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    ntz.foldLeft(df)((d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("timestamp")))
   }
 
   /** Register every testdata table as a temp view for spark.sql use. */

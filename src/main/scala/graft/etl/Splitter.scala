@@ -32,7 +32,9 @@ object Splitter {
     * [[chronological]]/[[cvFolds]] and pipeline.AutoTrader. */
   private[graft] def distinctDates(df: DataFrame,
       dateCol: String = "date"): Array[java.sql.Timestamp] = {
-    val distinctDs = df.select(col(dateCol).as("date")).distinct()
+    // cast("timestamp") tolerates a TIMESTAMP_NTZ date column (drifting
+    // testdata parquet) — rows then always carry java.sql.Timestamp.
+    val distinctDs = df.select(col(dateCol).cast("timestamp").as("date")).distinct()
     val probe = distinctDs.limit(1000001).count()
     require(probe <= 1000000,
       s"date dimension unexpectedly large (>$probe rows) — not a bar-frequency table")
