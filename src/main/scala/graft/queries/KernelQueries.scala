@@ -171,6 +171,49 @@ object KernelQueries extends QueryModule {
       fc.toDF("ticker", "horizon_step", "mu", "lo", "hi")
         .write.mode("overwrite").parquet(store)
       s.read.parquet(store)
+    }),
+
+    // The GARCH(1,1) conditional-variance filter + σ horizon forecast
+    // under the hash gate — the engine's Garch.variancePath (h₁ = Σr²/n
+    // unconditional init in array order, hᵢ = ω + α·r²ᵢ₋₁ + β·hᵢ₋₁) and
+    // Garch.forecastVol's cumulative-product horizon path (pk ← pk·ρ, no
+    // math.pow — bit-replayable across engines; reference
+    // forcester_ts/garch.py:643-738). Params are fixed canonical literals
+    // (the MLE fit is Nelder–Mead, spec territory — the q134 pattern of
+    // pinning the FILTER, not the estimator); clip at p99.5 |r| replays
+    // q114's rank arithmetic. Output carries the FULL in-sample variance
+    // path (kind='h') plus the 5-step σ forecast (kind='fc'), through a
+    // parquet persist → read-back round trip, hash-exact, no tolerance.
+    "q149_garch_vol_path" -> ((s, dir) => {
+      import s.implicits._
+      val fit = graft.forecast.Garch.Fit(omega = 2e-6, alpha = 0.08,
+        beta = 0.90, persistence = 0.98, logLik = 0.0, converged = true,
+        usedEwma = false)
+      val out = Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", $"price")
+        .as[(String, java.sql.Timestamp, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (ticker, rows) =>
+          val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+          val rets = sorted.sliding(2).collect {
+            case Array(a, b) => b._4 / a._4 - 1
+          }.toArray
+          if (rets.length < 3) Iterator.empty
+          else {
+            val clipped = graft.forecast.Garch.clip(rets)
+            val path = graft.forecast.Garch.variancePath(
+              clipped, fit.omega, fit.alpha, fit.beta)
+            val sig = graft.forecast.Garch.forecastVol(rets, fit, horizon = 5)
+            path.iterator.zipWithIndex.map { case (h, i) =>
+              (ticker, "h", (i + 1).toLong, h) } ++
+              sig.iterator.zipWithIndex.map { case (sg, k) =>
+                (ticker, "fc", (k + 1).toLong, sg) }
+          }
+        }
+      val store = scratch("garch_vol_path")
+      out.toDF("ticker", "kind", "step", "value")
+        .write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
     })
   )
 
@@ -377,6 +420,72 @@ object KernelQueries extends QueryModule {
         |SELECT f.ticker, f.h AS horizon_step, f.p AS mu,
         |  f.p - CAST(1.959963984540054 AS DOUBLE) * g.se AS lo,
         |  f.p + CAST(1.959963984540054 AS DOUBLE) * g.se AS hi
-        |FROM fc f JOIN sg g ON f.ticker = g.ticker""".stripMargin
+        |FROM fc f JOIN sg g ON f.ticker = g.ticker""".stripMargin,
+
+    // Replays Garch.variancePath + forecastVol op-for-op: simple returns
+    // in (ts, seq) order → clip at the abs value ranked
+    // floor(0.995·(m−1))+1 (Garch.clip's index arithmetic, as in q114) →
+    // Σc² accumulated in ascending array order (a recursive CTE — plain
+    // SUM() need not fold left-to-right) → h recursion carrying the
+    // previous clipped return → h1 = ω + α·c_m² + β·h_m, long-run
+    // ω/(1−ρ), and the pk←pk·ρ cumulative-product forecast. Every
+    // literal CAST to DOUBLE so DuckDB folds the same IEEE constants
+    // Scala uses.
+    "q149_garch_vol_path" ->
+      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+         |rets AS (
+         |  SELECT ticker,
+         |    price / lag(price, 1) OVER (PARTITION BY ticker ORDER BY ts, seq) - 1 AS r,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) - 1 AS rn
+         |  FROM bars),
+         |r2 AS (
+         |  SELECT ticker, r, rn, count(*) OVER (PARTITION BY ticker) AS m
+         |  FROM rets WHERE r IS NOT NULL),
+         |caps AS (
+         |  SELECT ticker, aval AS cap FROM (
+         |    SELECT ticker, ABS(r) AS aval, m,
+         |           row_number() OVER (PARTITION BY ticker ORDER BY ABS(r)) AS arn
+         |    FROM r2) ranked
+         |  WHERE arn = CAST(FLOOR(CAST(0.995 AS DOUBLE) * (m - 1)) AS BIGINT) + 1),
+         |clipped AS (
+         |  SELECT r2.ticker, r2.rn, r2.m,
+         |         GREATEST(-caps.cap, LEAST(caps.cap, r2.r)) AS c
+         |  FROM r2 JOIN caps ON r2.ticker = caps.ticker
+         |  WHERE r2.m >= 3),
+         |ss AS (
+         |  SELECT ticker, rn, m, c * c AS sq FROM clipped WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.ticker, t.rn, t.m, ss.sq + t.c * t.c
+         |  FROM clipped t JOIN ss ON t.ticker = ss.ticker AND t.rn = ss.rn + 1),
+         |h1u AS (SELECT ticker, sq / m AS h0 FROM ss WHERE rn = m),
+         |hrec AS (
+         |  SELECT c.ticker, c.rn, c.m, c.c, h1u.h0 AS h
+         |  FROM clipped c JOIN h1u ON c.ticker = h1u.ticker WHERE c.rn = 1
+         |  UNION ALL
+         |  SELECT t.ticker, t.rn, t.m, t.c,
+         |    CAST(2e-6 AS DOUBLE) + CAST(0.08 AS DOUBLE) * hrec.c * hrec.c
+         |      + CAST(0.90 AS DOUBLE) * hrec.h
+         |  FROM clipped t JOIN hrec ON t.ticker = hrec.ticker AND t.rn = hrec.rn + 1),
+         |fstart AS (
+         |  SELECT ticker,
+         |    CAST(2e-6 AS DOUBLE) + CAST(0.08 AS DOUBLE) * c * c
+         |      + CAST(0.90 AS DOUBLE) * h AS h1f
+         |  FROM hrec WHERE rn = m),
+         |fc AS (
+         |  SELECT ticker, 1 AS k, CAST(1 AS DOUBLE) AS pk, h1f FROM fstart
+         |  UNION ALL
+         |  SELECT ticker, k + 1,
+         |    pk * (CAST(0.08 AS DOUBLE) + CAST(0.90 AS DOUBLE)), h1f
+         |  FROM fc WHERE k < 5)
+         |SELECT ticker, 'h' AS kind, rn AS step, h AS value FROM hrec
+         |UNION ALL
+         |SELECT ticker, 'fc' AS kind, CAST(k AS BIGINT) AS step,
+         |  SQRT(GREATEST(CAST(0 AS DOUBLE),
+         |    CAST(2e-6 AS DOUBLE)
+         |      / (CAST(1 AS DOUBLE) - (CAST(0.08 AS DOUBLE) + CAST(0.90 AS DOUBLE)))
+         |    + pk * (h1f - CAST(2e-6 AS DOUBLE)
+         |      / (CAST(1 AS DOUBLE) - (CAST(0.08 AS DOUBLE) + CAST(0.90 AS DOUBLE))))))
+         |    AS value
+         |FROM fc""".stripMargin
   )
 }
