@@ -1,0 +1,84 @@
+package graft
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.types.TimestampNTZType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema-drift alarm. The driver's testdata parquet has drifted twice
+  * (TIMESTAMP(NANOS) → long shim; TIMESTAMP(MICROS, isAdjustedToUTC=false)
+  * → TIMESTAMP_NTZ), each time surfacing as a confusing downstream failure
+  * (an `unix_micros` AnalysisException inside a window query, a
+  * `LocalDateTime cannot be cast to Timestamp` in a split collect). This
+  * spec pins the canonical post-normalization schema of every testdata
+  * table and analyzes every registered query, so the THIRD drift is named
+  * as what it is: the table, the column, and the type that moved.
+  */
+class SchemaGuardSpec extends AnyFunSuite with TestSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // canonical Spark types AFTER Tables.load normalization: naive parquet
+  // timestamps must surface as TIMESTAMP (not TIMESTAMP_NTZ), nanos as a
+  // shimmed TIMESTAMP — never as raw long
+  private val canonical: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+      "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int")
+  )
+
+  test("every testdata table loads with its canonical normalized schema") {
+    val s = spark
+    val drift = Tables.all.flatMap { name =>
+      val df = Tables.load(s, dir, name)
+      val got = df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+      val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+        .map(f => s"$name.${f.name}: TIMESTAMP_NTZ leaked through Tables.load")
+      val mismatch =
+        if (got == canonical(name)) Nil
+        else Seq(s"$name schema drifted:\n  expected ${canonical(name)}\n  got      $got")
+      ntz ++ mismatch
+    }
+    assert(drift.isEmpty, drift.mkString("\n"))
+  }
+
+  test("every registered query constructs and analyzes against real parquet") {
+    val s = spark
+    // construction + analysis only (no execution): a failure here names
+    // the query and the underlying type error instead of surfacing as a
+    // windows-audit casualty or a silent verify skip
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        Try(fn(s, dir).queryExecution.analyzed) match {
+          case Success(_) => Nil
+          case Failure(e) =>
+            Seq(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.take(300)}")
+        }
+    }
+    assert(broken.isEmpty, broken.mkString("\n"))
+  }
+}
