@@ -43,21 +43,41 @@ object Splitter {
 
   private def dates(df: DataFrame): Array[java.sql.Timestamp] = distinctDates(df)
 
-  /** Tag each row train/validation/testing by unique-date fractions. */
+  /** Tag each row train/validation/testing by unique-date fractions.
+    *
+    * FULLY LAZY — no driver collect: the cut-points are rank bounds on
+    * the distinct-date dimension, computed in-plan (the same arithmetic
+    * the eager version did on a collected array: rank ≤ min(nTrain, n−2)
+    * → training, rank ≤ min(nTrain+nVal, n−1) → validation). The tiny
+    * tag dim broadcasts back onto the fact side, so a malformed table
+    * fails at ACTION time inside this query only, never at construction;
+    * the ≥3-distinct-dates contract is enforced in-plan via assert_true.
+    * The rank window is unpartitioned BY DESIGN over the already
+    * aggregated (distinct) date dim — ExplainAudit's dim-evidence shape.
+    * Null dates tag "testing", as the eager `otherwise` branch did. */
   def chronological(
       df: DataFrame,
       trainFrac: Double = 0.70,
       valFrac: Double = 0.15): DataFrame = {
-    val ds = dates(df)
-    require(ds.length >= 3, s"need >=3 distinct dates, got ${ds.length}")
-    val nTrain = math.max(1, math.round(ds.length * trainFrac).toInt)
-    val nVal = math.max(1, math.round(ds.length * valFrac).toInt)
-    val trainEnd = ds(math.min(nTrain, ds.length - 2) - 1)
-    val valEnd = ds(math.min(nTrain + nVal, ds.length - 1) - 1)
-    df.withColumn("split",
-      when(col("date") <= lit(trainEnd), "training")
-        .when(col("date") <= lit(valEnd), "validation")
-        .otherwise("testing"))
+    import org.apache.spark.sql.expressions.Window
+    val dates = df.select(col("date").cast("timestamp").as("__d")).distinct()
+    val ranked = dates.withColumn("__rn",
+      row_number().over(Window.orderBy(col("__d"))))
+    val params = dates.agg(count(lit(1)).as("__n"))
+      .select(col("__n"),
+        greatest(lit(1L), round(col("__n") * lit(trainFrac)).cast("long")).as("__ntr"),
+        greatest(lit(1L), round(col("__n") * lit(valFrac)).cast("long")).as("__nva"))
+      .where(assert_true(col("__n") >= 3,
+        concat(lit("need >=3 distinct dates, got "), col("__n"))).isNull)
+    val tags = ranked.crossJoin(broadcast(params))
+      .select(col("__d"),
+        when(col("__rn") <= least(col("__ntr"), col("__n") - 2), "training")
+          .when(col("__rn") <= least(col("__ntr") + col("__nva"), col("__n") - 1),
+            "validation")
+          .otherwise("testing").as("__split"))
+    df.join(broadcast(tags), df("date") === col("__d"), "left")
+      .withColumn("split", coalesce(col("__split"), lit("testing")))
+      .drop("__d", "__split")
   }
 
   final case class FoldSpec(foldId: Int, trainStart: java.sql.Timestamp,
@@ -83,6 +103,41 @@ object Splitter {
       val trainStart = if (expanding) 0 else (f - 1) * foldSize
       FoldSpec(f, cv(trainStart), cv(valStart - gap - 1), cv(valStart), cv(valEnd))
     }
+  }
+
+  /** Lazy [[cvFolds]]+[[tagFolds]] in one plan — no driver collect. The
+    * fold boundaries are rank bounds on the distinct-date dim (the same
+    * index arithmetic cvFolds does on the collected array: expanding
+    * train = ranks [1, f·fs−gap], rolling = [(f−1)·fs+1, f·fs−gap],
+    * validation = ranks [f·fs+1, min((f+1)·fs, cv)]); the k-row fold dim
+    * is generated in-plan and broadcast onto the fact side. The
+    * foldSize>gap contract is enforced via assert_true at action time. */
+  def cvFoldTags(df: DataFrame, k: Int, testFrac: Double = 0.15,
+      expanding: Boolean = true, gap: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dates = df.select(col("date").cast("timestamp").as("__d")).distinct()
+    val ranked = dates.withColumn("__rn",
+      row_number().over(Window.orderBy(col("__d"))))
+    val params = dates.agg(count(lit(1)).as("__n"))
+      .select((col("__n") - round(col("__n") * lit(testFrac)).cast("long")).as("__cv"))
+      .select(col("__cv"), floor(col("__cv") / lit(k + 1)).cast("long").as("__fs"))
+      .where(assert_true(col("__fs") > gap,
+        concat(lit("fold size "), col("__fs"), lit(s" must exceed gap $gap"))).isNull)
+    val trainLo =
+      if (expanding) lit(1L) else (col("fold_id") - 1) * col("__fs") + 1
+    val foldDim = params
+      .select(col("__cv"), col("__fs"),
+        explode(sequence(lit(1), lit(k))).as("fold_id"))
+      .select(col("fold_id"), trainLo.as("__tlo"),
+        (col("fold_id") * col("__fs") - gap).as("__thi"),
+        (col("fold_id") * col("__fs") + 1).as("__vlo"),
+        least((col("fold_id") + 1) * col("__fs"), col("__cv")).as("__vhi"))
+    val tagDim = ranked.join(broadcast(foldDim),
+        col("__rn").between(col("__tlo"), col("__thi")) ||
+          col("__rn").between(col("__vlo"), col("__vhi")))
+      .select(col("__d"), col("fold_id"),
+        when(col("__rn") <= col("__thi"), "train").otherwise("validation").as("role"))
+    df.join(broadcast(tagDim), df("date") === col("__d")).drop("__d")
   }
 
   /** Tag rows with (fold_id, role) — one output row per (row, fold) via a

@@ -24,11 +24,11 @@ object SplitQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), dsum(col("close")).as("sum_close"))
     }),
 
-    // expanding k-fold CV fold/role census (time_series_cv.py:55-322)
+    // expanding k-fold CV fold/role census (time_series_cv.py:55-322) —
+    // the lazy rank-join path (no driver collect at construction); the
+    // eager FoldSpec API stays spec-covered for pipeline consumers
     "q81_cv_folds" -> ((s, dir) => {
-      val bars = asBars(s, dir)
-      val folds = Splitter.cvFolds(bars, k = 4)
-      Splitter.tagFolds(bars, folds)
+      Splitter.cvFoldTags(asBars(s, dir), k = 4)
         .groupBy(col("fold_id"), col("role"))
         .agg(count(lit(1)).as("n"))
     }),
