@@ -29,7 +29,7 @@ object Garch {
     returns.map(r => math.max(-cap, math.min(cap, r)))
   }
 
-  private def negLogLik(r: Array[Double], omega: Double, alpha: Double, beta: Double): Double = {
+  private[forecast] def negLogLik(r: Array[Double], omega: Double, alpha: Double, beta: Double): Double = {
     if (omega <= 0 || alpha < 0 || beta < 0 || alpha + beta >= 0.9999) return 1e12
     val n = r.length
     var h = r.map(x => x * x).sum / n // unconditional init
@@ -47,7 +47,7 @@ object Garch {
   /** Student-t negative log-likelihood with unit-variance scaling: the
     * innovation is t_ν scaled so Var = h_t, i.e. density uses h(ν−2)/ν.
     * Same variance recursion as the Gaussian filter. */
-  private def negLogLikT(r: Array[Double], omega: Double, alpha: Double,
+  private[forecast] def negLogLikT(r: Array[Double], omega: Double, alpha: Double,
       beta: Double, nu: Double): Double = {
     if (omega <= 0 || alpha < 0 || beta < 0 || alpha + beta >= 0.9999 ||
       nu <= 2.05 || nu > 200) return 1e12
@@ -74,7 +74,7 @@ object Garch {
     * where c = Γ((ν+1)/2)/(√(π(ν−2))·Γ(ν/2)), a = 4λc(ν−2)/(ν−1),
     * b² = 1+3λ²−a². λ=0 reduces exactly to the standardized t. Same
     * variance recursion as the Gaussian/t filters; r_t = √h_t · z_t. */
-  private def negLogLikSkewT(r: Array[Double], omega: Double, alpha: Double,
+  private[forecast] def negLogLikSkewT(r: Array[Double], omega: Double, alpha: Double,
       beta: Double, nu: Double, lambda: Double): Double = {
     if (omega <= 0 || alpha < 0 || beta < 0 || alpha + beta >= 0.9999 ||
       nu <= 2.05 || nu > 200 || lambda <= -0.99 || lambda >= 0.99) return 1e12

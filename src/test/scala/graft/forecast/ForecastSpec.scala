@@ -134,6 +134,59 @@ class ForecastSpec extends AnyFunSuite with TestSpark {
     assert(Garch.fit(rz).mean === "Zero")
   }
 
+  test("variancePath is the one (1,1) filter: every likelihood rebuilt from it is bit-identical") {
+    // guards against the filter copies desynchronizing: the hash-gated
+    // forecast path (q149) runs through variancePath, while the three
+    // likelihood loops keep inline recursions for streaming O(1) memory —
+    // rebuild each likelihood from variancePath's h-sequence with the
+    // same op order and require bit equality, for several parameter sets
+    def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+    val rng = new Random(7)
+    val r = Array.fill(300)(rng.nextGaussian() * 0.01)
+    for ((om, al, be) <- Seq((1e-6, 0.05, 0.90), (5e-6, 0.10, 0.85),
+        (2e-6, 0.08, 0.90))) {
+      val h = Garch.variancePath(r, om, al, be)
+      var nll = 0.0
+      var i = 0
+      while (i < r.length) {
+        nll += 0.5 * (math.log(2 * math.Pi) + math.log(h(i)) + r(i) * r(i) / h(i))
+        i += 1
+      }
+      assert(bits(nll) === bits(Garch.negLogLik(r, om, al, be)))
+
+      val nu = 8.0
+      val cst = Garch.lnGamma((nu + 1) / 2) - Garch.lnGamma(nu / 2) -
+        0.5 * math.log(math.Pi * (nu - 2))
+      var nllT = 0.0
+      i = 0
+      while (i < r.length) {
+        nllT -= cst - 0.5 * math.log(h(i)) -
+          ((nu + 1) / 2) * math.log1p(r(i) * r(i) / (h(i) * (nu - 2)))
+        i += 1
+      }
+      assert(bits(nllT) === bits(Garch.negLogLikT(r, om, al, be, nu)))
+
+      val lambda = 0.2
+      val lnc = cst
+      val c = math.exp(lnc)
+      val a = 4 * lambda * c * (nu - 2) / (nu - 1)
+      val b2 = 1 + 3 * lambda * lambda - a * a
+      val b = math.sqrt(b2)
+      val lnb = 0.5 * math.log(b2)
+      var nllS = 0.0
+      i = 0
+      while (i < r.length) {
+        val z = r(i) / math.sqrt(h(i))
+        val denom = if (z < -a / b) 1 - lambda else 1 + lambda
+        val t = (b * z + a) / denom
+        nllS -= lnb + lnc -
+          ((nu + 1) / 2) * math.log1p(t * t / (nu - 2)) - 0.5 * math.log(h(i))
+        i += 1
+      }
+      assert(bits(nllS) === bits(Garch.negLogLikSkewT(r, om, al, be, nu, lambda)))
+    }
+  }
+
   test("GARCH falls back to EWMA on short samples") {
     val r = Array.fill(20)(0.01)
     val fit = Garch.fit(r)
