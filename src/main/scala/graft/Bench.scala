@@ -81,11 +81,12 @@ object Bench {
     // comparisons divide by it to normalize for host contention (the
     // r8 cc_soak read 3-13× under load); excluded from the headline
     // total — it measures the box, not the engine.
-    work += "calib" -> (() =>
+    def calibJob(): Unit =
       spark.range(50000000L)
         .selectExpr("pmod(id * 2654435761, 1024) AS k", "id AS v")
         .groupBy("k").sum("v")
-        .write.format("noop").mode("overwrite").save())
+        .write.format("noop").mode("overwrite").save()
+    work += "calib" -> (() => calibJob())
     if (only.isEmpty) {
       val etlTmp = java.nio.file.Files.createTempDirectory("graft_bench_etl").toString
       // extraction is a CACHE-HIT read (parquet written once, outside the
@@ -266,9 +267,27 @@ object Bench {
           System.err.println(s"[bench] stream soak FAILED: $t"); Seq.empty
       }
 
+    // Soak-phase box factor: the soaks are single-shot and run MINUTES
+    // after the round-robin calib, and r8-r10 showed 3x raw swings in
+    // them with zero code change while the round-robin calib moved only
+    // 1.3x — contention during the soak phase specifically. A calib
+    // probe timed HERE (calib_soak) plus calib-relative soak entries
+    // (*_x = raw / calib_soak) make cross-round soak comparisons read
+    // box-factor-free; raw seconds stay alongside.
+    val soakNorm: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else {
+        val t0 = System.nanoTime(); calibJob()
+        val calibSoak = (System.nanoTime() - t0) / 1e9
+        ("calib_soak" -> calibSoak) +: (soak ++ streamSoak).map {
+          case (n, v) =>
+            (n.replace("_1m", "") + "_x") -> v / calibSoak
+        }
+      }
+
     val results: Seq[(String, Double)] =
       work.map { case (name, _) => name -> best.getOrElse(name, lastDur(name)) }
-        .toSeq ++ soak ++ streamSoak
+        .toSeq ++ soak ++ streamSoak ++ soakNorm
     // Seconds at 2-decimal precision: the driver keeps only a ~2000-char
     // tail of stdout, so the single JSON line must stay well under that
     // or the HEAD of the JSON gets truncated away (r6's full-name line
@@ -288,7 +307,7 @@ object Bench {
     // the BOX, not the engine — report it, don't sum it.
     val total = results
       .filterNot(r => r._1.startsWith("cc_soak") || r._1.startsWith("ss_")
-        || r._1 == "calib")
+        || r._1.startsWith("calib"))
       .map(_._2).sum
     // Print the JSON line as the LAST stdout output of the JVM: silence
     // Spark and stop the session first so no shutdown log line can trail

@@ -157,16 +157,36 @@ object ServeQueries extends QueryModule {
 /** One-time materialization of the pipeline artifacts the serve arms
   * read: pair table (q90), cluster table (q95), contamination (q125),
   * per-doc decisions (q127), k-means assignment (q138's fit). Keyed by
-  * sf-dir path + source-table mtimes, so regenerated testdata rebuilds
-  * instead of serving stale artifacts. */
+  * sf-dir path + a per-file CONTENT fingerprint (length + mtime + first
+  * and last 4 KB — the parquet footer with its row-group stats lives in
+  * the tail), so a regenerated corpus rebuilds even when its mtime is
+  * unchanged, at O(8 KB) per file regardless of table size. */
 object ServeArtifacts {
 
-  private def key(dir: String): String = {
-    val mtimes = Seq("documents.parquet", "embeddings.parquet")
-      .map(t => new java.io.File(dir, t))
-      .map(f => if (f.exists) f.lastModified else 0L)
+  private def fingerprint(f: java.io.File): String = {
+    if (!f.exists) return "absent"
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$dir:${mtimes.mkString(",")}".getBytes("UTF-8"))
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val n = raf.length
+      md.update(java.nio.ByteBuffer.allocate(16)
+        .putLong(n).putLong(f.lastModified).array)
+      val head = new Array[Byte](math.min(4096L, n).toInt)
+      raf.readFully(head); md.update(head)
+      if (n > 4096) {
+        raf.seek(n - 4096)
+        val tail = new Array[Byte](4096)
+        raf.readFully(tail); md.update(tail)
+      }
+    } finally raf.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private[queries] def key(dir: String): String = {
+    val prints = Seq("documents.parquet", "embeddings.parquet")
+      .map(t => fingerprint(new java.io.File(dir, t)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$dir:${prints.mkString(",")}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     hex.take(12)
   }
