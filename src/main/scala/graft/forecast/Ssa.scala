@@ -17,6 +17,29 @@ object Ssa {
   final case class Decomposition(window: Int, rank: Int,
       reconstruction: Array[Double], explainedVariance: Double)
 
+  /** C = A·B with explicit ascending-k scalar accumulation. The breeze
+    * `*` would route through gemm whose blocking/accumulation order is
+    * an implementation detail; these matrices are tiny (window ≤ a few
+    * dozen rows), and a SPECIFIED op order is what lets the q150 oracle
+    * replay the reconstruction bit-exactly (the Garch pow→cumprod
+    * rationale). */
+  private[forecast] def mm(a: DenseMatrix[Double], b: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val out = DenseMatrix.zeros[Double](a.rows, b.cols)
+    var i = 0
+    while (i < a.rows) {
+      var j = 0
+      while (j < b.cols) {
+        var s = 0.0
+        var k = 0
+        while (k < a.cols) { s += a(i, k) * b(k, j); k += 1 }
+        out(i, j) = s
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Left singular structure of H from the window×window Gram matrix
     * H·Hᵀ via the pure-Scala Jacobi eigensolver (LinAlg.eigSym — LAPACK
     * dgesdd is not reentrant, see LinAlg's scaladoc). Returns
@@ -24,7 +47,7 @@ object Ssa {
     * U and σ²: the rank-r reconstruction is the projector U_r·U_rᵀ·H
     * (no V, no σ division), and R-forecasting only reads U. */
   private def gramEig(h: DenseMatrix[Double]): (DenseVector[Double], DenseMatrix[Double]) =
-    LinAlg.eigSym(h * h.t)
+    LinAlg.eigSym(mm(h, h.t))
 
   def hankel(x: Array[Double], window: Int): DenseMatrix[Double] = {
     val k = x.length - window + 1
@@ -46,7 +69,7 @@ object Ssa {
     }
     // low-rank trajectory matrix via the left-projector (no V needed)
     val u = uu(::, 0 until rank)
-    val approx = u * (u.t * h)
+    val approx = mm(u, mm(u.t, h))
     // diagonal averaging back to a series
     val n = x.length
     val recon = new Array[Double](n)
@@ -76,13 +99,13 @@ object Ssa {
     rank = math.max(1, math.min(rank, window - 1))
     // recurrence coefficients from leading left singular vectors
     val pi = DenseVector((0 until rank).map(c => uu(window - 1, c)).toArray)
-    val nu2 = pi.t * pi
+    val nu2 = { var s = 0.0; var c = 0; while (c < rank) { s += pi(c) * pi(c); c += 1 }; s }
     if (nu2 >= 1.0 - 1e-9) {
       // degenerate (verticality ~1): fall back to last-value forecast
       return Array.fill(horizon)(x.last)
     }
     val uHead = uu(0 until window - 1, 0 until rank)
-    val rCoef = (uHead * pi) * (1.0 / (1.0 - nu2)) // length window-1, oldest→newest
+    val rCoef = mm(uHead, pi.toDenseMatrix.t)(::, 0) * (1.0 / (1.0 - nu2)) // length window-1, oldest→newest
     val recon = decompose(x, window, varianceTarget).reconstruction
     val hist = scala.collection.mutable.ArrayBuffer(recon.toSeq: _*)
     (1 to horizon).map { _ =>

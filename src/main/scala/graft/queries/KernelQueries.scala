@@ -214,6 +214,44 @@ object KernelQueries extends QueryModule {
       out.toDF("ticker", "kind", "step", "value")
         .write.mode("overwrite").parquet(store)
       s.read.parquet(store)
+    }),
+
+    // SSA reconstruction under the hash gate — the last unanchored
+    // forecast-kernel float family (reference forcester_ts/samossa.py:
+    // 116-197: Hankel → SVD → variance-target rank → diagonal
+    // averaging). Window fixed at 2 so the whole pipeline is SQL-
+    // unrollable while every stage stays REAL engine code: the 2×2 Gram
+    // accumulates in ascending array order (Ssa.mm), LinAlg.eigSym's
+    // Jacobi sweeps replay as a recursive CTE carrying the full
+    // (a, v) state with the engine's exact rotation op order and
+    // off>tol·scale termination, the variance-target rank pick (1 vs 2)
+    // is a CASE on the same clamped eigenvalue ratio, and the projector
+    // U_r·U_rᵀ·H + diagonal averaging unroll to scalar expressions.
+    // Rank is data-dependent per ticker and emitted, so the oracle also
+    // pins the rank-selection branch. Hash-exact, no tolerance.
+    "q150_ssa_recon" -> ((s, dir) => {
+      import s.implicits._
+      val series = graft.Tables.load(s, dir, "events")
+        .where($"event_type" === "purchase")
+        .groupBy(concat(lit("B"), $"user_id" % 3).as("ticker"),
+          date_trunc("hour", $"ts").as("h"))
+        .agg(Det.davg($"value").as("px"))
+      val fc = series.as[(String, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (t, rows) =>
+          val x = rows.toArray.sortBy(_._2.getTime).map(_._3).take(50)
+          if (x.length < 40) Iterator.empty
+          else {
+            val dec = graft.forecast.Ssa.decompose(x, window = 2)
+            dec.reconstruction.iterator.zipWithIndex.map { case (v, i) =>
+              (t, (i + 1).toLong, dec.rank, v)
+            }
+          }
+        }
+      val store = scratch("ssa_recon")
+      fc.toDF("ticker", "idx", "rank", "value")
+        .write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
     })
   )
 
@@ -486,6 +524,125 @@ object KernelQueries extends QueryModule {
          |    + pk * (h1f - CAST(2e-6 AS DOUBLE)
          |      / (CAST(1 AS DOUBLE) - (CAST(0.08 AS DOUBLE) + CAST(0.90 AS DOUBLE))))))
          |    AS value
-         |FROM fc""".stripMargin
+         |FROM fc""".stripMargin,
+
+    // Replays Ssa.decompose(window=2) op-for-op: the 2×2 Gram sums
+    // accumulate ascending (recursive CTE — Ssa.mm's k-loop order), the
+    // Jacobi recursion carries the full (a00,a01,a10,a11 | v) state and
+    // reproduces LinAlg.eigSym's exact rotation sequence (column pass
+    // writes b, row pass reads b — the nested derived tables keep that
+    // two-phase order), terminating on the engine's off>1e-12·scale
+    // check with the 64-sweep cap; eigenpairs sort by (-value, index),
+    // clamp at 0, the variance-target rank branch is the same l0/total
+    // ratio, and the projector + diagonal averaging unroll exactly
+    // (interior positions (a0+a1)/2, edges count 1).
+    "q150_ssa_recon" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT 'B' || CAST(user_id % 3 AS VARCHAR) AS ticker,
+        |         date_trunc('hour', ts) AS h,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |           / COUNT(value) AS px
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |firstn AS (
+        |  SELECT ticker, h, px,
+        |         row_number() OVER (PARTITION BY ticker ORDER BY h) AS rn,
+        |         count(*) OVER (PARTITION BY ticker) AS cnt
+        |  FROM px),
+        |sel AS (SELECT ticker, rn, px FROM firstn WHERE rn <= 50 AND cnt >= 40),
+        |nn AS (SELECT ticker, MAX(rn) AS n FROM sel GROUP BY 1),
+        |prs AS (
+        |  SELECT s.ticker, s.rn AS j, s.px AS xa, s2.px AS xb
+        |  FROM sel s JOIN sel s2 ON s.ticker = s2.ticker AND s2.rn = s.rn + 1),
+        |gacc AS (
+        |  SELECT ticker, j, xa*xa AS g11, xa*xb AS g12, xb*xb AS g22
+        |  FROM prs WHERE j = 1
+        |  UNION ALL
+        |  SELECT p.ticker, p.j, g.g11 + p.xa*p.xa, g.g12 + p.xa*p.xb,
+        |         g.g22 + p.xb*p.xb
+        |  FROM prs p JOIN gacc g ON p.ticker = g.ticker AND p.j = g.j + 1),
+        |gram AS (
+        |  SELECT g.ticker, g.g11, g.g12, g.g22,
+        |         greatest(CAST(1e-300 AS DOUBLE),
+        |                  greatest(abs(g.g11), abs(g.g22))) AS scale
+        |  FROM gacc g JOIN nn ON g.ticker = nn.ticker AND g.j = nn.n - 1),
+        |jrec AS (
+        |  SELECT ticker, 0 AS sweep, g11 AS a00, g12 AS a01, g12 AS a10,
+        |         g22 AS a11,
+        |         CAST(1 AS DOUBLE) AS v00, CAST(0 AS DOUBLE) AS v01,
+        |         CAST(0 AS DOUBLE) AS v10, CAST(1 AS DOUBLE) AS v11, scale
+        |  FROM gram
+        |  UNION ALL
+        |  SELECT ticker, sweep + 1,
+        |    CASE WHEN rot THEN c*b00 - s*b10 ELSE a00 END,
+        |    CASE WHEN rot THEN c*b01 - s*b11 ELSE a01 END,
+        |    CASE WHEN rot THEN s*b00 + c*b10 ELSE a10 END,
+        |    CASE WHEN rot THEN s*b01 + c*b11 ELSE a11 END,
+        |    CASE WHEN rot THEN c*v00 - s*v01 ELSE v00 END,
+        |    CASE WHEN rot THEN s*v00 + c*v01 ELSE v01 END,
+        |    CASE WHEN rot THEN c*v10 - s*v11 ELSE v10 END,
+        |    CASE WHEN rot THEN s*v10 + c*v11 ELSE v11 END,
+        |    scale
+        |  FROM (
+        |    SELECT q2.*, c*a00 - s*a01 AS b00, s*a00 + c*a01 AS b01,
+        |           c*a10 - s*a11 AS b10, s*a10 + c*a11 AS b11
+        |    FROM (
+        |      SELECT q1.*,
+        |        CAST(1 AS DOUBLE)/sqrt(t*t + CAST(1 AS DOUBLE)) AS c,
+        |        t*(CAST(1 AS DOUBLE)/sqrt(t*t + CAST(1 AS DOUBLE))) AS s
+        |      FROM (
+        |        SELECT q0.*,
+        |          CASE WHEN theta = 0
+        |            THEN CAST(1 AS DOUBLE)
+        |              / (theta + sqrt(theta*theta + CAST(1 AS DOUBLE)))
+        |            ELSE CAST(sign(theta) AS DOUBLE)
+        |              / (abs(theta) + sqrt(theta*theta + CAST(1 AS DOUBLE))) END AS t
+        |        FROM (
+        |          SELECT jrec.*, abs(a01) > CAST(1e-300 AS DOUBLE) AS rot,
+        |            (a11 - a00) / (CAST(2 AS DOUBLE)*a01) AS theta
+        |          FROM jrec
+        |          WHERE abs(a01) > CAST(1e-12 AS DOUBLE)*scale AND sweep < 64
+        |        ) q0
+        |      ) q1
+        |    ) q2
+        |  ) q3),
+        |jfin AS (
+        |  SELECT j.* FROM jrec j
+        |  JOIN (SELECT ticker, MAX(sweep) AS ms FROM jrec GROUP BY 1) m
+        |    ON j.ticker = m.ticker AND j.sweep = m.ms),
+        |eig AS (
+        |  SELECT ticker,
+        |    greatest(CASE WHEN a00 >= a11 THEN a00 ELSE a11 END,
+        |             CAST(0 AS DOUBLE)) AS l0,
+        |    greatest(CASE WHEN a00 >= a11 THEN a11 ELSE a00 END,
+        |             CAST(0 AS DOUBLE)) AS l1,
+        |    CASE WHEN a00 >= a11 THEN v00 ELSE v01 END AS u00,
+        |    CASE WHEN a00 >= a11 THEN v10 ELSE v11 END AS u10,
+        |    CASE WHEN a00 >= a11 THEN v01 ELSE v00 END AS u01,
+        |    CASE WHEN a00 >= a11 THEN v11 ELSE v10 END AS u11
+        |  FROM jfin),
+        |eigr AS (
+        |  SELECT ticker, u00, u10, u01, u11,
+        |    CASE WHEN l0 / greatest(l0 + l1, CAST(1e-300 AS DOUBLE))
+        |           < CAST(0.90 AS DOUBLE) THEN 2 ELSE 1 END AS rank
+        |  FROM eig),
+        |appx AS (
+        |  SELECT p.ticker, p.j,
+        |    CASE WHEN e.rank = 1 THEN e.u00*(e.u00*p.xa + e.u10*p.xb)
+        |         ELSE e.u00*(e.u00*p.xa + e.u10*p.xb)
+        |            + e.u01*(e.u01*p.xa + e.u11*p.xb) END AS a0,
+        |    CASE WHEN e.rank = 1 THEN e.u10*(e.u00*p.xa + e.u10*p.xb)
+        |         ELSE e.u10*(e.u00*p.xa + e.u10*p.xb)
+        |            + e.u11*(e.u01*p.xa + e.u11*p.xb) END AS a1
+        |  FROM prs p JOIN eigr e ON p.ticker = e.ticker)
+        |SELECT s.ticker, s.rn AS idx, e.rank,
+        |  CASE WHEN s.rn = 1 THEN c0.a0
+        |       WHEN s.rn = nn.n THEN c1.a1
+        |       ELSE (c0.a0 + c1.a1) / CAST(2 AS DOUBLE) END AS value
+        |FROM sel s
+        |JOIN nn ON s.ticker = nn.ticker
+        |JOIN eigr e ON s.ticker = e.ticker
+        |LEFT JOIN appx c0 ON s.ticker = c0.ticker AND c0.j = s.rn
+        |LEFT JOIN appx c1 ON s.ticker = c1.ticker AND c1.j = s.rn - 1""".stripMargin
   )
 }
