@@ -84,46 +84,52 @@ object EtlPipeline {
     // dir), so the versioned and empty-split paths drop it explicitly —
     // one schema across modes.
     val splitNames = Seq("training", "validation", "testing")
-    if (cfg.versionedStages) {
-      splitNames.foreach(sp =>
-        store(sp, normalized.where(col("split") === sp).drop("split")))
-    } else {
-      // ONE pass over the processed table writes every split (three
-      // per-split writes scanned it once each — two wasted full-table
-      // scans at 100 TB); the split=X partition dirs are then renamed
-      // into the top-level stage-dir contract (metadata ops, no data
-      // movement). Ticker partitioning is preserved beneath each split.
-      val tmp = s"${cfg.outDir}/_splits_tmp"
-      normalized.write.mode("overwrite")
-        .partitionBy("split", "ticker").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(tmp)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      splitNames.foreach { sp =>
-        val src = new org.apache.hadoop.fs.Path(s"$tmp/split=$sp")
-        val dst = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/$sp")
-        fs.delete(dst, true)
-        if (fs.exists(src)) {
-          require(fs.rename(src, dst), s"stage rename failed: $src -> $dst")
-          stages(sp) = dst.toString
-        } else {
-          // degenerate empty split (e.g. tiny input): keep the contract
-          // with an explicit empty write so readers see a schema
-          store(sp, normalized.where(col("split") === sp).drop("split"))
-        }
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
-
-    // row census: versioned stage dirs hold superseded snapshot files
-    // too, so count through the table lineage there; the plain path
-    // counts the freshly-written split dirs (no recompute of features)
-    val rows =
-      if (cfg.versionedStages)
+    // row census: the versioned path counts through the table lineage
+    // (stage dirs hold superseded snapshot files too); the plain path
+    // OBSERVES the per-split counts on the write itself — no separate
+    // count jobs, and no re-read of the freshly written splits (at
+    // 100 TB that census re-read is a full extra pass over the output)
+    val rows: Map[String, Long] =
+      if (cfg.versionedStages) {
+        splitNames.foreach(sp =>
+          store(sp, normalized.where(col("split") === sp).drop("split")))
         normalized.groupBy(col("split")).count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-      else splitNames.map { sp =>
-        sp -> spark.read.parquet(stages(sp)).count()
-      }.toMap
+      } else {
+        // ONE pass over the processed table writes every split (three
+        // per-split writes scanned it once each — two wasted full-table
+        // scans at 100 TB); the split=X partition dirs are then renamed
+        // into the top-level stage-dir contract (metadata ops, no data
+        // movement). Ticker partitioning is preserved beneath each split.
+        val obs = org.apache.spark.sql.Observation(s"splits_$runId")
+        val tmp = s"${cfg.outDir}/_splits_tmp"
+        val census = splitNames.map(sp =>
+          sum(when(col("split") === sp, 1L).otherwise(0L)).as(sp))
+        normalized
+          .observe(obs, census.head, census.tail: _*)
+          .write.mode("overwrite")
+          .partitionBy("split", "ticker").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        splitNames.foreach { sp =>
+          val src = new org.apache.hadoop.fs.Path(s"$tmp/split=$sp")
+          val dst = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/$sp")
+          fs.delete(dst, true)
+          if (fs.exists(src)) {
+            require(fs.rename(src, dst), s"stage rename failed: $src -> $dst")
+            stages(sp) = dst.toString
+          } else {
+            // degenerate empty split (e.g. tiny input): keep the contract
+            // with an explicit empty write so readers see a schema
+            store(sp, normalized.where(col("split") === sp).drop("split"))
+          }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        val got = obs.get
+        splitNames.map(sp =>
+          sp -> Option(got.getOrElse(sp, null)).map(_.asInstanceOf[Long])
+            .getOrElse(0L)).toMap
+      }
 
     // run catalog row (checkpoint metadata with a content hash)
     val catalog = spark.createDataFrame(Seq(
