@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,6 +49,15 @@ object SplitQueries extends QueryModule {
     // pairwise Pearson correlation of per-day mean prices across tickers
     // (covariance-matrix operator, portfolio_math.py:239-311) — daily dim
     // is tiny, so the pair join broadcasts.
+    //
+    // Moment quantization: pa/pb are full-precision doubles (davg
+    // outputs), and casting their PRODUCTS to a fixed-scale decimal is
+    // engine-rounding territory — Spark and DuckDB quantize a double's
+    // last decimal digit through different paths and disagreed by one
+    // ulp on sf0.001 data. floor(x·1e6 + 0.5) is pure IEEE double
+    // arithmetic (identical in every engine); the quanta (≤1e10) and
+    // their day-count-bounded sums stay exactly representable through
+    // the DECIMAL(38,0) accumulation and the final double cast.
     "q83_corr_matrix" -> ((s, dir) => {
       import s.implicits._
       val daily = Bars.of(s, dir).groupBy($"ticker", $"day")
@@ -55,12 +65,16 @@ object SplitQueries extends QueryModule {
       val a = daily.select($"ticker".as("ta"), $"day", $"p".as("pa"))
       val b = daily.select($"ticker".as("tb"), $"day", $"p".as("pb"))
       val pairs = a.join(b, Seq("day")).where($"ta" < $"tb")
+      def q6(e: Column): Column =
+        sum(floor(e * lit(1e6) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(1e6)
       val n = count(lit(1)).cast("double")
-      val sx = sum($"pa".cast("decimal(38,9)")).cast("double")
-      val sy = sum($"pb".cast("decimal(38,9)")).cast("double")
-      val sxy = sum(($"pa" * $"pb").cast("decimal(38,9)")).cast("double")
-      val sx2 = sum(($"pa" * $"pa").cast("decimal(38,9)")).cast("double")
-      val sy2 = sum(($"pb" * $"pb").cast("decimal(38,9)")).cast("double")
+      val sx = q6($"pa")
+      val sy = q6($"pb")
+      val sxy = q6($"pa" * $"pb")
+      val sx2 = q6($"pa" * $"pa")
+      val sy2 = q6($"pb" * $"pb")
       pairs.groupBy($"ta", $"tb").agg(
         ((n * sxy - sx * sy) /
           sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).as("corr"),
@@ -206,12 +220,17 @@ object SplitQueries extends QueryModule {
          |FROM vals GROUP BY ticker""".stripMargin
     },
     "q83_corr_matrix" -> {
+      // floor-quantized moments — see the q83 query comment: double→
+      // decimal casts of products round differently across engines;
+      // floor(x*1e6 + 0.5) is engine-invariant IEEE arithmetic
+      def qs(x: String) =
+        s"(CAST(SUM(CAST(floor(($x)*1e6 + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))) AS DOUBLE) / 1e6)"
       val n = "CAST(COUNT(*) AS DOUBLE)"
-      val sx = "CAST(SUM(CAST(pa AS DECIMAL(38,9))) AS DOUBLE)"
-      val sy = "CAST(SUM(CAST(pb AS DECIMAL(38,9))) AS DOUBLE)"
-      val sxy = "CAST(SUM(CAST(pa*pb AS DECIMAL(38,9))) AS DOUBLE)"
-      val sx2 = "CAST(SUM(CAST(pa*pa AS DECIMAL(38,9))) AS DOUBLE)"
-      val sy2 = "CAST(SUM(CAST(pb*pb AS DECIMAL(38,9))) AS DOUBLE)"
+      val sx = qs("pa")
+      val sy = qs("pb")
+      val sxy = qs("pa*pb")
+      val sx2 = qs("pa*pa")
+      val sy2 = qs("pb*pb")
       s"""${Bars.sql},
          |daily AS (
          |  SELECT ticker, day, ${sqlAvg("price")} AS p
