@@ -103,8 +103,17 @@ object SplitQueries extends QueryModule {
         .crossJoin(broadcast(nt))
         .where($"c" === $"p_t").select($"day")
       val al = rets.join(broadcast(full), Seq("day"))
-      // center: per-ticker means (exact decimal), broadcast back
-      val means = al.groupBy($"ticker").agg(davg12($"r").as("m"))
+      // Moment quantization (the q83 fix, same hazard): r and its
+      // products are full-precision doubles; decimal casts of them are
+      // engine-rounding territory. floor(x·scale + 0.5) is engine-
+      // invariant IEEE arithmetic; returns ~1e-2 keep every quantum and
+      // sum exactly representable at these scales.
+      def q12(e: Column): Column =
+        sum(floor(e * lit(1e12) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(1e12)
+      // center: per-ticker means (quantized-exact), broadcast back
+      val means = al.groupBy($"ticker").agg((q12($"r") / count($"r")).as("m"))
       val cent = al.join(broadcast(means), Seq("ticker"))
         .select($"ticker", $"day", ($"r" - $"m").as("c"))
       // pairwise /n second moments -> S_ij (i <= j)
@@ -113,8 +122,7 @@ object SplitQueries extends QueryModule {
       val pairs = a.join(b, Seq("day")).where($"ta" <= $"tb")
         .groupBy($"ta", $"tb").agg(
           count(lit(1)).as("n"),
-          (sum(($"ca" * $"cb").cast("decimal(38,18)")).cast("double") /
-            count(lit(1))).as("s"))
+          (q12($"ca" * $"cb") / count(lit(1))).as("s"))
       // scalar frame: μ = tr(S)/p, ‖S‖²_F (off-diagonals count twice),
       // d², b̄² (via per-day row-sums of squares), δ* = min(b̄²,d²)/d².
       // Computed as WINDOW aggregates over the (tiny, p²-row) pairs set:
@@ -123,8 +131,8 @@ object SplitQueries extends QueryModule {
       // NB: the day-count column must NOT be named "n" — pairs already
       // has an "n", and the crossJoin would make $"n" ambiguous.
       val rows = cent.groupBy($"day")
-        .agg(sum(($"c" * $"c").cast("decimal(38,18)")).cast("double").as("rk"))
-        .agg(sum(($"rk" * $"rk").cast("decimal(38,18)")).cast("double").as("q"),
+        .agg(q12($"c" * $"c").as("rk"))
+        .agg(q12($"rk" * $"rk").as("q"),
           count(lit(1)).as("nd"))
       // single-partition window BY DESIGN (emits the WindowExec "No
       // Partition Defined" WARN once in the bench tail): its input is
@@ -134,11 +142,14 @@ object SplitQueries extends QueryModule {
       // ASSET count, never the bar count. The fact-side reduction to
       // pair sums happened in the distributed aggs above.
       val wAll = Window.partitionBy(lit(1))
+      def q12Over(e: Column): Column =
+        sum(floor(e * lit(1e12) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .over(wAll).cast("double") / lit(1e12)
       val pCol = sum(when($"ta" === $"tb", 1L).otherwise(0L)).over(wAll).cast("double")
-      val tr = sum(when($"ta" === $"tb", $"s").otherwise(lit(0.0))
-        .cast("decimal(38,18)")).over(wAll).cast("double")
-      val sumS2 = sum(when($"ta" === $"tb", $"s" * $"s").otherwise(lit(2.0) * $"s" * $"s")
-        .cast("decimal(38,18)")).over(wAll).cast("double")
+      val tr = q12Over(when($"ta" === $"tb", $"s").otherwise(lit(0.0)))
+      val sumS2 = q12Over(when($"ta" === $"tb", $"s" * $"s")
+        .otherwise(lit(2.0) * $"s" * $"s"))
       pairs
         .withColumn("p", pCol).withColumn("tr", tr).withColumn("sum_s2", sumS2)
         .withColumn("mu", $"tr" / $"p")
@@ -244,7 +255,10 @@ object SplitQueries extends QueryModule {
          |GROUP BY 1, 2""".stripMargin
     },
     "q84_ledoit_wolf" -> {
-      val d18 = "DECIMAL(38,18)"
+      // floor-quantized moments — see q83/q84 query comments: decimal
+      // casts of double products round differently across engines
+      def q12(x: String) =
+        s"(CAST(SUM(CAST(floor(($x)*1e12 + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))) AS DOUBLE) / 1e12)"
       s"""${Bars.sql},
          |daily AS (
          |  SELECT ticker, day, ${sqlAvg("price")} AS p
@@ -259,28 +273,28 @@ object SplitQueries extends QueryModule {
          |  HAVING COUNT(*) = (SELECT COUNT(DISTINCT ticker) FROM rets)),
          |al AS (SELECT rets.* FROM rets JOIN fulld USING (day)),
          |means AS (
-         |  SELECT ticker, ${sqlAvg12("r")} AS m FROM al GROUP BY ticker),
+         |  SELECT ticker, ${q12("r")} / COUNT(r) AS m FROM al GROUP BY ticker),
          |cent AS (
          |  SELECT al.ticker, al.day, al.r - means.m AS c
          |  FROM al JOIN means USING (ticker)),
          |pairs AS (
          |  SELECT a.ticker AS ta, b.ticker AS tb, COUNT(*) AS n,
-         |    CAST(SUM(CAST(a.c * b.c AS $d18)) AS DOUBLE) / COUNT(*) AS s
+         |    ${q12("a.c * b.c")} / COUNT(*) AS s
          |  FROM cent a JOIN cent b USING (day)
          |  WHERE a.ticker <= b.ticker
          |  GROUP BY 1, 2),
          |dayrows AS (
-         |  SELECT day, CAST(SUM(CAST(c * c AS $d18)) AS DOUBLE) AS rk
+         |  SELECT day, ${q12("c * c")} AS rk
          |  FROM cent GROUP BY day),
          |rowsq AS (
-         |  SELECT CAST(SUM(CAST(rk * rk AS $d18)) AS DOUBLE) AS q, COUNT(*) AS n
+         |  SELECT ${q12("rk * rk")} AS q, COUNT(*) AS n
          |  FROM dayrows),
          |sc0 AS (
          |  SELECT
-         |    CAST(SUM(CAST(CASE WHEN ta = tb THEN s ELSE 0.0 END AS $d18)) AS DOUBLE)
+         |    ${q12("CASE WHEN ta = tb THEN s ELSE 0.0 END")}
          |      / COUNT(DISTINCT ta) AS mu,
-         |    CAST(SUM(CAST(CASE WHEN ta = tb THEN s * s ELSE 2.0 * s * s END AS $d18)) AS DOUBLE) AS sum_s2,
-         |    CAST(SUM(CAST(CASE WHEN ta = tb THEN s ELSE 0.0 END AS $d18)) AS DOUBLE) AS tr,
+         |    ${q12("CASE WHEN ta = tb THEN s * s ELSE 2.0 * s * s END")} AS sum_s2,
+         |    ${q12("CASE WHEN ta = tb THEN s ELSE 0.0 END")} AS tr,
          |    CAST(COUNT(DISTINCT ta) AS DOUBLE) AS p
          |  FROM pairs),
          |sc1 AS (
