@@ -16,6 +16,23 @@ import org.apache.spark.sql.types.DecimalType
   *   dsum(x)  = CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
   *   davg(x)  = CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x)
   *   dstddev  = explicit moment formula over decimal sums
+  *
+  * KNOWN LATENT HAZARD — double→decimal quantization ties. Casting a
+  * COMPUTED double (a ratio, product, or difference of averages) to a
+  * fixed-scale decimal asks each engine to round the value's trailing
+  * decimal digit, and Spark and DuckDB reach that digit through
+  * different paths; on a value whose scaled fraction sits within an ulp
+  * of .5 they can disagree by one last-digit unit (bit q83 at sf0.001 in
+  * round 11). RAW testdata columns are safe — they sit ON the decimal
+  * grid (≤6 dp), as do their squares at scale 12 — so dsum/davg/dstddev
+  * over raw columns are exact. For computed doubles, the established
+  * remedy (q83/q84) is engine-invariant quantization:
+  *   floor(x·scale + 0.5)  summed as DECIMAL(38,0), divided by scale —
+  * pure IEEE arithmetic, identical in every engine. Pick `scale` so the
+  * largest quantum stays below ~9e18 (Spark's floor returns BIGINT and
+  * saturates: 1e18-scaled O(1)-magnitude squares overflowed in q84 —
+  * use 1e12 for O(1) returns, 1e6 for price-scale values). Convert a
+  * site only WITH its oracle mirror, and re-verify at both SFs.
   */
 object Det {
   private val dec = DecimalType(38, 6)
