@@ -29,6 +29,44 @@ class ExplainAuditSpec extends AnyFunSuite with TestSpark {
       dim.queryExecution.sparkPlan).isEmpty)
   }
 
+  test("pushdown/broadcast audit: scale-critical plan shapes hold") {
+    val s = spark
+    import org.apache.spark.sql.execution.FormattedMode
+    def plan(q: String): String =
+      graft.SparkEntry.queries(q)(s, dir).queryExecution
+        .explainString(FormattedMode)
+
+    // q2: the date-range predicate must reach the parquet scan and the
+    // projection must prune the scan schema — a scan that reads all 11
+    // lineitem columns for a 4-column projection is wrong at any scale
+    val p2 = plan("q2_filter_range")
+    assert(p2.contains("PushedFilters") &&
+      (p2.contains("GreaterThanOrEqual(l_shipdate") ||
+        p2.contains("PushedFilters: [IsNotNull(l_shipdate")),
+      s"q2 lost its scan-level pushdown:\n$p2")
+    val read2 = p2.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read2.contains("l_comment") && !read2.contains("l_tax") &&
+      !read2.contains("l_extendedprice"),
+      s"q2 scan schema not pruned: $read2")
+
+    // q3: ORDER BY ... LIMIT must plan as TakeOrderedAndProject (heap
+    // top-k per partition + merge), never a global sort
+    assert(plan("q3_topk").contains("TakeOrderedAndProject"),
+      "q3 is not a top-k plan")
+
+    // q4: the nation dim must broadcast — a shuffled join on a
+    // 25-row dim would shuffle the full customer table for nothing
+    val p4 = plan("q4_join_inner")
+    assert(p4.contains("BroadcastHashJoin") && !p4.contains("SortMergeJoin"),
+      s"q4 dim join is not broadcast:\n$p4")
+
+    // q80 (lazy split): the fact side must join the broadcast tag dim —
+    // no SortMergeJoin against the tiny date dimension
+    val p80 = plan("q80_split_tags")
+    assert(p80.contains("BroadcastHashJoin") && !p80.contains("SortMergeJoin"),
+      s"q80 split tag join is not broadcast:\n$p80")
+  }
+
   test("windows audit: every engine query plan is clean") {
     val s = spark
     // plan-level sweep over the full query surface: the two known
