@@ -21,9 +21,15 @@ object WalkForward {
       meanDa: Double, nFolds: Long)
 
   /** Expanding walk-forward: k folds, each training on the prefix and
-    * forecasting the next `horizon` bars. */
+    * forecasting the next `horizon` bars. `forecaster` plugs the
+    * per-fold kernel (defaults to the full engine); q151 passes the
+    * AR-OLS kernel so the REAL fold orchestration runs under the hash
+    * gate with a SQL-replayable forecaster. */
   def run(bars: DataFrame, k: Int = 4, horizon: Int = 5,
-      cfg: ForecastEngine.Config = ForecastEngine.Config()): Dataset[FoldMetric] = {
+      cfg: ForecastEngine.Config = ForecastEngine.Config(),
+      forecaster: (String, Array[Double], ForecastEngine.Config) =>
+        Seq[ForecastEngine.TickerForecast] = ForecastEngine.forecastOne)
+      : Dataset[FoldMetric] = {
     val spark = bars.sparkSession
     import spark.implicits._
     bars.select(col("ticker"), col("date").cast("long").as("epoch"), col("close"))
@@ -39,7 +45,7 @@ object WalkForward {
           val train = prices.take(trainEnd)
           val actual = prices.slice(trainEnd, trainEnd + horizon)
           val fcCfg = cfg.copy(horizon = horizon)
-          ForecastEngine.forecastOne(ticker, train, fcCfg)
+          forecaster(ticker, train, fcCfg)
             .groupBy(_.model).map { case (model, rws) =>
               val pred = rws.filter(_.weight >= 0).sortBy(_.horizonStep)
                 .map(_.forecast).take(actual.length).toArray

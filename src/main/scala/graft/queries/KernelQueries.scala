@@ -252,6 +252,52 @@ object KernelQueries extends QueryModule {
       fc.toDF("ticker", "idx", "rank", "value")
         .write.mode("overwrite").parquet(store)
       s.read.parquet(store)
+    }),
+
+    // Walk-forward / rolling-origin evaluation under the hash gate —
+    // the REAL WalkForward.run fold engine (expanding prefixes,
+    // usable = n − h·k, trainEnd per fold, actuals alignment, the
+    // rmse/DA formulas; reference forcester_ts/walk_forward_learner.py:
+    // 81-398) with the AR(2)-OLS kernel plugged in (the q148-anchored
+    // fit path — the full model zoo is spec territory). Second-bucketed
+    // davg series per event_type so every ticker clears the 60-usable
+    // floor at sf0.001 too (the B-bucket hourly series does not).
+    // The oracle replays the fold boundary arithmetic, the
+    // per-(ticker, fold) normal-equation/Cholesky fit, the 5-step mean
+    // recursion, and the fold-ordered RMSE/DA sums. Hash-exact.
+    "q151_walk_forward" -> ((s, dir) => {
+      import s.implicits._
+      // cap at the first 200 seconds per ticker: the fold/fit replay is
+      // equally strong on a bounded train, and an unbounded series made
+      // the oracle's per-(ticker, fold) recursion minutes-expensive at
+      // sf0.01 (join-per-step recursive CTEs scale superlinearly)
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy($"ticker").orderBy($"date")
+      val series = graft.Tables.load(s, dir, "events")
+        .groupBy($"event_type".as("ticker"),
+          date_trunc("second", $"ts").as("date"))
+        .agg(Det.davg($"value").as("close"))
+        .withColumn("rn", row_number().over(wT)).where($"rn" <= 200)
+        .drop("rn")
+      val arOls = (t: String, px: Array[Double],
+          cfg: graft.forecast.ForecastEngine.Config) =>
+        graft.forecast.Ar.fitArP(px, 2, 0) match {
+          case Some(fit) =>
+            val (mu, _, _) = graft.forecast.Ar.forecast(px, fit, cfg.horizon)
+            mu.toSeq.zipWithIndex.map { case (m, i) =>
+              graft.forecast.ForecastEngine.TickerForecast(t, "NA", "AR_OLS",
+                1.0, i + 1, m, m, m, 0.0, 0.5)
+            }
+          case None => Seq.empty
+        }
+      val fm = graft.forecast.WalkForward.run(series, k = 4, horizon = 5,
+        forecaster = arOls)
+      val store = scratch("walk_forward")
+      fm.toDF()
+        .select($"ticker", $"foldId".as("fold_id"), $"model", $"rmse",
+          $"da", $"nTest".as("n_test"))
+        .write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
     })
   )
 
@@ -643,6 +689,126 @@ object KernelQueries extends QueryModule {
         |JOIN nn ON s.ticker = nn.ticker
         |JOIN eigr e ON s.ticker = e.ticker
         |LEFT JOIN appx c0 ON s.ticker = c0.ticker AND c0.j = s.rn
-        |LEFT JOIN appx c1 ON s.ticker = c1.ticker AND c1.j = s.rn - 1""".stripMargin
+        |LEFT JOIN appx c1 ON s.ticker = c1.ticker AND c1.j = s.rn - 1""".stripMargin,
+
+    // Replays WalkForward.run with the AR-OLS kernel: fold boundaries
+    // (usable = n − h·k ≥ 60, trainEnd per expanding fold), the
+    // per-(ticker, fold) normal-equation accumulation + 3×3 Cholesky in
+    // fitArP's exact op order (the q148 CTE keyed by fold), the d=0
+    // 5-step mean recursion, and the fold-ordered RMSE / directional-
+    // accuracy sums (prev(1) = last train price, prev(h) = actual(h−1)).
+    "q151_walk_forward" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT event_type AS ticker,
+        |         date_trunc('second', ts) AS h,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |           / COUNT(value) AS px
+        |  FROM events
+        |  GROUP BY 1, 2),
+        |sel0 AS (
+        |  SELECT ticker, px,
+        |         row_number() OVER (PARTITION BY ticker ORDER BY h) AS rn
+        |  FROM px),
+        |sel AS (
+        |  SELECT ticker, px, rn,
+        |         count(*) OVER (PARTITION BY ticker) AS n
+        |  FROM sel0 WHERE rn <= 200),
+        |folds AS (
+        |  SELECT t.ticker, f.fold_id,
+        |         (t.n - 20) + (f.fold_id - 1) * 5 AS te
+        |  FROM (SELECT ticker, MAX(n) AS n FROM sel GROUP BY 1) t
+        |  CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS fold_id) f
+        |  WHERE t.n - 20 >= 60),
+        |lagd AS (
+        |  SELECT ticker, rn, px AS y,
+        |         lag(px, 1) OVER (PARTITION BY ticker ORDER BY rn) AS l1,
+        |         lag(px, 2) OVER (PARTITION BY ticker ORDER BY rn) AS l2
+        |  FROM sel),
+        |rows3 AS (
+        |  SELECT d.ticker, f.fold_id, f.te, d.rn, d.y, d.l1, d.l2
+        |  FROM lagd d JOIN folds f ON d.ticker = f.ticker
+        |  WHERE d.rn >= 3 AND d.rn <= f.te),
+        |acc AS (
+        |  SELECT ticker, fold_id, te, rn,
+        |    CAST(1 AS DOUBLE) AS s00, l1 AS s01, l2 AS s02,
+        |    l1*l1 AS s11, l1*l2 AS s12, l2*l2 AS s22,
+        |    y AS t0, l1*y AS t1, l2*y AS t2
+        |  FROM rows3 WHERE rn = 3
+        |  UNION ALL
+        |  SELECT r.ticker, r.fold_id, r.te, r.rn,
+        |    a.s00 + CAST(1 AS DOUBLE), a.s01 + r.l1, a.s02 + r.l2,
+        |    a.s11 + r.l1*r.l1, a.s12 + r.l1*r.l2, a.s22 + r.l2*r.l2,
+        |    a.t0 + r.y, a.t1 + r.l1*r.y, a.t2 + r.l2*r.y
+        |  FROM rows3 r JOIN acc a ON r.ticker = a.ticker
+        |    AND r.fold_id = a.fold_id AND r.rn = a.rn + 1),
+        |nf AS (SELECT * FROM acc WHERE rn = te),
+        |c1 AS (SELECT *, sqrt(s00) AS l00 FROM nf),
+        |c2 AS (SELECT *, s01 / l00 AS l10, s02 / l00 AS l20 FROM c1),
+        |c3 AS (SELECT *, sqrt(s11 - l10*l10) AS l11 FROM c2),
+        |c4 AS (SELECT *, (s12 - l20*l10) / l11 AS l21 FROM c3),
+        |c5 AS (SELECT *, sqrt((s22 - l20*l20) - l21*l21) AS l22 FROM c4),
+        |f0 AS (SELECT *, t0 / l00 AS w0 FROM c5),
+        |f1 AS (SELECT *, (t1 - l10*w0) / l11 AS w1 FROM f0),
+        |f2 AS (SELECT *, ((t2 - l20*w0) - l21*w1) / l22 AS w2 FROM f1),
+        |k2 AS (SELECT *, w2 / l22 AS b2 FROM f2),
+        |k1 AS (SELECT *, (w1 - l21*b2) / l11 AS b1 FROM k2),
+        |k0 AS (SELECT *, ((w0 - l10*b1) - l20*b2) / l00 AS b0 FROM k1),
+        |lastx AS (
+        |  SELECT f.ticker, f.fold_id,
+        |    MAX(CASE WHEN s.rn = f.te THEN s.px END) AS xa,
+        |    MAX(CASE WHEN s.rn = f.te - 1 THEN s.px END) AS xb
+        |  FROM folds f JOIN sel s ON f.ticker = s.ticker
+        |  WHERE s.rn IN (f.te, f.te - 1)
+        |  GROUP BY 1, 2),
+        |fc AS (
+        |  SELECT k.ticker, k.fold_id, 1 AS h,
+        |         k.b0 + (k.b1*l.xa + k.b2*l.xb) AS p, l.xa AS prev
+        |  FROM k0 k JOIN lastx l
+        |    ON k.ticker = l.ticker AND k.fold_id = l.fold_id
+        |  UNION ALL
+        |  SELECT f.ticker, f.fold_id, f.h + 1,
+        |         k.b0 + (k.b1*f.p + k.b2*f.prev), f.p
+        |  FROM fc f JOIN k0 k
+        |    ON f.ticker = k.ticker AND f.fold_id = k.fold_id
+        |  WHERE f.h < 5),
+        |acts AS (
+        |  SELECT f.ticker, f.fold_id, s.rn - f.te AS h, s.px AS a
+        |  FROM folds f JOIN sel s ON f.ticker = s.ticker
+        |  WHERE s.rn > f.te AND s.rn <= f.te + 5),
+        |piv AS (
+        |  SELECT j.ticker, j.fold_id,
+        |    MAX(CASE WHEN j.h = 1 THEN j.p END) AS p1,
+        |    MAX(CASE WHEN j.h = 2 THEN j.p END) AS p2,
+        |    MAX(CASE WHEN j.h = 3 THEN j.p END) AS p3,
+        |    MAX(CASE WHEN j.h = 4 THEN j.p END) AS p4,
+        |    MAX(CASE WHEN j.h = 5 THEN j.p END) AS p5,
+        |    MAX(CASE WHEN j.h = 1 THEN j.a END) AS a1,
+        |    MAX(CASE WHEN j.h = 2 THEN j.a END) AS a2,
+        |    MAX(CASE WHEN j.h = 3 THEN j.a END) AS a3,
+        |    MAX(CASE WHEN j.h = 4 THEN j.a END) AS a4,
+        |    MAX(CASE WHEN j.h = 5 THEN j.a END) AS a5
+        |  FROM (SELECT fc.ticker, fc.fold_id, fc.h, fc.p, ac.a
+        |        FROM fc JOIN acts ac ON fc.ticker = ac.ticker
+        |          AND fc.fold_id = ac.fold_id AND fc.h = ac.h) j
+        |  GROUP BY 1, 2)
+        |SELECT v.ticker, v.fold_id, 'AR_OLS' AS model,
+        |  sqrt((((((v.p1 - v.a1)*(v.p1 - v.a1)
+        |    + (v.p2 - v.a2)*(v.p2 - v.a2))
+        |    + (v.p3 - v.a3)*(v.p3 - v.a3))
+        |    + (v.p4 - v.a4)*(v.p4 - v.a4))
+        |    + (v.p5 - v.a5)*(v.p5 - v.a5)) / 5) AS rmse,
+        |  CAST((((((CASE WHEN sign(v.p1 - l.xa) = sign(v.a1 - l.xa)
+        |        THEN 1 ELSE 0 END)
+        |    + (CASE WHEN sign(v.p2 - v.a1) = sign(v.a2 - v.a1)
+        |        THEN 1 ELSE 0 END))
+        |    + (CASE WHEN sign(v.p3 - v.a2) = sign(v.a3 - v.a2)
+        |        THEN 1 ELSE 0 END))
+        |    + (CASE WHEN sign(v.p4 - v.a3) = sign(v.a4 - v.a3)
+        |        THEN 1 ELSE 0 END))
+        |    + (CASE WHEN sign(v.p5 - v.a4) = sign(v.a5 - v.a4)
+        |        THEN 1 ELSE 0 END)) AS DOUBLE) / 5 AS da,
+        |  5 AS n_test
+        |FROM piv v JOIN lastx l
+        |  ON v.ticker = l.ticker AND v.fold_id = l.fold_id""".stripMargin
   )
 }
