@@ -20,6 +20,23 @@ object KernelQueries extends QueryModule {
   private def scratch(name: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_$name").toString
 
+  /** Second-bucketed davg price series per event_type, capped at the
+    * first 200 points per ticker — the shared input of the q151/q152
+    * sequential-kernel gates (bounded train keeps the oracle recursions
+    * seconds-cheap at any SF; see q151's cap comment). */
+  private def secondSeries(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy($"ticker").orderBy($"date")
+    graft.Tables.load(s, dir, "events")
+      .groupBy($"event_type".as("ticker"),
+        date_trunc("second", $"ts").as("date"))
+      .agg(Det.davg($"value").as("close"))
+      .withColumn("rn", row_number().over(wT)).where($"rn" <= 200)
+      .drop("rn")
+  }
+
   override def queries: Map[String, QFn] = Map(
     "q47_ewma_vol" -> ((s, dir) => {
       import s.implicits._
@@ -267,18 +284,7 @@ object KernelQueries extends QueryModule {
     // recursion, and the fold-ordered RMSE/DA sums. Hash-exact.
     "q151_walk_forward" -> ((s, dir) => {
       import s.implicits._
-      // cap at the first 200 seconds per ticker: the fold/fit replay is
-      // equally strong on a bounded train, and an unbounded series made
-      // the oracle's per-(ticker, fold) recursion minutes-expensive at
-      // sf0.01 (join-per-step recursive CTEs scale superlinearly)
-      val wT = org.apache.spark.sql.expressions.Window
-        .partitionBy($"ticker").orderBy($"date")
-      val series = graft.Tables.load(s, dir, "events")
-        .groupBy($"event_type".as("ticker"),
-          date_trunc("second", $"ts").as("date"))
-        .agg(Det.davg($"value").as("close"))
-        .withColumn("rn", row_number().over(wT)).where($"rn" <= 200)
-        .drop("rn")
+      val series = secondSeries(s, dir)
       val arOls = (t: String, px: Array[Double],
           cfg: graft.forecast.ForecastEngine.Config) =>
         graft.forecast.Ar.fitArP(px, 2, 0) match {
@@ -296,6 +302,35 @@ object KernelQueries extends QueryModule {
       fm.toDF()
         .select($"ticker", $"foldId".as("fold_id"), $"model", $"rmse",
           $"da", $"nTest".as("n_test"))
+        .write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
+    }),
+
+    // The MSSA-RL CUSUM change-point detector under the hash gate
+    // (reference forcester_ts/mssa_rl.py:616-649): Welford baseline on
+    // the first 30 samples of the CURRENT segment, two-sided cumulative
+    // z-score scan with drift k=0.5, re-baseline after every alarm.
+    // threshold=3.0 so the 200-point series actually alarms (and
+    // re-baselines) at both SFs — the default 8.0 barely fires on this
+    // data. Emits every break index plus a per-ticker break COUNT row
+    // (kind='n') so the no-break case is pinned too. The oracle replays
+    // the full sequential state machine — (segStart, n, mean, m2, hi,
+    // lo) carried through a recursive CTE with the engine's exact op
+    // order, including the Welford mean-then-m2 update and the
+    // max(1e-12, sqrt(m2/max(1, n−1))) floor. Hash-exact.
+    "q152_cusum_breaks" -> ((s, dir) => {
+      import s.implicits._
+      val out = secondSeries(s, dir)
+        .as[(String, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (t, rows) =>
+          val px = rows.toArray.sortBy(_._2.getTime).map(_._3)
+          val breaks = graft.forecast.MssaRl.cusum(px, threshold = 3.0)
+          breaks.iterator.map(i => (t, "brk", i.toLong)) ++
+            Iterator((t, "n", breaks.length.toLong))
+        }
+      val store = scratch("cusum_breaks")
+      out.toDF("ticker", "kind", "val")
         .write.mode("overwrite").parquet(store)
       s.read.parquet(store)
     })
@@ -809,6 +844,80 @@ object KernelQueries extends QueryModule {
         |        THEN 1 ELSE 0 END)) AS DOUBLE) / 5 AS da,
         |  5 AS n_test
         |FROM piv v JOIN lastx l
-        |  ON v.ticker = l.ticker AND v.fold_id = l.fold_id""".stripMargin
+        |  ON v.ticker = l.ticker AND v.fold_id = l.fold_id""".stripMargin,
+
+    // Replays MssaRl.cusum's sequential state machine: the recursive
+    // CTE carries (segStart, n, mean, m2, hi, lo) per ticker; calib
+    // steps apply Welford in the engine's order (mean' = mean + d/n',
+    // then m2' = m2 + d·(v − mean')); scan steps use the engine's sd
+    // floor and the (hi + z) − k / (lo + z) + k op order; an alarm
+    // resets the whole state at the alarm index. Constants CAST to
+    // DOUBLE; the <32-sample early return is replayed by restricting
+    // the scan to tickers with ≥32 points (count rows still cover all).
+    "q152_cusum_breaks" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT event_type AS ticker,
+        |         date_trunc('second', ts) AS h,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |           / COUNT(value) AS px
+        |  FROM events
+        |  GROUP BY 1, 2),
+        |sel0 AS (
+        |  SELECT ticker, px,
+        |         row_number() OVER (PARTITION BY ticker ORDER BY h) AS rn
+        |  FROM px),
+        |sel AS (SELECT ticker, px, rn FROM sel0 WHERE rn <= 200),
+        |tick AS (SELECT ticker, COUNT(*) AS n FROM sel GROUP BY 1),
+        |rec AS (
+        |  SELECT ticker, -1 AS i, 0 AS seg_start, CAST(0 AS BIGINT) AS n,
+        |         CAST(0 AS DOUBLE) AS mean, CAST(0 AS DOUBLE) AS m2,
+        |         CAST(0 AS DOUBLE) AS hi, CAST(0 AS DOUBLE) AS lo,
+        |         FALSE AS alarm
+        |  FROM tick WHERE n >= 32
+        |  UNION ALL
+        |  SELECT q4.ticker, q4.i2,
+        |    CASE WHEN q4.al THEN q4.i2 ELSE q4.seg_start END,
+        |    CASE WHEN q4.al THEN CAST(0 AS BIGINT)
+        |         WHEN q4.cal THEN q4.n + 1 ELSE q4.n END,
+        |    CASE WHEN q4.al THEN CAST(0 AS DOUBLE)
+        |         WHEN q4.cal THEN q4.mean2 ELSE q4.mean END,
+        |    CASE WHEN q4.al THEN CAST(0 AS DOUBLE)
+        |         WHEN q4.cal THEN q4.m22 ELSE q4.m2 END,
+        |    CASE WHEN q4.al THEN CAST(0 AS DOUBLE)
+        |         WHEN q4.cal THEN q4.hi ELSE q4.hi2 END,
+        |    CASE WHEN q4.al THEN CAST(0 AS DOUBLE)
+        |         WHEN q4.cal THEN q4.lo ELSE q4.lo2 END,
+        |    q4.al
+        |  FROM (
+        |    SELECT q3.*, (NOT q3.cal) AND
+        |      (q3.hi2 > CAST(3.0 AS DOUBLE) OR q3.lo2 < -CAST(3.0 AS DOUBLE)) AS al
+        |    FROM (
+        |      SELECT q2.*, m2 + d * (v - mean2) AS m22,
+        |        greatest(CAST(0 AS DOUBLE),
+        |          hi + (v - mean) / greatest(CAST(1e-12 AS DOUBLE),
+        |            sqrt(m2 / greatest(1, n - 1))) - CAST(0.5 AS DOUBLE)) AS hi2,
+        |        least(CAST(0 AS DOUBLE),
+        |          lo + (v - mean) / greatest(CAST(1e-12 AS DOUBLE),
+        |            sqrt(m2 / greatest(1, n - 1))) + CAST(0.5 AS DOUBLE)) AS lo2
+        |      FROM (
+        |        SELECT q1.*, mean + d / (n + 1) AS mean2
+        |        FROM (
+        |          SELECT r.ticker, r.seg_start, r.n, r.mean, r.m2, r.hi, r.lo,
+        |                 s.px AS v, r.i + 1 AS i2,
+        |                 (r.i + 1 - r.seg_start) < 30 AS cal,
+        |                 s.px - r.mean AS d
+        |          FROM rec r JOIN sel s
+        |            ON s.ticker = r.ticker AND s.rn = r.i + 2
+        |        ) q1
+        |      ) q2
+        |    ) q3
+        |  ) q4)
+        |SELECT ticker, 'brk' AS kind, CAST(i AS BIGINT) AS val
+        |FROM rec WHERE alarm
+        |UNION ALL
+        |SELECT t.ticker, 'n' AS kind, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS val
+        |FROM tick t LEFT JOIN (
+        |  SELECT ticker, COUNT(*) AS cnt FROM rec WHERE alarm GROUP BY 1) c
+        |  ON t.ticker = c.ticker""".stripMargin
   )
 }
