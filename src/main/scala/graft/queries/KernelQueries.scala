@@ -333,6 +333,40 @@ object KernelQueries extends QueryModule {
       out.toDF("ticker", "kind", "val")
         .write.mode("overwrite").parquet(store)
       s.read.parquet(store)
+    }),
+
+    // The ARIMA d=1 arm under the hash gate — the differencing path
+    // q148 left unanchored (reference forcester_ts/sarimax.py:225-297:
+    // unit-root gate → difference → fit → integrate back). Cumulative
+    // sums of the second series are near-unit-root (ρ₁ ≈ 0.984 at both
+    // SFs), so the engine's REAL chooseD (lag-1 autocorrelation ≥ 0.95)
+    // selects d=1, fitArP runs on the differenced series, and
+    // Ar.forecast integrates the 5-step diff predictions back to levels
+    // with the √(σ²h) cumulative-variance CI widening. The emitted d
+    // column pins the unit-root branch decision itself. Hash-exact.
+    "q153_ar_diff_forecast" -> ((s, dir) => {
+      import s.implicits._
+      val out = secondSeries(s, dir)
+        .as[(String, java.sql.Timestamp, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (t, rows) =>
+          val px = rows.toArray.sortBy(_._2.getTime).map(_._3)
+          var c = 0.0
+          val cum = px.map { v => c += v; c }
+          val d = graft.forecast.Ar.chooseD(cum)
+          val xd = graft.forecast.Ar.difference(cum, d)
+          graft.forecast.Ar.fitArP(xd, 2, d) match {
+            case Some(fit) =>
+              val (mu, lo, hi) = graft.forecast.Ar.forecast(cum, fit, 5)
+              (0 until 5).iterator.map(h =>
+                (t, d, h + 1, mu(h), lo(h), hi(h)))
+            case None => Iterator.empty
+          }
+        }
+      val store = scratch("ar_diff_forecast")
+      out.toDF("ticker", "d", "horizon_step", "mu", "lo", "hi")
+        .write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
     })
   )
 
@@ -505,8 +539,8 @@ object KernelQueries extends QueryModule {
         |f2 AS (SELECT *, ((t2 - l20*w0) - l21*w1) / l22 AS w2 FROM f1),
         |k2 AS (SELECT *, w2 / l22 AS b2 FROM f2),
         |k1 AS (SELECT *, (w1 - l21*b2) / l11 AS b1 FROM k2),
-        |k0 AS (SELECT *, ((w0 - l10*b1) - l20*b2) / l00 AS b0 FROM k1),
-        |lastx AS (
+        |k0 AS MATERIALIZED (SELECT *, ((w0 - l10*b1) - l20*b2) / l00 AS b0 FROM k1),
+        |lastx AS MATERIALIZED (
         |  SELECT s.ticker,
         |    MAX(CASE WHEN s.rn = m.mx THEN s.px END) AS xa,
         |    MAX(CASE WHEN s.rn = m.mx - 1 THEN s.px END) AS xb
@@ -733,7 +767,7 @@ object KernelQueries extends QueryModule {
     // 5-step mean recursion, and the fold-ordered RMSE / directional-
     // accuracy sums (prev(1) = last train price, prev(h) = actual(h−1)).
     "q151_walk_forward" ->
-      """WITH RECURSIVE px AS (
+      """WITH RECURSIVE px AS MATERIALIZED (
         |  SELECT event_type AS ticker,
         |         date_trunc('second', ts) AS h,
         |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
@@ -744,11 +778,11 @@ object KernelQueries extends QueryModule {
         |  SELECT ticker, px,
         |         row_number() OVER (PARTITION BY ticker ORDER BY h) AS rn
         |  FROM px),
-        |sel AS (
+        |sel AS MATERIALIZED (
         |  SELECT ticker, px, rn,
         |         count(*) OVER (PARTITION BY ticker) AS n
         |  FROM sel0 WHERE rn <= 200),
-        |folds AS (
+        |folds AS MATERIALIZED (
         |  SELECT t.ticker, f.fold_id,
         |         (t.n - 20) + (f.fold_id - 1) * 5 AS te
         |  FROM (SELECT ticker, MAX(n) AS n FROM sel GROUP BY 1) t
@@ -759,7 +793,7 @@ object KernelQueries extends QueryModule {
         |         lag(px, 1) OVER (PARTITION BY ticker ORDER BY rn) AS l1,
         |         lag(px, 2) OVER (PARTITION BY ticker ORDER BY rn) AS l2
         |  FROM sel),
-        |rows3 AS (
+        |rows3 AS MATERIALIZED (
         |  SELECT d.ticker, f.fold_id, f.te, d.rn, d.y, d.l1, d.l2
         |  FROM lagd d JOIN folds f ON d.ticker = f.ticker
         |  WHERE d.rn >= 3 AND d.rn <= f.te),
@@ -866,8 +900,8 @@ object KernelQueries extends QueryModule {
         |  SELECT ticker, px,
         |         row_number() OVER (PARTITION BY ticker ORDER BY h) AS rn
         |  FROM px),
-        |sel AS (SELECT ticker, px, rn FROM sel0 WHERE rn <= 200),
-        |tick AS (SELECT ticker, COUNT(*) AS n FROM sel GROUP BY 1),
+        |sel AS MATERIALIZED (SELECT ticker, px, rn FROM sel0 WHERE rn <= 200),
+        |tick AS MATERIALIZED (SELECT ticker, COUNT(*) AS n FROM sel GROUP BY 1),
         |rec AS (
         |  SELECT ticker, -1 AS i, 0 AS seg_start, CAST(0 AS BIGINT) AS n,
         |         CAST(0 AS DOUBLE) AS mean, CAST(0 AS DOUBLE) AS m2,
@@ -918,6 +952,135 @@ object KernelQueries extends QueryModule {
         |SELECT t.ticker, 'n' AS kind, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS val
         |FROM tick t LEFT JOIN (
         |  SELECT ticker, COUNT(*) AS cnt FROM rec WHERE alarm GROUP BY 1) c
-        |  ON t.ticker = c.ticker""".stripMargin
+        |  ON t.ticker = c.ticker""".stripMargin,
+
+    // Replays the d=1 ARIMA arm op-for-op: the running cumsum and its
+    // Σc (one recursion, left-assoc), chooseD's ρ₁ accumulators (a
+    // second recursion carrying the previous value), the diff series,
+    // the q148 normal-equation/Cholesky fit ON THE DIFFS with the rss
+    // recursion for σ², and the forecast recursion carrying
+    // (p, prev, level) — levels integrate left-assoc from the last
+    // cum value, CIs widen as ±z·sqrt(max(1e-12, rss/n)·h).
+    "q153_ar_diff_forecast" ->
+      """WITH RECURSIVE px AS MATERIALIZED (
+        |  SELECT event_type AS ticker,
+        |         date_trunc('second', ts) AS h,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |           / COUNT(value) AS px
+        |  FROM events
+        |  GROUP BY 1, 2),
+        |sel0 AS (
+        |  SELECT ticker, px,
+        |         row_number() OVER (PARTITION BY ticker ORDER BY h) AS rn
+        |  FROM px),
+        |sel AS MATERIALIZED (SELECT ticker, px, rn FROM sel0 WHERE rn <= 200),
+        |nn AS MATERIALIZED (SELECT ticker, MAX(rn) AS n FROM sel GROUP BY 1),
+        |rcum AS (
+        |  SELECT ticker, rn, px AS c, px AS s2 FROM sel WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.ticker, t.rn, r.c + t.px, r.s2 + (r.c + t.px)
+        |  FROM sel t JOIN rcum r ON t.ticker = r.ticker AND t.rn = r.rn + 1),
+        |cums AS MATERIALIZED (SELECT ticker, rn, c, s2 FROM rcum),
+        |mstat AS MATERIALIZED (
+        |  SELECT rc.ticker, rc.s2 / nn.n AS m, rc.c AS c_n
+        |  FROM cums rc JOIN nn ON rc.ticker = nn.ticker AND rc.rn = nn.n),
+        |rr AS (
+        |  SELECT rc.ticker, rc.rn, rc.c,
+        |         (rc.c - ms.m) * (rc.c - ms.m) AS dacc,
+        |         CAST(0 AS DOUBLE) AS nacc
+        |  FROM cums rc JOIN mstat ms ON rc.ticker = ms.ticker
+        |  WHERE rc.rn = 1
+        |  UNION ALL
+        |  SELECT t.ticker, t.rn, t.c,
+        |         r.dacc + (t.c - ms.m) * (t.c - ms.m),
+        |         r.nacc + (t.c - ms.m) * (r.c - ms.m)
+        |  FROM cums t
+        |  JOIN rr r ON t.ticker = r.ticker AND t.rn = r.rn + 1
+        |  JOIN mstat ms ON t.ticker = ms.ticker),
+        |dch AS (
+        |  SELECT r.ticker,
+        |    CASE WHEN r.dacc <= 0 THEN 0
+        |         WHEN r.nacc / r.dacc >= CAST(0.95 AS DOUBLE) THEN 1
+        |         ELSE 0 END AS d
+        |  FROM rr r JOIN nn ON r.ticker = nn.ticker AND r.rn = nn.n),
+        |zz AS MATERIALIZED (
+        |  SELECT a.ticker, a.rn AS rz, b.c - a.c AS z
+        |  FROM cums a JOIN cums b
+        |    ON a.ticker = b.ticker AND b.rn = a.rn + 1),
+        |lagd AS (
+        |  SELECT ticker, rz, z AS y,
+        |         lag(z, 1) OVER (PARTITION BY ticker ORDER BY rz) AS l1,
+        |         lag(z, 2) OVER (PARTITION BY ticker ORDER BY rz) AS l2
+        |  FROM zz),
+        |rows3 AS MATERIALIZED (SELECT ticker, rz, y, l1, l2 FROM lagd WHERE rz >= 3),
+        |acc AS (
+        |  SELECT ticker, rz,
+        |    CAST(1 AS DOUBLE) AS s00, l1 AS s01, l2 AS s02,
+        |    l1*l1 AS s11, l1*l2 AS s12, l2*l2 AS s22,
+        |    y AS t0, l1*y AS t1, l2*y AS t2
+        |  FROM rows3 WHERE rz = 3
+        |  UNION ALL
+        |  SELECT r.ticker, r.rz,
+        |    a.s00 + CAST(1 AS DOUBLE), a.s01 + r.l1, a.s02 + r.l2,
+        |    a.s11 + r.l1*r.l1, a.s12 + r.l1*r.l2, a.s22 + r.l2*r.l2,
+        |    a.t0 + r.y, a.t1 + r.l1*r.y, a.t2 + r.l2*r.y
+        |  FROM rows3 r JOIN acc a ON r.ticker = a.ticker AND r.rz = a.rz + 1),
+        |nf AS MATERIALIZED (
+        |  SELECT a.* FROM acc a
+        |  JOIN (SELECT ticker, MAX(rz) AS mx FROM rows3 GROUP BY 1) m
+        |    ON a.ticker = m.ticker AND a.rz = m.mx),
+        |c1 AS (SELECT *, sqrt(s00) AS l00 FROM nf),
+        |c2 AS (SELECT *, s01 / l00 AS l10, s02 / l00 AS l20 FROM c1),
+        |c3 AS (SELECT *, sqrt(s11 - l10*l10) AS l11 FROM c2),
+        |c4 AS (SELECT *, (s12 - l20*l10) / l11 AS l21 FROM c3),
+        |c5 AS (SELECT *, sqrt((s22 - l20*l20) - l21*l21) AS l22 FROM c4),
+        |f0 AS (SELECT *, t0 / l00 AS w0 FROM c5),
+        |f1 AS (SELECT *, (t1 - l10*w0) / l11 AS w1 FROM f0),
+        |f2 AS (SELECT *, ((t2 - l20*w0) - l21*w1) / l22 AS w2 FROM f1),
+        |k2 AS (SELECT *, w2 / l22 AS b2 FROM f2),
+        |k1 AS (SELECT *, (w1 - l21*b2) / l11 AS b1 FROM k2),
+        |k0 AS MATERIALIZED (SELECT *, ((w0 - l10*b1) - l20*b2) / l00 AS b0 FROM k1),
+        |rs AS (
+        |  SELECT r.ticker, r.rz,
+        |    (r.y - ((k.b0 + r.l1*k.b1) + r.l2*k.b2))
+        |      * (r.y - ((k.b0 + r.l1*k.b1) + r.l2*k.b2)) AS rss
+        |  FROM rows3 r JOIN k0 k ON r.ticker = k.ticker WHERE r.rz = 3
+        |  UNION ALL
+        |  SELECT r.ticker, r.rz,
+        |    rs.rss + (r.y - ((k.b0 + r.l1*k.b1) + r.l2*k.b2))
+        |      * (r.y - ((k.b0 + r.l1*k.b1) + r.l2*k.b2))
+        |  FROM rows3 r
+        |  JOIN rs ON r.ticker = rs.ticker AND r.rz = rs.rz + 1
+        |  JOIN k0 k ON r.ticker = k.ticker),
+        |sg AS (
+        |  SELECT a.ticker, f.rss, a.s00
+        |  FROM nf a JOIN rs f ON a.ticker = f.ticker AND f.rz = a.rz),
+        |lastz AS (
+        |  SELECT z.ticker,
+        |    MAX(CASE WHEN z.rz = nn.n - 1 THEN z.z END) AS xa,
+        |    MAX(CASE WHEN z.rz = nn.n - 2 THEN z.z END) AS xb
+        |  FROM zz z JOIN nn ON z.ticker = nn.ticker
+        |  WHERE z.rz IN (nn.n - 1, nn.n - 2)
+        |  GROUP BY 1),
+        |fc AS (
+        |  SELECT k.ticker, 1 AS h, k.b0 + (k.b1*l.xa + k.b2*l.xb) AS p,
+        |         l.xa AS prev,
+        |         ms.c_n + (k.b0 + (k.b1*l.xa + k.b2*l.xb)) AS lvl
+        |  FROM k0 k
+        |  JOIN lastz l ON k.ticker = l.ticker
+        |  JOIN mstat ms ON k.ticker = ms.ticker
+        |  UNION ALL
+        |  SELECT f.ticker, f.h + 1,
+        |         k.b0 + (k.b1*f.p + k.b2*f.prev), f.p,
+        |         f.lvl + (k.b0 + (k.b1*f.p + k.b2*f.prev))
+        |  FROM fc f JOIN k0 k ON f.ticker = k.ticker WHERE f.h < 5)
+        |SELECT f.ticker, dch.d, f.h AS horizon_step, f.lvl AS mu,
+        |  f.lvl - CAST(1.959963984540054 AS DOUBLE)
+        |    * sqrt(GREATEST(CAST(1e-12 AS DOUBLE), g.rss / g.s00) * f.h) AS lo,
+        |  f.lvl + CAST(1.959963984540054 AS DOUBLE)
+        |    * sqrt(GREATEST(CAST(1e-12 AS DOUBLE), g.rss / g.s00) * f.h) AS hi
+        |FROM fc f
+        |JOIN sg g ON f.ticker = g.ticker
+        |JOIN dch ON f.ticker = dch.ticker""".stripMargin
   )
 }
