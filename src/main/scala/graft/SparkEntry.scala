@@ -26,7 +26,9 @@ object SparkEntry {
     DashboardQueries,
     StreamQueries,
     KernelQueries,
-    SplitQueries
+    SplitQueries,
+    PrepQueries,
+    FeatureQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -62,11 +62,20 @@ object Preprocessor {
       .drop("_rn")
   }
 
-  /** Fit per-ticker mean/std for `cols` — call on the TRAIN split only. */
+  /** Fit per-ticker mean/std for `cols` — call on the TRAIN split only.
+    *
+    * Moments ride [[graft.queries.Det]]'s exact decimal accumulation, not
+    * `avg`/`stddev_samp`: double aggregation is partition-order-dependent,
+    * so on a cluster two runs of the same fit could emit stats differing
+    * in the last ulp — and normalization stats feed model training, where
+    * run-to-run reproducibility matters. 12-dp decimal sums are exact and
+    * order-independent for any input already on a ≤12 dp grid, and for
+    * off-grid doubles quantize ~1e-12 relative — far inside the fit's
+    * statistical noise (EtlCoreSpec pins the round trip at 1e-9). */
   def fitZScore(train: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(
-      avg(col(c)).as(s"${c}__mean"),
-      stddev_samp(col(c)).as(s"${c}__std")))
+      graft.queries.Det.davg12(col(c)).as(s"${c}__mean"),
+      graft.queries.Det.dstddev12(col(c)).as(s"${c}__std")))
     train.groupBy("ticker").agg(aggs.head, aggs.tail: _*)
   }
 
