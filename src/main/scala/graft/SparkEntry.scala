@@ -28,7 +28,8 @@ object SparkEntry {
     KernelQueries,
     SplitQueries,
     PrepQueries,
-    FeatureQueries
+    FeatureQueries,
+    SignalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

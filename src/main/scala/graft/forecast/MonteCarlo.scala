@@ -17,13 +17,18 @@ object MonteCarlo {
   final case class Summary(expected: Array[Double], median: Array[Double],
       p05: Array[Double], p95: Array[Double], probUp: Double)
 
+  /** `shock`: optional replacement shock source (path, step) => raw
+    * shock, still clipped at ±clipSigmas — lets callers swap the seeded
+    * Gaussian for a counter-based generator (e.g. the oracle gate's
+    * integer LCG, replayable in any engine). None = seeded Gaussian. */
   def simulate(
       lastPrice: Double,
       forecast: Array[Double],
       vol: Array[Double],
       nPaths: Int = 1000,
       seed: Long = 42L,
-      clipSigmas: Double = 4.0): Summary = {
+      clipSigmas: Double = 4.0,
+      shock: Option[(Int, Int) => Double] = None): Summary = {
     val horizon = forecast.length
     require(vol.length == horizon, "vol/forecast length mismatch")
     // per-step drift implied by the point forecast path
@@ -39,8 +44,12 @@ object MonteCarlo {
       var price = lastPrice
       var h = 0
       while (h < horizon) {
-        val shock = math.max(-clipSigmas, math.min(clipSigmas, rng.nextGaussian()))
-        price = math.max(1e-9, price * (1 + drifts(h) + vol(h) * shock))
+        val raw = shock match {
+          case Some(f) => f(p, h)
+          case None => rng.nextGaussian()
+        }
+        val sh = math.max(-clipSigmas, math.min(clipSigmas, raw))
+        price = math.max(1e-9, price * (1 + drifts(h) + vol(h) * sh))
         byStep(h)(p) = price
         h += 1
       }
