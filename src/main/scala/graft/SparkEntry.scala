@@ -29,7 +29,8 @@ object SparkEntry {
     SplitQueries,
     PrepQueries,
     FeatureQueries,
-    SignalQueries
+    SignalQueries,
+    EnsembleQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
