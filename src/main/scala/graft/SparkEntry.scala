@@ -30,7 +30,8 @@ object SparkEntry {
     PrepQueries,
     FeatureQueries,
     SignalQueries,
-    EnsembleQueries
+    EnsembleQueries,
+    EngineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
