@@ -31,7 +31,8 @@ object SparkEntry {
     FeatureQueries,
     SignalQueries,
     EnsembleQueries,
-    EngineQueries
+    EngineQueries,
+    StatQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
