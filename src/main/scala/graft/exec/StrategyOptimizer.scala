@@ -33,7 +33,15 @@ object StrategyOptimizer {
     } yield Candidate((i.toLong << 16) | (j.toLong << 8) | l.toLong, s, t, k)).toSeq
 
   /** Sweep: backtest every candidate on every ticker, aggregate per
-    * candidate, score = pnl penalized by drawdown, return ranked. */
+    * candidate, score = pnl penalized by drawdown, return ranked.
+    *
+    * Determinism at scale: the equity curve is ordered by
+    * (tsMillis, ticker, tradeId) — millisecond-only ordering left
+    * same-ms fills across tickers shuffle-order-dependent — and
+    * totalPnl is the FINAL point of the sequential cumulative curve
+    * (max_by over the ordered row number) rather than an unordered
+    * double SUM, so two runs of the same sweep produce bit-identical
+    * scores on any cluster layout. */
   def sweep(events: DataFrame, candidates: Seq[Candidate], topK: Int = 10)
       : Dataset[CandidateScore] = {
     val spark = events.sparkSession
@@ -48,28 +56,28 @@ object StrategyOptimizer {
         Long, Double, Double, Double)]
       .groupByKey(r => (r._7, r._1)) // (candId, ticker)
       .flatMapGroups { (key, rows) =>
-        val arr = rows.toArray.sortBy(_._2.getTime)
+        val arr = rows.toArray.sortBy(r => (r._2.getTime, r._2.getNanos))
         val cfg = Config(stopLossPct = arr.head._8, takeProfitPct = arr.head._9,
           kellyCap = arr.head._10)
         val evs = arr.map(r => Event(r._1, r._2, r._3, r._4, r._5, r._6)).toSeq
         PortfolioEngine.runTicker(evs, cfg).iterator.map(f =>
           (key._1, arr.head._8, arr.head._9, arr.head._10, f.pnl, f.isClose,
-            f.ts.getTime, f.quantity * f.price))
+            f.ts.getTime, f.ticker, f.tradeId))
       }
     // per-candidate: total pnl, trades, max drawdown of the cumulative pnl
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("candId"))
+      .orderBy(col("tsMillis"), col("ticker"), col("tradeId"))
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val scored = fills.toDF("candId", "stop", "target", "kelly", "pnl",
-        "isClose", "tsMillis", "notional")
+        "isClose", "tsMillis", "ticker", "tradeId")
       .withColumn("cumPnl", sum(when(col("isClose"), col("pnl")).otherwise(0.0))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("candId"))
-          .orderBy(col("tsMillis"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .withColumn("peak", max(col("cumPnl"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("candId"))
-          .orderBy(col("tsMillis"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .over(wCum))
+      .withColumn("peak", max(col("cumPnl")).over(wCum))
+      .withColumn("rnk", row_number().over(w))
       .groupBy(col("candId"), col("stop"), col("target"), col("kelly"))
       .agg(
-        sum(when(col("isClose"), col("pnl")).otherwise(0.0)).as("totalPnl"),
+        max_by(col("cumPnl"), col("rnk")).as("totalPnl"),
         sum(col("isClose").cast("long")).as("nTrades"),
         max(col("peak") - col("cumPnl")).as("maxDrawdown"))
       .withColumn("score",
