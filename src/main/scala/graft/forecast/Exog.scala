@@ -37,19 +37,70 @@ object Exog {
     kept
   }
 
+  /** First-pass VIF of every column against the others (diagnostic
+    * surface of the pruner — the values the reference logs before
+    * dropping, forecaster.py:430-452). */
+  def vifReport(cols: Array[Array[Double]]): Seq[Double] =
+    cols.indices.map(j => vifOf(cols(j), cols.indices.filterNot(_ == j).map(cols)))
+
+  /** Design-matrix row i of [1, xs...] — shared by the normal-equation
+    * accumulators below. */
+  private def designRow(xs: Seq[Array[Double]], i: Int): Array[Double] = {
+    val row = new Array[Double](xs.size + 1)
+    row(0) = 1.0
+    var j = 0
+    while (j < xs.size) { row(j + 1) = xs(j)(i); j += 1 }
+    row
+  }
+
+  /** Explicit ascending-i normal equations (X'X, X'y): each entry is an
+    * independent row-ascending sum, so an external SQL oracle carries
+    * every accumulator through ONE recursion over rows (no breeze gemm —
+    * its accumulation order is unspecified; the Ssa.mm rationale). */
+  private def normalEq(rows: Int, design: Int => Array[Double],
+      target: Int => Double): (DenseMatrix[Double], DenseVector[Double]) = {
+    val k = design(0).length
+    val xtx = DenseMatrix.zeros[Double](k, k)
+    val xty = DenseVector.zeros[Double](k)
+    var i = 0
+    while (i < rows) {
+      val r = design(i)
+      val y = target(i)
+      var a = 0
+      while (a < k) {
+        var b = a
+        while (b < k) { xtx(a, b) += r(a) * r(b); b += 1 }
+        xty(a) += r(a) * y
+        a += 1
+      }
+      i += 1
+    }
+    var a = 1
+    while (a < k) {
+      var b = 0
+      while (b < a) { xtx(a, b) = xtx(b, a); b += 1 }
+      a += 1
+    }
+    (xtx, xty)
+  }
+
   private def vifOf(y: Array[Double], xs: Seq[Array[Double]]): Double = {
     val n = y.length
-    val k = xs.size + 1 // + intercept
-    val x = DenseMatrix.zeros[Double](n, k)
-    (0 until n).foreach { i =>
-      x(i, 0) = 1.0
-      xs.zipWithIndex.foreach { case (c, j) => x(i, j + 1) = c(i) }
-    }
-    val beta = LinAlg.solveSpd(x.t * x, x.t * DenseVector(y))
-    val fitted = x * beta
+    val (xtx, xty) = normalEq(n, designRow(xs, _), y(_))
+    val beta = LinAlg.solveSpd(xtx, xty)
     val my = y.sum / n
     val ssTot = y.map(v => (v - my) * (v - my)).sum
-    val ssRes = (0 until n).map(i => math.pow(y(i) - fitted(i), 2)).sum
+    var ssRes = 0.0
+    var i = 0
+    while (i < n) {
+      val r = designRow(xs, i)
+      var fit = 0.0
+      var j = 0
+      while (j < r.length) { fit += r(j) * beta(j); j += 1 }
+      val e = y(i) - fit
+      ssRes += e * e
+      i += 1
+    }
     if (ssTot <= 1e-300) Double.PositiveInfinity
     else {
       val r2 = math.min(1.0 - 1e-12, math.max(0.0, 1.0 - ssRes / ssTot))
@@ -68,18 +119,29 @@ object Exog {
     val xs = kept.map(exog)
     val n = y.length - p
     val k = 1 + p + xs.size
-    val xm = DenseMatrix.zeros[Double](n, k)
-    val yv = DenseVector.zeros[Double](n)
-    (0 until n).foreach { i =>
+    def row(i: Int): Array[Double] = {
       val t = i + p
-      yv(i) = y(t)
-      xm(i, 0) = 1.0
-      (1 to p).foreach(l => xm(i, l) = y(t - l))
-      xs.zipWithIndex.foreach { case (c, j) => xm(i, 1 + p + j) = c(t) }
+      val r = new Array[Double](k)
+      r(0) = 1.0
+      var l = 1
+      while (l <= p) { r(l) = y(t - l); l += 1 }
+      var j = 0
+      while (j < xs.size) { r(1 + p + j) = xs(j)(t); j += 1 }
+      r
     }
-    val beta = LinAlg.solveSpd(xm.t * xm, xm.t * yv)
-    val resid = yv - xm * beta
-    val ss = (0 until n).map(i => resid(i) * resid(i)).sum
+    val (xtx, xty) = normalEq(n, row, i => y(i + p))
+    val beta = LinAlg.solveSpd(xtx, xty)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val r = row(i)
+      var fit = 0.0
+      var j = 0
+      while (j < k) { fit += r(j) * beta(j); j += 1 }
+      val e = y(i + p) - fit
+      ss += e * e
+      i += 1
+    }
     val sigma2 = math.max(1e-12, ss / n)
     val ll = -0.5 * n * (math.log(2 * math.Pi * sigma2) + 1)
     ArxFit(p, beta(0), Array.tabulate(p)(l => beta(1 + l)),

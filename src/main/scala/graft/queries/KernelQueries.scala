@@ -367,6 +367,50 @@ object KernelQueries extends QueryModule {
       out.toDF("ticker", "d", "horizon_step", "mu", "lo", "hi")
         .write.mode("overwrite").parquet(store)
       s.read.parquet(store)
+    }),
+
+    // The exog-ARX regression core + VIF pruner under the hash gate
+    // (reference forcester_ts/forecaster.py:307-402 _build_sarimax_exog,
+    // :403-479 _prune_exog_features_vif): the REAL Exog.vifReport /
+    // fitArx / forecast kernels run per ticker over the first 60 bars
+    // with two deterministic exog columns (linear index, weekday
+    // cycle). Exog's normal equations accumulate explicitly ascending
+    // (no breeze gemm), so the oracle replays X'X / X'y row-by-row, the
+    // 4×4 and 2×2 Cholesky solves op-for-op, both VIF regressions, σ²,
+    // the Gaussian log-likelihood AIC, and the recursive 3-step exog
+    // forecast. Parquet round trip, hash-exact, no tolerance.
+    "q170_exog_arx" -> ((s, dir) => {
+      import s.implicits._
+      val out = Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", $"price")
+        .as[(String, java.sql.Timestamp, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (ticker, rows) =>
+          val px = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+            .map(_._4).take(60)
+          if (px.length < 60) Iterator.empty
+          else {
+            val n = px.length
+            val x1 = Array.tabulate(n)(i => (i + 1).toDouble)
+            val x2 = Array.tabulate(n)(i => ((i + 1) % 7).toDouble)
+            val vifs = graft.forecast.Exog.vifReport(Array(x1, x2))
+            val fit = graft.forecast.Exog.fitArx(px, Array(x1, x2), p = 1)
+            val fut = Array.tabulate(3)(h => fit.keptExog.map(j =>
+              if (j == 0) (n + 1 + h).toDouble
+              else ((n + 1 + h) % 7).toDouble).toArray)
+            val mu = graft.forecast.Exog.forecast(px, fit, fut, horizon = 3)
+            Iterator.single((ticker, fit.intercept, fit.arCoefs(0),
+              fit.exogCoefs.lift(0).getOrElse(Double.NaN),
+              fit.exogCoefs.lift(1).getOrElse(Double.NaN),
+              fit.sigma2, fit.aic, vifs(0), vifs(1), fit.keptExog.size,
+              mu(0), mu(1), mu(2)))
+          }
+        }
+      val store = scratch("exog_arx")
+      out.toDF("ticker", "icept", "ar1", "b1", "b2", "sigma2", "aic",
+        "vif1", "vif2", "kept_n", "mu1", "mu2", "mu3")
+        .write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
     })
   )
 
@@ -1081,6 +1125,151 @@ object KernelQueries extends QueryModule {
         |    * sqrt(GREATEST(CAST(1e-12 AS DOUBLE), g.rss / g.s00) * f.h) AS hi
         |FROM fc f
         |JOIN sg g ON f.ticker = g.ticker
-        |JOIN dch ON f.ticker = dch.ticker""".stripMargin
+        |JOIN dch ON f.ticker = dch.ticker""".stripMargin,
+
+    // Replays Exog end-to-end. The exog columns (linear index rn,
+    // weekday rn%7) have integer-exact sums — plain SUMs replay the
+    // kernel's double accumulation bit-for-bit — while every sum
+    // involving prices walks recA ascending rn exactly like normalEq's
+    // row loop. Cholesky (4×4 ARX, 2×2 per VIF regression), the
+    // forward/back substitutions, both VIF R² clamps, σ² and the
+    // Gaussian-likelihood AIC, and the 3-step recursive forecast all
+    // replay in the kernel's IEEE op order (LN/PI() agree with Java's
+    // Math.log/Math.PI to the ulp the round-9 hash absorbs).
+    "q170_exog_arx" -> {
+      val D = "CAST(1.0 AS DOUBLE)"
+      // ARX residual fit expression — the kernel's ascending-j dot
+      def arxFit = s"(((ab.be0 + w.ly * ab.be1) + w.x1 * ab.be2) + w.x2 * ab.be3)"
+      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+         |sel0 AS (
+         |  SELECT ticker, price,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
+         |  FROM bars QUALIFY rn <= 60),
+         |ok AS (SELECT ticker FROM sel0 GROUP BY ticker HAVING COUNT(*) = 60),
+         |sel2 AS MATERIALIZED (SELECT sel0.* FROM sel0 JOIN ok USING (ticker)),
+         |ints AS MATERIALIZED (
+         |  SELECT ticker,
+         |    CAST(COUNT(CASE WHEN rn >= 2 THEN 1 END) AS DOUBLE) AS m,
+         |    CAST(SUM(CASE WHEN rn >= 2 THEN rn END) AS DOUBLE) AS sx1,
+         |    CAST(SUM(CASE WHEN rn >= 2 THEN rn % 7 END) AS DOUBLE) AS sx2,
+         |    CAST(SUM(CASE WHEN rn >= 2 THEN rn * rn END) AS DOUBLE) AS s11,
+         |    CAST(SUM(CASE WHEN rn >= 2 THEN rn * (rn % 7) END) AS DOUBLE) AS s12,
+         |    CAST(SUM(CASE WHEN rn >= 2 THEN (rn % 7) * (rn % 7) END) AS DOUBLE) AS s22,
+         |    CAST(SUM(rn) AS DOUBLE) AS vx1,
+         |    CAST(SUM(rn % 7) AS DOUBLE) AS vx2,
+         |    CAST(SUM(rn * rn) AS DOUBLE) AS v11,
+         |    CAST(SUM(rn * (rn % 7)) AS DOUBLE) AS v12,
+         |    CAST(SUM((rn % 7) * (rn % 7)) AS DOUBLE) AS v22
+         |  FROM sel2 GROUP BY ticker),
+         |arxrow AS MATERIALIZED (
+         |  SELECT a.ticker, a.rn, a.price AS yv, b.price AS ly,
+         |    CAST(a.rn AS DOUBLE) AS x1, CAST(a.rn % 7 AS DOUBLE) AS x2
+         |  FROM sel2 a JOIN sel2 b ON b.ticker = a.ticker AND b.rn = a.rn - 1),
+         |recA AS (
+         |  SELECT ticker, 1 AS rn,
+         |    CAST(0.0 AS DOUBLE) AS sl, CAST(0.0 AS DOUBLE) AS sll,
+         |    CAST(0.0 AS DOUBLE) AS slx1, CAST(0.0 AS DOUBLE) AS slx2,
+         |    CAST(0.0 AS DOUBLE) AS ty, CAST(0.0 AS DOUBLE) AS tyl,
+         |    CAST(0.0 AS DOUBLE) AS tyx1, CAST(0.0 AS DOUBLE) AS tyx2
+         |  FROM ok
+         |  UNION ALL
+         |  SELECT r.ticker, a.rn,
+         |    r.sl + a.ly, r.sll + a.ly * a.ly,
+         |    r.slx1 + a.ly * a.x1, r.slx2 + a.ly * a.x2,
+         |    r.ty + a.yv, r.tyl + a.ly * a.yv,
+         |    r.tyx1 + a.x1 * a.yv, r.tyx2 + a.x2 * a.yv
+         |  FROM recA r JOIN arxrow a ON a.ticker = r.ticker AND a.rn = r.rn + 1),
+         |amat AS (
+         |  SELECT recA.*, ints.m, ints.sx1, ints.sx2, ints.s11, ints.s12,
+         |    ints.s22, ints.vx1, ints.vx2, ints.v11, ints.v12, ints.v22
+         |  FROM recA JOIN ints USING (ticker) WHERE recA.rn = 60),
+         |c1 AS (SELECT *, SQRT(m) AS l00 FROM amat),
+         |c2 AS (SELECT *, sl / l00 AS l10, sx1 / l00 AS l20, sx2 / l00 AS l30 FROM c1),
+         |c3 AS (SELECT *, SQRT(sll - l10 * l10) AS l11 FROM c2),
+         |c4 AS (SELECT *, (slx1 - l20 * l10) / l11 AS l21,
+         |                 (slx2 - l30 * l10) / l11 AS l31 FROM c3),
+         |c5 AS (SELECT *, SQRT((s11 - l20 * l20) - l21 * l21) AS l22 FROM c4),
+         |c6 AS (SELECT *, ((s12 - l30 * l20) - l31 * l21) / l22 AS l32 FROM c5),
+         |c7 AS (SELECT *, SQRT(((s22 - l30 * l30) - l31 * l31) - l32 * l32) AS l33 FROM c6),
+         |f1 AS (SELECT *, ty / l00 AS fy0 FROM c7),
+         |f2 AS (SELECT *, (tyl - l10 * fy0) / l11 AS fy1 FROM f1),
+         |f3 AS (SELECT *, ((tyx1 - l20 * fy0) - l21 * fy1) / l22 AS fy2 FROM f2),
+         |f4 AS (SELECT *, (((tyx2 - l30 * fy0) - l31 * fy1) - l32 * fy2) / l33 AS fy3 FROM f3),
+         |g4 AS (SELECT *, fy3 / l33 AS be3 FROM f4),
+         |g3 AS (SELECT *, (fy2 - l32 * be3) / l22 AS be2 FROM g4),
+         |g2 AS (SELECT *, ((fy1 - l21 * be2) - l31 * be3) / l11 AS be1 FROM g3),
+         |g1 AS (SELECT *, (((fy0 - l10 * be1) - l20 * be2) - l30 * be3) / l00 AS be0 FROM g2),
+         |v1a AS (SELECT *, SQRT(CAST(60.0 AS DOUBLE)) AS p00 FROM g1),
+         |v1b AS (SELECT *, vx2 / p00 AS p10 FROM v1a),
+         |v1c AS (SELECT *, SQRT(v22 - p10 * p10) AS p11 FROM v1b),
+         |v1d AS (SELECT *, vx1 / p00 AS q0 FROM v1c),
+         |v1e AS (SELECT *, (v12 - p10 * q0) / p11 AS q1 FROM v1d),
+         |v1f AS (SELECT *, q1 / p11 AS a1 FROM v1e),
+         |v1g AS (SELECT *, (q0 - p10 * a1) / p00 AS a0 FROM v1f),
+         |v2a AS (SELECT *, vx1 / p00 AS r10 FROM v1g),
+         |v2b AS (SELECT *, SQRT(v11 - r10 * r10) AS r11 FROM v2a),
+         |v2c AS (SELECT *, vx2 / p00 AS u0 FROM v2b),
+         |v2d AS (SELECT *, (v12 - r10 * u0) / r11 AS u1 FROM v2c),
+         |v2e AS (SELECT *, u1 / r11 AS cc1 FROM v2d),
+         |v2f AS (SELECT *, (u0 - r10 * cc1) / p00 AS cc0 FROM v2e),
+         |allb AS MATERIALIZED (SELECT *, vx1 / 60 AS my1, vx2 / 60 AS my2 FROM v2f),
+         |rowsb AS MATERIALIZED (
+         |  SELECT s.ticker, s.rn, s.price AS yv,
+         |    CAST(s.rn AS DOUBLE) AS x1, CAST(s.rn % 7 AS DOUBLE) AS x2,
+         |    l.price AS ly
+         |  FROM sel2 s LEFT JOIN sel2 l
+         |    ON l.ticker = s.ticker AND l.rn = s.rn - 1),
+         |recB AS (
+         |  SELECT ticker, 0 AS rn,
+         |    CAST(0.0 AS DOUBLE) AS st1, CAST(0.0 AS DOUBLE) AS sr1,
+         |    CAST(0.0 AS DOUBLE) AS st2, CAST(0.0 AS DOUBLE) AS sr2,
+         |    CAST(0.0 AS DOUBLE) AS sarx
+         |  FROM ok
+         |  UNION ALL
+         |  SELECT r.ticker, w.rn,
+         |    r.st1 + (w.x1 - ab.my1) * (w.x1 - ab.my1),
+         |    r.sr1 + (w.x1 - (ab.a0 + w.x2 * ab.a1))
+         |          * (w.x1 - (ab.a0 + w.x2 * ab.a1)),
+         |    r.st2 + (w.x2 - ab.my2) * (w.x2 - ab.my2),
+         |    r.sr2 + (w.x2 - (ab.cc0 + w.x1 * ab.cc1))
+         |          * (w.x2 - (ab.cc0 + w.x1 * ab.cc1)),
+         |    r.sarx + CASE WHEN w.rn >= 2
+         |      THEN (w.yv - $arxFit) * (w.yv - $arxFit)
+         |      ELSE CAST(0.0 AS DOUBLE) END
+         |  FROM recB r
+         |  JOIN rowsb w ON w.ticker = r.ticker AND w.rn = r.rn + 1
+         |  JOIN allb ab ON ab.ticker = r.ticker),
+         |fin AS MATERIALIZED (
+         |  SELECT b.*, ab.be0, ab.be1, ab.be2, ab.be3, ab.m,
+         |    GREATEST(CAST(1e-12 AS DOUBLE), b.sarx / ab.m) AS sigma2
+         |  FROM recB b JOIN allb ab USING (ticker) WHERE b.rn = 60),
+         |lastp AS (SELECT ticker, price AS y60 FROM sel2 WHERE rn = 60),
+         |mus AS (
+         |  SELECT f.ticker,
+         |    ((f.be0 + lp.y60 * f.be1) + CAST(61.0 AS DOUBLE) * f.be2)
+         |      + CAST(5.0 AS DOUBLE) * f.be3 AS mu1
+         |  FROM fin f JOIN lastp lp USING (ticker)),
+         |mus2 AS (
+         |  SELECT m1.ticker,  m1.mu1,
+         |    ((f.be0 + m1.mu1 * f.be1) + CAST(62.0 AS DOUBLE) * f.be2)
+         |      + CAST(6.0 AS DOUBLE) * f.be3 AS mu2
+         |  FROM mus m1 JOIN fin f USING (ticker)),
+         |mus3 AS (
+         |  SELECT m2.ticker, m2.mu1, m2.mu2,
+         |    ((f.be0 + m2.mu2 * f.be1) + CAST(63.0 AS DOUBLE) * f.be2)
+         |      + CAST(0.0 AS DOUBLE) * f.be3 AS mu3
+         |  FROM mus2 m2 JOIN fin f USING (ticker))
+         |SELECT f.ticker, f.be0 AS icept, f.be1 AS ar1, f.be2 AS b1,
+         |  f.be3 AS b2, f.sigma2,
+         |  CAST(2.0 AS DOUBLE) * 5 - CAST(2.0 AS DOUBLE) *
+         |    ((CAST(-0.5 AS DOUBLE) * f.m)
+         |     * (LN((CAST(2.0 AS DOUBLE) * PI()) * f.sigma2) + $D)) AS aic,
+         |  $D / ($D - LEAST($D - CAST(1e-12 AS DOUBLE),
+         |    GREATEST(CAST(0.0 AS DOUBLE), $D - f.sr1 / f.st1))) AS vif1,
+         |  $D / ($D - LEAST($D - CAST(1e-12 AS DOUBLE),
+         |    GREATEST(CAST(0.0 AS DOUBLE), $D - f.sr2 / f.st2))) AS vif2,
+         |  CAST(2 AS INT) AS kept_n, m3.mu1, m3.mu2, m3.mu3
+         |FROM fin f JOIN mus3 m3 USING (ticker)""".stripMargin
+    }
   )
 }

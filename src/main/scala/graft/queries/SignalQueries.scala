@@ -109,6 +109,49 @@ object SignalQueries extends QueryModule {
         .toDF("ticker", "date", "action", "confidence", "expected_return",
           "risk_score", "entry_price", "stop_loss", "take_profit",
           "hold_reason")
+    }),
+
+    // the REAL SignalRouter.Router per ticker (reference
+    // models/signal_router.py:68-479): ordered fallback chain with
+    // feature flags and attempt/served stats. Routes are deterministic
+    // functions of per-ticker aggregates — ts enabled on odd ranks and
+    // serving only above the price threshold, the fallback serving only
+    // the first three ranks, HOLD-everything when neither fires — so
+    // the dispatch, the short-circuit, and both counters replay as
+    // closed-form CASE logic.
+    "q169_signal_router" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Bars.of(s, dir).groupBy($"ticker")
+        .agg(Det.davg($"price").as("lp"))
+        .withColumn("ti",
+          row_number().over(Window.orderBy($"ticker")).cast("int"))
+        .select($"ticker", $"lp", $"ti")
+      dim.as[(String, Double, Int)].map { case (t, lp, ti) =>
+        def mk(nm: String, en: Boolean)(g: => Option[graft.domain.Signal]) =
+          new graft.signals.SignalRouter.Route {
+            val name = nm
+            val enabled = en
+            def generate(ticker: String) = g
+          }
+        val ts = mk("ts", ti % 2 == 1)(
+          if (lp > 100.0)
+            Some(graft.domain.Signal(t, new java.sql.Timestamp(0L), "BUY",
+              lp / (lp + 1.0), 0.0, 0.0, lp, 0.0, 0.0, ""))
+          else None)
+        val llm = mk("llm_fallback", en = true)(
+          if (ti <= 3)
+            Some(graft.domain.Signal(t, new java.sql.Timestamp(0L), "HOLD",
+              0.25, 0.0, 0.0, lp, 0.0, 0.0, "LLM_LOW_CONV"))
+          else None)
+        val router = new graft.signals.SignalRouter.Router(Seq(ts, llm))
+        val (sig, served) = router.route(t)
+        val st = router.stats
+        (t, served, sig.action, sig.confidence,
+          st.attempts.getOrElse("ts", 0L),
+          st.attempts.getOrElse("llm_fallback", 0L),
+          st.served.getOrElse("default_hold", 0L))
+      }.toDF("ticker", "served_by", "action", "confidence",
+        "att_ts", "att_llm", "held")
     })
   )
 
@@ -264,6 +307,33 @@ object SignalQueries extends QueryModule {
          |    WHEN expret > 0 THEN ''
          |    WHEN expret < 0 THEN ''
          |    ELSE 'ZERO_EXPECTED_RETURN' END AS hold_reason
-         |FROM d8""".stripMargin
+         |FROM d8""".stripMargin,
+
+    // the router chain as CASE dispatch: ts serves iff enabled (odd
+    // rank) AND above threshold; llm serves iff reached and rank ≤ 3;
+    // default_hold otherwise. att_ts counts the ENABLED attempt even
+    // when ts yields nothing; att_llm counts iff the chain reached it.
+    "q169_signal_router" ->
+      s"""${Bars.sql},
+         |dim AS (
+         |  SELECT ticker, ${Det.sqlAvg("price")} AS lp,
+         |    CAST(row_number() OVER (ORDER BY ticker) AS INT) AS ti
+         |  FROM bars GROUP BY ticker)
+         |SELECT ticker,
+         |  CASE WHEN ti % 2 = 1 AND lp > CAST(100.0 AS DOUBLE) THEN 'ts'
+         |       WHEN ti <= 3 THEN 'llm_fallback'
+         |       ELSE 'default_hold' END AS served_by,
+         |  CASE WHEN ti % 2 = 1 AND lp > CAST(100.0 AS DOUBLE) THEN 'BUY'
+         |       ELSE 'HOLD' END AS action,
+         |  CASE WHEN ti % 2 = 1 AND lp > CAST(100.0 AS DOUBLE)
+         |         THEN lp / (lp + CAST(1.0 AS DOUBLE))
+         |       WHEN ti <= 3 THEN CAST(0.25 AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS confidence,
+         |  CAST(CASE WHEN ti % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS att_ts,
+         |  CAST(CASE WHEN ti % 2 = 1 AND lp > CAST(100.0 AS DOUBLE)
+         |       THEN 0 ELSE 1 END AS BIGINT) AS att_llm,
+         |  CAST(CASE WHEN NOT (ti % 2 = 1 AND lp > CAST(100.0 AS DOUBLE))
+         |            AND ti > 3 THEN 1 ELSE 0 END AS BIGINT) AS held
+         |FROM dim""".stripMargin
   )
 }

@@ -1,8 +1,12 @@
 package graft.queries
 
+import breeze.linalg.DenseMatrix
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-import graft.stats.PortfolioMath
+import graft.stats.{PortfolioMath, StatTests}
 
 /** Portfolio-math scalar kernels under the oracle gate.
   *
@@ -13,8 +17,118 @@ import graft.stats.PortfolioMath
   * weights replay exactly; each model's contribution is a FOUR-term sum
   * mirrored in the Scala subsets() enumeration order (∅, {o1}, {o2},
   * {o1,o2} — size-ascending, insertion order within size).
+  *
+  * q165/q166: the Markowitz min-variance and risk-parity optimizers
+  * (reference etl/portfolio_math.py:312-387, scipy SLSQP stand-ins) run
+  * as the REAL PortfolioMath kernels on a three-asset covariance built
+  * from distributed floor-quantized moments (the q84 construction); the
+  * oracle replays every projected-gradient / proportional-damping
+  * iteration in the kernel's exact IEEE op order with a recursive CTE —
+  * including the k=3 simplex projection (median-of-three sort, the
+  * scanLeft cumulative sums, the ρ scan, θ) per step.
+  *
+  * q167: NGN effective return + payoff asymmetry
+  * (etl/portfolio_math.py:852-1032, :1083-1191) over the first 100
+  * returns per ticker — the win/loss tail sums and the cumulative
+  * product replay SEQUENTIALLY (double addition is order-dependent, so
+  * the oracle walks the same date order the kernel's array fold does).
+  *
+  * q168: seeded bootstrap CI of the mean (etl/portfolio_math.py:388-431)
+  * — the kernel's explicit 31-bit LCG resampling stream is replayed
+  * draw-by-draw (3 900 recursion steps per ticker in lockstep), then the
+  * sorted-means quantile index arithmetic picks the same two order
+  * statistics.
   */
 object StatQueries extends QueryModule {
+
+  /** Engine-invariant moment quantization (the q83/q84 fix): floor
+    * (x·1e12 + 0.5) is pure IEEE double arithmetic, identical in Spark
+    * and DuckDB, and the quanta sum exactly in DECIMAL(38,0). */
+  private def q12(e: Column): Column =
+    sum(floor(e * lit(1e12) + lit(0.5)).cast(DecimalType(38, 0)))
+      .cast("double") / lit(1e12)
+
+  private val mvTickers = Seq("click", "purchase", "view")
+
+  /** Three-asset /n covariance entries (c11..c33) as ONE wide row, built
+    * exactly like q84's pairwise centered moments — all distributed,
+    * no driver collect; the optimizer kernel runs inside the final
+    * single-row typed map. */
+  private def covRow(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val daily = Bars.of(s, dir).where($"ticker".isin(mvTickers: _*))
+      .groupBy($"ticker", $"day").agg(Det.davg($"price").as("p"))
+    val wd = Window.partitionBy($"ticker").orderBy($"day")
+    val rets = daily
+      .select($"ticker", $"day", ($"p" / lag($"p", 1).over(wd) - 1).as("r"))
+      .where($"r".isNotNull)
+    val full = rets.groupBy($"day").agg(count(lit(1)).as("c"))
+      .where($"c" === mvTickers.size).select($"day")
+    val al = rets.join(broadcast(full), Seq("day"))
+    val means = al.groupBy($"ticker").agg((q12($"r") / count($"r")).as("m"))
+    val cent = al.join(broadcast(means), Seq("ticker"))
+      .select($"ticker", $"day", ($"r" - $"m").as("c"))
+    val a = cent.select($"ticker".as("ta"), $"day", $"c".as("ca"))
+    val b = cent.select($"ticker".as("tb"), $"day", $"c".as("cb"))
+    val pairs = a.join(b, Seq("day")).where($"ta" <= $"tb")
+      .groupBy($"ta", $"tb")
+      .agg((q12($"ca" * $"cb") / count(lit(1))).as("s"))
+    def ce(i: String, j: String) =
+      max(when($"ta" === i && $"tb" === j, $"s"))
+    pairs.agg(
+      ce("click", "click").as("c11"), ce("click", "purchase").as("c12"),
+      ce("click", "view").as("c13"), ce("purchase", "purchase").as("c22"),
+      ce("purchase", "view").as("c23"), ce("view", "view").as("c33"))
+      .as[(Double, Double, Double, Double, Double, Double)]
+  }
+
+  /** Shared oracle CTE chain mirroring [[covRow]] (the q84 fragments)
+    * ending in a one-row `cm(c11..c33)`. */
+  private val covSql: String = {
+    def q12s(x: String) =
+      s"(CAST(SUM(CAST(floor(($x)*1e12 + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))) AS DOUBLE) / 1e12)"
+    s"""daily AS (
+       |  SELECT ticker, day, ${Det.sqlAvg("price")} AS p
+       |  FROM bars WHERE ticker IN ('click', 'purchase', 'view')
+       |  GROUP BY ticker, day),
+       |rets AS MATERIALIZED (
+       |  SELECT ticker, day,
+       |    p / lag(p, 1) OVER (PARTITION BY ticker ORDER BY day) - 1 AS r
+       |  FROM daily
+       |  QUALIFY r IS NOT NULL),
+       |fulld AS (
+       |  SELECT day FROM rets GROUP BY day HAVING COUNT(*) = 3),
+       |al AS MATERIALIZED (SELECT rets.* FROM rets JOIN fulld USING (day)),
+       |means AS (
+       |  SELECT ticker, ${q12s("r")} / COUNT(r) AS m FROM al GROUP BY ticker),
+       |cent AS MATERIALIZED (
+       |  SELECT al.ticker, al.day, al.r - means.m AS c
+       |  FROM al JOIN means USING (ticker)),
+       |pairs AS (
+       |  SELECT a.ticker AS ta, b.ticker AS tb,
+       |    ${q12s("a.c * b.c")} / COUNT(*) AS s
+       |  FROM cent a JOIN cent b USING (day)
+       |  WHERE a.ticker <= b.ticker
+       |  GROUP BY 1, 2),
+       |cm AS MATERIALIZED (
+       |  SELECT
+       |    MAX(CASE WHEN ta='click' AND tb='click' THEN s END) AS c11,
+       |    MAX(CASE WHEN ta='click' AND tb='purchase' THEN s END) AS c12,
+       |    MAX(CASE WHEN ta='click' AND tb='view' THEN s END) AS c13,
+       |    MAX(CASE WHEN ta='purchase' AND tb='purchase' THEN s END) AS c22,
+       |    MAX(CASE WHEN ta='purchase' AND tb='view' THEN s END) AS c23,
+       |    MAX(CASE WHEN ta='view' AND tb='view' THEN s END) AS c33
+       |  FROM pairs)""".stripMargin
+  }
+
+  /** SQL for one projected-gradient/damping step's shared dot products:
+    * dot_i = ((c_i1·w1) + c_i2·w2) + c_i3·w3 — the kernel's ascending-j
+    * accumulation (0.0 + x = x exactly for the nonzero diagonals). */
+  private def dotSql(i: Int): String = i match {
+    case 1 => "((c11*w1) + c12*w2) + c13*w3"
+    case 2 => "((c12*w1) + c22*w2) + c23*w3"
+    case _ => "((c13*w1) + c23*w2) + c33*w3"
+  }
 
   override def queries: Map[String, QFn] = Map(
     "q163_shapley" -> ((s, dir) => {
@@ -35,6 +149,99 @@ object StatQueries extends QueryModule {
             .toSeq.map { case (m, v) => (t, m, v) }
         }
         .toDF("ticker", "model", "shap")
+    }),
+
+    "q165_min_variance" -> ((s, dir) => {
+      import s.implicits._
+      covRow(s, dir).flatMap { case (c11, c12, c13, c22, c23, c33) =>
+        val cov = DenseMatrix(
+          (c11, c12, c13), (c12, c22, c23), (c13, c23, c33))
+        // lr scaled to the tiny return-covariance gradient (Σ ~ 1e-4)
+        // so 600 steps actually travel; stable: lr << 1/(2·λmax)
+        val w = PortfolioMath.minVarianceWeights(cov, iters = 600, lr = 25.0)
+        mvTickers.zip(w)
+      }.toDF("asset", "weight")
+    }),
+
+    "q166_risk_parity" -> ((s, dir) => {
+      import s.implicits._
+      covRow(s, dir).flatMap { case (c11, c12, c13, c22, c23, c33) =>
+        val cov = DenseMatrix(
+          (c11, c12, c13), (c12, c22, c23), (c13, c23, c33))
+        val w = PortfolioMath.riskParityWeights(cov, iters = 200)
+        mvTickers.zip(w)
+      }.toDF("asset", "weight")
+    }),
+
+    "q167_ngn_payoff" -> ((s, dir) => {
+      import s.implicits._
+      Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", $"price")
+        .as[(String, java.sql.Timestamp, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (ticker, rows) =>
+          val px = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+            .map(_._4).take(101)
+          if (px.length < 3) Iterator.empty
+          else {
+            val rets = px.sliding(2).collect {
+              case Array(a, b) => b / a - 1
+            }.toArray
+            val cum = rets.foldLeft(1.0)((c, r) => c * (1 + r))
+            val ngn = PortfolioMath.ngnEffectiveReturn(cum - 1,
+              fxDriftAnnual = 0.15, p2pFrictionBps = 150,
+              holdingDays = rets.length)
+            Iterator.single(
+              (ticker, PortfolioMath.payoffAsymmetry(rets), ngn))
+          }
+        }
+        .toDF("ticker", "payoff_asym", "ngn_eff")
+    }),
+
+    "q171_platt_calibration" -> ((s, dir) => {
+      import s.implicits._
+      Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", $"price")
+        .as[(String, java.sql.Timestamp, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (ticker, rows) =>
+          val px = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+            .map(_._4).take(21)
+          if (px.length < 21) Iterator.empty
+          else {
+            val rets = px.sliding(2).collect {
+              case Array(a, b) => b / a - 1
+            }.toArray
+            val scores = Array.tabulate(19)(j => rets(j) * 100)
+            val labels = Array.tabulate(19)(j => if (rets(j + 1) > 0) 1 else 0)
+            val (a, b) = PortfolioMath.plattFit(scores, labels, iters = 30)
+            Iterator.single(
+              (ticker, a, b, PortfolioMath.plattApply(a, b)(scores(0))))
+          }
+        }
+        .toDF("ticker", "platt_a", "platt_b", "p_first")
+    }),
+
+    "q168_bootstrap_ci" -> ((s, dir) => {
+      import s.implicits._
+      Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", $"price")
+        .as[(String, java.sql.Timestamp, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (ticker, rows) =>
+          val px = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+            .map(_._4).take(40)
+          if (px.length < 40) Iterator.empty
+          else {
+            val rets = px.sliding(2).collect {
+              case Array(a, b) => b / a - 1
+            }.toArray
+            val (lo, hi) = StatTests.bootstrapCI(rets, nBoot = 100,
+              alpha = 0.05, seed = 42L)
+            Iterator.single((ticker, lo, hi))
+          }
+        }
+        .toDF("ticker", "ci_lo", "ci_hi")
     })
   )
 
@@ -79,6 +286,260 @@ object StatQueries extends QueryModule {
          |      (((CAST(0.0 AS DOUBLE) + w0 * (v_c - CAST(0.0 AS DOUBLE)))
          |        + w1 * (v_ac - v_a)) + w1 * (v_bc - v_b)) + w0 * (v_abc - v_ab)
          |  END AS shap
-         |FROM v CROSS JOIN (VALUES ('a'), ('b'), ('c')) m(model)""".stripMargin
+         |FROM v CROSS JOIN (VALUES ('a'), ('b'), ('c')) m(model)""".stripMargin,
+
+    // Replays PortfolioMath.minVarianceWeights iteration-for-iteration:
+    // v_i = w_i − (dot_i·2)·lr with ascending-j dots, then the simplex
+    // projection — u = sort-desc via greatest/median-of-3/least, css =
+    // scanLeft partial sums (0.0+u1 = u1), ρ scanned from i=2 down, θ,
+    // w′_i = max(0, v_i+θ) (+0.0 normalizes DuckDB's possible −0.0 from
+    // GREATEST — the kernel's Math.max(0.0, x) never returns −0.0).
+    "q165_min_variance" -> {
+      val D = "CAST(1.0 AS DOUBLE)"
+      def vExpr(i: Int) =
+        s"it.w$i - (((${dotSql(i)}) * CAST(2.0 AS DOUBLE)) * CAST(25.0 AS DOUBLE)) AS v$i"
+      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+         |$covSql,
+         |it AS (
+         |  SELECT 0 AS i, $D / CAST(3.0 AS DOUBLE) AS w1,
+         |         $D / CAST(3.0 AS DOUBLE) AS w2,
+         |         $D / CAST(3.0 AS DOUBLE) AS w3
+         |  UNION ALL
+         |  SELECT i,
+         |    GREATEST(CAST(0.0 AS DOUBLE), v1 + theta) + CAST(0.0 AS DOUBLE) AS w1,
+         |    GREATEST(CAST(0.0 AS DOUBLE), v2 + theta) + CAST(0.0 AS DOUBLE) AS w2,
+         |    GREATEST(CAST(0.0 AS DOUBLE), v3 + theta) + CAST(0.0 AS DOUBLE) AS w3
+         |  FROM (
+         |    SELECT i, v1, v2, v3,
+         |      CASE WHEN u3 + ($D - css3) / CAST(3.0 AS DOUBLE) > CAST(0.0 AS DOUBLE)
+         |             THEN ($D - css3) / CAST(3.0 AS DOUBLE)
+         |           WHEN u2 + ($D - css2) / CAST(2.0 AS DOUBLE) > CAST(0.0 AS DOUBLE)
+         |             THEN ($D - css2) / CAST(2.0 AS DOUBLE)
+         |           ELSE ($D - css1) / $D END AS theta
+         |    FROM (
+         |      SELECT i, v1, v2, v3, u2, u3,
+         |        u1 AS css1, u1 + u2 AS css2, (u1 + u2) + u3 AS css3
+         |      FROM (
+         |        SELECT i, v1, v2, v3,
+         |          GREATEST(v1, v2, v3) AS u1,
+         |          GREATEST(LEAST(v1, v2), LEAST(GREATEST(v1, v2), v3)) AS u2,
+         |          LEAST(v1, v2, v3) AS u3
+         |        FROM (
+         |          SELECT it.i + 1 AS i,
+         |            ${vExpr(1)},
+         |            ${vExpr(2)},
+         |            ${vExpr(3)}
+         |          FROM it, cm WHERE it.i < 600
+         |        ) s0
+         |      ) s1
+         |    ) s2
+         |  ) s3
+         |)
+         |SELECT a.asset,
+         |  CASE a.asset WHEN 'click' THEN w1 WHEN 'purchase' THEN w2
+         |    ELSE w3 END AS weight
+         |FROM it, (VALUES ('click'), ('purchase'), ('view')) a(asset)
+         |WHERE i = 600""".stripMargin
+    },
+
+    // Replays PortfolioMath.riskParityWeights: rc_i = w_i·dot_i with
+    // ascending-j dots, sumRc/target accumulated left-to-right, damped
+    // update w_i·sqrt(sqrt(target/max(rc_i,1e-12))) (sqrt∘sqrt IS the
+    // kernel's engine-invariant quarter-power), then the left-to-right
+    // sum normalization.
+    "q166_risk_parity" -> {
+      def damp(i: Int) =
+        s"""s0.w$i * SQRT(SQRT(target / GREATEST(rc$i, CAST(1e-12 AS DOUBLE)))) AS wt$i"""
+      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+         |$covSql,
+         |it AS (
+         |  SELECT 0 AS i, CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE) AS w1,
+         |         CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE) AS w2,
+         |         CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE) AS w3
+         |  UNION ALL
+         |  SELECT i, wt1 / sumw AS w1, wt2 / sumw AS w2, wt3 / sumw AS w3
+         |  FROM (
+         |    SELECT i, wt1, wt2, wt3, (wt1 + wt2) + wt3 AS sumw
+         |    FROM (
+         |      SELECT i, ${damp(1)}, ${damp(2)}, ${damp(3)}
+         |      FROM (
+         |        SELECT it.i + 1 AS i, it.w1, it.w2, it.w3,
+         |          it.w1 * (${dotSql(1)}) AS rc1,
+         |          it.w2 * (${dotSql(2)}) AS rc2,
+         |          it.w3 * (${dotSql(3)}) AS rc3,
+         |          ((it.w1 * (${dotSql(1)}) + it.w2 * (${dotSql(2)}))
+         |            + it.w3 * (${dotSql(3)})) / CAST(3.0 AS DOUBLE) AS target
+         |        FROM it, cm WHERE it.i < 200
+         |      ) s0
+         |    ) s1
+         |  ) s2
+         |)
+         |SELECT a.asset,
+         |  CASE a.asset WHEN 'click' THEN w1 WHEN 'purchase' THEN w2
+         |    ELSE w3 END AS weight
+         |FROM it, (VALUES ('click'), ('purchase'), ('view')) a(asset)
+         |WHERE i = 200""".stripMargin
+    },
+
+    // Sequential replay of the q167 kernels over the first ≤100 returns
+    // per ticker in (ts, seq) order: the win/loss tail sums accumulate in
+    // the SAME order the Scala array fold does, the cumulative product
+    // walks 1·(1+r₁)·(1+r₂)…, and the NGN formula replays
+    // ngnEffectiveReturn's exact op sequence (1+(cum−1), the pow fx
+    // drift, the bps friction, left-assoc products).
+    "q167_ngn_payoff" -> {
+      val D = "CAST(1.0 AS DOUBLE)"
+      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+         |sel AS (
+         |  SELECT ticker, price,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
+         |  FROM bars QUALIFY rn <= 101),
+         |rr AS MATERIALIZED (
+         |  SELECT ticker,
+         |    price / lag(price, 1) OVER (PARTITION BY ticker ORDER BY rn) - 1 AS r,
+         |    rn - 1 AS i
+         |  FROM sel QUALIFY r IS NOT NULL),
+         |cnt AS (SELECT ticker, COUNT(*) AS n FROM rr GROUP BY ticker),
+         |walk AS (
+         |  SELECT ticker, 0 AS i, CAST(0.0 AS DOUBLE) AS sw,
+         |    CAST(0 AS BIGINT) AS nw, CAST(0.0 AS DOUBLE) AS sl,
+         |    CAST(0 AS BIGINT) AS nl, $D AS cum
+         |  FROM cnt WHERE n >= 2
+         |  UNION ALL
+         |  SELECT w.ticker, w.i + 1,
+         |    CASE WHEN r.r > 0 THEN w.sw + r.r ELSE w.sw END,
+         |    CASE WHEN r.r > 0 THEN w.nw + 1 ELSE w.nw END,
+         |    CASE WHEN r.r < 0 THEN w.sl + r.r ELSE w.sl END,
+         |    CASE WHEN r.r < 0 THEN w.nl + 1 ELSE w.nl END,
+         |    w.cum * ($D + r.r)
+         |  FROM walk w JOIN rr r ON r.ticker = w.ticker AND r.i = w.i + 1),
+         |fin AS (
+         |  SELECT walk.*, cnt.n FROM walk JOIN cnt USING (ticker)
+         |  WHERE walk.i = cnt.n)
+         |SELECT ticker,
+         |  CASE WHEN nw = 0 THEN CAST(0.0 AS DOUBLE)
+         |       WHEN nl = 0 THEN CAST('infinity' AS DOUBLE)
+         |       ELSE (sw / nw) / ABS(sl / nl) END AS payoff_asym,
+         |  (($D + (cum - $D))
+         |    * ($D + (POWER($D + CAST(0.15 AS DOUBLE),
+         |        CAST(n AS DOUBLE) / CAST(365.0 AS DOUBLE)) - $D)))
+         |    * ($D - CAST(150.0 AS DOUBLE) / CAST(1e4 AS DOUBLE)) - $D AS ngn_eff
+         |FROM fin""".stripMargin
+    },
+
+    // Replays PortfolioMath.plattFit pair-for-pair: the Newton state
+    // (a, b) plus the five gradient/Hessian accumulators walk one
+    // recursion step per (iteration, pair) — 30×19 = 570 lockstep steps
+    // per ticker. Accumulators reset at each pass start (t%19 = 0 on the
+    // source row), the Newton update lands on the step that consumes the
+    // pass's last pair, and the |det| ≤ 1e-12 degenerate guard replays
+    // as the same CASE. σ(a·x+b) saturating to exp-overflow is benign:
+    // both engines return ±inf → p ∈ {0,1} exactly.
+    "q171_platt_calibration" -> {
+      val D1 = "CAST(1.0 AS DOUBLE)"
+      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+         |sel AS (
+         |  SELECT ticker, price,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
+         |  FROM bars QUALIFY rn <= 21),
+         |rr AS MATERIALIZED (
+         |  SELECT ticker,
+         |    price / lag(price, 1) OVER (PARTITION BY ticker ORDER BY rn) - 1 AS r,
+         |    rn - 1 AS i
+         |  FROM sel QUALIFY r IS NOT NULL),
+         |pl AS MATERIALIZED (
+         |  SELECT a.ticker, a.i AS j, a.r * CAST(100.0 AS DOUBLE) AS x,
+         |    CASE WHEN b.r > 0 THEN 1 ELSE 0 END AS y
+         |  FROM rr a JOIN rr b ON b.ticker = a.ticker AND b.i = a.i + 1
+         |  WHERE a.i <= 19),
+         |full20 AS (
+         |  SELECT ticker FROM rr GROUP BY ticker HAVING COUNT(*) = 20),
+         |it AS (
+         |  SELECT ticker, 0 AS t, $D1 AS a, CAST(0.0 AS DOUBLE) AS b,
+         |    CAST(0.0 AS DOUBLE) AS ga, CAST(0.0 AS DOUBLE) AS gb,
+         |    CAST(0.0 AS DOUBLE) AS haa, CAST(0.0 AS DOUBLE) AS hab,
+         |    CAST(0.0 AS DOUBLE) AS hbb
+         |  FROM full20
+         |  UNION ALL
+         |  SELECT ticker, t,
+         |    CASE WHEN t % 19 = 0 AND ABS(det) > CAST(1e-12 AS DOUBLE)
+         |         THEN a - (hbb1 * ga1 - hab1 * gb1) / det ELSE a END,
+         |    CASE WHEN t % 19 = 0 AND ABS(det) > CAST(1e-12 AS DOUBLE)
+         |         THEN b - (haa1 * gb1 - hab1 * ga1) / det ELSE b END,
+         |    ga1, gb1, haa1, hab1, hbb1
+         |  FROM (
+         |    SELECT *, haa1 * hbb1 - hab1 * hab1 AS det
+         |    FROM (
+         |      SELECT ticker, t0 + 1 AS t, a, b,
+         |        (CASE WHEN t0 % 19 = 0 THEN CAST(0.0 AS DOUBLE) ELSE ga END)
+         |          + (p - y) * x AS ga1,
+         |        (CASE WHEN t0 % 19 = 0 THEN CAST(0.0 AS DOUBLE) ELSE gb END)
+         |          + (p - y) AS gb1,
+         |        (CASE WHEN t0 % 19 = 0 THEN CAST(0.0 AS DOUBLE) ELSE haa END)
+         |          + (p * (1 - p)) * x * x AS haa1,
+         |        (CASE WHEN t0 % 19 = 0 THEN CAST(0.0 AS DOUBLE) ELSE hab END)
+         |          + (p * (1 - p)) * x AS hab1,
+         |        (CASE WHEN t0 % 19 = 0 THEN CAST(0.0 AS DOUBLE) ELSE hbb END)
+         |          + (p * (1 - p)) AS hbb1
+         |      FROM (
+         |        SELECT it.ticker, it.t AS t0, it.a, it.b, it.ga, it.gb,
+         |          it.haa, it.hab, it.hbb, pl.x, pl.y,
+         |          $D1 / ($D1 + EXP(-(it.a * pl.x + it.b))) AS p
+         |        FROM it JOIN pl ON pl.ticker = it.ticker
+         |          AND pl.j = (it.t % 19) + 1
+         |        WHERE it.t < 570
+         |      ) s0
+         |    ) s1
+         |  ) s2),
+         |fin AS (SELECT ticker, a, b FROM it WHERE t = 570),
+         |x1 AS (SELECT ticker, x FROM pl WHERE j = 1)
+         |SELECT f.ticker, f.a AS platt_a, f.b AS platt_b,
+         |  $D1 / ($D1 + EXP(-(f.a * x1.x + f.b))) AS p_first
+         |FROM fin f JOIN x1 ON x1.ticker = f.ticker""".stripMargin
+    },
+
+    // Replays StatTests.bootstrapCI draw-for-draw: the 31-bit LCG stream
+    // s ← (1103515245·s + 12345) mod 2³¹ starting at seed 42 advances
+    // 100×39 steps per ticker (boot accumulator resets every 39 draws),
+    // each draw indexing the date-ordered return array by s mod 39; the
+    // CI bounds are the 3rd and 98th ascending order statistics of the
+    // 100 bootstrap means ((α/2·nBoot).toInt = 2, ((1−α/2)·nBoot).toInt
+    // = 97, 0-indexed).
+    "q168_bootstrap_ci" ->
+      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+         |sel AS (
+         |  SELECT ticker, price,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
+         |  FROM bars QUALIFY rn <= 40),
+         |rr AS MATERIALIZED (
+         |  SELECT ticker,
+         |    price / lag(price, 1) OVER (PARTITION BY ticker ORDER BY rn) - 1 AS r,
+         |    rn - 1 AS i
+         |  FROM sel QUALIFY r IS NOT NULL),
+         |cnt AS (SELECT ticker, COUNT(*) AS n FROM rr GROUP BY ticker),
+         |walk AS (
+         |  SELECT ticker, 0 AS t, CAST(42 AS BIGINT) AS s,
+         |    CAST(0.0 AS DOUBLE) AS acc
+         |  FROM cnt WHERE n = 39
+         |  UNION ALL
+         |  SELECT w.ticker, w.t + 1, w.s2,
+         |    (CASE WHEN (w.t % 39) = 0 THEN CAST(0.0 AS DOUBLE)
+         |          ELSE w.acc END) + r.r
+         |  FROM (
+         |    SELECT ticker, t, acc,
+         |      (1103515245 * s + 12345) % 2147483648 AS s2
+         |    FROM walk WHERE t < 3900
+         |  ) w JOIN rr r ON r.ticker = w.ticker AND r.i = (w.s2 % 39) + 1),
+         |means AS (
+         |  SELECT ticker, acc / 39 AS mean FROM walk
+         |  WHERE t > 0 AND (t % 39) = 0),
+         |ranked AS (
+         |  SELECT ticker, mean,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY mean) AS rk
+         |  FROM means)
+         |SELECT ticker,
+         |  MAX(CASE WHEN rk = 3 THEN mean END) AS ci_lo,
+         |  MAX(CASE WHEN rk = 98 THEN mean END) AS ci_hi
+         |FROM ranked GROUP BY ticker""".stripMargin
   )
 }

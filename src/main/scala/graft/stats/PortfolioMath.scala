@@ -187,42 +187,75 @@ object PortfolioMath {
   }
 
   /** Minimum-variance long-only weights via deterministic projected
-    * gradient descent on the simplex (the SLSQP stand-in). */
+    * gradient descent on the simplex (the SLSQP stand-in).
+    *
+    * Explicit ascending-j dot products (no breeze gemv) so the IEEE op
+    * sequence is specified and an external oracle can replay every
+    * iteration bit-for-bit (the Ssa.mm rationale). */
   def minVarianceWeights(cov: DenseMatrix[Double], iters: Int = 2000,
       lr: Double = 0.1): Array[Double] = {
     val k = cov.rows
-    var w = DenseVector.fill(k)(1.0 / k)
-    (0 until iters).foreach { _ =>
-      val grad = (cov * w) * 2.0
-      w = projectSimplex(w - grad * lr)
+    var w = Array.fill(k)(1.0 / k)
+    var it = 0
+    while (it < iters) {
+      val v = new Array[Double](k)
+      var i = 0
+      while (i < k) {
+        var dot = 0.0
+        var j = 0
+        while (j < k) { dot += cov(i, j) * w(j); j += 1 }
+        v(i) = w(i) - (dot * 2.0) * lr
+        i += 1
+      }
+      w = projectSimplex(v)
+      it += 1
     }
-    w.toArray
+    w
   }
 
   /** Risk parity: iterative proportional update until each asset's risk
-    * contribution w_i·(Σw)_i equalizes. */
+    * contribution w_i·(Σw)_i equalizes. Damping exponent is 1/4 computed
+    * as sqrt(sqrt(x)): sqrt is IEEE-exact in every engine, where a
+    * libm pow(x, 0.2) is not — keeps the whole recursion replayable. */
   def riskParityWeights(cov: DenseMatrix[Double], iters: Int = 500): Array[Double] = {
     val k = cov.rows
-    var w = DenseVector.fill(k)(1.0 / k)
-    (0 until iters).foreach { _ =>
-      val mrc = cov * w
-      val rc = DenseVector.tabulate(k)(i => w(i) * mrc(i))
-      val target = breeze.linalg.sum(rc) / k
-      w = DenseVector.tabulate(k)(i =>
-        w(i) * math.pow(target / math.max(rc(i), 1e-12), 0.2))
-      w = w / breeze.linalg.sum(w)
+    var w = Array.fill(k)(1.0 / k)
+    var it = 0
+    while (it < iters) {
+      val rc = new Array[Double](k)
+      var sumRc = 0.0
+      var i = 0
+      while (i < k) {
+        var dot = 0.0
+        var j = 0
+        while (j < k) { dot += cov(i, j) * w(j); j += 1 }
+        rc(i) = w(i) * dot
+        sumRc += rc(i)
+        i += 1
+      }
+      val target = sumRc / k
+      var sumW = 0.0
+      i = 0
+      while (i < k) {
+        w(i) = w(i) * math.sqrt(math.sqrt(target / math.max(rc(i), 1e-12)))
+        sumW += w(i)
+        i += 1
+      }
+      i = 0
+      while (i < k) { w(i) = w(i) / sumW; i += 1 }
+      it += 1
     }
-    w.toArray
+    w
   }
 
-  private def projectSimplex(v: DenseVector[Double]): DenseVector[Double] = {
+  private def projectSimplex(v: Array[Double]): Array[Double] = {
     // Euclidean projection onto {w : w_i >= 0, Σw = 1}
-    val u = v.toArray.sorted(Ordering[Double].reverse)
+    val u = v.sorted(Ordering[Double].reverse)
     val css = u.scanLeft(0.0)(_ + _).drop(1)
     val rho = (0 until u.length).reverse
       .find(i => u(i) + (1.0 - css(i)) / (i + 1) > 0).getOrElse(0)
     val theta = (1.0 - css(rho)) / (rho + 1)
-    DenseVector(v.toArray.map(x => math.max(0.0, x + theta)))
+    v.map(x => math.max(0.0, x + theta))
   }
 
   /** Shapley attribution of a coalition value function over model

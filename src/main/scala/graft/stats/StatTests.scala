@@ -168,15 +168,27 @@ object StatTests {
     TestResult(lr, chi2PValue(math.max(lr, 0.0), 1.0))
   }
 
-  /** Seeded bootstrap CI of the mean. */
+  /** Seeded bootstrap CI of the mean (etl/portfolio_math.py:388-431,
+    * etl/statistical_tests.py:251-293).
+    *
+    * The resampling stream is an explicit 31-bit LCG (glibc constants,
+    * s ← (1103515245·s + 12345) mod 2³¹, index = s mod n) rather than
+    * java.util.Random: every product fits a signed 64-bit integer, so an
+    * external SQL oracle replays the identical draw sequence with plain
+    * BIGINT arithmetic — no 48-bit hidden state, no rejection loops. */
   def bootstrapCI(x: Array[Double], nBoot: Int = 1000, alpha: Double = 0.05,
       seed: Long = 42L): (Double, Double) = {
-    val rng = new scala.util.Random(seed)
+    val n = x.length
+    var s = seed % 2147483648L
     val means = Array.fill(nBoot) {
-      var s = 0.0
+      var acc = 0.0
       var i = 0
-      while (i < x.length) { s += x(rng.nextInt(x.length)); i += 1 }
-      s / x.length
+      while (i < n) {
+        s = (1103515245L * s + 12345L) % 2147483648L
+        acc += x((s % n).toInt)
+        i += 1
+      }
+      acc / n
     }.sorted
     (means(math.max(0, (alpha / 2 * nBoot).toInt)),
       means(math.min(nBoot - 1, ((1 - alpha / 2) * nBoot).toInt)))
