@@ -69,8 +69,10 @@ object RegimeDetector {
     val (slope, r2) = trend(prices.takeRight(window))
     val h = hurst(prices)
     val m = mean(recent); val sd = math.max(std(recent), 1e-12)
-    val sk = mean(recent.map(r => math.pow((r - m) / sd, 3)))
-    val ku = mean(recent.map(r => math.pow((r - m) / sd, 4)))
+    // explicit products, not libm pow: (z·z)·z and (z·z)·(z·z) are
+    // specified IEEE op sequences an external oracle replays exactly
+    val sk = mean(recent.map { r => val z = (r - m) / sd; (z * z) * z })
+    val ku = mean(recent.map { r => val z = (r - m) / sd; (z * z) * (z * z) })
     Features(rv, vov, r2, slope, h, sk, ku)
   }
 

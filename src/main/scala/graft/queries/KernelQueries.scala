@@ -411,6 +411,43 @@ object KernelQueries extends QueryModule {
         "vif1", "vif2", "kept_n", "mu1", "mu2", "mu3")
         .write.mode("overwrite").parquet(store)
       s.read.parquet(store)
+    }),
+
+    // The regime detector under the hash gate (reference
+    // forcester_ts/regime_detector.py:30-310): the REAL
+    // RegimeDetector.detect per ticker over the first 180 bars — every
+    // feature float (annualized realized vol, vol-of-vol over the 51
+    // rolling-10 vols, trend slope/R², the 19-lag power-law Hurst fit,
+    // standardized skew/kurtosis via explicit z-products, no libm pow)
+    // plus the rule-tree regime/confidence/model-recommendation outputs.
+    // The oracle replays every sequential sum (mean and centered passes
+    // separately, in the kernel's ascending order), the rolling windows
+    // as explicit 10-term left-associated adds, and the closed-form
+    // rule tree.
+    "q172_regime_detect" -> ((s, dir) => {
+      import s.implicits._
+      val out = Bars.of(s, dir)
+        .select($"ticker", $"ts", $"seq", $"price")
+        .as[(String, java.sql.Timestamp, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (ticker, rows) =>
+          val px = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+            .map(_._4).take(180)
+          if (px.length < 180) Iterator.empty
+          else {
+            val r = graft.forecast.RegimeDetector.detect(px, window = 60)
+            val f = r.features
+            Iterator.single((ticker, r.regime, r.confidence,
+              f.realizedVol, f.volOfVol, f.trendR2, f.trendSlope,
+              f.hurst, f.skew, f.kurtosis,
+              r.recommendedModels.mkString(",")))
+          }
+        }
+      val store = scratch("regime_detect")
+      out.toDF("ticker", "regime", "conf", "rv", "vov", "trend_r2",
+        "trend_slope", "hurst", "skew", "kurt", "models")
+        .write.mode("overwrite").parquet(store)
+      s.read.parquet(store)
     })
   )
 
@@ -1270,6 +1307,177 @@ object KernelQueries extends QueryModule {
          |    GREATEST(CAST(0.0 AS DOUBLE), $D - f.sr2 / f.st2))) AS vif2,
          |  CAST(2 AS INT) AS kept_n, m3.mu1, m3.mu2, m3.mu3
          |FROM fin f JOIN mus3 m3 USING (ticker)""".stripMargin
+    },
+
+    // Replays RegimeDetector.detect float-for-float: P1/P2 carry every
+    // mean-pass / centered-pass sequential sum (returns, trend window,
+    // the 19 Hurst lag-diff series) ascending rn exactly like the
+    // kernel's Array.sum folds; the 51 rolling-10 vols are explicit
+    // left-associated 10-term adds; the Hurst log-log OLS walks lags
+    // 2..20 in order; skew/kurt replay the kernel's (z·z)·z and
+    // (z·z)·(z·z) products; the rule tree and model recommendations are
+    // the same closed-form CASE.
+    "q172_regime_detect" -> {
+      val D0 = "CAST(0.0 AS DOUBLE)"
+      def nestSum(terms: Seq[String]) = terms.reduceLeft((a, b) => s"($a + $b)")
+      val lags = 2 to 20
+      val lagSel = lags.map(l => s"lag(price, $l) OVER w AS pl$l").mkString(", ")
+      val leadSel = (1 to 9).map(j => s"lead(r, $j) OVER w2 AS r$j").mkString(", ")
+      val mwTerms = "r" +: (1 to 9).map(j => s"r$j")
+      val mwExpr = s"(${nestSum(mwTerms)}) / 10"
+      val ssExpr = nestSum(mwTerms.map(t => s"(($t - mw) * ($t - mw))"))
+      val p1Base = lags.map(l => s"$D0 AS h$l").mkString(", ")
+      val p1Step = lags.map(l =>
+        s"p1.h$l + CASE WHEN q.rn > $l THEN (q.price - q.pl$l) ELSE $D0 END AS h$l")
+        .mkString(",\n    ")
+      val meansSel = lags.map(l => s"h$l / ${180 - l} AS ml$l").mkString(", ")
+      val p2Base = lags.map(l => s"$D0 AS sl$l").mkString(", ")
+      val p2Step = lags.map(l =>
+        s"""p2.sl$l + CASE WHEN q.rn > $l
+           | THEN ((q.price - q.pl$l) - mn.ml$l) * ((q.price - q.pl$l) - mn.ml$l)
+           | ELSE $D0 END AS sl$l""".stripMargin.replace("\n", ""))
+        .mkString(",\n    ")
+      val logsdSel = lags.map(l =>
+        s"LN(GREATEST(SQRT(p2.sl$l / ${180 - l - 1}), CAST(1e-12 AS DOUBLE))) AS g$l")
+        .mkString(",\n    ")
+      val gCase = lags.map(l => s"WHEN $l THEN g$l").mkString(" ")
+      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+         |sel0 AS (
+         |  SELECT ticker, price,
+         |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
+         |  FROM bars QUALIFY rn <= 180),
+         |ok AS (SELECT ticker FROM sel0 GROUP BY ticker HAVING COUNT(*) = 180),
+         |rows_ AS MATERIALIZED (
+         |  SELECT s.ticker, s.rn, s.price,
+         |    s.price / lag(s.price, 1) OVER w - 1 AS r, $lagSel
+         |  FROM (SELECT sel0.* FROM sel0 JOIN ok USING (ticker)) s
+         |  WINDOW w AS (PARTITION BY s.ticker ORDER BY s.rn)),
+         |rva AS (
+         |  SELECT * FROM (
+         |    SELECT ticker, rn, r, $leadSel
+         |    FROM (SELECT ticker, rn, r FROM rows_ WHERE r IS NOT NULL)
+         |    WINDOW w2 AS (PARTITION BY ticker ORDER BY rn))
+         |  WHERE rn BETWEEN 121 AND 171),
+         |rvb AS (SELECT ticker, rn, ${mwTerms.mkString(", ")}, $mwExpr AS mw FROM rva),
+         |rv10 AS MATERIALIZED (
+         |  SELECT ticker, rn, SQRT(($ssExpr) / 9) AS stdw FROM rvb),
+         |p1 AS (
+         |  SELECT ticker, 0 AS rn, $D0 AS sr, $D0 AS sy, $D0 AS sv, $p1Base
+         |  FROM ok
+         |  UNION ALL
+         |  SELECT p1.ticker, q.rn,
+         |    p1.sr + CASE WHEN q.rn >= 121 THEN q.r ELSE $D0 END,
+         |    p1.sy + CASE WHEN q.rn >= 121 THEN q.price ELSE $D0 END,
+         |    p1.sv + CASE WHEN v.stdw IS NOT NULL THEN v.stdw ELSE $D0 END,
+         |    $p1Step
+         |  FROM p1
+         |  JOIN rows_ q ON q.ticker = p1.ticker AND q.rn = p1.rn + 1
+         |  LEFT JOIN rv10 v ON v.ticker = p1.ticker AND v.rn = q.rn),
+         |means AS MATERIALIZED (
+         |  SELECT ticker, sr / 60 AS mrec, sy / 60 AS my, sv / 51 AS mv,
+         |    $meansSel
+         |  FROM p1 WHERE rn = 180),
+         |p2 AS (
+         |  SELECT ticker, 0 AS rn, $D0 AS ssr, $D0 AS sxy, $D0 AS sxx,
+         |    $D0 AS syy, $D0 AS ssv, $p2Base
+         |  FROM ok
+         |  UNION ALL
+         |  SELECT p2.ticker, q.rn,
+         |    p2.ssr + CASE WHEN q.rn >= 121
+         |      THEN (q.r - mn.mrec) * (q.r - mn.mrec) ELSE $D0 END,
+         |    p2.sxy + CASE WHEN q.rn >= 121
+         |      THEN (CAST(q.rn - 121 AS DOUBLE) - CAST(29.5 AS DOUBLE))
+         |           * (q.price - mn.my) ELSE $D0 END,
+         |    p2.sxx + CASE WHEN q.rn >= 121
+         |      THEN (CAST(q.rn - 121 AS DOUBLE) - CAST(29.5 AS DOUBLE))
+         |           * (CAST(q.rn - 121 AS DOUBLE) - CAST(29.5 AS DOUBLE))
+         |      ELSE $D0 END,
+         |    p2.syy + CASE WHEN q.rn >= 121
+         |      THEN (q.price - mn.my) * (q.price - mn.my) ELSE $D0 END,
+         |    p2.ssv + CASE WHEN v.stdw IS NOT NULL
+         |      THEN (v.stdw - mn.mv) * (v.stdw - mn.mv) ELSE $D0 END,
+         |    $p2Step
+         |  FROM p2
+         |  JOIN rows_ q ON q.ticker = p2.ticker AND q.rn = p2.rn + 1
+         |  JOIN means mn ON mn.ticker = p2.ticker
+         |  LEFT JOIN rv10 v ON v.ticker = p2.ticker AND v.rn = q.rn),
+         |scal AS MATERIALIZED (
+         |  SELECT p2.ticker,
+         |    SQRT(p2.ssr / 59) * SQRT(CAST(252.0 AS DOUBLE)) AS rv,
+         |    SQRT(p2.ssv / 50) AS vov,
+         |    p2.sxy / p2.sxx AS slope,
+         |    (p2.sxy * p2.sxy) / (p2.sxx * p2.syy) AS r2,
+         |    GREATEST(SQRT(p2.ssr / 59), CAST(1e-12 AS DOUBLE)) AS sd,
+         |    mn.mrec,
+         |    $logsdSel
+         |  FROM p2 JOIN means mn USING (ticker) WHERE p2.rn = 180),
+         |gl AS MATERIALIZED (
+         |  SELECT ticker, l, LN(CAST(l AS DOUBLE)) AS xv,
+         |    CASE l $gCase END AS gv
+         |  FROM scal CROSS JOIN (SELECT UNNEST(range(2, 21)) AS l)),
+         |ha AS (
+         |  SELECT ticker, 1 AS l, $D0 AS sx, $D0 AS sg FROM ok
+         |  UNION ALL
+         |  SELECT ha.ticker, g.l, ha.sx + g.xv, ha.sg + g.gv
+         |  FROM ha JOIN gl g ON g.ticker = ha.ticker AND g.l = ha.l + 1),
+         |hm AS MATERIALIZED (
+         |  SELECT ticker, sx / 19 AS mx, sg / 19 AS myh FROM ha WHERE l = 20),
+         |hb AS (
+         |  SELECT ticker, 1 AS l, $D0 AS hxy, $D0 AS hxx FROM ok
+         |  UNION ALL
+         |  SELECT hb.ticker, g.l,
+         |    hb.hxy + (g.xv - m.mx) * (g.gv - m.myh),
+         |    hb.hxx + (g.xv - m.mx) * (g.xv - m.mx)
+         |  FROM hb
+         |  JOIN gl g ON g.ticker = hb.ticker AND g.l = hb.l + 1
+         |  JOIN hm m ON m.ticker = hb.ticker),
+         |hf AS MATERIALIZED (
+         |  SELECT ticker, hxy / hxx AS hurst FROM hb WHERE l = 20),
+         |p3 AS (
+         |  SELECT ticker, 120 AS rn, $D0 AS sk, $D0 AS ku FROM ok
+         |  UNION ALL
+         |  SELECT p3.ticker, q.rn,
+         |    p3.sk + (((q.r - sc.mrec) / sc.sd) * ((q.r - sc.mrec) / sc.sd))
+         |            * ((q.r - sc.mrec) / sc.sd),
+         |    p3.ku + (((q.r - sc.mrec) / sc.sd) * ((q.r - sc.mrec) / sc.sd))
+         |            * (((q.r - sc.mrec) / sc.sd) * ((q.r - sc.mrec) / sc.sd))
+         |  FROM p3
+         |  JOIN rows_ q ON q.ticker = p3.ticker AND q.rn = p3.rn + 1
+         |  JOIN scal sc ON sc.ticker = p3.ticker),
+         |mom AS (SELECT ticker, sk / 60 AS skew, ku / 60 AS kurt
+         |  FROM p3 WHERE rn = 180)
+         |SELECT s.ticker,
+         |  CASE
+         |    WHEN s.rv > CAST(0.45 AS DOUBLE) AND m.kurt > 5 THEN 'CRISIS'
+         |    WHEN s.rv > CAST(0.30 AS DOUBLE) THEN 'HIGH_VOLATILITY'
+         |    WHEN s.r2 > CAST(0.6 AS DOUBLE) AND h.hurst > CAST(0.55 AS DOUBLE)
+         |      THEN 'STRONG_TRENDING'
+         |    WHEN s.r2 > CAST(0.3 AS DOUBLE) THEN 'MODERATE_TRENDING'
+         |    WHEN h.hurst < CAST(0.45 AS DOUBLE) THEN 'MEAN_REVERTING'
+         |    ELSE 'RANGING' END AS regime,
+         |  CASE
+         |    WHEN s.rv > CAST(0.45 AS DOUBLE) AND m.kurt > 5
+         |      THEN CAST(0.9 AS DOUBLE)
+         |    WHEN s.rv > CAST(0.30 AS DOUBLE) THEN CAST(0.8 AS DOUBLE)
+         |    WHEN s.r2 > CAST(0.6 AS DOUBLE) AND h.hurst > CAST(0.55 AS DOUBLE)
+         |      THEN CAST(0.85 AS DOUBLE)
+         |    WHEN s.r2 > CAST(0.3 AS DOUBLE) THEN CAST(0.7 AS DOUBLE)
+         |    WHEN h.hurst < CAST(0.45 AS DOUBLE) THEN CAST(0.7 AS DOUBLE)
+         |    ELSE CAST(0.6 AS DOUBLE) END AS conf,
+         |  s.rv, s.vov, s.r2 AS trend_r2, s.slope AS trend_slope,
+         |  h.hurst, m.skew, m.kurt,
+         |  CASE
+         |    WHEN s.rv > CAST(0.45 AS DOUBLE) AND m.kurt > 5
+         |      THEN 'GARCH,MSSA_RL'
+         |    WHEN s.rv > CAST(0.30 AS DOUBLE) THEN 'GARCH,SAMOSSA'
+         |    WHEN s.r2 > CAST(0.6 AS DOUBLE) AND h.hurst > CAST(0.55 AS DOUBLE)
+         |      THEN 'SARIMAX,SAMOSSA'
+         |    WHEN s.r2 > CAST(0.3 AS DOUBLE) THEN 'SARIMAX,ENSEMBLE'
+         |    WHEN h.hurst < CAST(0.45 AS DOUBLE) THEN 'SAMOSSA,SARIMAX'
+         |    ELSE 'ENSEMBLE' END AS models
+         |FROM scal s
+         |JOIN hf h USING (ticker)
+         |JOIN mom m USING (ticker)""".stripMargin
     }
   )
 }
