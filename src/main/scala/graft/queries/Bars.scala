@@ -26,6 +26,22 @@ object Bars {
         col("value").as("price"),
         date_trunc("day", col("ts")).as("day"))
 
+  /** The first `n` bars per ticker in (ts, seq) order, rank-filtered
+    * IN-PLAN before any per-ticker kernel groups them: the window keeps
+    * only n rows per ticker, so `groupByKey(...).flatMapGroups` holds
+    * O(n) rows per group regardless of the per-ticker bar count — a
+    * billion-bar ticker at 100 TB costs the same executor memory as a
+    * 200-bar one. (Kernels still sort their ≤ n survivors: the shuffle
+    * does not preserve order.) Mirrors the oracles' `QUALIFY rn <= n`. */
+  def firstN(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ticker")).orderBy(col("ts"), col("seq"))
+    of(s, dir)
+      .select(col("ticker"), col("ts"), col("seq"), col("price"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= n)
+      .select(col("ticker"), col("ts"), col("seq"), col("price"))
+  }
+
   /** DuckDB CTE mirroring [[of]] — prepend to oracle SQL. */
   val sql: String =
     """WITH bars AS (

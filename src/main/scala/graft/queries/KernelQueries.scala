@@ -381,8 +381,7 @@ object KernelQueries extends QueryModule {
     // forecast. Parquet round trip, hash-exact, no tolerance.
     "q170_exog_arx" -> ((s, dir) => {
       import s.implicits._
-      val out = Bars.of(s, dir)
-        .select($"ticker", $"ts", $"seq", $"price")
+      val out = Bars.firstN(s, dir, 60)
         .as[(String, java.sql.Timestamp, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (ticker, rows) =>
@@ -426,8 +425,7 @@ object KernelQueries extends QueryModule {
     // rule tree.
     "q172_regime_detect" -> ((s, dir) => {
       import s.implicits._
-      val out = Bars.of(s, dir)
-        .select($"ticker", $"ts", $"seq", $"price")
+      val out = Bars.firstN(s, dir, 180)
         .as[(String, java.sql.Timestamp, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (ticker, rows) =>

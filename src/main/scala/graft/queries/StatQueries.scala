@@ -175,8 +175,7 @@ object StatQueries extends QueryModule {
 
     "q167_ngn_payoff" -> ((s, dir) => {
       import s.implicits._
-      Bars.of(s, dir)
-        .select($"ticker", $"ts", $"seq", $"price")
+      Bars.firstN(s, dir, 101)
         .as[(String, java.sql.Timestamp, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (ticker, rows) =>
@@ -200,8 +199,7 @@ object StatQueries extends QueryModule {
 
     "q171_platt_calibration" -> ((s, dir) => {
       import s.implicits._
-      Bars.of(s, dir)
-        .select($"ticker", $"ts", $"seq", $"price")
+      Bars.firstN(s, dir, 21)
         .as[(String, java.sql.Timestamp, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (ticker, rows) =>
@@ -224,8 +222,7 @@ object StatQueries extends QueryModule {
 
     "q168_bootstrap_ci" -> ((s, dir) => {
       import s.implicits._
-      Bars.of(s, dir)
-        .select($"ticker", $"ts", $"seq", $"price")
+      Bars.firstN(s, dir, 40)
         .as[(String, java.sql.Timestamp, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (ticker, rows) =>
