@@ -27,11 +27,15 @@ object Validator {
     * count is the report's only expensive aggregate; the sketch's ~2%
     * rsd is irrelevant to a cardinality PROFILE (every pass/fail
     * predicate here is exact either way). */
-  def validate(
+  /** The full validation report as a LAZY one-row DataFrame — the same
+    * aggregation [[validate]] collects, including the PASS/WARN/FAIL
+    * status column, so callers (and the q173 oracle gate) can compose it
+    * without forcing a job at construction time. */
+  def reportDf(
       df: DataFrame,
       missingThreshold: Double = 0.05,
       minBars: Int = 30,
-      exactDistinct: Boolean = true): QualityReport = {
+      exactDistinct: Boolean = true): DataFrame = {
     val w = Window.partitionBy("ticker").orderBy("date")
     val nonFinite = priceCols
       .map(c => sum(when(isnan(col(c)) || col(c) === Double.PositiveInfinity ||
@@ -47,7 +51,7 @@ object Validator {
       .map(c => avg(col(c).isNull.cast("int")))
       .reduce(_ + _) / (priceCols.size + 1)
 
-    val agged: Row = df
+    df
       .withColumn("prev_date", lag(col("date"), 1).over(w))
       .withColumn("key_cnt",
         count(lit(1)).over(Window.partitionBy("ticker", "date")))
@@ -66,16 +70,29 @@ object Validator {
         sum(when(col("volume") < 0, 1).otherwise(0)).as("n_negvol"),
         missing.as("missing_ratio"),
         min(col("ticker_bars")).as("min_bars"))
-      .head()
+      .withColumn("status",
+        when(col("n_rows") === 0 || col("n_dup") > 0 || col("n_nonmono") > 0 ||
+          col("n_nonfinite") > 0 || col("n_nonpos") > 0 || col("n_negvol") > 0 ||
+          coalesce(col("min_bars"), lit(0L)) < minBars, lit("FAIL"))
+          .when(col("missing_ratio") > missingThreshold || col("n_nulls") > 0,
+            lit("WARN"))
+          .otherwise(lit("PASS")))
+  }
+
+  def validate(
+      df: DataFrame,
+      missingThreshold: Double = 0.05,
+      minBars: Int = 30,
+      exactDistinct: Boolean = true): QualityReport = {
+    val agged: Row = reportDf(df, missingThreshold, minBars, exactDistinct).head()
 
     // sums over an empty frame come back null — read defensively
     def l(name: String): Long =
       Option(agged.get(agged.fieldIndex(name))).map(_.asInstanceOf[Long]).getOrElse(0L)
     def d(name: String): Double =
       Option(agged.get(agged.fieldIndex(name))).map(_.asInstanceOf[Double]).getOrElse(0.0)
-    val nRows = l("n_rows")
-    val report = QualityReport(
-      nRows = nRows,
+    QualityReport(
+      nRows = l("n_rows"),
       nTickers = l("n_tickers"),
       nDuplicateKeys = l("n_dup"),
       nNonMonotonic = l("n_nonmono"),
@@ -84,12 +101,7 @@ object Validator {
       nNonPositivePrices = l("n_nonpos"),
       nNegativeVolume = l("n_negvol"),
       missingRatio = d("missing_ratio"),
-      status = "")
-    val fail = nRows == 0 || report.nDuplicateKeys > 0 || report.nNonMonotonic > 0 ||
-      report.nNonFinite > 0 || report.nNonPositivePrices > 0 ||
-      report.nNegativeVolume > 0 || l("min_bars") < minBars
-    val warn = report.missingRatio > missingThreshold || report.nResidualNulls > 0
-    report.copy(status = if (fail) "FAIL" else if (warn) "WARN" else "PASS")
+      status = agged.getString(agged.fieldIndex("status")))
   }
 
   /** PASS/WARN/FAIL → routing classification (preprocessor.py:174-186):
@@ -99,6 +111,29 @@ object Validator {
     * >30% imputed / >20% padded quality warnings). */
   final case class Classification(productionOk: Boolean, researchOk: Boolean,
       qualityTag: String)
+
+  /** [[classify]]'s rules as COLUMN expressions over a report row (the
+    * lazy q173 gate path; ValidatorSpec pins column/scalar equivalence
+    * over the full status × fraction grid). Emits production_ok,
+    * research_ok, quality_tag. */
+  def classificationCols(status: org.apache.spark.sql.Column,
+      imputedFraction: org.apache.spark.sql.Column,
+      paddingFraction: org.apache.spark.sql.Column,
+      maxImputedFraction: Double = 0.30, maxPaddingFraction: Double = 0.20)
+      : Seq[org.apache.spark.sql.Column] = {
+    val highImpute = imputedFraction > maxImputedFraction ||
+      paddingFraction > maxPaddingFraction
+    val eff = when(status === "FAIL", lit("FAIL"))
+      .when(status === "WARN" || highImpute, lit("WARN"))
+      .otherwise(lit("PASS"))
+    Seq(
+      (eff === "PASS").as("production_ok"),
+      (eff =!= "FAIL").as("research_ok"),
+      when(eff === "FAIL", lit("BLOCKED"))
+        .when(highImpute, lit("HIGH_IMPUTE"))
+        .when(eff === "WARN", lit("SPARSE_DATA"))
+        .otherwise(lit("CLEAN")).as("quality_tag"))
+  }
 
   def classify(report: QualityReport,
       imputedFraction: Double = 0.0, paddingFraction: Double = 0.0,

@@ -66,6 +66,40 @@ object PrepQueries extends QueryModule {
       val stats = Preprocessor.fitZScore(train, Seq("price"))
       Preprocessor.applyZScore(tagged, stats, Seq("price"))
         .select($"ticker", $"seq", $"role", $"price".as("z"))
+    }),
+
+    // The post-preprocess structural validator + PASS/WARN/FAIL routing
+    // (reference etl/preprocessor.py:79-214, classification :174-186)
+    // under the oracle gate: the REAL Validator.reportDf aggregation
+    // (lazy — no job at construction) over four deterministic scenarios
+    // derived from the same bars — clean (PASS/CLEAN), injected volume
+    // nulls (WARN via missing-ratio + residual nulls → SPARSE_DATA), a
+    // high imputed-fraction on clean data (WARN → HIGH_IMPUTE,
+    // research_ok but not production_ok), and duplicated keys (FAIL →
+    // BLOCKED). Every count, the missing ratio, the status chain, and
+    // the classificationCols routing replay as closed-form SQL.
+    "q173_quality_routing" -> ((s, dir) => {
+      import s.implicits._
+      val base = Bars.of(s, dir).select($"ticker", $"seq".as("date"),
+        $"price".as("open"), ($"price" * lit(1.01)).as("high"),
+        ($"price" * lit(0.99)).as("low"), $"price".as("close"),
+        lit(100L).as("volume"))
+      val scenarios = Seq(
+        ("clean", base, 0.0),
+        ("warn", base.withColumn("volume",
+          when(pmod($"date", lit(3)) === 0, lit(null).cast("long"))
+            .otherwise($"volume")), 0.0),
+        ("impute", base, 0.35),
+        ("fail", base.unionAll(base.where(pmod($"date", lit(50)) === 0)), 0.0))
+      scenarios.map { case (name, df, imputed) =>
+        graft.etl.Validator.reportDf(df)
+          .withColumn("scenario", lit(name))
+          .select(Seq($"scenario", $"n_rows", $"n_tickers", $"n_dup",
+            $"n_nonmono", $"n_nonfinite", $"n_nulls", $"n_nonpos",
+            $"n_negvol", $"missing_ratio", $"min_bars", $"status") ++
+            graft.etl.Validator.classificationCols(
+              $"status", lit(imputed), lit(0.0)): _*)
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -140,6 +174,77 @@ object PrepQueries extends QueryModule {
          |SELECT t.ticker, t.seq, t.role,
          |  CASE WHEN s.sd IS NULL OR s.sd = 0.0 OR s.m IS NULL THEN 0.0
          |       ELSE (t.price - s.m) / s.sd END AS z
-         |FROM tagged t LEFT JOIN stats s USING (ticker)""".stripMargin
+         |FROM tagged t LEFT JOIN stats s USING (ticker)""".stripMargin,
+
+    // each scenario replays reportDf's aggregation (window columns →
+    // one global agg → status chain) plus the classificationCols
+    // routing with its scenario's imputed-fraction literal; the
+    // missing ratio is the same left-associated five-term avg sum / 5
+    "q173_quality_routing" -> {
+      def nf(c: String) =
+        s"SUM(CASE WHEN isnan($c) OR $c = CAST('infinity' AS DOUBLE) OR $c = CAST('-infinity' AS DOUBLE) THEN 1 ELSE 0 END)"
+      def nn(c: String) = s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"
+      def np(c: String) = s"SUM(CASE WHEN $c <= 0 THEN 1 ELSE 0 END)"
+      def mr(c: String) = s"AVG(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"
+      val cols = Seq("open", "high", "low", "close")
+      def rep(src: String, scen: String, imputed: String): String = {
+        val hi = s"(CAST($imputed AS DOUBLE) > CAST(0.30 AS DOUBLE) OR CAST(0.0 AS DOUBLE) > CAST(0.20 AS DOUBLE))"
+        s"""SELECT '$scen' AS scenario, r.*,
+           |  CASE WHEN status = 'FAIL' THEN FALSE
+           |       WHEN status = 'WARN' OR $hi THEN FALSE
+           |       ELSE TRUE END AS production_ok,
+           |  CASE WHEN status = 'FAIL' THEN FALSE ELSE TRUE END AS research_ok,
+           |  CASE WHEN status = 'FAIL' THEN 'BLOCKED'
+           |       WHEN $hi THEN 'HIGH_IMPUTE'
+           |       WHEN status = 'WARN' THEN 'SPARSE_DATA'
+           |       ELSE 'CLEAN' END AS quality_tag
+           |FROM (
+           |  SELECT a.*,
+           |    CASE WHEN n_rows = 0 OR n_dup > 0 OR n_nonmono > 0
+           |           OR n_nonfinite > 0 OR n_nonpos > 0 OR n_negvol > 0
+           |           OR COALESCE(min_bars, 0) < 30 THEN 'FAIL'
+           |         WHEN missing_ratio > CAST(0.05 AS DOUBLE) OR n_nulls > 0
+           |           THEN 'WARN'
+           |         ELSE 'PASS' END AS status
+           |  FROM (
+           |    SELECT COUNT(*) AS n_rows,
+           |      COUNT(DISTINCT ticker) AS n_tickers,
+           |      CAST(SUM(CASE WHEN key_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           |      CAST(SUM(CASE WHEN prev_date IS NOT NULL AND date <= prev_date
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmono,
+           |      CAST(${cols.map(nf).reduce((a, b) => s"($a + $b)")} AS BIGINT) AS n_nonfinite,
+           |      CAST(${(cols :+ "volume").map(nn).reduce((a, b) => s"($a + $b)")} AS BIGINT) AS n_nulls,
+           |      CAST(${cols.map(np).reduce((a, b) => s"($a + $b)")} AS BIGINT) AS n_nonpos,
+           |      CAST(SUM(CASE WHEN volume < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negvol,
+           |      ${(cols :+ "volume").map(mr).reduce((a, b) => s"($a + $b)")} / 5
+           |        AS missing_ratio,
+           |      MIN(ticker_bars) AS min_bars
+           |    FROM (
+           |      SELECT t.*,
+           |        lag(date, 1) OVER (PARTITION BY ticker ORDER BY date)
+           |          AS prev_date,
+           |        count(*) OVER (PARTITION BY ticker, date) AS key_cnt,
+           |        count(*) OVER (PARTITION BY ticker) AS ticker_bars
+           |      FROM $src t)) a) r""".stripMargin
+      }
+      s"""${Bars.sql},
+         |vbase AS (
+         |  SELECT ticker, seq AS date, price AS open,
+         |    price * CAST(1.01 AS DOUBLE) AS high,
+         |    price * CAST(0.99 AS DOUBLE) AS low,
+         |    price AS close, CAST(100 AS BIGINT) AS volume
+         |  FROM bars),
+         |vwarn AS (
+         |  SELECT ticker, date, open, high, low, close,
+         |    CASE WHEN date % 3 = 0 THEN NULL ELSE volume END AS volume
+         |  FROM vbase),
+         |vfail AS (
+         |  SELECT * FROM vbase
+         |  UNION ALL SELECT * FROM vbase WHERE date % 50 = 0)
+         |${rep("vbase", "clean", "0.0")}
+         |UNION ALL ${rep("vwarn", "warn", "0.0")}
+         |UNION ALL ${rep("vbase", "impute", "0.35")}
+         |UNION ALL ${rep("vfail", "fail", "0.0")}""".stripMargin
+    }
   )
 }

@@ -76,6 +76,28 @@ class EtlCoreSpec extends AnyFunSuite with TestSpark {
     assert(quarantined.select("id").as[String].collect().toSet === Set("t3", "t4"))
   }
 
+  test("classificationCols matches classify over the status x fraction grid") {
+    val s = spark; import s.implicits._
+    val grid = for {
+      status <- Seq("PASS", "WARN", "FAIL")
+      imputed <- Seq(0.0, 0.31)
+      padding <- Seq(0.0, 0.25)
+    } yield (status, imputed, padding)
+    val df = grid.toDF("status", "imputed", "padding")
+    val got = df.select(Seq(col("status"), col("imputed"), col("padding")) ++
+        Validator.classificationCols(col("status"), col("imputed"), col("padding")): _*)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)) ->
+        Validator.Classification(r.getBoolean(3), r.getBoolean(4), r.getString(5)))
+      .toMap
+    grid.foreach { case (status, imputed, padding) =>
+      val rep = graft.domain.QualityReport(1, 1, 0, 0, 0, 0, 0, 0, 0.0, status)
+      assert(got((status, imputed, padding)) ===
+        Validator.classify(rep, imputed, padding),
+        s"($status, $imputed, $padding)")
+    }
+  }
+
   test("forward fill is causal and per-ticker; group mean fills the rest") {
     val gappy = bars.withColumn("close",
       when(dayofmonth(col("date")).isin(10, 11), lit(null)).otherwise(col("close")))
