@@ -48,6 +48,32 @@ object ExplainAudit {
     out.result()
   }
 
+  /** SHRINKING window frames — lower bound anchored at the current row
+    * (or offsets) with an UnboundedFollowing upper — are evaluated by
+    * Spark's UnboundedFollowingWindowFunctionFrame, which RE-AGGREGATES
+    * the remaining tail for every row: O(n²) per partition (the q154
+    * backward-fill cost 350 s on 20k-row tickers until rewritten as a
+    * running frame over descending order). Whole-partition frames
+    * (unboundedPreceding..unboundedFollowing) are fine — computed once
+    * per partition. Returns one violation per shrinking frame found. */
+  def shrinkingFrameViolations(plan: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding}
+    val out = Seq.newBuilder[String]
+    def walk(p: SparkPlan): Unit = {
+      p.expressions.foreach(_.foreach {
+        case f @ SpecifiedWindowFrame(_, lower, UnboundedFollowing)
+            if lower != UnboundedPreceding =>
+          out += s"shrinking O(n^2) window frame: ${f.sql}"
+        case _ => ()
+      })
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(plan)
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -72,12 +72,36 @@ class ExplainAuditSpec extends AnyFunSuite with TestSpark {
     // plan-level sweep over the full query surface: the two known
     // unpartitioned windows (macro as-of lead — broadcast output;
     // q109 cumulative equity — aggregate input) must carry their dim
-    // evidence, and nothing else may introduce an unpartitioned window
+    // evidence, and nothing else may introduce an unpartitioned window.
+    // The same sweep bans SHRINKING frames (current-row..
+    // unboundedFollowing) — Spark evaluates them O(n²) per partition
+    // (the 350 s q154 regression this round); backward-looking work
+    // must use running frames over descending order instead.
     val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        ExplainAudit.unpartitionedWindowViolations(
-          fn(s, dir).queryExecution.sparkPlan).map(v => s"$name: $v")
+        val plan = fn(s, dir).queryExecution.sparkPlan
+        (ExplainAudit.unpartitionedWindowViolations(plan) ++
+          ExplainAudit.shrinkingFrameViolations(plan)).map(v => s"$name: $v")
     }
     assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("shrinking-frame audit catches a deliberate O(n^2) frame") {
+    val s = spark
+    import s.implicits._
+    val fact = graft.Tables.load(s, dir, "documents")
+    val slow = fact.withColumn("next_len",
+      first(length($"text"), ignoreNulls = true).over(
+        Window.partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(0, Window.unboundedFollowing)))
+    assert(ExplainAudit.shrinkingFrameViolations(
+      slow.queryExecution.sparkPlan).nonEmpty, "control frame must be flagged")
+    // the equivalent running frame over descending order is clean
+    val fast = fact.withColumn("next_len",
+      last(length($"text"), ignoreNulls = true).over(
+        Window.partitionBy($"lang").orderBy($"doc_id".desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    assert(ExplainAudit.shrinkingFrameViolations(
+      fast.queryExecution.sparkPlan).isEmpty)
   }
 }
