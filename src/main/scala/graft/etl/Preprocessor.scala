@@ -33,7 +33,13 @@ object Preprocessor {
     // first() over (0, unboundedFollowing): Spark evaluates
     // UnboundedFollowing frames by re-aggregating the tail per row —
     // O(n²) per partition (350 s on a 20k-row ticker; the running
-    // descending frame is the O(n) incremental path, same semantics).
+    // descending frame is the O(n) incremental path). Same semantics
+    // PROVIDED (ticker, date) is unique: with duplicate dates the
+    // ascending and descending tie orders are independent, so the
+    // chosen anchor inside a tie group could differ between the two
+    // frames (true of the old unboundedFollowing frame too). Duplicate
+    // keys are FAILed upstream by Validator.validate, which is the
+    // contract this rewrite assumes.
     val wBack = Window.partitionBy("ticker").orderBy(col("date").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wGrp = Window.partitionBy("ticker")
@@ -52,7 +58,8 @@ object Preprocessor {
     val w = Window.partitionBy("ticker").orderBy("date")
     val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
     // next anchor via the descending RUNNING frame (see handleMissing:
-    // Spark's UnboundedFollowing frames re-aggregate per row, O(n²))
+    // Spark's UnboundedFollowing frames re-aggregate per row, O(n²);
+    // anchor choice assumes unique (ticker, date) — Validator FAILs dups)
     val wNext = Window.partitionBy("ticker").orderBy(col("date").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val rn = row_number().over(w)

@@ -381,18 +381,32 @@ object KernelQueries extends QueryModule {
     // forecast. Parquet round trip, hash-exact, no tolerance.
     "q170_exog_arx" -> ((s, dir) => {
       import s.implicits._
+      // The exog design (linear index, weekday cycle) is data-independent
+      // and n is fixed at 60, so the VIF pair is a constant — compute the
+      // 2x2 regressions once here, not once per ticker inside the groups
+      // iterator. (Tickers with < 60 bars are dropped below, so every
+      // surviving group sees this exact design.)
+      val n0 = 60
+      val ex1 = Array.tabulate(n0)(i => (i + 1).toDouble)
+      val ex2 = Array.tabulate(n0)(i => ((i + 1) % 7).toDouble)
+      val vifs = graft.forecast.Exog.vifReport(Array(ex1, ex2))
       val out = Bars.firstN(s, dir, 60)
         .as[(String, java.sql.Timestamp, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (ticker, rows) =>
           val px = rows.toArray.sortBy(r => (r._2.getTime, r._3))
             .map(_._4).take(60)
-          if (px.length < 60) Iterator.empty
+          // Constant-price tickers are skipped IDENTICALLY in the oracle
+          // (HAVING MIN(price) < MAX(price) — an exact comparison, so both
+          // engines take the same branch). This pins the varying-price
+          // precondition the kernels' internal degenerate guards (ridge
+          // escalation, VIF ssTot clamp) otherwise depend on, instead of
+          // trusting the two engines to agree on 0/0 arithmetic.
+          if (px.length < 60 || px.min == px.max) Iterator.empty
           else {
             val n = px.length
-            val x1 = Array.tabulate(n)(i => (i + 1).toDouble)
-            val x2 = Array.tabulate(n)(i => ((i + 1) % 7).toDouble)
-            val vifs = graft.forecast.Exog.vifReport(Array(x1, x2))
+            val x1 = ex1
+            val x2 = ex2
             val fit = graft.forecast.Exog.fitArx(px, Array(x1, x2), p = 1)
             val fut = Array.tabulate(3)(h => fit.keptExog.map(j =>
               if (j == 0) (n + 1 + h).toDouble
@@ -431,7 +445,11 @@ object KernelQueries extends QueryModule {
         .flatMapGroups { (ticker, rows) =>
           val px = rows.toArray.sortBy(r => (r._2.getTime, r._3))
             .map(_._4).take(180)
-          if (px.length < 180) Iterator.empty
+          // Mirror of the oracle's HAVING MIN(price) < MAX(price): a
+          // constant-price ticker would hit trend()'s sxx==0 -> (0,0) and
+          // hurst()'s sxx==0 -> 0.5 guards kernel-side while the oracle
+          // divides by zero — skip such tickers identically in both engines.
+          if (px.length < 180 || px.min == px.max) Iterator.empty
           else {
             val r = graft.forecast.RegimeDetector.detect(px, window = 60)
             val f = r.features
@@ -1180,7 +1198,8 @@ object KernelQueries extends QueryModule {
          |  SELECT ticker, price,
          |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
          |  FROM bars QUALIFY rn <= 60),
-         |ok AS (SELECT ticker FROM sel0 GROUP BY ticker HAVING COUNT(*) = 60),
+         |ok AS (SELECT ticker FROM sel0 GROUP BY ticker
+         |       HAVING COUNT(*) = 60 AND MIN(price) < MAX(price)),
          |sel2 AS MATERIALIZED (SELECT sel0.* FROM sel0 JOIN ok USING (ticker)),
          |ints AS MATERIALIZED (
          |  SELECT ticker,
@@ -1344,7 +1363,8 @@ object KernelQueries extends QueryModule {
          |  SELECT ticker, price,
          |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
          |  FROM bars QUALIFY rn <= 180),
-         |ok AS (SELECT ticker FROM sel0 GROUP BY ticker HAVING COUNT(*) = 180),
+         |ok AS (SELECT ticker FROM sel0 GROUP BY ticker
+         |       HAVING COUNT(*) = 180 AND MIN(price) < MAX(price)),
          |rows_ AS MATERIALIZED (
          |  SELECT s.ticker, s.rn, s.price,
          |    s.price / lag(s.price, 1) OVER w - 1 AS r, $lagSel

@@ -384,6 +384,16 @@ object StatQueries extends QueryModule {
     // walks 1·(1+r₁)·(1+r₂)…, and the NGN formula replays
     // ngnEffectiveReturn's exact op sequence (1+(cum−1), the pow fx
     // drift, the bps friction, left-assoc products).
+    //
+    // KNOWN ULP DEPENDENCY (unique among this round's gates): the fx
+    // drift term POWER(1.15, n/365) relies on DuckDB's libm pow agreeing
+    // with Java Math.pow — a fractional-exponent pow has NO replayable
+    // IEEE op sequence (exp/ln are no better), unlike the sqrt∘sqrt /
+    // explicit-product constructions used everywhere else. Both libms
+    // target correctly-rounded pow for these magnitudes and the gate has
+    // held at every SF tested; if a last-ulp tie ever surfaces here, the
+    // remedy is to emit the drift factor as its own column and gate the
+    // remaining (fully replayable) products exactly.
     "q167_ngn_payoff" -> {
       val D = "CAST(1.0 AS DOUBLE)"
       s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},

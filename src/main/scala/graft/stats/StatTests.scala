@@ -179,7 +179,10 @@ object StatTests {
   def bootstrapCI(x: Array[Double], nBoot: Int = 1000, alpha: Double = 0.05,
       seed: Long = 42L): (Double, Double) = {
     val n = x.length
-    var s = seed % 2147483648L
+    // floorMod: Java % preserves sign, so a negative seed would produce a
+    // negative state and a negative array index below. floorMod keeps the
+    // state (and thus s % n) in [0, 2^31) for any Long seed.
+    var s = java.lang.Math.floorMod(seed, 2147483648L)
     val means = Array.fill(nBoot) {
       var acc = 0.0
       var i = 0
