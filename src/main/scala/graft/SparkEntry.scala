@@ -32,7 +32,8 @@ object SparkEntry {
     SignalQueries,
     EnsembleQueries,
     EngineQueries,
-    StatQueries
+    StatQueries,
+    SyntheticQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

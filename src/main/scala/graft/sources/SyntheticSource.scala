@@ -5,7 +5,7 @@ import java.time.LocalDate
 
 import scala.util.Random
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.domain.Bar
@@ -28,8 +28,52 @@ import graft.domain.Bar
   * communication, on a million tickers as cheaply as on five. Same seed
   * ⇒ identical data on any cluster layout because randomness never
   * crosses task boundaries.
+  *
+  * Draw plumbing: every random draw the simulator makes goes through a
+  * [[SyntheticSource.Draws]] stream. The default is the seeded
+  * `java.util.Random` stream (bar-for-bar identical to the original
+  * generator); the oracle gates swap in [[SyntheticSource.LcgDraws]], a
+  * minstd LCG whose every state transition is one 64-bit multiply-mod —
+  * replayable draw-for-draw by a SQL recursive CTE in BIGINT arithmetic
+  * (the q159 Monte Carlo pattern, extended to the regime chain and the
+  * OHLCV span/volume draws so the ENTIRE path recurrence is under the
+  * hash gate, not just the shock).
   */
 object SyntheticSource {
+
+  /** One ticker's private random stream. All simulator draws route
+    * through this, in a FIXED per-bar order (regime uniform, shock,
+    * model-specific draws, event draws, span, volume) — pluggable
+    * implementations must be advanced exactly once per call. */
+  trait Draws extends Serializable {
+    def nextInt(n: Int): Int
+    def nextDouble(): Double
+    def nextGaussian(): Double
+  }
+
+  /** Default stream: seeded `scala.util.Random` — identical draw
+    * sequence to the pre-refactor simulator. Not SQL-replayable
+    * (48-bit hidden state, Gaussian rejection loop) — spec-covered. */
+  final class RandomDraws(seed: Long) extends Draws {
+    private val r = new Random(seed)
+    def nextInt(n: Int): Int = r.nextInt(n)
+    def nextDouble(): Double = r.nextDouble()
+    def nextGaussian(): Double = r.nextGaussian()
+  }
+
+  /** Minstd-LCG stream for the oracle gates: s ← 16807·s mod (2³¹−1).
+    * Every product fits a signed 64-bit integer, so an external SQL
+    * oracle replays the identical stream with plain BIGINT arithmetic.
+    * `nextGaussian` here is a BOUNDED uniform-derived shock in (−2, 2)
+    * — not a Gaussian; the gate specifies the generator, the Gaussian
+    * default stays spec-covered (its Marsaglia loop has no SQL replay). */
+  final class LcgDraws(seed0: Long) extends Draws {
+    private var s = java.lang.Math.floorMod(seed0, 2147483646L) + 1L
+    private def adv(): Long = { s = (16807L * s) % 2147483647L; s }
+    def nextInt(n: Int): Int = (adv() % n).toInt
+    def nextDouble(): Double = adv().toDouble / 2147483647.0
+    def nextGaussian(): Double = (adv().toDouble / 2147483647.0 - 0.5) * 4.0
+  }
 
   sealed trait Regime { def drift: Double; def vol: Double }
   case object Bull extends Regime { val drift = 0.0008; val vol = 0.010 }
@@ -77,11 +121,30 @@ object SyntheticSource {
       startDate: LocalDate = LocalDate.of(2024, 1, 1),
       seed: Long = 42L,
       basePrice: Double = 100.0,
-      cfg: Config = Config()): Dataset[Bar] = {
+      cfg: Config = Config(),
+      drawsFor: Option[String => Draws] = None): Dataset[Bar] = {
     import spark.implicits._
     spark.createDataset(tickers)
       .repartition(math.min(tickers.size, 256), $"value")
-      .flatMap(t => simulate(t, nBars, startDate, seed, basePrice, cfg))
+      .flatMap(t => simulate(t, nBars, startDate, seed, basePrice, cfg,
+        drawsFor.map(_(t))))
+  }
+
+  /** Like [[generate]] but over an in-plan ticker dimension — no driver
+    * materialization of the ticker list, so query construction stays
+    * lazy (a malformed upstream table fails at action, not at plan
+    * build) and a billion-ticker universe never touches the driver. */
+  def generateFrom(
+      tickers: Dataset[String],
+      nBars: Int,
+      startDate: LocalDate = LocalDate.of(2024, 1, 1),
+      seed: Long = 42L,
+      basePrice: Double = 100.0,
+      cfg: Config = Config(),
+      drawsFor: Option[String => Draws] = None): Dataset[Bar] = {
+    import tickers.sparkSession.implicits._
+    tickers.flatMap(t => simulate(t, nBars, startDate, seed, basePrice, cfg,
+      drawsFor.map(_(t))))
   }
 
   /** Content-hash dataset id (reference :398-414): order-independent
@@ -95,20 +158,41 @@ object SyntheticSource {
     row.getString(0).take(16)
   }
 
+  /** LAZY replayable variant of [[datasetId]]: the same order-independent
+    * two-level sha construction, but over an integer-quantized projection
+    * (prices on the floor(x·scale + 0.5) grid, the date as its ISO string)
+    * so both engines render IDENTICAL pre-image strings — double→string
+    * formatting differs between engines, BIGINT→string does not. Returns
+    * the single-row aggregation instead of collecting, so oracle gates
+    * can register it without an eager action at construction. */
+  def datasetIdDf(bars: Dataset[Bar], scale: Double = 1e6): DataFrame = {
+    def q(c: String) = floor(col(c) * scale + lit(0.5)).cast("long")
+    bars.toDF()
+      .select(sha2(concat_ws("|",
+        col("ticker"), to_date(col("date")).cast("string"),
+        q("open"), q("high"), q("low"), q("close"), col("volume")), 256).as("h"))
+      .agg(substring(
+        sha2(concat_ws("", sort_array(collect_list(col("h")))), 256),
+        1, 16).as("dataset_id"))
+  }
+
   /** Shared market shock for bar i — a pure function of (seed, i), so
     * every ticker's task recomputes it locally (no broadcast). */
   private[sources] def marketShock(seed: Long, i: Int): Double =
     new Random(seed * 0x9E3779B97F4A7C15L + i).nextGaussian()
 
-  /** One ticker's full path — pure, seeded, executor-side. */
-  private[sources] def simulate(
+  /** One ticker's full path — pure, seeded, executor-side. `draws`
+    * overrides the random stream (None = the seeded Random default). */
+  private[graft] def simulate(
       ticker: String,
       nBars: Int,
       startDate: LocalDate,
       seed: Long,
       basePrice: Double,
-      cfg: Config = Config()): Iterator[Bar] = {
-    val rng = new Random(seed ^ ticker.hashCode.toLong)
+      cfg: Config = Config(),
+      draws: Option[Draws] = None): Iterator[Bar] = {
+    val rng: Draws =
+      draws.getOrElse(new RandomDraws(seed ^ ticker.hashCode.toLong))
     var regime = rng.nextInt(regimes.size)
     var close = basePrice * (0.5 + rng.nextDouble())
     val logBase = math.log(close)

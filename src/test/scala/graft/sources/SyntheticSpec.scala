@@ -106,4 +106,41 @@ class SyntheticSpec extends AnyFunSuite with TestSpark {
     assert(ia === ib)
     assert(ia != ic)
   }
+
+  test("generateFrom matches generate bar-for-bar (in-plan ticker dim)") {
+    import spark.implicits._
+    val viaSeq = SyntheticSource.generate(spark, Seq("A", "B"), 40, seed = 5L)
+      .collect().sortBy(b => (b.ticker, b.date.getTime)).toSeq
+    val viaDs = SyntheticSource.generateFrom(
+        spark.createDataset(Seq("A", "B")), 40, seed = 5L)
+      .collect().sortBy(b => (b.ticker, b.date.getTime)).toSeq
+    assert(viaSeq === viaDs)
+  }
+
+  test("LcgDraws path is deterministic, seed-sensitive, and distinct from the Random default") {
+    def lcgPath(seed0: Long): Seq[Double] =
+      SyntheticSource.simulate("A", 60, d0, 42L, 100.0,
+        SyntheticSource.Config(),
+        draws = Some(new SyntheticSource.LcgDraws(seed0))).map(_.close).toSeq
+    assert(lcgPath(7L) === lcgPath(7L))
+    assert(lcgPath(7L) != lcgPath(8L))
+    val default = SyntheticSource.simulate("A", 60, d0, 42L, 100.0)
+      .map(_.close).toSeq
+    assert(lcgPath(7L) != default)
+    // negative seed0 must not throw (floorMod normalization in the ctor)
+    assert(lcgPath(-3L).length === 60)
+  }
+
+  test("datasetIdDf is order/layout-independent and equals itself across partitionings") {
+    val bars = SyntheticSource.generate(spark, Seq("A", "B", "C"), 30, seed = 9L)
+    val id1 = SyntheticSource.datasetIdDf(bars).head().getString(0)
+    val id2 = SyntheticSource.datasetIdDf(
+      bars.repartition(7)).head().getString(0)
+    assert(id1 === id2)
+    assert(id1.length === 16)
+    val other = SyntheticSource.datasetIdDf(
+      SyntheticSource.generate(spark, Seq("A", "B", "C"), 30, seed = 10L))
+      .head().getString(0)
+    assert(id1 != other)
+  }
 }
