@@ -57,4 +57,27 @@ object DirectionalClassifier {
       model.weights.zip(features).map { case (w, x) => w * x }.sum
     PortfolioMath.plattApply(model.plattA, model.plattB)(margin)
   }
+
+  /** The reference's full scoring contract (directional_classifier.py:
+    * 54-155): returns None — scoring DISABLED, caller falls back —
+    * when the model was trained on < 30 examples (:88-94), when the
+    * persisted feature order no longer matches the caller's current
+    * feature list (:96-108 — the learned coefficients would silently
+    * map to the wrong columns), or when the calibrated probability is
+    * non-finite (:147-148). Features missing from the map enter as NaN
+    * (:139 `features.get(name, nan)`), which propagates to a NaN
+    * margin → None. A finite probability is clipped to [0, 1] (:149). */
+  def scoreByName(model: Model, nTrain: Int, currentFeatures: Seq[String])(
+      features: Map[String, Double]): Option[Double] = {
+    if (nTrain < 30) None
+    else if (model.featureCols != currentFeatures) None
+    else {
+      val x = model.featureCols.map(n => features.getOrElse(n, Double.NaN))
+      val margin = model.intercept +
+        model.weights.zip(x).map { case (w, v) => w * v }.sum
+      val p = PortfolioMath.plattApply(model.plattA, model.plattB)(margin)
+      if (p.isNaN || p.isInfinity) None
+      else Some(math.max(0.0, math.min(1.0, p)))
+    }
+  }
 }

@@ -152,6 +152,52 @@ object SignalQueries extends QueryModule {
           st.served.getOrElse("default_hold", 0L))
       }.toDF("ticker", "served_by", "action", "confidence",
         "att_ts", "att_llm", "held")
+    }),
+
+    // The classifier SCORING contract under the hash gate (reference
+    // directional_classifier.py:54-155). Training is MLlib-LBFGS (no SQL
+    // replay — stays spec-covered); scoring from persisted coefficients
+    // is pure arithmetic: sigmoid(plattA·(b + w·x) + plattB). The model
+    // row is derived deterministically from per-ticker Det aggregates
+    // (the persisted-coefficients stand-in the oracle can re-derive);
+    // the day index steers every disable branch: di%13 → trained on 29
+    // examples (< 30 ⇒ disabled), di%11 → feature-name mismatch
+    // (silent wrong-column guard), di%7 → a feature missing from the
+    // map (NaN margin ⇒ None). None surfaces as NULL p_up.
+    "q179_directional_score" -> ((s, dir) => {
+      import s.implicits._
+      val byDay = Bars.of(s, dir)
+        .groupBy($"ticker", $"day")
+        .agg(Det.davg($"price").as("dp"),
+          (max($"price") - min($"price")).as("atr"))
+      val dim = Bars.of(s, dir).groupBy($"ticker")
+        .agg(Det.davg($"price").as("lp"), Det.dstddev($"price").as("sd"))
+      byDay.join(dim, "ticker")
+        .withColumn("di", row_number()
+          .over(Window.partitionBy($"ticker").orderBy($"day")).cast("int"))
+        .select($"ticker", $"dp", $"atr", $"lp", $"sd", $"di")
+        .as[(String, Double, Double, Double, Double, Int)]
+        .map { case (t, dp, atr, lp, sd, di) =>
+          val names = Seq("mom", "rng", "vol")
+          val model = graft.ml.DirectionalClassifier.Model(
+            featureCols = names,
+            weights = Array(2.0 + sd / lp, -1.5, 0.5),
+            intercept = -0.1,
+            plattA = 1.0 + sd / lp,
+            plattB = -0.05)
+          val nTrain = if (di % 13 == 0) 29 else 200
+          val current =
+            if (di % 11 == 0) Seq("mom", "rng", "volume") else names
+          val feats0 = Map(
+            "mom" -> (dp / lp - 1.0),
+            "rng" -> (atr / lp),
+            "vol" -> (sd / lp))
+          val feats = if (di % 7 == 0) feats0 - "vol" else feats0
+          val p = graft.ml.DirectionalClassifier
+            .scoreByName(model, nTrain, current)(feats)
+          (t, di, p)
+        }
+        .toDF("ticker", "di", "p_up")
     })
   )
 
@@ -334,6 +380,42 @@ object SignalQueries extends QueryModule {
          |       THEN 0 ELSE 1 END AS BIGINT) AS att_llm,
          |  CAST(CASE WHEN NOT (ti % 2 = 1 AND lp > CAST(100.0 AS DOUBLE))
          |            AND ti > 3 THEN 1 ELSE 0 END AS BIGINT) AS held
-         |FROM dim""".stripMargin
+         |FROM dim""".stripMargin,
+
+    // scoreByName replay: margin = b + ((w1·x1 + w2·x2) + w3·x3) in the
+    // kernel's left-assoc order, then sigmoid(plattA·margin + plattB)
+    // clipped to [0,1]; the three disable branches (n<30, feature-name
+    // mismatch, missing-feature NaN) surface as NULL — the kernel's
+    // None and the SQL NULL both land as NaN in the compare frame
+    "q179_directional_score" ->
+      s"""${Bars.sql},
+         |d1 AS (
+         |  SELECT ticker, day, ${Det.sqlAvg("price")} AS dp,
+         |         MAX(price) - MIN(price) AS atr
+         |  FROM bars GROUP BY ticker, day),
+         |dim AS (
+         |  SELECT ticker, ${Det.sqlAvg("price")} AS lp,
+         |         ${Det.sqlStddev("price")} AS sd
+         |  FROM bars GROUP BY ticker),
+         |d2 AS (
+         |  SELECT d1.ticker, dp, atr, lp, sd,
+         |    CAST(row_number() OVER (PARTITION BY d1.ticker ORDER BY day)
+         |      AS INT) AS di
+         |  FROM d1 JOIN dim ON dim.ticker = d1.ticker),
+         |m AS (
+         |  SELECT ticker, di,
+         |    CAST(1.0 AS DOUBLE) + sd / lp AS pa,
+         |    CAST(-0.1 AS DOUBLE) +
+         |      (((CAST(2.0 AS DOUBLE) + sd / lp) * (dp / lp - CAST(1.0 AS DOUBLE))
+         |        + CAST(-1.5 AS DOUBLE) * (atr / lp))
+         |       + CAST(0.5 AS DOUBLE) * (sd / lp)) AS margin
+         |  FROM d2)
+         |SELECT ticker, di,
+         |  CASE WHEN di % 13 = 0 OR di % 11 = 0 OR di % 7 = 0 THEN NULL
+         |    ELSE GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST(1.0 AS DOUBLE),
+         |      CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         |        + EXP(-((pa * margin) + CAST(-0.05 AS DOUBLE))))))
+         |  END AS p_up
+         |FROM m""".stripMargin
   )
 }

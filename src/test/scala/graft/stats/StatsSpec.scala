@@ -181,4 +181,24 @@ class StatsSpec extends AnyFunSuite with TestSpark {
       DirectionalClassifier.score(model)(Array(1.0))
     }
   }
+
+  test("scoreByName: reference disable branches and NaN/missing handling") {
+    val m = DirectionalClassifier.Model(Seq("a", "b"), Array(1.0, -1.0),
+      intercept = 0.0, plattA = 1.0, plattB = 0.0)
+    val full = Map("a" -> 1.0, "b" -> 0.5)
+    // healthy path equals score() on the same vector
+    val viaName = DirectionalClassifier.scoreByName(m, 200, Seq("a", "b"))(full)
+    assert(viaName === Some(DirectionalClassifier.score(m)(Array(1.0, 0.5))))
+    // < 30 training examples ⇒ scoring disabled
+    assert(DirectionalClassifier.scoreByName(m, 29, Seq("a", "b"))(full).isEmpty)
+    // feature-name mismatch ⇒ disabled (wrong-column mapping guard)
+    assert(DirectionalClassifier.scoreByName(m, 200, Seq("a", "c"))(full).isEmpty)
+    // missing feature enters as NaN ⇒ NaN margin ⇒ None
+    assert(DirectionalClassifier.scoreByName(m, 200, Seq("a", "b"))(
+      Map("a" -> 1.0)).isEmpty)
+    // clip: a huge margin saturates to exactly 1.0, never above
+    val sat = DirectionalClassifier.scoreByName(m, 200, Seq("a", "b"))(
+      Map("a" -> 1e6, "b" -> 0.0))
+    assert(sat === Some(1.0))
+  }
 }
