@@ -32,11 +32,15 @@ import java.math.{BigDecimal => JBig}
   *      ring buffer of exact decimal prefix sums — no second shuffle,
   *      no row duplication.
   *
-  * Exactness: the decimal casts happen in Spark expressions BEFORE the
-  * kernel (the same `cast(decimal(38,s))` the plain-window queries and
-  * the DuckDB oracles use); the kernel only adds/subtracts BigDecimals,
-  * which is exact and order-independent — so results are hash-identical
-  * to `sum(col.cast(dec)).over(window)` (spec: ChunkedWindowSpec).
+  * Exactness: quantization happens in Spark expressions BEFORE the
+  * kernel — x itself on the raw (38,6) grid, the higher moments as
+  * GRID-EXACT integer products (Det.qfloor at grid2/grid3, multiplied
+  * as DECIMAL(38,0) — no lossy double→decimal rounding of a computed
+  * product, the q83 tie class). The kernel only adds/subtracts
+  * BigDecimals, which is exact and order-independent — so results are
+  * hash-identical to the same grid-exact plain-window expressions
+  * (spec: ChunkedWindowSpec). s2/s3 are divided back by grid²/grid³
+  * in-kernel, so callers see value semantics.
   * Null x follows plain-window semantics: excluded from `n` (count(x))
   * and the sums (a null row contributes zero via coalesce, never a null
   * BigDecimal), sums go null when the frame has no non-null x, and
@@ -65,15 +69,15 @@ object ChunkedWindow {
 
   /** Rolling moments of `xCol` over `rowsBetween(lo, hi)` per `keyCol`,
     * ordered by (`tCol`, `seqCol`). Requires lo <= hi <= 0. Returns
-    * columns: key, seq, x, prev (lag 1), n, s1 (Σ dec6(x)), s2 (Σ
-    * dec9(x²)), s3 (Σ dec9(x³)) — sums cast to double, null when the
-    * frame is empty. `numPartitions` defaults to
+    * columns: key, seq, x, prev (lag 1), n, s1 (Σ dec6(x)), s2 (grid-
+    * exact Σx² on the grid2 grid), s3 (grid-exact Σx³ on grid3) — sums
+    * as doubles, null when the frame is empty. `numPartitions` defaults to
     * spark.sql.shuffle.partitions — size it to the data, not the keys.
     */
   def rollingMoments(df: DataFrame, keyCol: String, tCol: String,
       seqCol: String, xCol: String, lo: Int, hi: Int,
       numPartitions: Int = 0,
-      scale1: Int = 6, scale2: Int = 9, scale3: Int = 9): Dataset[Moments] = {
+      scale1: Int = 6, grid2: Double = 1e6, grid3: Double = 1e4): Dataset[Moments] = {
     require(lo <= hi && hi <= 0, s"need lo <= hi <= 0, got [$lo, $hi]")
     val h = math.max(-lo, 1) // look-back depth; >= 1 so `prev` is present
     val spark = df.sparkSession
@@ -82,6 +86,14 @@ object ChunkedWindow {
     val x = col(xCol)
     def dec(c: org.apache.spark.sql.Column, s: Int) =
       coalesce(c.cast(s"decimal(38,$s)"), lit(0).cast(s"decimal(38,$s)"))
+    val dec0 = "decimal(38,0)"
+    def pw(g: Double, p: Int) = {
+      val q = graft.queries.Det.qfloor(x, g).cast(dec0)
+      coalesce((1 until p).foldLeft(q)((acc, _) => acc * q),
+        lit(0).cast(dec0))
+    }
+    val div2 = grid2 * grid2
+    val div3 = grid3 * grid3 * grid3
     val base = df.select(
       col(keyCol).cast("string").as("key"),
       col(tCol).cast("long").as("t"),
@@ -89,8 +101,8 @@ object ChunkedWindow {
       x.cast("double").as("x"),
       x.isNotNull.cast("long").as("c"),
       dec(x, scale1).as("d1"),
-      dec(x * x, scale2).as("d2"),
-      dec(x * x * x, scale3).as("d3"))
+      pw(grid2, 2).as("d2"),
+      pw(grid3, 3).as("d3"))
 
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -191,8 +203,8 @@ object ChunkedWindow {
             if (n == 0) Moments(r.key, r.seq, r.x, prev, 0, None, None, None)
             else Moments(r.key, r.seq, r.x, prev, n,
               Some(p1(hiP).subtract(p1(loP)).doubleValue),
-              Some(p2(hiP).subtract(p2(loP)).doubleValue),
-              Some(p3(hiP).subtract(p3(loP)).doubleValue))
+              Some(p2(hiP).subtract(p2(loP)).doubleValue / div2),
+              Some(p3(hiP).subtract(p3(loP)).doubleValue / div3))
           }
         rn += 1
         Seq(m)

@@ -24,9 +24,13 @@ object AggQueries extends QueryModule {
       val x = $"price"
       val n = count(x).cast("double")
       val sx = sum(x.cast("decimal(38,6)")).cast("double")
-      val sx2 = sum((x * x).cast("decimal(38,9)")).cast("double")
-      val sx3 = sum((x * x * x).cast("decimal(38,9)")).cast("double")
-      val sx4 = sum((x * x * x * x).cast("decimal(38,9)")).cast("double")
+      // higher moments GRID-EXACT (Det.qpowsum): the old DECIMAL(38,9)
+      // casts rounded 12/18/24-dp products to 9 dp — the q83 tie class.
+      // Squares on the raw 1e6 grid are exact; cubes/quartics on 1e4
+      // (exact power-of-ten divisors 1e12/1e12/1e16)
+      val sx2 = qpowsum(x, 1e6, 2)
+      val sx3 = qpowsum(x, 1e4, 3)
+      val sx4 = qpowsum(x, 1e4, 4)
       val mean = sx / n
       val m2 = sx2 / n - mean * mean
       val m3 = sx3 / n - lit(3.0) * mean * sx2 / n + lit(2.0) * mean * mean * mean
@@ -132,9 +136,9 @@ object AggQueries extends QueryModule {
 
   override def oracles: Map[String, String] = {
     val sx = "CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)"
-    val sx2 = "CAST(SUM(CAST(price*price AS DECIMAL(38,9))) AS DOUBLE)"
-    val sx3 = "CAST(SUM(CAST(price*price*price AS DECIMAL(38,9))) AS DOUBLE)"
-    val sx4 = "CAST(SUM(CAST(price*price*price*price AS DECIMAL(38,9))) AS DOUBLE)"
+    val sx2 = sqlQpowsum("price", "1e6", 2, "1e12")
+    val sx3 = sqlQpowsum("price", "1e4", 3, "1e12")
+    val sx4 = sqlQpowsum("price", "1e4", 4, "1e16")
     Map(
       "q20_stats_summary" ->
         s"""${Bars.sql}

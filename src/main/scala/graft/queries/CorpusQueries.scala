@@ -319,6 +319,11 @@ object CorpusQueries extends QueryModule {
     * argmin row). Shared by the q138 and q139 oracles. */
   private val kmeansSql: String = {
     def assign(a: String, c: String) =
+      // tie-accepted: mirrors ExactKMeans's DECIMAL(.,12) distance fold
+      // over computed (x−c)² — the q83 tie class in principle, accepted
+      // because the kernel's fold type (decAcc 20,12), hybrid-argmin
+      // margin, and THREE oracle replays are coupled to it; migrating
+      // to the grid-exact idiom is tracked as its own work item
       s"""${a}d AS (
          |  SELECT vec_id, cl,
          |    SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS dist2
@@ -330,6 +335,7 @@ object CorpusQueries extends QueryModule {
     def update(u: String, a: String, prev: String, c: String) =
       s"""$u AS (
          |  SELECT cl, d,
+         |    -- tie-accepted: see assign() note (ExactKMeans mirror)
          |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
          |  FROM dx JOIN (SELECT vec_id, cl FROM $a WHERE rn = 1) USING (vec_id)
          |  GROUP BY cl, d),

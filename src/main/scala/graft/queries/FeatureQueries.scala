@@ -177,6 +177,7 @@ object FeatureQueries extends QueryModule {
          |         AS DOUBLE) AS sdd20,
          |    CAST(count(price) OVER w20 AS DOUBLE) AS np,
          |    CAST(SUM(CAST(price AS DECIMAL(38,6))) OVER w20 AS DOUBLE) AS sp,
+         |    -- rawgrid: price² of 6-dp prices sits ON the 12-dp grid (no tie)
          |    CAST(SUM(CAST(price * price AS DECIMAL(38,12))) OVER w20 AS DOUBLE) AS spp
          |  FROM b2
          |  WINDOW

@@ -32,10 +32,12 @@ object MetricsQueries extends QueryModule {
         .select($"ticker", $"price".as("actual"), pred.as("pred"), prev.as("prev"))
         .where($"pred".isNotNull && $"prev".isNotNull)
       val err = $"pred" - $"actual"
+      // tie-free quantized means (Det.qavg): err² ≤ (max price 561)² ≈
+      // 3.2e5 → scale 1e12 (3.2e17 ≪ clamp); smape terms ∈ [0, 2]
       base.groupBy($"ticker").agg(
         count(lit(1)).as("n"),
-        sqrt(davg12(err * err)).as("rmse"),
-        davg12(lit(2.0) * abs(err) / (abs($"pred") + abs($"actual"))).as("smape"),
+        sqrt(qavg(err * err, 1e12)).as("rmse"),
+        qavg(lit(2.0) * abs(err) / (abs($"pred") + abs($"actual")), 1e12).as("smape"),
         davg(when(signum($"pred" - $"prev") === signum($"actual" - $"prev"), 1.0)
           .otherwise(0.0)).as("da"))
     }),
@@ -47,14 +49,17 @@ object MetricsQueries extends QueryModule {
       val ret = $"price" / lag($"price", 1).over(w) - 1
       val base = Bars.of(s, dir)
         .select($"ticker", ret.as("ret")).where($"ret".isNotNull)
-      val mu = davg12($"ret")
-      val sd = dstddev12($"ret")
-      val dn = dstddev12(when($"ret" < 0, $"ret").otherwise(lit(0.0)))
+      // tie-free quantized moments: r linear at 1e12; squares GRID-EXACT
+      // on the 1e9 grid (Det.qpowsum — full dynamic range, a 1e-5-return
+      // ticker keeps its variance, a 1e4 ratio spike stays in range)
+      val mu = qavg($"ret", 1e12)
+      val sd = qstddev($"ret", 1e12, 1e9)
+      val dn = qstddev(when($"ret" < 0, $"ret").otherwise(lit(0.0)), 1e12, 1e9)
       base.groupBy($"ticker").agg(
         count(lit(1)).as("n"),
         (mu / sd * sqrt(lit(252.0))).as("sharpe"),
         (mu / dn * sqrt(lit(252.0))).as("sortino"),
-        dsum12($"ret").as("total_ret"))
+        qsum($"ret", 1e12).as("total_ret"))
     }),
 
     // Expected-shortfall-to-edge + payoff asymmetry (portfolio_math.py:
@@ -75,10 +80,10 @@ object MetricsQueries extends QueryModule {
       val inTail = $"rn" <= greatest(lit(1.0), floor($"n" * lit(0.05)))
       ranked.groupBy($"ticker").agg(
           count(lit(1)).as("n"),
-          (davg12(when(inTail, $"r")) * -1.0).as("es_95"),
-          davg12($"r").as("edge"),
-          davg12(when($"r" > 0, $"r")).as("win_mean"),
-          davg12(when($"r" < 0, $"r")).as("loss_mean"))
+          (qavg(when(inTail, $"r"), 1e12) * -1.0).as("es_95"),
+          qavg($"r", 1e12).as("edge"),
+          qavg(when($"r" > 0, $"r"), 1e12).as("win_mean"),
+          qavg(when($"r" < 0, $"r"), 1e12).as("loss_mean"))
         .withColumn("es_to_edge", when($"edge" > 0, $"es_95" / $"edge"))
         .withColumn("payoff_asym", $"win_mean" / abs($"loss_mean"))
         .select($"ticker", $"n", $"es_95", $"edge", $"es_to_edge", $"payoff_asym")
@@ -92,11 +97,15 @@ object MetricsQueries extends QueryModule {
       val ret = $"price" / lag($"price", 1).over(w) - 1
       val base = Bars.of(s, dir)
         .select($"ticker", ret.as("r")).where($"r".isNotNull)
+      // tie-free quantized moments: r linear at 1e12; higher powers
+      // GRID-EXACT (Det.qpowsum): squares on the 1e9 grid, cubes 1e6,
+      // quartics 1e4 — exact integer products, in range even at the
+      // theoretical worst-case tick ratio (see Det scaladoc bounds)
       val n = count($"r").cast("double")
-      val sx = sum($"r".cast("decimal(38,12)")).cast("double")
-      val sx2 = sum(($"r" * $"r").cast("decimal(38,18)")).cast("double")
-      val sx3 = sum(($"r" * $"r" * $"r").cast("decimal(38,18)")).cast("double")
-      val sx4 = sum(($"r" * $"r" * $"r" * $"r").cast("decimal(38,18)")).cast("double")
+      val sx = qsum($"r", 1e12)
+      val sx2 = qpowsum($"r", 1e9, 2)
+      val sx3 = qpowsum($"r", 1e6, 3)
+      val sx4 = qpowsum($"r", 1e4, 4)
       val mean = sx / n
       val m2 = sx2 / n - mean * mean
       val m4 = sx4 / n - lit(4.0) * mean * sx3 / n +
@@ -105,8 +114,8 @@ object MetricsQueries extends QueryModule {
       val kellyRaw = mean / m2
       val damp = lit(1.0) / (lit(1.0) + greatest(kurt - 3.0, lit(0.0)) / lit(4.0))
       base.groupBy($"ticker").agg(
-        (dsum12(greatest($"r" - tau, lit(0.0))) /
-          dsum12(greatest(lit(tau) - $"r", lit(0.0)))).as("omega"),
+        (qsum(greatest($"r" - tau, lit(0.0)), 1e12) /
+          qsum(greatest(lit(tau) - $"r", lit(0.0)), 1e12)).as("omega"),
         least(kellyRaw * damp * lit(0.5), lit(0.2)).as("kelly"))
     }),
 
@@ -126,7 +135,7 @@ object MetricsQueries extends QueryModule {
         .withColumn("p", $"n_train".cast("double") / $"t_train" + eps)
         .withColumn("q", $"n_test".cast("double") / $"t_test" + eps)
         .groupBy($"ticker")
-        .agg(dsum12(($"p" - $"q") * log($"p" / $"q")).as("psi"))
+        .agg(qsum(($"p" - $"q") * log($"p" / $"q"), 1e12).as("psi"))
     }),
 
     // ACF at lags 1/2/3 of the price series (Pearson on lag pairs).
@@ -140,11 +149,14 @@ object MetricsQueries extends QueryModule {
       def pearson(y: org.apache.spark.sql.Column) = {
         val x = when(y.isNotNull, $"price")
         val n = count(x).cast("double")
+        // raw prices sit on the 1e-6 grid, so qfloor at 1e6 recovers the
+        // exact raw integers and the pairwise PRODUCTS (the q83 tie
+        // class, off the double grid) become exact integer sums
         val sx = sum(x.cast("decimal(38,6)")).cast("double")
         val sy = sum(y.cast("decimal(38,6)")).cast("double")
-        val sxy = sum((x * y).cast("decimal(38,9)")).cast("double")
-        val sx2 = sum((x * x).cast("decimal(38,9)")).cast("double")
-        val sy2 = sum((y * y).cast("decimal(38,9)")).cast("double")
+        val sxy = qprodsum(x, y, 1e6)
+        val sx2 = qprodsum(x, x, 1e6)
+        val sy2 = qprodsum(y, y, 1e6)
         (n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
       }
       base.groupBy($"ticker").agg(
@@ -163,13 +175,15 @@ object MetricsQueries extends QueryModule {
         .withColumn("part", when($"ts" < lit("2024-01-16"), "a").otherwise("b"))
       val rA = when($"part" === "a", $"r")
       val rB = when($"part" === "b", $"r")
-      def m(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(38,12)")).cast("double") / count(c)
+      // tie-free quantized moments (r at 1e12, r² at 1e9 — see q41)
+      def m(c: org.apache.spark.sql.Column) = qavg(c, 1e12)
       def v(c: org.apache.spark.sql.Column) = {
         val n = count(c).cast("double")
-        val sx = sum(c.cast("decimal(38,12)")).cast("double")
-        val sx2 = sum((c * c).cast("decimal(38,18)")).cast("double")
-        (n * sx2 - sx * sx) / (n * (n - lit(1.0)))
+        val sx = qsum(c, 1e12)
+        val sx2 = qpowsum(c, 1e9, 2)
+        // quantized moments can dip epsilon-negative for near-constant
+        // samples - clamp like dstddev does (identically in the oracle)
+        greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0))
       }
       base.groupBy($"ticker").agg(
         (m($"r") / sqrt(v($"r") / count($"r"))).as("t_onesample"),
@@ -201,8 +215,8 @@ object MetricsQueries extends QueryModule {
       val tau = 0.25
       base.groupBy($"ticker").agg(
         count(lit(1)).as("n"),
-        davg12(when($"r" >= $"q25", lit(tau) * ($"r" - $"q25"))
-          .otherwise(lit(1 - tau) * ($"q25" - $"r"))).as("pinball_25"))
+        qavg(when($"r" >= $"q25", lit(tau) * ($"r" - $"q25"))
+          .otherwise(lit(1 - tau) * ($"q25" - $"r")), 1e12).as("pinball_25"))
     }),
 
     // Diebold–Mariano with Newey–West HAC variance (statistical_tests.py
@@ -223,8 +237,10 @@ object MetricsQueries extends QueryModule {
           ($"p1" - $"price") * ($"p1" - $"price") -
             ($"p2" - $"price") * ($"p2" - $"price"))
       val wT = Window.partitionBy($"ticker")
-      val dBar = sum($"d".cast("decimal(38,12)")).over(wT).cast("double") /
-        count($"d").over(wT)
+      // tie-free quantized means: the loss differential d = e1²−e2² is
+      // price-scale-squared (|d| ≤ ~3.2e5 → 1e12); its centered lag
+      // PRODUCTS reach ~4e11 → 1e6
+      val dBar = qavgOver($"d", 1e12, wT)
       val centered = base
         .withColumn("dm", $"d" - dBar) // window #1 (full-partition mean)
         .withColumn("dm1", lag($"dm", 1).over(w)) // lags of the concrete column
@@ -232,12 +248,12 @@ object MetricsQueries extends QueryModule {
         .withColumn("dm3", lag($"dm", 3).over(w))
         .withColumn("dm4", lag($"dm", 4).over(w))
       def g(c: org.apache.spark.sql.Column) =
-        sum(($"dm" * c).cast("decimal(38,12)")).cast("double") / count($"dm")
+        qprodsum($"dm", c, 1e6) / count($"dm")
       val n = count($"dm").cast("double")
       val nwVar = g($"dm") +
         lit(2.0) * (lit(0.8) * g($"dm1") + lit(0.6) * g($"dm2") +
           lit(0.4) * g($"dm3") + lit(0.2) * g($"dm4"))
-      val meanD = sum($"d".cast("decimal(38,12)")).cast("double") / count($"d")
+      val meanD = qavg($"d", 1e12)
       centered.groupBy($"ticker").agg(
         count(lit(1)).as("n"),
         (meanD / sqrt(greatest(nwVar, lit(1e-300)) / n)).as("dm_stat"))
@@ -251,13 +267,7 @@ object MetricsQueries extends QueryModule {
       val w20 = Window.partitionBy($"ticker").orderBy($"ts", $"seq").rowsBetween(-20, -1)
       val base = Bars.of(s, dir)
         .select($"ticker", $"ts", $"seq", ret.as("r"))
-        .withColumn("sigma", {
-          val c = $"r"
-          val n = count(c).over(w20).cast("double")
-          val sx = sum(c.cast("decimal(38,12)")).over(w20).cast("double")
-          val sx2 = sum((c * c).cast("decimal(38,18)")).over(w20).cast("double")
-          when(n > 1, sqrt(greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0))))
-        })
+        .withColumn("sigma", qstddevOver($"r", 1e12, 1e9, w20))
         .where($"sigma".isNotNull && $"r".isNotNull)
         .withColumn("violation", ($"r" < lit(-1.6448536269514722) * $"sigma").cast("int"))
       val p = 0.05
@@ -289,13 +299,7 @@ object MetricsQueries extends QueryModule {
       val w20 = w.rowsBetween(-20, -1)
       val base = Bars.of(s, dir)
         .select($"ticker", $"ts", $"seq", ret.as("r"))
-        .withColumn("sigma", {
-          val c = $"r"
-          val n = count(c).over(w20).cast("double")
-          val sx = sum(c.cast("decimal(38,12)")).over(w20).cast("double")
-          val sx2 = sum((c * c).cast("decimal(38,18)")).over(w20).cast("double")
-          when(n > 1, sqrt(greatest((n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0))))
-        })
+        .withColumn("sigma", qstddevOver($"r", 1e12, 1e9, w20))
         .where($"sigma".isNotNull && $"r".isNotNull)
         .withColumn("v", ($"r" < lit(-1.6448536269514722) * $"sigma").cast("int"))
       val wv = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
@@ -335,13 +339,14 @@ object MetricsQueries extends QueryModule {
       val base = Bars.of(s, dir)
         .select($"ticker", $"ts", $"seq", ret.as("r")).where($"r".isNotNull)
       val wT = Window.partitionBy($"ticker")
-      val mBar = sum($"r".cast("decimal(38,12)")).over(wT).cast("double") /
-        count($"r").over(wT)
+      // tie-free sums: r mean at 1e12; the centered lag PRODUCTS are
+      // GRID-EXACT on the 1e9 grid (Det.qprodsum — a 1e-5-return ticker
+      // keeps a nonzero denom, a 1e4 spike stays inside HUGEINT)
+      val mBar = qavgOver($"r", 1e12, wT)
       var lagd = base.withColumn("c", $"r" - mBar)
       (1 to 5).foreach(k => lagd = lagd.withColumn(s"c$k", lag($"c", k).over(w)))
-      def g(k: Int) =
-        sum(($"c" * col(s"c$k")).cast("decimal(38,18)")).cast("double")
-      val denom = sum(($"c" * $"c").cast("decimal(38,18)")).cast("double")
+      def g(k: Int) = qprodsum($"c", col(s"c$k"), 1e9)
+      val denom = qprodsum($"c", $"c", 1e9)
       val n = count($"c").cast("double")
       val q = n * (n + lit(2.0)) * (1 to 5).map { k =>
         (g(k) / denom) * (g(k) / denom) / (n - lit(k.toDouble))
@@ -372,7 +377,7 @@ object MetricsQueries extends QueryModule {
           expr("stack(3, 'ma2', e2, 'ma5', e5, 'ma10', e10) as (model, err)"))
         .where($"err".isNotNull)
       val rmse = long.groupBy($"ticker", $"fold", $"model")
-        .agg(sqrt(davg12($"err" * $"err")).as("rmse"))
+        .agg(sqrt(qavg($"err" * $"err", 1e12)).as("rmse"))
       val wR = Window.partitionBy($"ticker", $"fold").orderBy($"rmse", $"model")
       rmse.withColumn("rnk", rank().over(wR))
         .groupBy($"ticker", $"model")
@@ -403,8 +408,8 @@ object MetricsQueries extends QueryModule {
       val pts = sd.select($"ticker", log($"l".cast("double")).as("lx"),
         log(greatest($"sdl", lit(1e-12))).as("ly"))
       val n = count(lit(1)).cast("double")
-      def s18(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(38,18)")).cast("double")
+      // log-log points are O(10) magnitude -> tie-free sums at 1e12
+      def s18(c: org.apache.spark.sql.Column) = qsum(c, 1e12)
       pts.groupBy($"ticker").agg(
         ((n * s18($"lx" * $"ly") - s18($"lx") * s18($"ly")) /
           (n * s18($"lx" * $"lx") - s18($"lx") * s18($"lx"))).as("hurst"))
@@ -425,8 +430,8 @@ object MetricsQueries extends QueryModule {
          |    lag(price, 1) OVER ($over) AS prev
          |  FROM bars)
          |SELECT ticker, COUNT(*) AS n,
-         |  sqrt(${sqlAvg12("(pred - actual)*(pred - actual)")}) AS rmse,
-         |  ${sqlAvg12("2.0 * abs(pred - actual) / (abs(pred) + abs(actual))")} AS smape,
+         |  sqrt(${sqlQavg("(pred - actual)*(pred - actual)", "1e12")}) AS rmse,
+         |  ${sqlQavg("2.0 * abs(pred - actual) / (abs(pred) + abs(actual))", "1e12")} AS smape,
          |  ${sqlAvg("CASE WHEN sign(pred - prev) = sign(actual - prev) THEN 1.0 ELSE 0.0 END")} AS da
          |FROM aligned WHERE pred IS NOT NULL AND prev IS NOT NULL
          |GROUP BY ticker""".stripMargin
@@ -437,9 +442,9 @@ object MetricsQueries extends QueryModule {
          |  SELECT ticker, price / lag(price, 1) OVER ($over) - 1 AS ret
          |  FROM bars)
          |SELECT ticker, COUNT(*) AS n,
-         |  ${sqlAvg12("ret")} / ${sqlStddev12("ret")} * sqrt(252.0) AS sharpe,
-         |  ${sqlAvg12("ret")} / ${sqlStddev12("CASE WHEN ret < 0 THEN ret ELSE 0.0 END")} * sqrt(252.0) AS sortino,
-         |  ${sqlSum12("ret")} AS total_ret
+         |  ${sqlQavg("ret", "1e12")} / ${sqlQstddev("ret", "1e12", "1e9", "1e18")} * sqrt(252.0) AS sharpe,
+         |  ${sqlQavg("ret", "1e12")} / ${sqlQstddev("CASE WHEN ret < 0 THEN ret ELSE 0.0 END", "1e12", "1e9", "1e18")} * sqrt(252.0) AS sortino,
+         |  ${sqlQsum("ret", "1e12")} AS total_ret
          |FROM rets WHERE ret IS NOT NULL
          |GROUP BY ticker""".stripMargin,
     "q98_es_edge" ->
@@ -453,10 +458,10 @@ object MetricsQueries extends QueryModule {
          |  FROM rets WHERE r IS NOT NULL),
          |agg AS (
          |  SELECT ticker, COUNT(*) AS n,
-         |    -(${sqlAvg12("CASE WHEN rn <= greatest(1.0, floor(n * 0.05)) THEN r END")}) AS es_95,
-         |    ${sqlAvg12("r")} AS edge,
-         |    ${sqlAvg12("CASE WHEN r > 0 THEN r END")} AS win_mean,
-         |    ${sqlAvg12("CASE WHEN r < 0 THEN r END")} AS loss_mean
+         |    -(${sqlQavg("CASE WHEN rn <= greatest(1.0, floor(n * 0.05)) THEN r END", "1e12")}) AS es_95,
+         |    ${sqlQavg("r", "1e12")} AS edge,
+         |    ${sqlQavg("CASE WHEN r > 0 THEN r END", "1e12")} AS win_mean,
+         |    ${sqlQavg("CASE WHEN r < 0 THEN r END", "1e12")} AS loss_mean
          |  FROM ranked GROUP BY ticker)
          |SELECT ticker, n, es_95, edge,
          |  CASE WHEN edge > 0 THEN es_95 / edge END AS es_to_edge,
@@ -464,10 +469,10 @@ object MetricsQueries extends QueryModule {
          |FROM agg""".stripMargin,
     "q42_omega_kelly" -> {
       val n = "CAST(COUNT(r) AS DOUBLE)"
-      val sx = sqlSum12("r")
-      val sx2 = sqlSum18("r*r")
-      val sx3 = sqlSum18("r*r*r")
-      val sx4 = sqlSum18("r*r*r*r")
+      val sx = sqlQsum("r", "1e12")
+      val sx2 = sqlQpowsum("r", "1e9", 2, "1e18")
+      val sx3 = sqlQpowsum("r", "1e6", 3, "1e18")
+      val sx4 = sqlQpowsum("r", "1e4", 4, "1e16")
       val mean = s"($sx/$n)"
       val m2 = s"($sx2/$n - $mean*$mean)"
       val m4 = s"($sx4/$n - 4.0*$mean*$sx3/$n + 6.0*$mean*$mean*$sx2/$n - 3.0*$mean*$mean*$mean*$mean)"
@@ -476,7 +481,7 @@ object MetricsQueries extends QueryModule {
          |  SELECT ticker, price / lag(price, 1) OVER ($over) - 1 AS r
          |  FROM bars)
          |SELECT ticker,
-         |  ${sqlSum12("greatest(r - 0.0, 0.0)")} / ${sqlSum12("greatest(0.0 - r, 0.0)")} AS omega,
+         |  ${sqlQsum("greatest(r - 0.0, 0.0)", "1e12")} / ${sqlQsum("greatest(0.0 - r, 0.0)", "1e12")} AS omega,
          |  least($mean / $m2 * (1.0 / (1.0 + greatest($m4/($m2*$m2) - 3.0, 0.0) / 4.0)) * 0.5, 0.2) AS kelly
          |FROM rets WHERE r IS NOT NULL
          |GROUP BY ticker""".stripMargin
@@ -501,7 +506,7 @@ object MetricsQueries extends QueryModule {
          |    CAST(n_train AS DOUBLE) / t_train + 1e-6 AS p,
          |    CAST(n_test AS DOUBLE) / t_test + 1e-6 AS q
          |  FROM counts c JOIN tot t ON c.ticker = t.ticker)
-         |SELECT ticker, ${sqlSum12("(p - q) * ln(p / q)")} AS psi
+         |SELECT ticker, ${sqlQsum("(p - q) * ln(p / q)", "1e12")} AS psi
          |FROM pq GROUP BY ticker""".stripMargin,
     "q44_acf" -> {
       def pearson(y: String): String = {
@@ -509,9 +514,9 @@ object MetricsQueries extends QueryModule {
         val n = s"CAST(COUNT($x) AS DOUBLE)"
         val sx = sqlSum(x)
         val sy = sqlSum(y)
-        val sxy = s"CAST(SUM(CAST(($x)*($y) AS DECIMAL(38,9))) AS DOUBLE)"
-        val sx2 = s"CAST(SUM(CAST(($x)*($x) AS DECIMAL(38,9))) AS DOUBLE)"
-        val sy2 = s"CAST(SUM(CAST(($y)*($y) AS DECIMAL(38,9))) AS DOUBLE)"
+        val sxy = sqlQprodsum(x, y, "1e6", "1e12")
+        val sx2 = sqlQprodsum(x, x, "1e6", "1e12")
+        val sy2 = sqlQprodsum(y, y, "1e6", "1e12")
         s"($n*$sxy - $sx*$sy) / sqrt(($n*$sx2 - $sx*$sx) * ($n*$sy2 - $sy*$sy))"
       }
       s"""${Bars.sql},
@@ -528,10 +533,10 @@ object MetricsQueries extends QueryModule {
          |FROM lagged GROUP BY ticker""".stripMargin
     },
     "q45_ttest" -> {
-      def m(c: String) = s"(${sqlSum12(c)} / COUNT($c))"
+      def m(c: String) = sqlQavg(c, "1e12")
       def v(c: String) = {
         val n = s"CAST(COUNT($c) AS DOUBLE)"
-        s"(($n*${sqlSum18(s"($c)*($c)")} - ${sqlSum12(c)}*${sqlSum12(c)}) / ($n*($n-1.0)))"
+        s"greatest((($n*${sqlQpowsum(c, "1e9", 2, "1e18")} - ${sqlQsum(c, "1e12")}*${sqlQsum(c, "1e12")}) / ($n*($n-1.0))), 0.0)"
       }
       val rA = "CASE WHEN part = 'a' THEN r END"
       val rB = "CASE WHEN part = 'b' THEN r END"
@@ -564,17 +569,17 @@ object MetricsQueries extends QueryModule {
          |    END AS q25
          |  FROM nn)
          |SELECT ticker, COUNT(*) AS n,
-         |  ${sqlAvg12("CASE WHEN r >= q25 THEN 0.25 * (r - q25) ELSE (1 - 0.25) * (q25 - r) END")} AS pinball_25
+         |  ${sqlQavg("CASE WHEN r >= q25 THEN 0.25 * (r - q25) ELSE (1 - 0.25) * (q25 - r) END", "1e12")} AS pinball_25
          |FROM preds WHERE q25 IS NOT NULL
          |GROUP BY ticker""".stripMargin
     },
     "q49_diebold_mariano" -> {
       val f5 = "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING"
       def gk(c: String) =
-        s"(CAST(SUM(CAST(dm*($c) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(dm))"
+        s"(${sqlQprodsum("dm", c, "1e6", "1e12")} / COUNT(dm))"
       val n = "CAST(COUNT(dm) AS DOUBLE)"
       val nwVar = s"(${gk("dm")} + 2.0*(0.8*${gk("dm1")} + 0.6*${gk("dm2")} + 0.4*${gk("dm3")} + 0.2*${gk("dm4")}))"
-      val meanD = "(CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / COUNT(d))"
+      val meanD = sqlQavg("d", "1e12")
       s"""${Bars.sql},
          |preds AS (
          |  SELECT ticker, ts, seq, price,
@@ -588,7 +593,8 @@ object MetricsQueries extends QueryModule {
          |  FROM preds WHERE p1 IS NOT NULL AND p2 IS NOT NULL),
          |cent AS (
          |  SELECT ticker, ts, seq, d,
-         |    d - CAST(SUM(CAST(d AS DECIMAL(38,12))) OVER (PARTITION BY ticker) AS DOUBLE)
+         |    d - (CAST(SUM(CAST(${sqlQfloor("d", "1e12")} AS DECIMAL(38,0)))
+         |           OVER (PARTITION BY ticker) AS DOUBLE) / 1e12)
          |          / COUNT(d) OVER (PARTITION BY ticker) AS dm
          |  FROM diffs),
          |lagged AS (
@@ -605,8 +611,8 @@ object MetricsQueries extends QueryModule {
     "q46_var_backtest" -> {
       val f20 = "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
       val n20 = s"COUNT(r) OVER ($over $f20)"
-      val sx20 = s"CAST(SUM(CAST(r AS DECIMAL(38,12))) OVER ($over $f20) AS DOUBLE)"
-      val sx220 = s"CAST(SUM(CAST(r*r AS DECIMAL(38,18))) OVER ($over $f20) AS DOUBLE)"
+      val sx20 = s"(CAST(SUM(CAST(${sqlQfloor("r", "1e12")} AS DECIMAL(38,0))) OVER ($over $f20) AS DOUBLE) / 1e12)"
+      val sx220 = s"(CAST(SUM(CAST(${sqlQfloor("r", "1e9")} AS HUGEINT) * CAST(${sqlQfloor("r", "1e9")} AS HUGEINT)) OVER ($over $f20) AS DOUBLE) / 1e18)"
       val sig = s"CASE WHEN $n20 > 1 THEN sqrt(greatest((CAST($n20 AS DOUBLE)*$sx220 - $sx20*$sx20) / (CAST($n20 AS DOUBLE)*(CAST($n20 AS DOUBLE)-1.0)), 0.0)) END"
       s"""${Bars.sql},
          |rets AS (
@@ -630,8 +636,8 @@ object MetricsQueries extends QueryModule {
     "q63_christoffersen" -> {
       val f20 = "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
       val n20 = s"COUNT(r) OVER ($over $f20)"
-      val sx20 = s"CAST(SUM(CAST(r AS DECIMAL(38,12))) OVER ($over $f20) AS DOUBLE)"
-      val sx220 = s"CAST(SUM(CAST(r*r AS DECIMAL(38,18))) OVER ($over $f20) AS DOUBLE)"
+      val sx20 = s"(CAST(SUM(CAST(${sqlQfloor("r", "1e12")} AS DECIMAL(38,0))) OVER ($over $f20) AS DOUBLE) / 1e12)"
+      val sx220 = s"(CAST(SUM(CAST(${sqlQfloor("r", "1e9")} AS HUGEINT) * CAST(${sqlQfloor("r", "1e9")} AS HUGEINT)) OVER ($over $f20) AS DOUBLE) / 1e18)"
       val sig = s"CASE WHEN $n20 > 1 THEN sqrt(greatest((CAST($n20 AS DOUBLE)*$sx220 - $sx20*$sx20) / (CAST($n20 AS DOUBLE)*(CAST($n20 AS DOUBLE)-1.0)), 0.0)) END"
       def ll(k: String, n: String, pi: String) =
         s"(CASE WHEN $n = 0 OR $pi <= 0 OR $pi >= 1 THEN 0.0 ELSE ($n - $k) * ln(1.0 - $pi) + $k * ln($pi) END)"
@@ -677,7 +683,7 @@ object MetricsQueries extends QueryModule {
     },
     "q87_ljung_box" -> {
       val lagCols = (1 to 5).map(k => s"lag(c, $k) OVER ($over) AS c$k").mkString(",\n  ")
-      def g(k: Int) = s"CAST(SUM(CAST(c * c$k AS DECIMAL(38,18))) AS DOUBLE)"
+      def g(k: Int) = sqlQprodsum("c", s"c$k", "1e9", "1e18")
       val gs = (1 to 5).map(k => s"${g(k)} AS g$k").mkString(",\n  ")
       val terms = (1 to 5).map(k =>
         s"(g$k / denom) * (g$k / denom) / (n - $k.0)").mkString(" + ")
@@ -689,7 +695,8 @@ object MetricsQueries extends QueryModule {
          |rr AS (SELECT ticker, ts, seq, r FROM rets WHERE r IS NOT NULL),
          |cent AS (
          |  SELECT ticker, ts, seq,
-         |    r - (CAST(SUM(CAST(r AS DECIMAL(38,12))) OVER (PARTITION BY ticker) AS DOUBLE)
+         |    r - ((CAST(SUM(CAST(${sqlQfloor("r", "1e12")} AS DECIMAL(38,0)))
+         |            OVER (PARTITION BY ticker) AS DOUBLE) / 1e12)
          |         / COUNT(r) OVER (PARTITION BY ticker)) AS c
          |  FROM rr),
          |lagd AS (
@@ -698,7 +705,7 @@ object MetricsQueries extends QueryModule {
          |  FROM cent),
          |agg AS (
          |  SELECT ticker, COUNT(c) AS n_raw, CAST(COUNT(c) AS DOUBLE) AS n,
-         |    CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS denom,
+         |    ${sqlQprodsum("c", "c", "1e9", "1e18")} AS denom,
          |  $gs
          |  FROM lagd GROUP BY ticker)
          |SELECT ticker, n_raw AS n,
@@ -723,7 +730,7 @@ object MetricsQueries extends QueryModule {
          |  UNION ALL SELECT ticker, fold, 'ma10', e10 FROM base),
          |rmse AS (
          |  SELECT ticker, fold, model,
-         |    sqrt(${sqlAvg12("err * err")}) AS rmse
+         |    sqrt(${sqlQavg("err * err", "1e12")}) AS rmse
          |  FROM arms WHERE err IS NOT NULL GROUP BY 1, 2, 3),
          |ranked AS (
          |  SELECT ticker, model,
@@ -733,7 +740,7 @@ object MetricsQueries extends QueryModule {
          |FROM ranked GROUP BY 1, 2""".stripMargin
     },
     "q89_hurst" -> {
-      def s18(x: String) = s"CAST(SUM(CAST(($x) AS DECIMAL(38,18))) AS DOUBLE)"
+      def s18(x: String) = sqlQsum(x, "1e12")
       s"""${Bars.sql},
          |idx AS (
          |  SELECT ticker, price, row_number() OVER ($over) AS rn FROM bars),

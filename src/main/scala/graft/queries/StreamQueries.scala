@@ -84,7 +84,8 @@ object StreamQueries extends QueryModule {
       val f = "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
       val n = s"COUNT(value) OVER ($over $f)"
       val sx = s"CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER ($over $f) AS DOUBLE)"
-      val sx2 = s"CAST(SUM(CAST(value*value AS DECIMAL(38,9))) OVER ($over $f) AS DOUBLE)"
+      val q6 = Det.sqlQfloor("value", "1e6")
+      val sx2 = s"(CAST(SUM(CAST($q6 AS HUGEINT) * CAST($q6 AS HUGEINT)) OVER ($over $f) AS DOUBLE) / 1e12)"
       s"""WITH lagged AS (
          |  SELECT event_type, event_id, ts, value,
          |    value - lag(value, 1) OVER ($over) AS delta,

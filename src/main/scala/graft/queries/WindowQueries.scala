@@ -31,12 +31,13 @@ object WindowQueries extends QueryModule {
 
     // rolling mean/std over 20 bars, min_periods=1 (feature_builder
     // :110-116) — on the chunked-halo operator (row-parallel at 100 TB;
-    // scale2=12 matches dstddevOver's decimal(38,12) square sum exactly)
+    // the grid-exact square sum over 6-dp prices equals the old
+    // decimal(38,12) sum bit-for-bit — both are the exact Σx²)
     "q11_win_rolling" -> ((s, dir) => {
       import s.implicits._
       val m = graft.operators.ChunkedWindow.rollingMoments(
         Bars.of(s, dir).withColumn("t", unix_micros($"ts")),
-        "ticker", "t", "seq", "price", lo = -19, hi = 0, scale2 = 12).toDF()
+        "ticker", "t", "seq", "price", lo = -19, hi = 0).toDF()
       val n = $"n".cast("double")
       val std = when($"n" > 1,
         sqrt(greatest((n * $"s2" - $"s1" * $"s1") / (n * (n - lit(1.0))), lit(0.0))))
@@ -168,6 +169,8 @@ object WindowQueries extends QueryModule {
   private def dsumW(x: String, frame: String): String =
     s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) OVER ($over $frame) AS DOUBLE)"
   private def dsum2W(x: String, frame: String): String =
+    // rawgrid: squares of 6-dp grid values sit ON the 12-dp grid — the
+    // cast rounds an ulp-off double to its own grid point, never a tie
     s"CAST(SUM(CAST(($x)*($x) AS DECIMAL(38,12))) OVER ($over $frame) AS DOUBLE)"
   private def cntW(x: String, frame: String): String =
     s"COUNT($x) OVER ($over $frame)"
@@ -207,6 +210,7 @@ object WindowQueries extends QueryModule {
     },
     "q13_win_xsec" -> {
       val sx = "CAST(SUM(CAST(price AS DECIMAL(38,6))) OVER (PARTITION BY day) AS DOUBLE)"
+      // rawgrid: price² sits on the 12-dp grid (see dsum2W note)
       val sx2 = "CAST(SUM(CAST(price*price AS DECIMAL(38,12))) OVER (PARTITION BY day) AS DOUBLE)"
       val n = "CAST(COUNT(price) OVER (PARTITION BY day) AS DOUBLE)"
       val sd = s"CASE WHEN COUNT(price) OVER (PARTITION BY day) > 1 THEN sqrt(greatest(($n*$sx2 - $sx*$sx)/($n*($n-1.0)), 0.0)) END"
@@ -238,8 +242,10 @@ object WindowQueries extends QueryModule {
       val f = "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW"
       val n = s"CAST(${cntW("price", f)} AS DOUBLE)"
       val sx = dsumW("price", f)
-      val sx2 = s"CAST(SUM(CAST(price*price AS DECIMAL(38,9))) OVER ($over $f) AS DOUBLE)"
-      val sx3 = s"CAST(SUM(CAST(price*price*price AS DECIMAL(38,9))) OVER ($over $f) AS DOUBLE)"
+      val q6 = Det.sqlQfloor("price", "1e6")
+      val q4 = Det.sqlQfloor("price", "1e4")
+      val sx2 = s"(CAST(SUM(CAST($q6 AS HUGEINT) * CAST($q6 AS HUGEINT)) OVER ($over $f) AS DOUBLE) / 1e12)"
+      val sx3 = s"(CAST(SUM(CAST($q4 AS HUGEINT) * CAST($q4 AS HUGEINT) * CAST($q4 AS HUGEINT)) OVER ($over $f) AS DOUBLE) / 1e12)"
       val mean = s"($sx/$n)"
       val m2 = s"($sx2/$n - $mean*$mean)"
       val m3 = s"($sx3/$n - 3.0*$mean*$sx2/$n + 2.0*$mean*$mean*$mean)"

@@ -8,8 +8,9 @@ import graft.TestSpark
 import graft.operators.ChunkedWindow
 
 /** ChunkedWindow must be bit-identical to the plain per-key Window it
-  * replaces — same decimal quantization, exact prefix-sum arithmetic —
-  * while distributing each key across many chunks. chunkSize is forced
+  * replaces — same grid-exact quantization (Det.qpowsumOver for the
+  * higher moments), exact prefix-sum arithmetic — while distributing
+  * each key across many chunks. chunkSize is forced
   * tiny here so every code path (halo duplication, chunk-boundary lag,
   * key start/end, empty frames) is exercised across chunk borders.
   */
@@ -43,8 +44,8 @@ class ChunkedWindowSpec extends AnyFunSuite with TestSpark {
       lag($"x", 1).over(w).as("prev"),
       count($"x").over(w20).as("n"),
       sum($"x".cast("decimal(38,6)")).over(w20).cast("double").as("s1"),
-      sum(($"x" * $"x").cast("decimal(38,9)")).over(w20).cast("double").as("s2"),
-      sum(($"x" * $"x" * $"x").cast("decimal(38,9)")).over(w20).cast("double").as("s3"))
+      Det.qpowsumOver($"x", 1e6, 2, w20).as("s2"),
+      Det.qpowsumOver($"x", 1e4, 3, w20).as("s3"))
     assert(got.count() === df.count())
     // exceptAll in BOTH directions: any value drift (even 1 ulp) fails
     assert(got.exceptAll(want).count() === 0)
@@ -63,7 +64,7 @@ class ChunkedWindowSpec extends AnyFunSuite with TestSpark {
       lag($"x", 1).over(w).as("prev"),
       count($"x").over(f).as("n"),
       sum($"x".cast("decimal(38,6)")).over(f).cast("double").as("s1"),
-      sum(($"x" * $"x").cast("decimal(38,9)")).over(f).cast("double").as("s2"))
+      Det.qpowsumOver($"x", 1e6, 2, f).as("s2"))
     assert(got.exceptAll(want).count() === 0)
     assert(want.exceptAll(got).count() === 0)
     // the first row of every key really is the empty-frame case
@@ -96,8 +97,8 @@ class ChunkedWindowSpec extends AnyFunSuite with TestSpark {
       lag($"x", 1).over(w).as("prev"),
       count($"x").over(f).as("n"),
       sum($"x".cast("decimal(38,6)")).over(f).cast("double").as("s1"),
-      sum(($"x" * $"x").cast("decimal(38,9)")).over(f).cast("double").as("s2"),
-      sum(($"x" * $"x" * $"x").cast("decimal(38,9)")).over(f).cast("double").as("s3"))
+      Det.qpowsumOver($"x", 1e6, 2, f).as("s2"),
+      Det.qpowsumOver($"x", 1e4, 3, f).as("s3"))
     assert(got.count() === ndf.count())
     assert(got.exceptAll(want).count() === 0)
     assert(want.exceptAll(got).count() === 0)
