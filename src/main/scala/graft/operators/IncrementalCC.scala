@@ -166,7 +166,11 @@ object IncrementalCC {
       pairs: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       compactEvery: Long = 32L): Unit = {
     val delta = step(readComps(spark, vt), pairs, srcCol, dstCol).delta
-    val stats = vt.upsert(withShard(delta), keyCols = Seq("node"))
+    // delta is unique by node BY CONSTRUCTION (new nodes and moved rows
+    // are disjoint, each keyed once — IncrementalCCSpec asserts it), so
+    // the merge skips its dedupe-window shuffle
+    val stats = vt.upsert(withShard(delta), keyCols = Seq("node"),
+      assumeUniqueKeys = true)
     if (compactEvery > 0 && stats.version > 0 &&
         stats.version % compactEvery == 0) {
       vt.compact()

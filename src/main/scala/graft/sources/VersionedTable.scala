@@ -85,12 +85,26 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
   private def entryPath(v: Long) = new Path(logDir, f"$v%020d.json")
   private def checkpointPath(v: Long) = new Path(logDir, f"$v%020d.checkpoint.json")
 
+  // Committed entries are IMMUTABLE once fully written, so a successful
+  // decode is cacheable forever — torn/absent reads are never cached
+  // (they may complete later), and external writers only ever ADD
+  // entries (which miss the cache and are read fresh). This is what
+  // keeps a maintenance session's per-fold log probes O(1) FS reads
+  // instead of re-reading every entry since the last checkpoint.
+  private val entryCache = scala.collection.concurrent.TrieMap.empty[Long, Entry]
+
   private def readEntry(v: Long): Option[Entry] = {
-    val p = entryPath(v)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    decode(raw) // None = torn in-flight write; caller treats as absent
+    entryCache.get(v).orElse {
+      val p = entryPath(v)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val e = decode(raw) // None = torn in-flight write; caller treats as absent
+        e.foreach(entryCache.update(v, _))
+        e
+      }
+    }
   }
 
   /** Committed entry version numbers in ascending order (checkpoint
@@ -370,51 +384,86 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
   /** MERGE upsert (update-wins by `versionCol` within the batch, like
     * [[MergeSink.upsert]]): reads only the files of touched partitions,
     * rewrites them as new files, commits adds+removes in one entry. */
+  /** `assumeUniqueKeys`: the caller asserts `updates` already holds at
+    * most one row per key, skipping the dedupe window (a shuffle + sort
+    * per merge — pure overhead for producers like IncrementalCC whose
+    * delta is unique by construction). Violating the assertion makes
+    * the merged partition hold duplicate keys — only set it when the
+    * producer proves uniqueness (a spec-checked invariant, not a
+    * convenience flag). */
   def upsert(updates: DataFrame, keyCols: Seq[String],
-      versionCol: Option[String] = None): MergeStats = {
+      versionCol: Option[String] = None,
+      assumeUniqueKeys: Boolean = false): MergeStats = {
     require(keyCols.nonEmpty && !keyCols.contains(partitionCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(versionCol.map(c => desc(c)).getOrElse(lit(1)))
-    val batch = updates
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val batch = (if (assumeUniqueKeys) updates
+      else updates
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn"))
       .cache()
+    // ONE census job replaces the old isEmpty + touched-partitions
+    // collect + batch.count() trio: per-partition counts give all three
+    // answers, and a maintenance session folding many small batches
+    // (q147's shape) pays one scheduled job instead of three.
+    val census = batch.groupBy(col(partitionCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__n")).collect()
     // empty merge = no-op, NOT an empty commit (streaming foreachBatch
     // fires empty micro-batches on state flushes; versions should track
     // data changes, not trigger ticks)
-    if (batch.isEmpty) {
+    if (census.isEmpty) {
       batch.unpersist()
       return MergeStats(latestVersion, 0, 0, 0)
     }
+    val touched = census.map(_.getString(0)).toSet
+    val batchTotal = census.map(_.getLong(1)).sum
 
     val baseV = latestVersion
-    val touched = batch.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
     val liveFiles = snapshotFiles(baseV)
     val touchedFiles = liveFiles.filter { case (_, part) => touched(part) }.keys.toSeq
 
-    val (merged, existingOpt, inserted, updated) =
-      if (touchedFiles.isEmpty) (batch, Option.empty[DataFrame], batch.count(), 0L)
+    // ins/upd stats ride the staged write as Observation metrics (the
+    // EtlPipeline split-census move): the old shape spent an extra
+    // left_semi count job and an `existing` cache per fold just for
+    // MergeStats. existing rows NOT replaced = anti-join survivors, so
+    // updated = existingTotal - survivors, inserted = batch - updated.
+    val obsExisting = org.apache.spark.sql.Observation()
+    val obsAnti = org.apache.spark.sql.Observation()
+    val (merged, statsOf) =
+      if (touchedFiles.isEmpty)
+        (batch, () => (batchTotal, 0L))
       else {
         val existing = spark.read.option("basePath", dataDir)
           .parquet(touchedFiles.sorted.map(p => s"$root/$p"): _*)
-          .cache()
-        val upd = existing.join(batch, keyCols, "left_semi").count()
-        val ins = batch.count() - upd
-        val m = batch.unionByName(
-          existing.join(batch, keyCols, "left_anti").select(batch.columns.map(col): _*))
-        (m, Some(existing), ins, upd)
+          .observe(obsExisting, count(lit(1)).as("n"))
+        val anti = existing.join(batch, keyCols, "left_anti")
+          .observe(obsAnti, count(lit(1)).as("n"))
+        val m = batch.unionByName(anti.select(batch.columns.map(col): _*))
+        (m, () => {
+          val exTotal = obsExisting.get("n").asInstanceOf[Long]
+          val survivors = obsAnti.get("n").asInstanceOf[Long]
+          val upd = exTotal - survivors
+          (batchTotal - upd, upd)
+        })
       }
 
     val txid = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$root/.tx_$txid")
-    merged.write.partitionBy(partitionCol).parquet(staging.toString)
-    // Unpersist BOTH caches once the staged write has materialized them:
-    // a long-running stream calls upsert per micro-batch, and a leaked
-    // `existing` per batch is unbounded executor storage-memory growth.
+    // Coalesce the staged delta to ONE file per touched partition: an
+    // unrepartitioned partitionBy write fans out to (upstream tasks ×
+    // partition values) fragments, so every merge fold inflates the
+    // table's file count and the next fold's probe pays the file-open
+    // tax (compact() only heals it every compactEvery commits). A big
+    // single-partition delta serializes into one task here — the merge
+    // delta is small by design; bulk loads go through append/overwrite.
+    merged.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).parquet(staging.toString)
+    // Unpersist once the staged write has materialized the batch: a
+    // long-running stream calls upsert per micro-batch, and a leaked
+    // cache per batch is unbounded executor storage-memory growth.
     batch.unpersist()
-    existingOpt.foreach(_.unpersist())
+    val (inserted, updated) = statsOf()
     val adds = absorbStaging(staging, txid)
     val v = commit(Entry(baseV + 1, txid, System.currentTimeMillis(), "merge",
       adds, touchedFiles, inserted, updated))

@@ -120,10 +120,13 @@ class VersionedTableSpec extends AnyFunSuite with TestSpark {
   test("compact rewrites fragmented partitions into one file without changing content") {
     val s = spark; import s.implicits._
     val (_, t) = mkTable("cmp")
-    // four upserts into the same partition -> four file fragments
+    // four blind APPENDS into the same partition -> four file fragments.
+    // (Upserts no longer fragment within a partition: the staged merge
+    // write is repartitioned to one file per touched partition per
+    // commit — appends are the remaining small-files source, one new
+    // file per partition per micro-batch.)
     (1 to 4).foreach { i =>
-      t.upsert(Seq(("AAPL", i.toLong, i * 1.0, 1)).toDF("ticker", "seq", "price", "m"),
-        keyCols = Seq("ticker", "seq"))
+      t.append(Seq(("AAPL", i.toLong, i * 1.0, 1)).toDF("ticker", "seq", "price", "m"))
     }
     val before = t.read().select("ticker", "seq", "price").as[(String, Long, Double)]
       .collect().toSet
