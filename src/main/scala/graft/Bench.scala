@@ -267,6 +267,68 @@ object Bench {
           System.err.println(s"[bench] stream soak FAILED: $t"); Seq.empty
       }
 
+    // Live-cycle soak (unfiltered runs only): the full §3.2 trading loop
+    // — bars → forecast → signal → gate → FIFO engine → MERGE sink —
+    // as a STREAM: 8 synthetic tickers × 250 bars in 20 chronological
+    // micro-batches through LiveCycle.fills + LivePortfolio.upsertFills,
+    // with fill-for-fill parity against the batch AutoTrader REQUIRED
+    // after the clock stops (parity on zero fills would be vacuous, so
+    // a nonempty fill set is required too). The one major surface that
+    // had parity specs but no bench entry until round 12.
+    val lcSoak: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.{LiveCycle, LivePortfolio}
+        import graft.pipeline.AutoTrader
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val cycles = 5
+        val mode = Some(AutoTrader.RiskPolicy.diagnostic)
+        val sigCfg = graft.signals.SignalGenerator.Config(
+          minExpectedReturn = 0.0002, minConfidence = 0.15, minSnr = 0.05)
+        val bars = graft.sources.SyntheticSource
+          .generate(spark, (1 to 8).map(i => s"LC$i"), 250, seed = 23L)
+          .toDF().cache()
+        val cols = Seq("ticker", "tradeId", "action", "quantity", "price",
+          "isClose", "entryTradeId", "pnl", "exitReason", "isSynthetic", "side")
+        val (_, batchFillsDf) = AutoTrader.runDetailed(spark, bars, cycles,
+          sigCfg = sigCfg, gateCfg = None, riskMode = mode)
+        val batchFills = batchFillsDf.select(cols.map(col): _*)
+          .collect().map(_.toString).sorted
+        require(batchFills.nonEmpty, "lc_soak: zero batch fills — parity vacuous")
+        val minBars = graft.etl.Splitter.distinctDates(bars).length - cycles + 1
+        val src = bars.select($"ticker", $"date".as("ts"), $"close", $"high", $"low")
+          .as[LiveCycle.Bar].collect().sortBy(b => (b.ts.getTime, b.ticker))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_lc_soak")
+        val sink = new graft.sources.MergeSink(spark, s"$tmp/fills",
+          keyCols = Seq("ticker", "tradeId"), partitionCol = "fill_date")
+        val input = MemoryStream[LiveCycle.Bar]
+        val q = LivePortfolio.upsertFills(
+          LiveCycle.fills(input.toDS(), minBars, sigCfg = sigCfg,
+            gateCfg = None, riskMode = mode), sink, s"$tmp/ckpt")
+        val dur = try {
+          val t0 = System.nanoTime()
+          src.grouped(math.max(1, src.length / 20)).foreach { b =>
+            input.addData(b.toSeq); q.processAllAvailable()
+          }
+          (System.nanoTime() - t0) / 1e9
+        } finally q.stop()
+        val streamed = sink.read().select(cols.map(col): _*)
+          .collect().map(_.toString).sorted
+        require(streamed.toSeq == batchFills.toSeq,
+          "lc_soak: streaming fills diverged from the batch auto-trader")
+        bars.unpersist()
+        System.err.println(
+          f"[bench] lc_soak: ${src.length}%d bars / ${batchFills.length}%d fills " +
+            f"/ $dur%.2f s = ${src.length / dur}%.0f bars/s, parity OK")
+        Seq("lc_soak" -> dur)
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] lc_soak FAILED: $t"); Seq.empty
+      }
+
     // Soak-phase box factor: the soaks are single-shot and run MINUTES
     // after the round-robin calib, and r8-r10 showed 3x raw swings in
     // them with zero code change while the round-robin calib moved only
@@ -279,7 +341,7 @@ object Bench {
       else {
         val t0 = System.nanoTime(); calibJob()
         val calibSoak = (System.nanoTime() - t0) / 1e9
-        ("calib_soak" -> calibSoak) +: (soak ++ streamSoak).map {
+        ("calib_soak" -> calibSoak) +: (soak ++ streamSoak ++ lcSoak).map {
           case (n, v) =>
             (n.replace("_1m", "") + "_x") -> v / calibSoak
         }
@@ -287,7 +349,7 @@ object Bench {
 
     val results: Seq[(String, Double)] =
       work.map { case (name, _) => name -> best.getOrElse(name, lastDur(name)) }
-        .toSeq ++ soak ++ streamSoak ++ soakNorm
+        .toSeq ++ soak ++ streamSoak ++ lcSoak ++ soakNorm
     // Seconds at 2-decimal precision: the driver keeps only a ~2000-char
     // tail of stdout, so the single JSON line must stay well under that
     // or the HEAD of the JSON gets truncated away (r6's full-name line
@@ -305,10 +367,24 @@ object Bench {
     // a one-shot scale experiment (~70 s of deliberate O(diameter) work)
     // and would swamp round-over-round total comparisons. calib measures
     // the BOX, not the engine — report it, don't sum it.
-    val total = results
+    val headline = results
       .filterNot(r => r._1.startsWith("cc_soak") || r._1.startsWith("ss_")
-        || r._1.startsWith("calib"))
-      .map(_._2).sum
+        || r._1.startsWith("lc_soak") || r._1.startsWith("calib"))
+    val total = headline.map(_._2).sum
+    // Split the headline by deployment role: a qNNNs entry is the SERVE
+    // arm (reads persisted artifacts — the deployed cost) of the qNNN
+    // oracle self-containment arm (re-derives everything so DuckDB can
+    // check it — the honesty tax). total_gate sums the gate arms,
+    // total_serve swaps each gate arm for its serve twin — the number
+    // that tracks the deployment path round over round, since the gate
+    // arms are 9-16x the measured deployed cost and dominate `total`.
+    val serveKeys = headline.map(r => shortName(r._1))
+      .filter(k => k.matches("q\\d+s")).toSet
+    val gateTwins = serveKeys.map(_.dropRight(1))
+    val totalGate = headline
+      .filterNot(r => serveKeys(shortName(r._1))).map(_._2).sum
+    val totalServe = headline
+      .filterNot(r => gateTwins(shortName(r._1))).map(_._2).sum
     // Print the JSON line as the LAST stdout output of the JVM: silence
     // Spark and stop the session first so no shutdown log line can trail
     // it if the driver merges stderr into the captured stream.
@@ -319,6 +395,6 @@ object Bench {
     val failedField =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"total_gate":${fmt(totalGate)},"total_serve":${fmt(totalServe)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField}""")
   }
 }
