@@ -318,25 +318,28 @@ object CorpusQueries extends QueryModule {
     * no tolerance. Ends at `a3` (vec_id, cl, dist2, rn; rn=1 is the
     * argmin row). Shared by the q138 and q139 oracles. */
   private val kmeansSql: String = {
-    def assign(a: String, c: String) =
-      // tie-accepted: mirrors ExactKMeans's DECIMAL(.,12) distance fold
-      // over computed (x−c)² — the q83 tie class in principle, accepted
-      // because the kernel's fold type (decAcc 20,12), hybrid-argmin
-      // margin, and THREE oracle replays are coupled to it; migrating
-      // to the grid-exact idiom is tracked as its own work item
+    // grid-exact mirror of ExactKMeans (round 12): per-dim differences
+    // quantized once at 1e6 (Det.sqlQfloor — pure IEEE), integer squares
+    // summed exactly; centroid means are grid-exact 1e9 sums divided by
+    // the count. No double→decimal rounding of a computed product, so
+    // the q83 tie class is structurally impossible on either engine.
+    def assign(a: String, c: String) = {
+      val q = graft.queries.Det.sqlQfloor("x - c", "1e6")
       s"""${a}d AS (
          |  SELECT vec_id, cl,
-         |    SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS dist2
+         |    (CAST(SUM(CAST($q AS HUGEINT) * CAST($q AS HUGEINT)) AS DOUBLE)
+         |      / 1e12) AS dist2
          |  FROM dx JOIN $c USING (d) GROUP BY vec_id, cl),
          |$a AS (
          |  SELECT vec_id, cl, dist2,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cl) AS rn
          |  FROM ${a}d)""".stripMargin
+    }
     def update(u: String, a: String, prev: String, c: String) =
       s"""$u AS (
          |  SELECT cl, d,
-         |    -- tie-accepted: see assign() note (ExactKMeans mirror)
-         |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+         |    (CAST(SUM(CAST(${graft.queries.Det.sqlQfloor("x", "1e9")} AS HUGEINT))
+         |       AS DOUBLE) / 1e9) / COUNT(*) AS c
          |  FROM dx JOIN (SELECT vec_id, cl FROM $a WHERE rn = 1) USING (vec_id)
          |  GROUP BY cl, d),
          |$c AS (

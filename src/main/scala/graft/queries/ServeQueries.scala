@@ -182,11 +182,18 @@ object ServeArtifacts {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Bump when any artifact-PRODUCING semantic changes (a stale artifact
+    * built by older code would otherwise serve values the current gate
+    * oracle no longer matches — the key fingerprints the DATA, this
+    * fingerprints the CODE). v2: grid-exact ExactKMeans distances. */
+  private val artifactVersion = "v2"
+
   private[queries] def key(dir: String): String = {
     val prints = Seq("documents.parquet", "embeddings.parquet")
       .map(t => fingerprint(new java.io.File(dir, t)))
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$dir:${prints.mkString(",")}".getBytes("UTF-8"))
+    val hex = md.digest(
+      s"$artifactVersion:$dir:${prints.mkString(",")}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     hex.take(12)
   }

@@ -1,6 +1,6 @@
 package graft.ml
 
-import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+import java.math.{BigDecimal => JBD, RoundingMode}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -8,27 +8,30 @@ import graft.TestSpark
 
 /** ml/ExactKMeans (q138) and the SemDeDup pruning built on it (q139):
   * the distributed kernel must agree with an independent driver-side
-  * replay of the documented semantics — exact decimal distance sums,
-  * min-(dist, cluster) argmin, Det-style centroid means — and Lloyd's
-  * objective must not increase across update rounds. */
+  * replay of the documented semantics — grid-exact integer distance
+  * sums (per-dim qfloor at 1e6, LONG squares), min-(dist, cluster)
+  * argmin, grid-exact centroid means — and Lloyd's objective must not
+  * increase across update rounds. */
 class ExactKMeansSpec extends AnyFunSuite with TestSpark {
 
   private val dir = "/root/testdata/sf0.001"
 
   private def emb = graft.Tables.load(spark, dir, "embeddings")
 
-  /** (x−c)² per dim, each rounded to scale 12 HALF_UP, summed exactly —
-    * the spec'd arithmetic of ExactKMeans.dist2To. */
-  private def dist2(v: Array[Double], c: Array[Double]): JBD = {
-    var s = JBD.ZERO
+  /** Per-dim difference quantized half-up at the 1e6 grid (clamped like
+    * Det.qfloor), integer squares summed in LONG, /1e12 — the spec'd
+    * grid-exact arithmetic of ExactKMeans.dist2To. */
+  private def dist2(v: Array[Double], c: Array[Double]): Double = {
+    var s = 0L
     var i = 0
     while (i < v.length) {
       val d = v(i) - c(i)
-      s = s.add(new JBD(d * d, MathContext.UNLIMITED)
-        .setScale(12, RoundingMode.HALF_UP))
+      val q = math.floor(
+        math.max(math.min(d * 1e6 + 0.5, 9.2e18), -9.2e18)).toLong
+      s += q * q
       i += 1
     }
-    s
+    s.toDouble / 1e12
   }
 
   test("q138 assignment is the exact argmin against the final centroids") {
@@ -43,7 +46,7 @@ class ExactKMeansSpec extends AnyFunSuite with TestSpark {
       val ds = cents.zipWithIndex.map { case (c, j) => (dist2(v, c), j) }
       val (bd, bj) = ds.minBy { case (d, j) => (d, j) }
       assert(bj === cl, s"vec $id assigned $cl, argmin is $bj")
-      assert(math.abs(bd.doubleValue - d2) < 1e-9, s"vec $id dist2 off")
+      assert(bd === d2, s"vec $id dist2 off (grid-exact must be equal)")
     }
   }
 
@@ -52,7 +55,7 @@ class ExactKMeansSpec extends AnyFunSuite with TestSpark {
     val objs = (0 to 2).map { u =>
       ExactKMeans.fit(emb, k = 8, updates = u)._1
         .agg(org.apache.spark.sql.functions.sum($"dist2"))
-        .head().getDecimal(0).doubleValue
+        .head().getDouble(0)
     }
     objs.sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a + 1e-6, s"objective rose: $objs")
