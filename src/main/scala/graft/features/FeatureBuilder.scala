@@ -77,17 +77,20 @@ object FeatureBuilder {
     // CVaR proxy: exact rolling 5% quantile of returns over 60 bars.
     // percentile_approx is NOT used here: the window is ≤60 elements, so
     // an exact sort of the collected frame is cheap and oracle-parity-safe
-    // (SURVEY §7.5 risk 4).
-    out = out.withColumn("cvar_95_60",
-      abs(expr(
-        """CASE WHEN size(filter(collect_list(ret_1) OVER
-          |  (PARTITION BY ticker ORDER BY date ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
-          |  x -> x IS NOT NULL)) > 0
-          |THEN array_sort(collect_list(ret_1) OVER
-          |  (PARTITION BY ticker ORDER BY date ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
-          |  [CAST(floor(0.05 * (size(collect_list(ret_1) OVER
-          |    (PARTITION BY ticker ORDER BY date ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)) - 1)) AS INT)]
-          |END""".stripMargin)))
+    // (SURVEY §7.5 risk 4). The frame list is collected ONCE and reused —
+    // three textual collect_list copies were three separate window
+    // aggregates (3× the O(frame)/row list building); collect_list skips
+    // nulls in Spark, so the non-null-size guard is just size > 0.
+    out = out
+      .withColumn("_cv_lst", collect_list(col("ret_1"))
+        .over(w.rowsBetween(-59, 0)))
+      .withColumn("cvar_95_60",
+        abs(expr(
+          """CASE WHEN size(_cv_lst) > 0
+            |THEN array_sort(_cv_lst)
+            |  [CAST(floor(0.05 * (size(_cv_lst) - 1)) AS INT)]
+            |END""".stripMargin)))
+      .drop("_cv_lst")
     // volatility regime bucket from rolling σ20 terciles (per ticker)
     out = out.withColumn("_vol20", col("roll_std_20"))
     val cuts = out.groupBy("ticker")

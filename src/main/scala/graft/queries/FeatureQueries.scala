@@ -59,9 +59,10 @@ object FeatureQueries extends QueryModule {
     "q157_vol_features" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
-      val w20 = w.rowsBetween(-19, 0)
-      val w60 = w.rowsBetween(-59, 0)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
       val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
       val scale = lit(1e12)
 
       val ret1 = $"price" / lag($"price", 1).over(w) - 1
@@ -70,28 +71,62 @@ object FeatureQueries extends QueryModule {
         .withColumn("qd",
           when($"qret".isNotNull && $"qret" < 0, $"qret").otherwise(lit(0L)))
 
-      def dsum0(c: org.apache.spark.sql.Column,
-          fr: org.apache.spark.sql.expressions.WindowSpec) =
-        sum(c.cast(dec0)).over(fr).cast("double")
+      // Sliding decimal sums as RUNNING-prefix differences: Spark
+      // evaluates a bounded sliding frame by re-aggregating the whole
+      // frame per row (O(frame)/row — 60 decimal adds per row here),
+      // while the unboundedPreceding running frame is incremental
+      // (O(1)/row) and lag() is O(1). Decimal addition is associative,
+      // so P(i) − P(i−k) equals the k-row sliding sum EXACTLY — same
+      // decimals, same doubles, same hashes, same oracle; this is the
+      // q154 running-frame lesson applied to the sliding-frame class.
+      val prefixed = b.select($"ticker", $"ts", $"seq", $"qret", $"qd",
+        sum($"qret".cast(dec0)).over(wRun).as("pq"),
+        sum(($"qret".cast(dec0) * $"qret".cast(dec0))).over(wRun).as("pqq"),
+        sum($"qd".cast(dec0)).over(wRun).as("pd"),
+        sum(($"qd".cast(dec0) * $"qd".cast(dec0))).over(wRun).as("pdd"),
+        count($"qret").over(wRun).as("pcq"),
+        count($"qd").over(wRun).as("pcd"),
+        sum($"price".cast(dec6)).over(wRun).as("pp"),
+        sum(($"price" * $"price").cast(dec12)).over(wRun).as("ppp"),
+        count($"price").over(wRun).as("pcp"))
+      def lagged = Seq(
+        ("pq", 20, dec0), ("pq", 60, dec0), ("pqq", 60, dec0),
+        ("pd", 20, dec0), ("pdd", 20, dec0),
+        ("pp", 20, dec6), ("ppp", 20, dec12))
+      val withLags = prefixed.select(
+        (Seq($"ticker", $"seq", $"pq", $"pqq", $"pd", $"pdd", $"pcq",
+          $"pcd", $"pp", $"ppp", $"pcp") ++
+          lagged.map { case (c, k, dt) =>
+            coalesce(lag(col(c), k).over(w), lit(0).cast(dt)).as(s"${c}_$k") } ++
+          Seq(coalesce(lag($"pcq", 20).over(w), lit(0L)).as("pcq_20"),
+            coalesce(lag($"pcq", 60).over(w), lit(0L)).as("pcq_60"),
+            coalesce(lag($"pcd", 20).over(w), lit(0L)).as("pcd_20"),
+            coalesce(lag($"pcp", 20).over(w), lit(0L)).as("pcp_20"))): _*)
 
-      val n20 = count($"qret").over(w20).cast("double")
-      val n60 = count($"qret").over(w60).cast("double")
-      val m20 = dsum0($"qret", w20) / scale / n20
-      val m60 = dsum0($"qret", w60) / scale / n60
+      def d(a: String, b0: String) = (col(a) - col(b0)).cast("double")
+      val n20 = (col("pcq") - col("pcq_20")).cast("double")
+      val n60 = (col("pcq") - col("pcq_60")).cast("double")
+      val m20 = d("pq", "pq_20") / scale / n20
+      val m60 = d("pq", "pq_60") / scale / n60
       val s60 = sqrt(greatest(
-        (n60 * (dsum0($"qret".cast(dec0) * $"qret".cast(dec0), w60) / scale / scale)
-          - (dsum0($"qret", w60) / scale) * (dsum0($"qret", w60) / scale))
+        (n60 * (d("pqq", "pqq_60") / scale / scale)
+          - (d("pq", "pq_60") / scale) * (d("pq", "pq_60") / scale))
           / (n60 * (n60 - lit(1.0))), lit(0.0)))
       val drift = when(n60 > 1, abs(m20 - m60) / (s60 + lit(1e-9)))
 
-      val nd = count($"qd").over(w20).cast("double")
+      val nd = (col("pcd") - col("pcd_20")).cast("double")
       val down = when(nd > 1, sqrt(greatest(
-        (nd * (dsum0($"qd".cast(dec0) * $"qd".cast(dec0), w20) / scale / scale)
-          - (dsum0($"qd", w20) / scale) * (dsum0($"qd", w20) / scale))
+        (nd * (d("pdd", "pdd_20") / scale / scale)
+          - (d("pd", "pd_20") / scale) * (d("pd", "pd_20") / scale))
           / (nd * (nd - lit(1.0))), lit(0.0))))
 
-      val sig20 = Det.dstddevOver($"price", w20)
-      val feats = b.select($"ticker", $"seq",
+      // Det.dstddevOver(price, w20) via the same prefix differences
+      val np = (col("pcp") - col("pcp_20")).cast("double")
+      val sxp = d("pp", "pp_20")
+      val sx2p = d("ppp", "ppp_20")
+      val sig20 = when(np > 1, sqrt(greatest(
+        (np * sx2p - sxp * sxp) / (np * (np - lit(1.0))), lit(0.0))))
+      val feats = withLags.select($"ticker", $"seq",
         drift.as("drift_intensity"), down.as("downside_vol20"),
         sig20.as("sig20"))
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +19,36 @@ import Det._
   * graft.forecast and are property-tested instead.
   */
 object MetricsQueries extends QueryModule {
+
+  /** Strictly-past 20-bar rolling σ of `r` via RUNNING-prefix
+    * differences: Spark re-aggregates a bounded sliding frame per row
+    * (O(frame)/row), while the unboundedPreceding running frame is
+    * incremental and lag() is O(1). Decimal/integer prefix sums are
+    * EXACT, so P(i−1) − P(i−21) equals the (−20..−1) sliding sum
+    * bit-for-bit — same values, same hashes, same oracle (the q157
+    * rewrite, shared by q46/q63). */
+  private def withSigma20Past(df: DataFrame): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("ticker")).orderBy(col("ts"), col("seq"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val q12 = qfloor(col("r"), 1e12).cast(dec0)
+    val q9 = qfloor(col("r"), 1e9).cast(dec0)
+    val pr = df
+      .withColumn("_pq", sum(q12).over(wRun))
+      .withColumn("_pqq", sum(q9 * q9).over(wRun))
+      .withColumn("_pc", count(col("r")).over(wRun))
+    def d0(c: String) =
+      coalesce(lag(col(c), 1).over(w), lit(0).cast(dec0)) -
+        coalesce(lag(col(c), 21).over(w), lit(0).cast(dec0))
+    val n = (coalesce(lag(col("_pc"), 1).over(w), lit(0L)) -
+      coalesce(lag(col("_pc"), 21).over(w), lit(0L))).cast("double")
+    val sx = d0("_pq").cast("double") / 1e12
+    val sx2 = d0("_pqq").cast("double") / 1e18
+    pr.withColumn("sigma",
+        when(n > 1, sqrt(greatest(
+          (n * sx2 - sx * sx) / (n * (n - lit(1.0))), lit(0.0)))))
+      .drop("_pq", "_pqq", "_pc")
+  }
 
   override def queries: Map[String, QFn] = Map(
     // RMSE / sMAPE / 1-step directional accuracy of a rolling-mean forecast.
@@ -267,7 +298,7 @@ object MetricsQueries extends QueryModule {
       val w20 = Window.partitionBy($"ticker").orderBy($"ts", $"seq").rowsBetween(-20, -1)
       val base = Bars.of(s, dir)
         .select($"ticker", $"ts", $"seq", ret.as("r"))
-        .withColumn("sigma", qstddevOver($"r", 1e12, 1e9, w20))
+        .transform(withSigma20Past)
         .where($"sigma".isNotNull && $"r".isNotNull)
         .withColumn("violation", ($"r" < lit(-1.6448536269514722) * $"sigma").cast("int"))
       val p = 0.05
@@ -299,7 +330,7 @@ object MetricsQueries extends QueryModule {
       val w20 = w.rowsBetween(-20, -1)
       val base = Bars.of(s, dir)
         .select($"ticker", $"ts", $"seq", ret.as("r"))
-        .withColumn("sigma", qstddevOver($"r", 1e12, 1e9, w20))
+        .transform(withSigma20Past)
         .where($"sigma".isNotNull && $"r".isNotNull)
         .withColumn("v", ($"r" < lit(-1.6448536269514722) * $"sigma").cast("int"))
       val wv = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
