@@ -65,6 +65,39 @@ class DetSpec extends AnyFunSuite with TestSpark {
     assert(s === 3.125 + 0.000003)
   }
 
+  test("prefix-diff sliding sums equal plain sliding frames exactly (decimal/long)") {
+    // the q157/q46/q63 rewrite contract: decimal and integer prefix
+    // sums are exact, so P(i) − P(i−k) must equal the k-row sliding sum
+    // BIT-FOR-BIT, including leading-null prefixes and frame clipping
+    // at the partition head. Doubles are deliberately NOT eligible.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rng = new scala.util.Random(3)
+    val rows = for {
+      t <- Seq("A", "B"); i <- 0 until 200
+    } yield (t, i.toLong,
+      if (i < 3 && t == "A" || rng.nextInt(11) == 0) None
+      else Some((rng.nextDouble() - 0.4) * math.pow(10, rng.nextInt(5))))
+    val df = rows.toDF("t", "i", "x")
+    val w = Window.partitionBy($"t").orderBy($"i")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val w20 = w.rowsBetween(-19, 0)
+    val q = Det.qfloor($"x", 1e6).cast(dec0)
+    val slide = df.select($"t", $"i",
+      sum(q).over(w20).cast("double").as("s"),
+      count($"x").over(w20).as("n"))
+    val prefix = df
+      .withColumn("_p", sum(q).over(wRun))
+      .withColumn("_c", count($"x").over(wRun))
+      .select($"t", $"i",
+        (col("_p") - coalesce(lag(col("_p"), 20).over(w), lit(0).cast(dec0)))
+          .cast("double").as("s"),
+        (col("_c") - coalesce(lag(col("_c"), 20).over(w), lit(0L))).as("n"))
+    assert(slide.exceptAll(prefix).count() === 0)
+    assert(prefix.exceptAll(slide).count() === 0)
+  }
+
   test("decimal discipline: no unannotated 9/12/18-scale casts in query sources outside Det") {
     // The q83/q84 tie class: casting a COMPUTED double to DECIMAL(38,s)
     // lets Spark and DuckDB quantize the last digit through different
