@@ -154,14 +154,28 @@ object WindowQueries extends QueryModule {
     "q16_win_atr" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
-      val w14 = w.rowsBetween(-13, 0)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
       val tr = greatest(
         abs($"price" - lag($"price", 1).over(w)),
         abs(lag($"price", 1).over(w) - lag($"price", 2).over(w)))
+      // 14-bar sliding mean as a running-prefix difference (exact for
+      // decimals — same values/hash/oracle, O(1)/row; the q157 rewrite)
       Bars.of(s, dir)
         .select($"ticker", $"ts", $"seq", tr.as("tr"))
-        .select($"ticker", $"seq", $"tr",
-          davgOver($"tr", w14).as("atr14"))
+        .select($"ticker", $"ts", $"seq", $"tr",
+          sum($"tr".cast(dec6)).over(wRun).as("_ps"),
+          count($"tr").over(wRun).as("_pc"))
+        .select($"ticker", $"seq", $"tr", {
+          // when(n > 0): an all-null frame must yield NULL like the
+          // plain sliding mean did — without the guard the prefix diff
+          // is an exact 0 and 0/0 throws under ANSI
+          val n = col("_pc") - coalesce(lag(col("_pc"), 14).over(w), lit(0L))
+          when(n > 0,
+            (col("_ps") - coalesce(lag(col("_ps"), 14).over(w),
+              lit(0).cast(dec6))).cast("double") / n)
+            .as("atr14")
+        })
     })
   )
 
