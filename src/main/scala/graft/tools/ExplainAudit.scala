@@ -74,6 +74,52 @@ object ExplainAudit {
     out.result()
   }
 
+  /** WIDE sliding exact-sum frames — a bounded (-k..h≤0) frame whose
+    * aggregate is a decimal/long Sum is re-aggregated per row by
+    * Spark's SlidingWindowFunctionFrame (no retract): O(k)/row. For
+    * EXACT sums the running-prefix-difference rewrite is value-identical
+    * and O(1)/row (round 12: q157 15→2.9 s), so a wide exact-sum
+    * sliding frame in a registered plan is an unforced constant-factor
+    * tax. Double sums are exempt (float prefix differences cancel);
+    * list/quantile aggregates are exempt (no prefix form). Frames
+    * narrower than `minSpan` stay legal — below ~40 rows the rewrite's
+    * extra lag pass outweighs the savings. */
+  def wideSlidingExactSumViolations(plan: SparkPlan,
+      minSpan: Int = 40): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    def off(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case CurrentRow => Some(0L)
+      case _ => None // UnboundedPreceding/Following → not a sliding frame
+    }
+    val out = Seq.newBuilder[String]
+    def walk(p: SparkPlan): Unit = {
+      p.expressions.foreach(_.foreach {
+        case we @ WindowExpression(ae: AggregateExpression,
+            WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, lo, hi))) =>
+          (off(lo), off(hi)) match {
+            case (Some(l), Some(h)) if l < 0 && h <= 0 && (h - l + 1) >= minSpan =>
+              ae.aggregateFunction match {
+                case sm: Sum if sm.child.dataType.isInstanceOf[DecimalType] ||
+                    sm.child.dataType == LongType =>
+                  out += s"wide sliding exact-sum frame (span ${h - l + 1}, " +
+                    s"prefix-diff it): ${we.sql.take(140)}"
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      })
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(plan)
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -81,7 +81,8 @@ class ExplainAuditSpec extends AnyFunSuite with TestSpark {
       case (name, fn) =>
         val plan = fn(s, dir).queryExecution.sparkPlan
         (ExplainAudit.unpartitionedWindowViolations(plan) ++
-          ExplainAudit.shrinkingFrameViolations(plan)).map(v => s"$name: $v")
+          ExplainAudit.shrinkingFrameViolations(plan) ++
+          ExplainAudit.wideSlidingExactSumViolations(plan)).map(v => s"$name: $v")
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
@@ -103,5 +104,31 @@ class ExplainAuditSpec extends AnyFunSuite with TestSpark {
           .rowsBetween(Window.unboundedPreceding, 0)))
     assert(ExplainAudit.shrinkingFrameViolations(
       fast.queryExecution.sparkPlan).isEmpty)
+  }
+
+  test("wide-sliding audit flags a 60-row decimal sliding sum, passes the prefix form") {
+    val s = spark
+    import s.implicits._
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fact = graft.Tables.load(s, dir, "events")
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val slow = fact.withColumn("s60",
+      sum(floor($"value" * 1e6 + 0.5).cast(dec0))
+        .over(w.rowsBetween(-59, 0)))
+    assert(ExplainAudit.wideSlidingExactSumViolations(
+      slow.queryExecution.sparkPlan).nonEmpty, "control frame must be flagged")
+    // the running-prefix + lag-difference form is clean, and a NARROW
+    // sliding frame (span < 40) stays legal
+    val fast = fact
+      .withColumn("p", sum(floor($"value" * 1e6 + 0.5).cast(dec0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("s60", $"p" - coalesce(lag($"p", 60).over(w), lit(0).cast(dec0)))
+    assert(ExplainAudit.wideSlidingExactSumViolations(
+      fast.queryExecution.sparkPlan).isEmpty)
+    val narrow = fact.withColumn("s5",
+      sum(floor($"value" * 1e6 + 0.5).cast(dec0))
+        .over(w.rowsBetween(-4, 0)))
+    assert(ExplainAudit.wideSlidingExactSumViolations(
+      narrow.queryExecution.sparkPlan).isEmpty)
   }
 }
