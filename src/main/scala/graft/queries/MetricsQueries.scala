@@ -392,12 +392,22 @@ object MetricsQueries extends QueryModule {
       import s.implicits._
       val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
       val wT = Window.partitionBy($"ticker")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      // the three strictly-past rolling means share ONE running prefix
+      // (P(i−1) − P(i−k−1) equals the (−k..−1) sliding sum exactly —
+      // the q157 prefix-diff rewrite; same values, hash, oracle)
       def predK(k: Int) = {
-        val wk = w.rowsBetween(-k, -1)
-        sum($"price".cast("decimal(38,6)")).over(wk).cast("double") /
-          count($"price").over(wk)
+        val nk = lag(col("_pc"), 1).over(w) -
+          coalesce(lag(col("_pc"), k + 1).over(w), lit(0L))
+        when(nk > 0,
+          (lag(col("_pp"), 1).over(w) -
+            coalesce(lag(col("_pp"), k + 1).over(w), lit(0).cast(dec6)))
+            .cast("double") / nk)
       }
       val base = Bars.of(s, dir).select($"ticker", $"ts", $"seq", $"price")
+        .withColumn("_pp", sum($"price".cast(dec6)).over(wRun))
+        .withColumn("_pc", count($"price").over(wRun))
         .withColumn("rn", row_number().over(w))
         .withColumn("cnt", count(lit(1)).over(wT))
         .withColumn("fold", expr("((rn - 1) * 4) div cnt"))
