@@ -50,17 +50,38 @@ object MetricsQueries extends QueryModule {
       .drop("_pq", "_pqq", "_pc")
   }
 
+  /** Strictly-past 5-bar rolling-mean predictor via RUNNING-prefix
+    * differences (the q157/q88 rewrite): decimal prefix sums are exact,
+    * so P(i−1) − P(i−6) equals the (−5..−1) sliding sum bit-for-bit —
+    * same values, same hash, same oracle, O(1)/row instead of
+    * re-aggregating the 5-row frame per row. Input df must carry
+    * (ticker, ts, seq, price); adds `pred` and drops the scratch. */
+  private def withPred5(df: DataFrame): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val w = Window.partitionBy(col("ticker")).orderBy(col("ts"), col("seq"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val pr = df
+      .withColumn("_pp", sum(col("price").cast(dec6)).over(wRun))
+      .withColumn("_pc", count(col("price")).over(wRun))
+    val nk = lag(col("_pc"), 1).over(w) -
+      coalesce(lag(col("_pc"), 6).over(w), lit(0L))
+    pr.withColumn("pred",
+        when(nk > 0,
+          (lag(col("_pp"), 1).over(w) -
+            coalesce(lag(col("_pp"), 6).over(w), lit(0).cast(dec6)))
+            .cast("double") / nk))
+      .drop("_pp", "_pc")
+  }
+
   override def queries: Map[String, QFn] = Map(
     // RMSE / sMAPE / 1-step directional accuracy of a rolling-mean forecast.
     "q40_forecast_metrics" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
-      val w5 = w.rowsBetween(-5, -1)
-      val pred = sum($"price".cast("decimal(38,6)")).over(w5).cast("double") /
-        count($"price").over(w5)
       val prev = lag($"price", 1).over(w)
       val base = Bars.of(s, dir)
-        .select($"ticker", $"price".as("actual"), pred.as("pred"), prev.as("prev"))
+        .transform(withPred5)
+        .select($"ticker", $"price".as("actual"), $"pred", prev.as("prev"))
         .where($"pred".isNotNull && $"prev".isNotNull)
       val err = $"pred" - $"actual"
       // tie-free quantized means (Det.qavg): err² ≤ (max price 561)² ≈
@@ -230,19 +251,22 @@ object MetricsQueries extends QueryModule {
       val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
       val ret = $"price" / lag($"price", 1).over(w) - 1
       // null first-returns are dropped BEFORE the window so both engines
-      // collect identical 20-element frames (DuckDB's list() keeps NULLs)
+      // collect identical 20-element frames (DuckDB's list() keeps NULLs).
+      // The frame list is collected ONCE — textual copies of the same
+      // window expression are evaluated as separate window aggregates
+      // (the q156 lesson), so the CASE works over the concrete column.
       val base = Bars.of(s, dir)
         .select($"ticker", $"ts", $"seq", ret.as("r"))
         .where($"r".isNotNull)
+        .withColumn("_f20", expr(
+          """collect_list(r) OVER
+            |  (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)""".stripMargin))
         .withColumn("q25", expr(
-          """CASE WHEN size(collect_list(r) OVER
-            |  (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) >= 10
-            |THEN array_sort(collect_list(r) OVER
-            |  (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-            |  [CAST(floor(0.25 * (size(collect_list(r) OVER
-            |    (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) - 1)) AS INT)]
+          """CASE WHEN size(_f20) >= 10
+            |THEN array_sort(_f20)[CAST(floor(0.25 * (size(_f20) - 1)) AS INT)]
             |END""".stripMargin))
         .where($"q25".isNotNull)
+        .drop("_f20")
       val tau = 0.25
       base.groupBy($"ticker").agg(
         count(lit(1)).as("n"),
@@ -256,13 +280,11 @@ object MetricsQueries extends QueryModule {
     "q49_diebold_mariano" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
-      val w5 = w.rowsBetween(-5, -1)
-      val pred1 = sum($"price".cast("decimal(38,6)")).over(w5).cast("double") /
-        count($"price").over(w5)
       val pred2 = lag($"price", 1).over(w)
       val base = Bars.of(s, dir)
+        .transform(withPred5)
         .select($"ticker", $"ts", $"seq", $"price",
-          pred1.as("p1"), pred2.as("p2"))
+          $"pred".as("p1"), pred2.as("p2"))
         .where($"p1".isNotNull && $"p2".isNotNull)
         .withColumn("d",
           ($"p1" - $"price") * ($"p1" - $"price") -
@@ -295,7 +317,6 @@ object MetricsQueries extends QueryModule {
       import s.implicits._
       val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
       val ret = $"price" / lag($"price", 1).over(w) - 1
-      val w20 = Window.partitionBy($"ticker").orderBy($"ts", $"seq").rowsBetween(-20, -1)
       val base = Bars.of(s, dir)
         .select($"ticker", $"ts", $"seq", ret.as("r"))
         .transform(withSigma20Past)
@@ -327,7 +348,6 @@ object MetricsQueries extends QueryModule {
       import s.implicits._
       val w = Window.partitionBy($"ticker").orderBy($"ts", $"seq")
       val ret = $"price" / lag($"price", 1).over(w) - 1
-      val w20 = w.rowsBetween(-20, -1)
       val base = Bars.of(s, dir)
         .select($"ticker", $"ts", $"seq", ret.as("r"))
         .transform(withSigma20Past)
