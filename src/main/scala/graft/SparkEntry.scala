@@ -32,6 +32,7 @@ object SparkEntry {
     SignalQueries,
     EnsembleQueries,
     EngineQueries,
+    LobQueries,
     StatQueries,
     SyntheticQueries
   )
