@@ -44,54 +44,86 @@ final class MergeSink(spark: SparkSession, path: String,
   /** Upsert `updates`; rows matching an existing key replace it, others
     * insert. Duplicate keys WITHIN the batch keep the row with the
     * highest `versionCol` (ties broken arbitrarily but deterministically
-    * by a final row_number), mirroring last-write-wins. */
-  def upsert(updates: DataFrame, versionCol: Option[String] = None): MergeStats = {
+    * by a final row_number), mirroring last-write-wins.
+    *
+    * `assumeUniqueKeys`: the caller asserts `updates` already holds at
+    * most one row per key, skipping the dedupe window (a shuffle + sort
+    * per merge — pure per-micro-batch overhead for streaming producers
+    * whose batch is unique by construction, e.g. the live engine's
+    * monotonically-id'd fills). Violating the assertion leaves duplicate
+    * keys in the merged partition — only set it when the producer proves
+    * uniqueness (a spec-checked invariant, not a convenience flag). */
+  def upsert(updates: DataFrame, versionCol: Option[String] = None,
+      assumeUniqueKeys: Boolean = false): MergeStats = {
     val keyCs = keyCols.map(col)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCs: _*)
-      .orderBy(versionCol.map(c => desc(c)).getOrElse(lit(1)))
-    val batch = updates
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
-      .cache()
+    val batch = (if (assumeUniqueKeys) updates
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCs: _*)
+          .orderBy(versionCol.map(c => desc(c)).getOrElse(lit(1)))
+        updates.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      }).cache()
+
+    // ONE census job replaces the old empty-guard count + touched-
+    // partitions collect + two stats counts (the VersionedTable.upsert
+    // move): per-partition counts answer all of them, so a streaming
+    // caller folding many micro-batches pays one scheduled job per
+    // batch instead of three before the write even starts.
+    val census = batch.groupBy(col(partitionCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+    if (census.isEmpty) {
+      // an empty batch must NOT create (or version) the table: a
+      // zero-row partitionBy write leaves a directory with no parquet
+      // footer, and every later upsert/read dies on schema inference (a
+      // streaming query whose first micro-batch produces no rows —
+      // e.g. warmup bars — hits exactly this)
+      batch.unpersist()
+      return MergeStats(inserted = 0, updated = 0, partitions = 0)
+    }
+    val touched = census.map(_.get(0)).toSeq
+    val batchTotal = census.map(_.getLong(1)).sum
 
     if (!exists) {
-      val n = batch.count()
-      if (n == 0) {
-        // an empty first batch must NOT create the table: a zero-row
-        // partitionBy write leaves a directory with no parquet footer,
-        // and every later upsert/read dies on schema inference (a
-        // streaming query whose first micro-batch produces no rows —
-        // e.g. warmup bars — hits exactly this)
-        batch.unpersist()
-        return MergeStats(inserted = 0, updated = 0, partitions = 0)
-      }
       batch.write.partitionBy(partitionCol).parquet(path)
-      val parts = batch.select(partitionCol).distinct()
-        .collect().map(r => String.valueOf(r.get(0))).toSeq
       batch.unpersist()
-      writeCommitMarker(parts, n, 0, java.util.UUID.randomUUID().toString.take(8))
-      return MergeStats(inserted = n, updated = 0, partitions = parts.length.toLong)
+      val parts = touched.map(String.valueOf)
+      writeCommitMarker(parts, batchTotal, 0, java.util.UUID.randomUUID().toString.take(8))
+      return MergeStats(inserted = batchTotal, updated = 0,
+        partitions = parts.length.toLong)
     }
 
-    val touched = batch.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0))
+    // ins/upd stats ride the staged write as Observation metrics: the
+    // old shape spent a left_semi count job + a batch count + an
+    // `existing` cache just for MergeStats. Existing rows NOT replaced
+    // = anti-join survivors, so updated = existingTotal − survivors,
+    // inserted = batch − updated — one pass over `existing`, inside the
+    // write job itself.
+    val obsExisting = org.apache.spark.sql.Observation()
+    val obsAnti = org.apache.spark.sql.Observation()
     val existing = read()
       .where(col(partitionCol).isin(touched: _*))
-      .cache()
-    val updated = existing.join(batch, keyCols, "left_semi").count()
-    val inserted = batch.count() - updated
-    val merged = batch.unionByName(
-      existing.join(batch, keyCols, "left_anti").select(batch.columns.map(col): _*))
+      .observe(obsExisting, count(lit(1)).as("n"))
+    val anti = existing.join(batch, keyCols, "left_anti")
+      .observe(obsAnti, count(lit(1)).as("n"))
+    val merged = batch.unionByName(anti.select(batch.columns.map(col): _*))
 
     // stage the merged partitions, then swap each partition dir in:
     // live is renamed ASIDE (never deleted) before staged replaces it,
-    // so a crash at any point leaves every row recoverable on disk
+    // so a crash at any point leaves every row recoverable on disk.
+    // The staged delta coalesces to ONE file per touched partition —
+    // an unrepartitioned partitionBy write fans out to (upstream tasks
+    // × partition values) fragments, inflating every later read's
+    // file-open tax (the VersionedTable lesson); merge deltas are small
+    // by design, bulk loads go through the first-create branch.
     val txid = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$path/.staging_$txid"
-    merged.write.partitionBy(partitionCol).parquet(staging)
-    existing.unpersist()
+    merged.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).parquet(staging)
     batch.unpersist()
+    val exTotal = obsExisting.get("n").asInstanceOf[Long]
+    val updated = exTotal - obsAnti.get("n").asInstanceOf[Long]
+    val inserted = batchTotal - updated
     val trash = new Path(s"$path/.trash_$txid")
     fs.mkdirs(trash)
     touched.foreach { v =>

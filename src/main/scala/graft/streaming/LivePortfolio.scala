@@ -50,7 +50,11 @@ object LivePortfolio {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink.upsert(batch): Unit
+        // unique by construction: the engine state's monotonic nextId
+        // gives every fill a distinct (ticker, tradeId) within a run
+        // (PortfolioSpec's conservation property pins it), so the
+        // per-batch dedupe window would be a pure shuffle tax
+        sink.upsert(batch, assumeUniqueKeys = true): Unit
       }
       .start()
   }

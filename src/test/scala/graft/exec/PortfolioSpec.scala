@@ -96,6 +96,11 @@ class PortfolioSpec extends AnyFunSuite with TestSpark {
         ev(i, p, a)
       }
       val rows = PortfolioEngine.runTicker(events)
+      // trade ids never repeat within a run: state carries a monotonic
+      // nextId and every fill consumes one — the invariant behind the
+      // live fill sink's MergeSink assumeUniqueKeys fast path
+      val tids = rows.map(_.tradeId)
+      assert(tids.distinct.size === tids.size)
       val opened = rows.filter(!_.isClose).map(_.quantity).sum
       val closed = rows.filter(_.isClose).map(_.quantity).sum
       assert(closed <= opened + 1e-9)
