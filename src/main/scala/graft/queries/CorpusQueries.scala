@@ -72,6 +72,42 @@ object CorpusQueries extends QueryModule {
         .select($"doc_id", $"lang", $"source", $"hkey")
     }),
 
+    // PII scrub: the testdata corpus is digit-free word salad, so the
+    // tape injects deterministic PII shapes from doc_id arithmetic
+    // (emails on id%3, phones on id%4, IPv4 on id%5, SSNs on id%7 —
+    // overlapping residues give multi-PII docs, non-residue docs pin the
+    // zero-match path) IDENTICALLY on both engines, then the REAL
+    // scrubber redacts and counts. The redacted text is compared by
+    // sha-256 so the gate pins every masked byte without shipping the
+    // corpus through the hash harness.
+    "q181_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.PiiScrub
+      val id = $"doc_id"
+      val enriched = concat($"text",
+        when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" host 10.0."),
+          (id % 256).cast("string"), lit("."),
+          (id % 100).cast("string"))).otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" ssn 123-45-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      graft.Tables.load(s, dir, "documents")
+        .where($"text".isNotNull)
+        .select(id.as("doc_id"), enriched.as("t"))
+        .withColumn("redacted", PiiScrub.redact($"t"))
+        .select($"doc_id",
+          PiiScrub.countMatches($"t", PiiScrub.emailRe).as("n_email"),
+          PiiScrub.countMatches($"t", PiiScrub.ssnRe).as("n_ssn"),
+          PiiScrub.countMatches($"t", PiiScrub.phoneRe).as("n_phone"),
+          PiiScrub.countMatches($"t", PiiScrub.ipRe).as("n_ip"),
+          sha2($"redacted", 256).as("redacted_sha"),
+          length($"redacted").as("redacted_len"))
+    }),
+
     // Stratified sample: up to 3 docs per (lang × quality-band) stratum,
     // chosen by deterministic md5 order. The quality score is q56's
     // oracled formula verbatim (IEEE-identical both engines, so the
@@ -394,6 +430,26 @@ object CorpusQueries extends QueryModule {
         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hkey
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin,
+
+    "q181_pii_scrub" -> {
+      import graft.functions.PiiScrub
+      def cnt(re: String) = s"len(regexp_extract_all(t, '$re', 0))"
+      s"""WITH enr AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         |  ${cnt(PiiScrub.emailRe)} AS n_email,
+         |  ${cnt(PiiScrub.ssnRe)} AS n_ssn,
+         |  ${cnt(PiiScrub.phoneRe)} AS n_phone,
+         |  ${cnt(PiiScrub.ipRe)} AS n_ip,
+         |  sha256(${PiiScrub.sqlRedact("t")}) AS redacted_sha,
+         |  length(${PiiScrub.sqlRedact("t")}) AS redacted_len
+         |FROM enr""".stripMargin
+    },
 
     "q131_stratified_sample" ->
       s"""WITH base AS (
