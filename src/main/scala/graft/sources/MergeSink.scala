@@ -99,9 +99,18 @@ final class MergeSink(spark: SparkSession, path: String,
     // = anti-join survivors, so updated = existingTotal − survivors,
     // inserted = batch − updated — one pass over `existing`, inside the
     // write job itself.
+    //
+    // SESSION DISCIPLINE: every frame here derives from the BATCH's
+    // session, not the sink's constructor session. Under foreachBatch
+    // the batch DataFrame lives on the stream's cloned session, and an
+    // Observation registered on a different session's listener bus than
+    // the one executing the write NEVER receives its completion event —
+    // Observation.get parks forever (a hang this exact code shipped
+    // with for a few hours; the full suite caught it in LiveCycleSpec).
+    val sess = updates.sparkSession
     val obsExisting = org.apache.spark.sql.Observation()
     val obsAnti = org.apache.spark.sql.Observation()
-    val existing = read()
+    val existing = sess.read.parquet(path)
       .where(col(partitionCol).isin(touched: _*))
       .observe(obsExisting, count(lit(1)).as("n"))
     val anti = existing.join(batch, keyCols, "left_anti")

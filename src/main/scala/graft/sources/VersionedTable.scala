@@ -428,13 +428,19 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     // left_semi count job and an `existing` cache per fold just for
     // MergeStats. existing rows NOT replaced = anti-join survivors, so
     // updated = existingTotal - survivors, inserted = batch - updated.
+    // The existing scan MUST live on the BATCH's session: under
+    // foreachBatch (QuoteStream.upsertBars) the batch runs on the
+    // stream's cloned session, and an Observation registered on a
+    // different session's listener bus than the executing one never
+    // completes — Observation.get parks forever (the MergeSink hang
+    // the full suite caught in LiveCycleSpec; same latent shape here).
     val obsExisting = org.apache.spark.sql.Observation()
     val obsAnti = org.apache.spark.sql.Observation()
     val (merged, statsOf) =
       if (touchedFiles.isEmpty)
         (batch, () => (batchTotal, 0L))
       else {
-        val existing = spark.read.option("basePath", dataDir)
+        val existing = updates.sparkSession.read.option("basePath", dataDir)
           .parquet(touchedFiles.sorted.map(p => s"$root/$p"): _*)
           .observe(obsExisting, count(lit(1)).as("n"))
         val anti = existing.join(batch, keyCols, "left_anti")
