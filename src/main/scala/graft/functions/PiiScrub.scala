@@ -13,15 +13,19 @@ import org.apache.spark.sql.functions._
   * shuffle, no state. At 100 TB this is a map-only pass that fuses into
   * whatever scan/filter stage already touches the text.
   *
+  * Count ↔ redaction consistency: redaction applies the four patterns
+  * in a FIXED order (email → SSN → phone → IPv4), and each category's
+  * count is taken on the text with all EARLIER patterns already
+  * redacted — so `n_<cat>` equals exactly the number of `[<CAT>]`
+  * tokens [[redact]] emits, even on adversarial overlaps (an SSN-shaped
+  * local part inside an email is counted once, as the email that
+  * swallowed it; a digit run exposed by a preceding mask's boundary is
+  * counted as what the redactor actually masks).
+  *
   * Cross-engine determinism: patterns use explicit ASCII classes
   * (`[0-9]`, never `\d`) and no lookaround/backrefs, the subset where
   * Java regex (Spark) and RE2 (DuckDB) agree match-for-match; `\b` is
-  * the ASCII word boundary in both. Redaction applies the four patterns
-  * in a FIXED order (email → SSN → phone → IPv4) so the output string is
-  * engine-independent; counts are taken per pattern on the ORIGINAL
-  * text (the patterns are mutually non-overlapping by construction —
-  * 3-2-4 vs 3-3-4 digit groups cannot match the same span, and the mask
-  * tokens contain no word characters that re-trigger a later pattern).
+  * the ASCII word boundary in both.
   */
 object PiiScrub {
 
@@ -47,11 +51,29 @@ object PiiScrub {
       regexp_replace(acc, re, mask)
     }
 
+  /** `c` with the patterns BEFORE `re` (in [[patterns]] order) already
+    * redacted — the text [[redact]] hands to `re`'s own pass, i.e. the
+    * text a consistent count for `re` must be taken on. */
+  def prefixRedacted(c: Column, re: String): Column =
+    patterns.takeWhile(_._1 != re).foldLeft(c) { case (acc, (p, mask)) =>
+      regexp_replace(acc, p, mask)
+    }
+
+  /** Count of mask tokens [[redact]] emits for `re`'s category. */
+  def countRedacted(c: Column, re: String): Column =
+    countMatches(prefixRedacted(c, re), re)
+
   /** DuckDB mirror of [[redact]] (regexp_replace needs the 'g' flag to
     * replace all occurrences; Spark's replaces all by default; DuckDB's
     * plain single-quoted strings pass backslashes through unescaped). */
   def sqlRedact(expr: String): String =
     patterns.foldLeft(expr) { case (acc, (re, mask)) =>
       s"regexp_replace($acc, '$re', '$mask', 'g')"
+    }
+
+  /** DuckDB mirror of [[prefixRedacted]]. */
+  def sqlPrefixRedacted(expr: String, re: String): String =
+    patterns.takeWhile(_._1 != re).foldLeft(expr) { case (acc, (p, mask)) =>
+      s"regexp_replace($acc, '$p', '$mask', 'g')"
     }
 }

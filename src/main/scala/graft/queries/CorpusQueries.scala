@@ -100,10 +100,10 @@ object CorpusQueries extends QueryModule {
         .select(id.as("doc_id"), enriched.as("t"))
         .withColumn("redacted", PiiScrub.redact($"t"))
         .select($"doc_id",
-          PiiScrub.countMatches($"t", PiiScrub.emailRe).as("n_email"),
-          PiiScrub.countMatches($"t", PiiScrub.ssnRe).as("n_ssn"),
-          PiiScrub.countMatches($"t", PiiScrub.phoneRe).as("n_phone"),
-          PiiScrub.countMatches($"t", PiiScrub.ipRe).as("n_ip"),
+          PiiScrub.countRedacted($"t", PiiScrub.emailRe).as("n_email"),
+          PiiScrub.countRedacted($"t", PiiScrub.ssnRe).as("n_ssn"),
+          PiiScrub.countRedacted($"t", PiiScrub.phoneRe).as("n_phone"),
+          PiiScrub.countRedacted($"t", PiiScrub.ipRe).as("n_ip"),
           sha2($"redacted", 256).as("redacted_sha"),
           length($"redacted").as("redacted_len"))
     }),
@@ -433,7 +433,8 @@ object CorpusQueries extends QueryModule {
 
     "q181_pii_scrub" -> {
       import graft.functions.PiiScrub
-      def cnt(re: String) = s"len(regexp_extract_all(t, '$re', 0))"
+      def cnt(re: String) =
+        s"len(regexp_extract_all(${PiiScrub.sqlPrefixRedacted("t", re)}, '$re', 0))"
       s"""WITH enr AS (
          |  SELECT doc_id, text ||
          |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||

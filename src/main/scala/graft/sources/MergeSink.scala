@@ -55,23 +55,15 @@ final class MergeSink(spark: SparkSession, path: String,
     * uniqueness (a spec-checked invariant, not a convenience flag). */
   def upsert(updates: DataFrame, versionCol: Option[String] = None,
       assumeUniqueKeys: Boolean = false): MergeStats = {
-    val keyCs = keyCols.map(col)
-    val batch = (if (assumeUniqueKeys) updates
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCs: _*)
-          .orderBy(versionCol.map(c => desc(c)).getOrElse(lit(1)))
-        updates.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
-      }).cache()
+    val batch = MergeStaging
+      .dedupe(updates, keyCols, versionCol, assumeUniqueKeys).cache()
 
     // ONE census job replaces the old empty-guard count + touched-
-    // partitions collect + two stats counts (the VersionedTable.upsert
-    // move): per-partition counts answer all of them, so a streaming
-    // caller folding many micro-batches pays one scheduled job per
-    // batch instead of three before the write even starts.
-    val census = batch.groupBy(col(partitionCol)).agg(count(lit(1)).as("__n"))
-      .collect()
+    // partitions collect + two stats counts: per-partition counts
+    // answer all of them, so a streaming caller folding many
+    // micro-batches pays one scheduled job per batch instead of three
+    // before the write even starts.
+    val census = MergeStaging.census(batch, partitionCol)
     if (census.isEmpty) {
       // an empty batch must NOT create (or version) the table: a
       // zero-row partitionBy write leaves a directory with no parquet
@@ -81,8 +73,8 @@ final class MergeSink(spark: SparkSession, path: String,
       batch.unpersist()
       return MergeStats(inserted = 0, updated = 0, partitions = 0)
     }
-    val touched = census.map(_.get(0)).toSeq
-    val batchTotal = census.map(_.getLong(1)).sum
+    val touched = census.touched
+    val batchTotal = census.total
 
     if (!exists) {
       batch.write.partitionBy(partitionCol).parquet(path)
@@ -93,29 +85,14 @@ final class MergeSink(spark: SparkSession, path: String,
         partitions = parts.length.toLong)
     }
 
-    // ins/upd stats ride the staged write as Observation metrics: the
-    // old shape spent a left_semi count job + a batch count + an
-    // `existing` cache just for MergeStats. Existing rows NOT replaced
-    // = anti-join survivors, so updated = existingTotal − survivors,
-    // inserted = batch − updated — one pass over `existing`, inside the
-    // write job itself.
-    //
-    // SESSION DISCIPLINE: every frame here derives from the BATCH's
-    // session, not the sink's constructor session. Under foreachBatch
-    // the batch DataFrame lives on the stream's cloned session, and an
-    // Observation registered on a different session's listener bus than
-    // the one executing the write NEVER receives its completion event —
-    // Observation.get parks forever (a hang this exact code shipped
-    // with for a few hours; the full suite caught it in LiveCycleSpec).
-    val sess = updates.sparkSession
-    val obsExisting = org.apache.spark.sql.Observation()
-    val obsAnti = org.apache.spark.sql.Observation()
-    val existing = sess.read.parquet(path)
+    // ins/upd stats ride the staged write as Observation metrics
+    // (MergeStaging.observedMerge — which also enforces that `existing`
+    // is read via the BATCH's session; see the session-discipline note
+    // there: the cross-session form hangs under foreachBatch).
+    val existing = updates.sparkSession.read.parquet(path)
       .where(col(partitionCol).isin(touched: _*))
-      .observe(obsExisting, count(lit(1)).as("n"))
-    val anti = existing.join(batch, keyCols, "left_anti")
-      .observe(obsAnti, count(lit(1)).as("n"))
-    val merged = batch.unionByName(anti.select(batch.columns.map(col): _*))
+    val (merged, statsOf) =
+      MergeStaging.observedMerge(batch, existing, keyCols, batchTotal)
 
     // stage the merged partitions, then swap each partition dir in:
     // live is renamed ASIDE (never deleted) before staged replaces it,
@@ -130,24 +107,27 @@ final class MergeSink(spark: SparkSession, path: String,
     merged.repartition(col(partitionCol))
       .write.partitionBy(partitionCol).parquet(staging)
     batch.unpersist()
-    val exTotal = obsExisting.get("n").asInstanceOf[Long]
-    val updated = exTotal - obsAnti.get("n").asInstanceOf[Long]
-    val inserted = batchTotal - updated
+    val (inserted, updated) = statsOf()
     val trash = new Path(s"$path/.trash_$txid")
     fs.mkdirs(trash)
-    touched.foreach { v =>
-      val part = s"$partitionCol=$v"
-      val live = new Path(s"$path/$part")
-      val staged = new Path(s"$staging/$part")
-      if (fs.exists(staged)) {
+    // Swap by LISTING the staged partition dirs (the recover() idiom),
+    // not by rebuilding names from raw values: Spark percent-escapes
+    // special characters (and maps null to the Hive default token) in
+    // partition dir names, so an interpolated s"$partitionCol=$v" probe
+    // misses such a dir and would silently drop its merged rows.
+    val swapped = fs.listStatus(new Path(staging)).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(s"$partitionCol="))
+      .map { staged =>
+        val part = staged.getName
+        val live = new Path(s"$path/$part")
         if (fs.exists(live)) fs.rename(live, new Path(trash, part))
         fs.rename(staged, live)
-      }
-    }
-    writeCommitMarker(touched.map(String.valueOf), inserted, updated, txid)
+        part.stripPrefix(s"$partitionCol=")
+      }.toSeq
+    writeCommitMarker(swapped, inserted, updated, txid)
     fs.delete(new Path(staging), true)
     fs.delete(trash, true)
-    MergeStats(inserted, updated, touched.length.toLong)
+    MergeStats(inserted, updated, swapped.length.toLong)
   }
 
   /** Repair after a crashed `upsert`: roll FORWARD every staging dir

@@ -395,14 +395,8 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       versionCol: Option[String] = None,
       assumeUniqueKeys: Boolean = false): MergeStats = {
     require(keyCols.nonEmpty && !keyCols.contains(partitionCol))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(versionCol.map(c => desc(c)).getOrElse(lit(1)))
-    val batch = (if (assumeUniqueKeys) updates
-      else updates
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__rn"))
-      .cache()
+    val batch = MergeStaging
+      .dedupe(updates, keyCols, versionCol, assumeUniqueKeys).cache()
     // ONE census job replaces the old isEmpty + touched-partitions
     // collect + batch.count() trio: per-partition counts give all three
     // answers, and a maintenance session folding many small batches
@@ -423,35 +417,20 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     val liveFiles = snapshotFiles(baseV)
     val touchedFiles = liveFiles.filter { case (_, part) => touched(part) }.keys.toSeq
 
-    // ins/upd stats ride the staged write as Observation metrics (the
-    // EtlPipeline split-census move): the old shape spent an extra
-    // left_semi count job and an `existing` cache per fold just for
-    // MergeStats. existing rows NOT replaced = anti-join survivors, so
-    // updated = existingTotal - survivors, inserted = batch - updated.
-    // The existing scan MUST live on the BATCH's session: under
-    // foreachBatch (QuoteStream.upsertBars) the batch runs on the
-    // stream's cloned session, and an Observation registered on a
-    // different session's listener bus than the executing one never
-    // completes — Observation.get parks forever (the MergeSink hang
-    // the full suite caught in LiveCycleSpec; same latent shape here).
-    val obsExisting = org.apache.spark.sql.Observation()
-    val obsAnti = org.apache.spark.sql.Observation()
+    // ins/upd stats ride the staged write as Observation metrics via
+    // MergeStaging.observedMerge (the EtlPipeline split-census move):
+    // the old shape spent an extra left_semi count job and an
+    // `existing` cache per fold just for MergeStats. observedMerge also
+    // enforces that `existing` is read via the BATCH's session — the
+    // cross-session form hangs under foreachBatch (QuoteStream's path;
+    // see MergeStaging's session-discipline note).
     val (merged, statsOf) =
       if (touchedFiles.isEmpty)
         (batch, () => (batchTotal, 0L))
       else {
         val existing = updates.sparkSession.read.option("basePath", dataDir)
           .parquet(touchedFiles.sorted.map(p => s"$root/$p"): _*)
-          .observe(obsExisting, count(lit(1)).as("n"))
-        val anti = existing.join(batch, keyCols, "left_anti")
-          .observe(obsAnti, count(lit(1)).as("n"))
-        val m = batch.unionByName(anti.select(batch.columns.map(col): _*))
-        (m, () => {
-          val exTotal = obsExisting.get("n").asInstanceOf[Long]
-          val survivors = obsAnti.get("n").asInstanceOf[Long]
-          val upd = exTotal - survivors
-          (batchTotal - upd, upd)
-        })
+        MergeStaging.observedMerge(batch, existing, keyCols, batchTotal)
       }
 
     val txid = java.util.UUID.randomUUID().toString.take(8)

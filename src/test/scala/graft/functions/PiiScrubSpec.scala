@@ -52,4 +52,29 @@ class PiiScrubSpec extends AnyFunSuite with TestSpark {
     val Seq(r) = run("serial 12345678901 and 1234-567-8901")
     assert(r._4 === 0)
   }
+
+  test("counts equal the mask tokens redact() emits, even on overlaps") {
+    val spark2 = spark
+    import spark2.implicits._
+    // adversarial overlaps: an SSN-shaped local part swallowed by the
+    // email pattern (must count as email only), and an SSN exposed only
+    // AFTER the preceding email mask creates a word boundary (must
+    // count as the SSN the redactor actually masks)
+    val rows = Seq(
+      "x 123-45-6789@x.co y",
+      "x a@b.co123-45-6789 y",
+      "plain 123-45-6789 and a@b.co")
+      .toDF("t")
+      .select(
+        PiiScrub.redact(col("t")).as("r"),
+        PiiScrub.countRedacted(col("t"), PiiScrub.emailRe).as("e"),
+        PiiScrub.countRedacted(col("t"), PiiScrub.ssnRe).as("s"))
+      .as[(String, Int, Int)].collect()
+    rows.foreach { case (r, e, s) =>
+      assert(e === "\\[EMAIL\\]".r.findAllIn(r).size,
+        s"email count vs tokens in '$r'")
+      assert(s === "\\[SSN\\]".r.findAllIn(r).size,
+        s"ssn count vs tokens in '$r'")
+    }
+  }
 }
