@@ -151,6 +151,29 @@ object CorpusQueries extends QueryModule {
           ((lit(1.0) / $"n_groups") / $"share").as("weight"))
     }),
 
+    // Temperature-based mixture reweighting — the standard multilingual
+    // sampling recipe (sample group g with prob ∝ p_g^α): α = 0.5 keeps
+    // the whole computation IEEE-exact (sqrt is correctly rounded in
+    // both engines — none of the POWER/EXP libm dependency the general-α
+    // form would carry), and the normalizer Σ√p is a Det-quantized sum
+    // so the dims-sized aggregation is order-independent. `boost` =
+    // q/p is the per-group up/down-sampling factor a data loader
+    // applies (rare groups > 1, dominant groups < 1).
+    "q182_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      val g = graft.Tables.load(s, dir, "documents")
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
+      val tot = g.agg(sum($"n_docs").as("total"))
+      val p = g.crossJoin(broadcast(tot))
+        .withColumn("p", $"n_docs".cast("double") / $"total")
+        .withColumn("sp", sqrt($"p"))
+      val z = p.agg(Det.qsum($"sp", 1e12).as("z"))
+      p.crossJoin(broadcast(z))
+        .select($"lang", $"source", $"n_docs", $"p",
+          ($"sp" / $"z").as("q_temp"),
+          (($"sp" / $"z") / $"p").as("boost"))
+    }),
+
     // LSH-bucketed embedding near-dup: random-hyperplane LSH with
     // axis-aligned planes — 8 bands × 8 sign bits of the embedding
     // (dims 1-8, 9-16, …, 57-64); two vectors are CANDIDATES iff some
@@ -483,6 +506,22 @@ object CorpusQueries extends QueryModule {
         |  CAST(n_docs AS DOUBLE) / total AS share,
         |  (1.0 / n_groups) / (CAST(n_docs AS DOUBLE) / total) AS weight
         |FROM g, tot""".stripMargin,
+
+    "q182_temperature_mix" ->
+      s"""WITH g AS (
+         |  SELECT lang, source, COUNT(*) AS n_docs
+         |  FROM documents GROUP BY 1, 2),
+         |tot AS (SELECT SUM(n_docs) AS total FROM g),
+         |p AS (
+         |  SELECT lang, source, n_docs,
+         |    CAST(n_docs AS DOUBLE) / total AS p,
+         |    sqrt(CAST(n_docs AS DOUBLE) / total) AS sp
+         |  FROM g, tot),
+         |z AS (SELECT ${Det.sqlQsum("sp", "1e12")} AS z FROM p)
+         |SELECT lang, source, n_docs, p,
+         |  sp / z AS q_temp,
+         |  (sp / z) / p AS boost
+         |FROM p, z""".stripMargin,
 
     "q133_lsh_embed_neardup" ->
       """WITH e AS (
