@@ -79,7 +79,11 @@ final class MergeSink(spark: SparkSession, path: String,
     if (!exists) {
       batch.write.partitionBy(partitionCol).parquet(path)
       batch.unpersist()
-      val parts = touched.map(String.valueOf)
+      // marker partitions in FRAGMENT form (escaped, null → Hive
+      // sentinel) — the same namespace the swap-listing path records,
+      // so readers comparing commits never mix raw and escaped names
+      val parts = touched.map(v =>
+        MergeStaging.partFragment(if (v == null) null else String.valueOf(v)))
       writeCommitMarker(parts, batchTotal, 0, java.util.UUID.randomUUID().toString.take(8))
       return MergeStats(inserted = batchTotal, updated = 0,
         partitions = parts.length.toLong)
@@ -89,8 +93,12 @@ final class MergeSink(spark: SparkSession, path: String,
     // (MergeStaging.observedMerge — which also enforces that `existing`
     // is read via the BATCH's session; see the session-discipline note
     // there: the cross-session form hangs under foreachBatch).
+    // touchedFilter, not a bare isin: isin is three-valued-logic-NULL
+    // for null-partition rows, which silently drops every pre-existing
+    // row of the null partition from the merge (they miss the anti-join
+    // and the staged swap replaces their directory with batch-only data)
     val existing = updates.sparkSession.read.parquet(path)
-      .where(col(partitionCol).isin(touched: _*))
+      .where(MergeStaging.touchedFilter(partitionCol, touched))
     val (merged, statsOf) =
       MergeStaging.observedMerge(batch, existing, keyCols, batchTotal)
 

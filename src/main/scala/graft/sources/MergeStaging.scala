@@ -47,6 +47,30 @@ private[sources] object MergeStaging {
     Census(rows.map(_.get(0)).toSeq, rows.map(_.getLong(1)).sum)
   }
 
+  /** The `<partCol>=<fragment>` directory fragment Spark's partitionBy
+    * write produces for a partition value's SQL string form: the Hive
+    * null sentinel for null, percent-escaped path characters otherwise
+    * (Spark's own escaper). File/dir bookkeeping must match ON
+    * FRAGMENTS — an interpolated raw value misses escaped dirs
+    * (':' → '%3A', '/' → '%2F') and the null dir entirely. */
+  def partFragment(castString: String): String =
+    if (castString == null) "__HIVE_DEFAULT_PARTITION__"
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(castString)
+
+  /** Null-safe touched-partition predicate over RAW census values:
+    * `isin(...)` alone is three-valued-logic-NULL for null-partition
+    * rows, which silently drops every pre-existing null-partition row
+    * from a merge (they fail the filter, miss the anti-join, and the
+    * staged swap then replaces their directory). */
+  def touchedFilter(partitionCol: String, touched: Seq[Any]): org.apache.spark.sql.Column = {
+    val nonNull = touched.filterNot(_ == null)
+    val base =
+      if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*)
+      else lit(false)
+    if (touched.exists(_ == null)) base || col(partitionCol).isNull else base
+  }
+
   /** Update-wins merge plan + deferred stats: merged = batch ∪
     * (existing anti batch), with existing-total and anti-survivor
     * counts observed INSIDE the caller's staged-write job. Call

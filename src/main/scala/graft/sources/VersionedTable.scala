@@ -410,7 +410,15 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       batch.unpersist()
       return MergeStats(latestVersion, 0, 0, 0)
     }
-    val touched = census.map(_.getString(0)).toSet
+    // Census values are RAW cast-strings; the file log's `part` field is
+    // the DIRECTORY FRAGMENT absorbStaging stripped from the staged dir
+    // name — percent-escaped (':' → '%3A') with null as the Hive
+    // sentinel. Match in fragment space: a raw "a:b" never equals the
+    // logged "a%3Ab", so the old raw-string match missed that
+    // partition's live files — they were neither read into the merge nor
+    // listed in removes, leaving the stale file live NEXT TO the new one
+    // (duplicate keys on every later read).
+    val touched = census.map(r => MergeStaging.partFragment(r.getString(0))).toSet
     val batchTotal = census.map(_.getLong(1)).sum
 
     val baseV = latestVersion

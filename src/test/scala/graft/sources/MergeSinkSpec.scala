@@ -50,6 +50,39 @@ class MergeSinkSpec extends AnyFunSuite with TestSpark {
     assert(c.partitions === Seq("1") && c.inserted === 0 && c.updated === 2)
   }
 
+  test("upsert merges null and path-escaped partition values without dropping rows") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_merge_esc").toString + "/bars"
+    val sink = new MergeSink(spark, dir, keyCols = Seq("ticker", "seq"), partitionCol = "d")
+    val init = Seq(
+      ("AAPL", 1L, 10.0, "a:b"), ("AAPL", 2L, 11.0, "a:b"),
+      ("MSFT", 1L, 20.0, null), ("MSFT", 2L, 21.0, null),
+      ("NVDA", 1L, 30.0, "plain"))
+      .toDF("ticker", "seq", "price", "d")
+    sink.upsert(init)
+    // the physical dirs live in fragment space (escaped / Hive sentinel),
+    // and the first-create commit marker must use the SAME namespace
+    assert(Files.exists(Paths.get(dir, "d=a%3Ab")))
+    assert(Files.exists(Paths.get(dir, "d=__HIVE_DEFAULT_PARTITION__")))
+    assert(sink.lastCommit.get.partitions.toSet ===
+      Set("a%3Ab", "__HIVE_DEFAULT_PARTITION__", "plain"))
+
+    // update one row in EACH of the escaped and null partitions. The
+    // pre-fix bare-isin filter was three-valued-logic-NULL for the null
+    // partition's existing rows: MSFT seq=1 missed the anti-join and the
+    // swap replaced its directory with batch-only data (silent row loss,
+    // stats reading inserted=1/updated=1)
+    val delta = Seq(("AAPL", 2L, 99.0, "a:b"), ("MSFT", 2L, 88.0, null))
+      .toDF("ticker", "seq", "price", "d")
+    val st = sink.upsert(delta)
+    assert(st.inserted === 0 && st.updated === 2 && st.partitions === 2)
+    val after = sink.read().select("ticker", "seq", "price").as[(String, Long, Double)]
+      .collect().toSet
+    assert(after === Set(
+      ("AAPL", 1L, 10.0), ("AAPL", 2L, 99.0),
+      ("MSFT", 1L, 20.0), ("MSFT", 2L, 88.0), ("NVDA", 1L, 30.0)))
+  }
+
   test("recover() rolls forward a crash between the aside-rename and the staged-rename") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_merge_rec").toString + "/bars"

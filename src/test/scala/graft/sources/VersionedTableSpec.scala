@@ -44,6 +44,31 @@ class VersionedTableSpec extends AnyFunSuite with TestSpark {
     assert(t.history().map(_.op) === Seq("append", "merge"))
   }
 
+  test("upsert matches the file log in fragment space (escaped + null partitions)") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_vt_esc").toString + "/t"
+    val t = new VersionedTable(spark, dir, partitionCol = "d")
+    t.append(Seq(
+      ("AAPL", 1L, 10.0, "a:b"), ("AAPL", 2L, 11.0, "a:b"),
+      ("MSFT", 1L, 20.0, null))
+      .toDF("ticker", "seq", "price", "d"))
+
+    // Pre-fix, the census's raw "a:b" / null never equalled the log's
+    // escaped fragments ("a%3Ab", the Hive null sentinel): touchedFiles
+    // came back empty, existing rows were neither merged nor removed,
+    // and the stale file stayed live NEXT TO the new one — duplicate
+    // keys (two AAPL seq=2 rows) and stats reading inserted=2/updated=0.
+    val st = t.upsert(
+      Seq(("AAPL", 2L, 99.0, "a:b"), ("MSFT", 1L, 88.0, null))
+        .toDF("ticker", "seq", "price", "d"),
+      keyCols = Seq("ticker", "seq"))
+    assert(st.inserted === 0 && st.updated === 2)
+    val after = t.read().select("ticker", "seq", "price").as[(String, Long, Double)]
+      .collect().toSet
+    assert(after === Set(
+      ("AAPL", 1L, 10.0), ("AAPL", 2L, 99.0), ("MSFT", 1L, 88.0)))
+  }
+
   test("in-flight writers are invisible until the log entry lands") {
     val s = spark; import s.implicits._
     val (dir, t) = mkTable("iso")
