@@ -33,6 +33,7 @@ object SparkEntry {
     EnsembleQueries,
     EngineQueries,
     LobQueries,
+    LayoutQueries,
     StatQueries,
     SyntheticQueries
   )
