@@ -367,6 +367,21 @@ object CorpusQueries extends QueryModule {
         .select($"source", $"bin",
           (($"rn" - 1).cast("long") * $"n_shards" + $"src_idx")
             .as("global_pos"))
+    }),
+
+    // Overlapping context-window chunking (functions/ContextChunker):
+    // the other half of the corpus→loader boundary next to q144's
+    // packing — long docs become chunkSize-token windows overlapping by
+    // `overlap` tokens so no span is seen only across a boundary. Pure
+    // map-side algebra (split → sequence → explode → slice), zero
+    // shuffles; the oracle replays the chunk-count ceil, the window
+    // arithmetic, and the sha-256 of each rejoined window. 32/8 on the
+    // 10–99-token testdata docs exercises 1-chunk shorts, multi-chunk
+    // docs, and short final windows.
+    "q184_context_chunks" -> ((s, dir) => {
+      graft.functions.ContextChunker.chunks(
+        graft.Tables.load(s, dir, "documents"),
+        textCol = "text", idCols = Seq("doc_id"), chunkSize = 32, overlap = 8)
     })
   )
 
@@ -426,6 +441,31 @@ object CorpusQueries extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q184_context_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, t, n,
+        |    CASE WHEN n <= 32 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(FLOOR((n - 32 + 23) / 24.0) AS BIGINT) + 1 END AS nk
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(generate_series(0, nk - 1)) AS chunk_id
+        |  FROM k),
+        |b AS (
+        |  SELECT doc_id, chunk_id,
+        |    chunk_id * 24 AS start_tok,
+        |    least(chunk_id * 24 + 32, n) AS end_tok,
+        |    array_to_string(
+        |      list_slice(t, chunk_id * 24 + 1, least(chunk_id * 24 + 32, n)),
+        |      ' ') AS chunk_text
+        |  FROM c)
+        |SELECT doc_id, chunk_id, start_tok, end_tok,
+        |  end_tok - start_tok AS n_tok, sha256(chunk_text) AS chunk_sha
+        |FROM b""".stripMargin,
     "q129_dup_ngram_frac" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
