@@ -602,6 +602,27 @@ object DedupTextQueries extends QueryModule {
       pairs.unpersist()
       graft.operators.IncrementalCC.readComps(s, vt)
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    }),
+
+    // Span-level EXACT-SUBSTRING dedup (operators/SpanDedup) — the third
+    // dedup mode: maximal token spans whose 6-token windows repeat
+    // corpus-wide, with first-occurrence retention. q185 is the per-doc
+    // census every doc row carries (clean docs report zeros); K=6 sits
+    // past this corpus's random-collision knee (5→6 drops touched docs
+    // 71→47 while dup windows stay ~flat — the planted repeats).
+    "q185_dup_spans" -> ((s, dir) =>
+      graft.operators.SpanDedup.spanCensus(
+        graft.Tables.load(s, dir, "documents"), 6)),
+
+    // The dedup ACTION for q185's spans: later occurrences stripped,
+    // first copies kept verbatim. Cleaned text compared by md5 (the
+    // driver hashes rendered values; a 32-hex column keeps the row
+    // narrow while still pinning every kept byte).
+    "q186_span_strip" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.SpanDedup.stripSpans(
+        graft.Tables.load(s, dir, "documents"), 6)
+        .select($"doc_id", $"kept_tokens", md5($"clean_text").as("clean_md5"))
     })
   )
 
@@ -661,6 +682,46 @@ object DedupTextQueries extends QueryModule {
        |  JOIN sizes sa ON s.da = sa.doc_id
        |  JOIN sizes sb ON s.db = sb.doc_id
        |  WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5)""".stripMargin
+
+  /** DuckDB CTE chain ending in `sp AS (doc_id, island, s, e,
+    * has_canon)` — the maximal duplicate spans of operators/SpanDedup
+    * at K=6, replayed step for step: rolling 6-gram md5 inventory,
+    * corpus-wide count + earliest packed occurrence, duplicate windows,
+    * gaps-and-islands coverage merge. Shared by the q185 (census) and
+    * q186 (strip) oracles. */
+  private val spanCteSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sidx AS (
+      |  SELECT doc_id, t,
+      |    unnest(generate_series(1, greatest(len(t) - 5, 0))) AS i
+      |  FROM toks),
+      |sgrams AS (
+      |  SELECT doc_id, i,
+      |    md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+      |        t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]) AS f
+      |  FROM sidx),
+      |fstats AS (
+      |  SELECT f, MIN(doc_id * 1048576 + i) AS mk
+      |  FROM sgrams GROUP BY 1 HAVING COUNT(*) >= 2),
+      |dw AS (
+      |  SELECT g.doc_id, g.i,
+      |    CASE WHEN g.doc_id * 1048576 + g.i = fs.mk THEN 1 ELSE 0 END AS canon
+      |  FROM sgrams g JOIN fstats fs ON g.f = fs.f),
+      |cov AS (
+      |  SELECT doc_id, i, canon,
+      |    MAX(i + 5) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM dw),
+      |isl AS (
+      |  SELECT doc_id, i, canon,
+      |    SUM(CASE WHEN prev_end IS NULL OR i > prev_end + 1
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |  FROM cov),
+      |sp AS (
+      |  SELECT doc_id, island, MIN(i) AS s, MAX(i) + 5 AS e,
+      |    MAX(canon) AS has_canon
+      |  FROM isl GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB CTE chain ending in `cp AS (... va, vb, cosine ...)` — the
     * exact embedding near-dup pairs at cosine ≥ 0.45, mirroring the q86
@@ -1027,6 +1088,43 @@ object DedupTextQueries extends QueryModule {
          |  CASE WHEN da % 10 = 7 THEN db ELSE da END AS old_doc,
          |  jaccard
          |FROM vp
-         |WHERE (da % 10 = 7) <> (db % 10 = 7)""".stripMargin
+         |WHERE (da % 10 = 7) <> (db % 10 = 7)""".stripMargin,
+
+    "q185_dup_spans" ->
+      s"""WITH $spanCteSql,
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS ns, SUM(e - s + 1) AS dt,
+         |    SUM(CASE WHEN has_canon = 0 THEN e - s + 1 ELSE 0 END) AS rt,
+         |    MAX(e - s + 1) AS ms
+         |  FROM sp GROUP BY 1)
+         |SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(pd.ns, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(pd.dt, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(COALESCE(pd.rt, 0) AS BIGINT) AS removed_tokens,
+         |  CAST(COALESCE(pd.ms, 0) AS BIGINT) AS max_span_tokens,
+         |  CAST(COALESCE(pd.dt, 0) AS DOUBLE) / len(k.t) AS dup_frac,
+         |  CAST(COALESCE(pd.dt, 0) AS DOUBLE) / len(k.t) > 0.3 AS heavy_dup
+         |FROM toks k LEFT JOIN pd ON pd.doc_id = k.doc_id""".stripMargin,
+
+    "q186_span_strip" ->
+      s"""WITH $spanCteSql,
+         |rem AS (SELECT doc_id, s, e FROM sp WHERE has_canon = 0),
+         |pos AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+         |  FROM toks),
+         |kept AS (
+         |  SELECT p.doc_id, p.p, p.t[p.p] AS tok
+         |  FROM pos p
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM rem r
+         |    WHERE r.doc_id = p.doc_id AND p.p >= r.s AND p.p <= r.e)),
+         |ka AS (
+         |  SELECT doc_id, COUNT(*) AS kt,
+         |    string_agg(tok, ' ' ORDER BY p) AS ct
+         |  FROM kept GROUP BY 1)
+         |SELECT k.doc_id,
+         |  CAST(COALESCE(ka.kt, 0) AS BIGINT) AS kept_tokens,
+         |  md5(COALESCE(ka.ct, '')) AS clean_md5
+         |FROM toks k LEFT JOIN ka ON ka.doc_id = k.doc_id""".stripMargin
   )
 }
