@@ -623,6 +623,53 @@ object DedupTextQueries extends QueryModule {
       graft.operators.SpanDedup.stripSpans(
         graft.Tables.load(s, dir, "documents"), 6)
         .select($"doc_id", $"kept_tokens", md5($"clean_text").as("clean_md5"))
+    }),
+
+    // Bigram-LM cross-entropy quality scoring — the CCNet/KenLM-style
+    // fluency filter: each doc scored by its average negative log
+    // likelihood under an add-one-smoothed corpus bigram LM,
+    // p(w2|w1) = (c(w1,w2)+1)/(ctx(w1)+V). Here the LM trains on the
+    // corpus itself (the boilerplate/fluency proxy); a deployment
+    // swaps the cnt/ctx tables for ones persisted from a reference
+    // corpus — the scoring plan is identical. Plan: the bigram stream
+    // is aggregated twice into SMALL model tables (map-side combined)
+    // and joined back — cnt/ctx are ≤ V² rows, broadcastable at this
+    // scale, and the occurrence side never shuffles twice on the same
+    // key; at 100 TB a hot-context key salts via SkewSalt as q51 does.
+    // Per-term -ln(p) takes ln on an EXACT integer-ratio double, so the
+    // value is libm-LN-dependent (the documented q170/q174 class — LN
+    // has agreed bit-for-bit across both engines for 12 rounds);
+    // per-doc sums ride Det.qsum (order-free), division by counts is
+    // exact-operand IEEE. Threshold 3.45 splits this corpus's observed
+    // 3.26–3.61 range.
+    "q187_lm_quality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = graft.Tables.load(s, dir, "documents")
+      val toksDf = docs.select($"doc_id", split($"text", " ").as("t"))
+      val bg = toksDf
+        .select($"doc_id", $"t", explode(expr(
+          "CASE WHEN size(t) >= 2 THEN sequence(1, size(t) - 1) " +
+            "ELSE CAST(array() AS array<int>) END")).as("i"))
+        .select($"doc_id", expr("t[i-1]").as("w1"), expr("t[i]").as("w2"))
+      val cnt = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+      val ctx = bg.groupBy($"w1").agg(count(lit(1)).as("cw"))
+      val vocab = docs.select(explode(split($"text", " ")).as("tok"))
+        .agg(countDistinct($"tok").as("v"))
+      val nll = bg
+        .join(cnt, Seq("w1", "w2")).join(ctx, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select($"doc_id",
+          (-log(($"c" + 1).cast("double") / ($"cw" + $"v"))).as("nll"))
+      val pd = nll.groupBy($"doc_id")
+        .agg(count(lit(1)).as("nb"),
+          graft.queries.Det.qsum($"nll", 1e9).as("sx"))
+        .select($"doc_id", $"nb", ($"sx" / $"nb").as("x"))
+      docs.select($"doc_id")
+        .join(pd, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"nb", lit(0L)).as("n_bigrams"),
+          $"x".as("xent"),
+          coalesce($"x" > 3.45, lit(false)).as("low_quality"))
     })
   )
 
@@ -1125,6 +1172,37 @@ object DedupTextQueries extends QueryModule {
          |SELECT k.doc_id,
          |  CAST(COALESCE(ka.kt, 0) AS BIGINT) AS kept_tokens,
          |  md5(COALESCE(ka.ct, '')) AS clean_md5
-         |FROM toks k LEFT JOIN ka ON ka.doc_id = k.doc_id""".stripMargin
+         |FROM toks k LEFT JOIN ka ON ka.doc_id = k.doc_id""".stripMargin,
+
+    "q187_lm_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bidx AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+         |  FROM toks),
+         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM bidx),
+         |v AS (
+         |  SELECT COUNT(DISTINCT tok) AS v FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT w1, COUNT(*) AS cw FROM bg GROUP BY 1),
+         |nll AS (
+         |  SELECT b.doc_id,
+         |    -ln(CAST(c.c + 1 AS DOUBLE) / (x.cw + v.v)) AS nll
+         |  FROM bg b
+         |  JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
+         |  JOIN ctx x ON b.w1 = x.w1
+         |  CROSS JOIN v),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS nb,
+         |    ${graft.queries.Det.sqlQsum("nll", "1e9")} AS sx
+         |  FROM nll GROUP BY 1),
+         |px AS (SELECT doc_id, nb, sx / nb AS x FROM pd)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(px.nb, 0) AS BIGINT) AS n_bigrams,
+         |  px.x AS xent,
+         |  COALESCE(px.x > 3.45, FALSE) AS low_quality
+         |FROM documents d LEFT JOIN px ON px.doc_id = d.doc_id""".stripMargin
   )
 }
