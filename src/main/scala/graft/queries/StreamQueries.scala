@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   *    deterministic via row_number
   *  - q62: volatility-spike alert (real_time_extractor.py:289-333):
   *    |Δprice| > k·rolling σ over the prior 20 ticks
+  *  - q188: event-time sessionization — Spark's native `session_window`
+  *    (30-min gap) per user, the batch form of the streaming session
+  *    aggregation (real_time_extractor.py's per-connection activity
+  *    bursts). Two events share a session iff the gap between them is
+  *    AT MOST 30 min — session_window merges at exactly the gap
+  *    (inclusive; pinned by StreamingSpec's boundary case) — and
+  *    session end = last event + gap, exactly session_window's `.end`.
   */
 object StreamQueries extends QueryModule {
 
@@ -55,6 +62,24 @@ object StreamQueries extends QueryModule {
           delta.as("delta"), sigma.as("sigma"))
         .where($"delta".isNotNull && $"sigma".isNotNull && $"sigma" > 0 &&
           abs($"delta") > lit(2.0) * $"sigma")
+    }),
+
+    // Sessionization: the one event-time operator Spark ships whole —
+    // groupBy(session_window) is a single shuffle on (user, merged
+    // window), no self-join, no global sort; the SAME session_window
+    // expression runs under readStream for the live path (StreamingSpec
+    // session-parity test; countDistinct stays batch-only — streaming
+    // aggregation does not support exact distinct). Aggregates stay
+    // deterministic: counts + Det.dsum over the RAW value column.
+    "q188_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"event_type").as("n_types"),
+          Det.dsum($"value").as("sum_value"))
+        .select($"user_id", $"w.start".as("ws"), $"w.end".as("we"),
+          $"n_events", $"n_types", $"sum_value")
     })
   )
 
@@ -97,6 +122,32 @@ object StreamQueries extends QueryModule {
          |FROM lagged
          |WHERE delta IS NOT NULL AND sigma IS NOT NULL AND sigma > 0
          |  AND abs(delta) > 2.0 * sigma""".stripMargin
-    }
+    },
+    // Gaps-and-islands replay of session_window: a session breaks when
+    // the gap to the previous event is STRICTLY over 30 min (exactly 30
+    // still merges — inclusive boundary, StreamingSpec-pinned); end =
+    // last event + the gap. Micros arithmetic — events.ts carries
+    // sub-second precision.
+    "q188_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type, value,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         |      OR lag(ts) OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |islands AS (
+         |  SELECT user_id, ts, event_type, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM flagged)
+         |SELECT user_id,
+         |  MIN(ts) AS ws,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS we,
+         |  COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_type) AS n_types,
+         |  ${Det.sqlSum("value")} AS sum_value
+         |FROM islands GROUP BY user_id, sess""".stripMargin
   )
 }

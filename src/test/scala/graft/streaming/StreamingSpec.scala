@@ -344,4 +344,53 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
       assert(spark.table("alerts_out").count() === 1)
     } finally q.stop()
   }
+
+  test("session_window aggregation: streaming (complete mode) matches the q188 batch expression") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // q188's session expression minus countDistinct (exact distinct is
+    // unsupported in streaming aggregation); sessions split at > 30 min
+    // gaps, merge at <= 30 min (the boundary is INCLUSIVE — an exactly-
+    // 30-min gap merges; this case pins the oracle's `> 1800000000`
+    // break rule), and one user's sessions never leak into another's. Events arrive across THREE micro-batches, out of order
+    // within a user, so session-merge state must carry between batches.
+    import StreamingSpec.Ev
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), graft.queries.Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"),
+        col("n_events"), col("sum_value"))
+    val evs = Seq(
+      Ev(1, ts(0), 1.0), Ev(1, ts(29), 2.0),   // merges: 29 min gap
+      Ev(1, ts(59), 4.0),                      // merges again (session 0..59+30)
+      Ev(1, ts(95), 8.0),                      // 36 min gap -> new session
+      Ev(2, ts(0), 16.0), Ev(2, ts(30), 32.0), // exactly 30 min -> MERGES (inclusive)
+      Ev(2, ts(60, 1), 64.0))                  // 30:01 gap -> new session
+    val batch = agg(evs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).sortBy(x => (x._1, x._2.getTime))
+    assert(batch.map(x => (x._1, x._4, x._5)).toSeq ===
+      Seq((1L, 3L, 7.0), (1L, 1L, 8.0), (2L, 2L, 48.0), (2L, 1L, 64.0)))
+
+    val input = MemoryStream[Ev]
+    val q = agg(input.toDF()).writeStream.format("memory")
+      .queryName("sess_out").outputMode("complete").start()
+    try {
+      input.addData(evs(0), evs(4))             // batch 1: session openers
+      q.processAllAvailable()
+      input.addData(evs(2), evs(6), evs(5))     // batch 2: out-of-order merges
+      q.processAllAvailable()
+      input.addData(evs(1), evs(3))             // batch 3: bridge + new session
+      q.processAllAvailable()
+      val stream = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).sortBy(x => (x._1, x._2.getTime))
+      assert(stream.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
 }
