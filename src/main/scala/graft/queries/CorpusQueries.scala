@@ -382,8 +382,229 @@ object CorpusQueries extends QueryModule {
       graft.functions.ContextChunker.chunks(
         graft.Tables.load(s, dir, "documents"),
         textCol = "text", idCols = Seq("doc_id"), chunkSize = 32, overlap = 8)
+    }),
+
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every doc
+    // by its hashed-n-gram log-likelihood ratio between a TARGET slice
+    // (here lang='en' — a deployment swaps in a persisted reference-
+    // corpus bucket table; the scoring plan is identical) and the raw
+    // corpus, then keep the top-K. Features = word unigrams + bigrams
+    // hashed into B=4096 buckets (the q52 md5 idiom — replayable in
+    // both engines). The two model tables are B-sized aggregates
+    // (map-side combined, broadcast back), the per-doc score is one
+    // groupBy(doc_id), and the top-K is orderBy+limit — Spark's
+    // distributed TakeOrdered, never a global window sort. Determinism:
+    // p̂/q̂ are IEEE divisions of exact integer counts, ln is the
+    // documented libm class (q170/q187), each bucket's llr quantizes
+    // once (Det.qfloor at 1e9), and the doc score is the EXACT integer
+    // Σ c·llr_q — order-free; ranking compares the integer score with a
+    // doc_id tiebreak.
+    "q189_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      dsirScores(s, dir)
+        .orderBy($"sq".desc, $"doc_id")
+        .limit(200)
+        .select($"doc_id", $"n_feats",
+          ($"sq".cast("double") / 1e9).as("score"))
+    }),
+
+    // The actual RESAMPLING arm of DSIR: Gumbel-top-k over the q189
+    // scores — sampling K docs WITHOUT replacement with probability
+    // ∝ exp(score) is exactly top-K of score + Gumbel(0,1) noise
+    // (Gumbel-max trick). The noise is a pluggable deterministic draw
+    // (the q159/q174 pattern): two minstd-LCG steps keyed on doc_id
+    // give u ∈ (0,1), g = −ln(−ln u); the key is one IEEE add of two
+    // identically-derived doubles, so both engines rank the same reals
+    // (ln is the documented libm class). Still orderBy+limit — a
+    // distributed TakeOrdered, no global window sort.
+    "q192_dsir_gumbel" -> ((s, dir) => {
+      import s.implicits._
+      val m = 2147483647L
+      val x0 = pmod($"doc_id", lit(m))
+      val x1 = pmod(x0 * 48271L + 12345L, lit(m))
+      val x2 = pmod(x1 * 48271L + 12345L, lit(m))
+      val u = (x2 + 1).cast("double") / lit(2147483649.0)
+      val key = ($"sq".cast("double") / 1e9) + -log(-log(u))
+      dsirScores(s, dir)
+        .withColumn("gkey", key)
+        .orderBy($"gkey".desc, $"doc_id")
+        .limit(200)
+        .select($"doc_id",
+          ($"sq".cast("double") / 1e9).as("score"), $"gkey")
+    }),
+
+    // BPE vocabulary induction (ml/BpeTrainer — Sennrich et al. 2016):
+    // 12 merge rounds over the corpus's distinct-word frequency table,
+    // gated on the final per-word segmentation (any wrong merge, wrong
+    // tiebreak, or wrong greedy application changes many rows). The
+    // oracle unrolls all 12 rounds as chained CTEs, replaying the
+    // weighted pair census, the (cnt DESC, a, b) argmax, and
+    // simultaneous leftmost-greedy application via the islands-parity
+    // window rule (1st/3rd/5th… of each overlapping-match run merges —
+    // BpeTrainerSpec pins the Scala fold to that rule). All counts are
+    // integers: zero float surface. The per-round state CTEs are
+    // MATERIALIZED: each round reads its predecessor twice (census +
+    // application), and DuckDB's default CTE inlining would re-expand
+    // the chain 2^rounds times.
+    "q190_bpe_vocab" -> ((s, dir) => {
+      val wf = graft.ml.BpeTrainer.wordFrequencies(
+        graft.Tables.load(s, dir, "documents"))
+      graft.ml.BpeTrainer.train(wf, rounds = 12)._2
+    }),
+
+    // q190's vocab APPLIED back to the corpus: per-doc subword token
+    // counts under the induced segmentation — the "token budget under
+    // the real tokenizer" number every mixture/packing stage consumes
+    // (q57 counts whitespace tokens; this is the BPE-aware sibling).
+    // The segmentation is vocab-sized → broadcast join; the per-doc agg
+    // is one map-side-combined groupBy. All-integer except the final
+    // IEEE ratio of two exact longs.
+    "q191_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val docs = graft.Tables.load(s, dir, "documents")
+      val seg = graft.ml.BpeTrainer
+        .train(graft.ml.BpeTrainer.wordFrequencies(docs), rounds = 12)._2
+        .select($"word", $"n_syms")
+      val pd = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+        .where($"word" =!= "")
+        .join(broadcast(seg), "word")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("nw"), sum($"n_syms").as("ns"))
+      docs.select($"doc_id")
+        .join(pd, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"nw", lit(0L)).as("n_words"),
+          coalesce($"ns", lit(0L)).as("n_subword"),
+          when($"nw" > 0, $"ns".cast("double") / $"nw").as("subword_ratio"))
     })
   )
+
+  /** Shared DSIR scoring core (q189 select / q192 Gumbel resample):
+    * (doc_id, n_feats, sq) where sq is the exact integer Σ c·llr_q over
+    * hashed unigram+bigram buckets (see q189's comment). */
+  private def dsirScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val B = 4096
+    val docs = graft.Tables.load(s, dir, "documents")
+    val toks = docs.select($"doc_id", $"lang", split($"text", " ").as("t"))
+    val uni = toks.select($"doc_id", $"lang", explode($"t").as("f"))
+    val bi = toks.select($"doc_id", $"lang", explode(expr(
+      "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
+        "i -> concat(t[i-1], ' ', t[i])) ELSE CAST(array() AS array<string>) END"))
+      .as("f"))
+    val feats = uni.unionByName(bi).withColumn("b", expr(
+      s"pmod(cast(conv(substring(md5(f), 18, 15), 16, 10) as bigint), $B)"))
+    val perDoc = feats.groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+    val raw = feats.groupBy($"b").agg(
+      count(lit(1)).as("cr"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+    val tots = feats.agg(
+      count(lit(1)).as("nr"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("nt"))
+    val llr = raw.crossJoin(broadcast(tots)).select($"b",
+      Det.qfloor(
+        log(($"ct" + 1).cast("double") / ($"nt" + lit(B)).cast("double")) -
+          log(($"cr" + 1).cast("double") / ($"nr" + lit(B)).cast("double")),
+        1e9).as("lq"))
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    perDoc.join(broadcast(llr), "b")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_feats"),
+        sum($"c".cast(dec0) * $"lq".cast(dec0)).as("sq"))
+  }
+
+  /** DuckDB mirror of [[dsirScores]] (WITH-body ending in
+    * `sc (doc_id, n_feats, sq)`) — shared by the q189/q192 oracles. */
+  private lazy val dsirScoreSql: String = {
+    val hexParse =
+      """list_reduce(list_transform(string_split_regex(substr(md5(f), 18, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+    val llr = "ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))" +
+      " - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE))"
+    s"""toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+       |bidx AS (
+       |  SELECT doc_id, lang, t,
+       |    unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+       |  FROM toks),
+       |bi AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS f FROM bidx),
+       |allf AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+       |feats AS (
+       |  SELECT doc_id, lang,
+       |    $hexParse % 4096 AS b
+       |  FROM allf),
+       |perdoc AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY 1, 2),
+       |raw AS (
+       |  SELECT b, COUNT(*) AS cr,
+       |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+       |  FROM feats GROUP BY 1),
+       |tots AS (
+       |  SELECT COUNT(*) AS nr,
+       |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+       |  FROM feats),
+       |llr AS (
+       |  SELECT b, ${Det.sqlQfloor(llr, "1e9")} AS lq
+       |  FROM raw CROSS JOIN tots),
+       |sc AS MATERIALIZED (
+       |  SELECT p.doc_id, SUM(p.c) AS n_feats,
+       |    SUM(CAST(p.c AS HUGEINT) * CAST(l.lq AS HUGEINT)) AS sq
+       |  FROM perdoc p JOIN llr l ON p.b = l.b GROUP BY 1)""".stripMargin
+  }
+
+  /** The full 12-round BPE training chain (WITH-body through `s12`, the
+    * final word→symbols table) — shared by the q190 (vocab) and q191
+    * (corpus application) oracles. */
+  private lazy val bpeChainSql: String =
+    s"""wfr AS (
+       |  SELECT w AS word, COUNT(*) AS wf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, wf,
+       |    list_append(string_split_regex(word, ''), '</w>') AS syms
+       |  FROM wfr),
+       |${(1 to 12).map(bpeRoundSql).mkString(",\n")}""".stripMargin
+
+  /** One BPE round as chained DuckDB CTEs: census from s{r-1}, argmax,
+    * islands-parity merge application into s{r} (see q190). */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"""p${r}i AS (
+       |  SELECT wf, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+       |  FROM $prev),
+       |p$r AS (
+       |  SELECT syms[i] AS a, syms[i+1] AS b, SUM(wf) AS cnt
+       |  FROM p${r}i GROUP BY 1, 2),
+       |b$r AS MATERIALIZED (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |e$r AS (
+       |  SELECT word, wf, syms, unnest(generate_series(1, len(syms))) AS i
+       |  FROM $prev),
+       |h$r AS (
+       |  SELECT e.word, e.wf, e.syms, e.i, e.syms[e.i] AS s,
+       |    CASE WHEN e.i < len(e.syms) AND e.syms[e.i] = b$r.a
+       |         AND e.syms[e.i+1] = b$r.b THEN 1 ELSE 0 END AS hit
+       |  FROM e$r e CROSS JOIN b$r),
+       |g$r AS (
+       |  SELECT *, CASE WHEN hit = 1 THEN
+       |    i - row_number() OVER (PARTITION BY word, hit ORDER BY i) END AS isl
+       |  FROM h$r),
+       |a$r AS (
+       |  SELECT *, CASE WHEN hit = 1 AND
+       |    row_number() OVER (PARTITION BY word, isl ORDER BY i) % 2 = 1
+       |    THEN 1 ELSE 0 END AS mrg
+       |  FROM g$r),
+       |c$r AS (
+       |  SELECT *, COALESCE(lag(mrg) OVER (PARTITION BY word ORDER BY i), 0) AS pm
+       |  FROM a$r),
+       |s$r AS MATERIALIZED (
+       |  SELECT word, wf, list(ns ORDER BY i) AS syms FROM (
+       |    SELECT word, wf, i,
+       |      CASE WHEN mrg = 1 THEN s || syms[i+1] ELSE s END AS ns
+       |    FROM c$r WHERE mrg = 1 OR pm = 0) GROUP BY word, wf)""".stripMargin
+  }
 
   /** DuckDB replay of ml/ExactKMeans (k=8, 2 update rounds): exploded-dim
     * joins against unrolled centroid CTEs, DECIMAL(38,12) distance sums,
@@ -466,6 +687,42 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, chunk_id, start_tok, end_tok,
         |  end_tok - start_tok AS n_tok, sha256(chunk_text) AS chunk_sha
         |FROM b""".stripMargin,
+    "q189_dsir_select" ->
+      s"""WITH $dsirScoreSql
+         |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+         |  CAST(sq AS DOUBLE) / 1e9 AS score
+         |FROM sc ORDER BY sq DESC, doc_id LIMIT 200""".stripMargin,
+    "q192_dsir_gumbel" ->
+      s"""WITH $dsirScoreSql,
+         |gk AS (
+         |  SELECT doc_id, sq,
+         |    (CAST(sq AS DOUBLE) / 1e9) + -ln(-ln(
+         |      CAST((((doc_id % 2147483647) * 48271 + 12345) % 2147483647
+         |            * 48271 + 12345) % 2147483647 + 1 AS DOUBLE)
+         |        / 2147483649.0)) AS gkey
+         |  FROM sc)
+         |SELECT doc_id, CAST(sq AS DOUBLE) / 1e9 AS score, gkey
+         |FROM gk ORDER BY gkey DESC, doc_id LIMIT 200""".stripMargin,
+    "q190_bpe_vocab" ->
+      s"""WITH $bpeChainSql
+         |SELECT word, wf, CAST(len(syms) AS BIGINT) AS n_syms,
+         |  array_to_string(syms, ' ') AS seg
+         |FROM s12""".stripMargin,
+    "q191_bpe_tokens" ->
+      s"""WITH $bpeChainSql,
+         |tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |pd AS (
+         |  SELECT t.doc_id, COUNT(*) AS nw, SUM(len(s.syms)) AS ns
+         |  FROM tk t JOIN s12 s USING (word)
+         |  WHERE t.word <> '' GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(pd.nw, 0) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(pd.ns, 0) AS BIGINT) AS n_subword,
+         |  CASE WHEN pd.nw > 0 THEN CAST(pd.ns AS DOUBLE) / pd.nw END
+         |    AS subword_ratio
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     "q129_dup_ngram_frac" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
