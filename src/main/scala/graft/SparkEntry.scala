@@ -35,7 +35,8 @@ object SparkEntry {
     LobQueries,
     LayoutQueries,
     StatQueries,
-    SyntheticQueries
+    SyntheticQueries,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

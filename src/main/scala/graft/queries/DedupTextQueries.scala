@@ -670,6 +670,43 @@ object DedupTextQueries extends QueryModule {
           coalesce($"nb", lit(0L)).as("n_bigrams"),
           $"x".as("xent"),
           coalesce($"x" > 3.45, lit(false)).as("low_quality"))
+    }),
+
+    // Bloom-filter shard-dedup prefilter (functions/BloomDedup): the
+    // q135 incremental-dedup story at its cheapest rung. History =
+    // doc_id % 4 != 0, shard = the rest; the filter is the history's
+    // distinct md5-position table (k=4, B=65536 — FIXED size however
+    // big the history grows, broadcastable by definition), the shard
+    // probes it locally, and only Bloom-positive docs pay the exact
+    // key join. True dups are injected deterministically on both
+    // engines (shard docs with doc_id % 3 == 0 take the text of
+    // history doc doc_id+1), so the gate pins all three outcomes:
+    // exact dup (⇒ bloom_hit, the no-false-negative contract), Bloom
+    // false positive, and clean miss. All-integer md5 arithmetic —
+    // zero float surface.
+    "q196_bloom_prefilter" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.BloomDedup
+      val docs = graft.Tables.load(s, dir, "documents")
+      val hist = docs.where(pmod($"doc_id", lit(4L)) =!= 0L)
+        .select($"doc_id", $"text")
+      val shard = docs.where(pmod($"doc_id", lit(4L)) === 0L)
+        .join(broadcast(hist.select(($"doc_id" - 1).as("sid"), $"text".as("htext"))),
+          $"doc_id" === $"sid" && pmod($"doc_id", lit(3L)) === 0L, "left")
+        .select($"doc_id", coalesce($"htext", $"text").as("text"))
+      val histKeys = hist.select(md5($"text").as("k")).distinct()
+      val shardK = shard.select($"doc_id", md5($"text").as("k"))
+      val hit = BloomDedup.probe(shardK, BloomDedup.build(histKeys), "doc_id")
+      // gate-sized second arm (B=2048): saturated enough that the
+      // false-positive branch actually fires on this corpus
+      val hitSmall = BloomDedup
+        .probe(shardK, BloomDedup.build(histKeys, b = 2048), "doc_id", b = 2048)
+        .withColumnRenamed("bloom_hit", "bloom_hit_small")
+      val exact = shardK.join(histKeys.withColumnRenamed("k", "hk"),
+          $"k" === $"hk", "left")
+        .select($"doc_id", $"hk".isNotNull.as("exact_dup"))
+      hit.join(hitSmall, "doc_id").join(exact, "doc_id")
+        .select($"doc_id", $"bloom_hit", $"bloom_hit_small", $"exact_dup")
     })
   )
 
@@ -1203,6 +1240,45 @@ object DedupTextQueries extends QueryModule {
          |  CAST(COALESCE(px.nb, 0) AS BIGINT) AS n_bigrams,
          |  px.x AS xent,
          |  COALESCE(px.x > 3.45, FALSE) AS low_quality
-         |FROM documents d LEFT JOIN px ON px.doc_id = d.doc_id""".stripMargin
+         |FROM documents d LEFT JOIN px ON px.doc_id = d.doc_id""".stripMargin,
+    "q196_bloom_prefilter" -> {
+      // 60 bits of md5 → BIGINT (the shared hexParse idiom)
+      def hexParse(x: String) =
+        s"""list_reduce(list_transform(string_split_regex(substr(md5($x), 18, 15), ''),
+           |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+      s"""WITH hist AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         |shard AS (
+         |  SELECT s.doc_id, COALESCE(h.text, s.text) AS text
+         |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0) s
+         |  LEFT JOIN hist h ON h.doc_id = s.doc_id + 1 AND s.doc_id % 3 = 0),
+         |hk AS (SELECT DISTINCT md5(text) AS k FROM hist),
+         |ks AS (SELECT unnest(['0', '1', '2', '3']) AS i),
+         |hp AS (
+         |  SELECT DISTINCT ${hexParse("i || ':' || k")} % 65536 AS p
+         |  FROM hk CROSS JOIN ks),
+         |sk AS (SELECT doc_id, md5(text) AS k FROM shard),
+         |sp AS (
+         |  SELECT doc_id, ${hexParse("i || ':' || k")} % 65536 AS p
+         |  FROM sk CROSS JOIN ks),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS nhit FROM sp JOIN hp USING (p) GROUP BY 1),
+         |hp2 AS (
+         |  SELECT DISTINCT ${hexParse("i || ':' || k")} % 2048 AS p
+         |  FROM hk CROSS JOIN ks),
+         |sp2 AS (
+         |  SELECT doc_id, ${hexParse("i || ':' || k")} % 2048 AS p
+         |  FROM sk CROSS JOIN ks),
+         |hits2 AS (
+         |  SELECT doc_id, COUNT(*) AS nhit FROM sp2 JOIN hp2 USING (p) GROUP BY 1)
+         |SELECT s.doc_id,
+         |  COALESCE(h.nhit, 0) = 4 AS bloom_hit,
+         |  COALESCE(h2.nhit, 0) = 4 AS bloom_hit_small,
+         |  (e.k IS NOT NULL) AS exact_dup
+         |FROM sk s
+         |LEFT JOIN hits h USING (doc_id)
+         |LEFT JOIN hits2 h2 USING (doc_id)
+         |LEFT JOIN hk e ON e.k = s.k""".stripMargin
+    }
   )
 }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the events table — the classic
+  * clickstream trio every warehouse engine ships, built as single-
+  * shuffle declarative plans (all three partition by `user_id` once;
+  * windows and the final aggregate share that one exchange):
+  *
+  *  - q193 ordered funnel (view → click → purchase): step k counts only
+  *    at a STRICTLY later timestamp than the first completion of step
+  *    k−1. The sequential constraint is expressed with running-min
+  *    windows (min view-ts so far; min qualifying-click-ts so far), so
+  *    the whole funnel is one window pass + one aggregate over the same
+  *    key — no per-step self-joins (the naive form is k joins of the
+  *    full event log; this is one shuffle regardless of k).
+  *  - q194 retention cohorts: cohort = first active day per user;
+  *    n_active(cohort, day_offset) = distinct users of that cohort
+  *    active at that offset. The (user, day) activity set is deduped
+  *    map-side BEFORE the cohort join, so the join carries at most one
+  *    row per user-day, not the raw event stream.
+  *  - q195 SCD2 validity intervals: run-length islands of `event_type`
+  *    per user (gaps-and-islands via lag + running sum) collapsed to
+  *    [valid_from, valid_to) rows with `valid_to` = the next island's
+  *    start — the type-2 slowly-changing-dimension history a MERGE
+  *    pipeline materializes. Ordering ties broken by event_id; the
+  *    lead() window orders by the island sequence number, which is
+  *    strictly increasing, so the output is deterministic even when
+  *    adjacent islands share a boundary timestamp.
+  *
+  * Everything is exact integer / timestamp arithmetic — zero float
+  * surface, no Det quantization needed.
+  */
+object EventQueries extends QueryModule {
+
+  override def queries: Map[String, QFn] = Map(
+    "q193_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = graft.Tables.load(s, dir, "events")
+      // time-boxed conversion: only events within 36h of the user's
+      // FIRST touch count toward the funnel (the per-user deadline is
+      // what makes stage 0–3 all reachable; the extra agg+join shares
+      // the window's user_id partitioning)
+      val firstTouch = all.groupBy($"user_id").agg(min($"ts").as("t0"))
+      val ev = all.join(firstTouch, "user_id")
+        .where($"ts" < $"t0" + expr("INTERVAL 36 HOURS"))
+        .withColumn("vm", min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("ck",
+          when($"event_type" === "click" && $"vm" < $"ts", $"ts"))
+        .withColumn("cm", min($"ck").over(w))
+        .withColumn("pk",
+          when($"event_type" === "purchase" && $"cm" < $"ts", $"ts"))
+      ev.groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", $"ts")).as("t_view"),
+          min($"ck").as("t_click"),
+          min($"pk").as("t_purchase"))
+        .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+          ($"t_view".isNotNull.cast("int") + $"t_click".isNotNull.cast("int") +
+            $"t_purchase".isNotNull.cast("int")).as("stage"))
+    }),
+
+    "q194_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.Tables.load(s, dir, "events")
+      val first = ev.groupBy($"user_id").agg(min(to_date($"ts")).as("cohort"))
+      val act = ev.select($"user_id", to_date($"ts").as("d")).distinct()
+      act.join(first, "user_id")
+        .groupBy($"cohort", datediff($"d", $"cohort").as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        // DATE renders engine-differently in the compare; midnight
+        // timestamps render identically
+        .select($"cohort".cast("timestamp").as("cohort"), $"day_offset",
+          $"n_active")
+    }),
+
+    "q195_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = graft.Tables.load(s, dir, "events")
+        .withColumn("prev", lag($"event_type", 1).over(ord))
+        .withColumn("chg",
+          when($"prev".isNull || $"prev" =!= $"event_type", 1L).otherwise(0L))
+        .withColumn("island", sum($"chg").over(run))
+      val byIsland = Window.partitionBy($"user_id").orderBy($"island")
+      flagged.groupBy($"user_id", $"island", $"event_type")
+        .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead($"valid_from", 1).over(byIsland))
+        .select($"user_id", $"island", $"event_type", $"valid_from",
+          $"valid_to", $"n_events")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q193_funnel" -> {
+      val w = "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+      s"""WITH fa AS (
+         |  SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+         |e AS (
+         |  SELECT ev.* FROM events ev JOIN fa USING (user_id)
+         |  WHERE ev.ts < fa.t0 + INTERVAL 36 HOUR),
+         |v AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    min(CASE WHEN event_type = 'view' THEN ts END) OVER ($w) AS vm
+         |  FROM e),
+         |c AS (
+         |  SELECT *, min(ck) OVER ($w) AS cm FROM (
+         |    SELECT *, CASE WHEN event_type = 'click' AND vm < ts THEN ts END AS ck
+         |    FROM v)),
+         |f AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         |    min(ck) AS t_click,
+         |    min(CASE WHEN event_type = 'purchase' AND cm < ts THEN ts END)
+         |      AS t_purchase
+         |  FROM c GROUP BY 1)
+         |SELECT user_id, t_view, t_click, t_purchase,
+         |  CAST((t_view IS NOT NULL)::INT + (t_click IS NOT NULL)::INT +
+         |    (t_purchase IS NOT NULL)::INT AS INT) AS stage
+         |FROM f""".stripMargin
+    },
+    "q194_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+        |  CAST(a.d - f.cohort AS INT) AS day_offset,
+        |  COUNT(*) AS n_active
+        |FROM act a JOIN first f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q195_scd2" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |isl AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |iv AS (
+        |  SELECT user_id, CAST(island AS BIGINT) AS island, event_type,
+        |    min(ts) AS valid_from, COUNT(*) AS n_events
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT user_id, island, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+        |    AS valid_to,
+        |  n_events
+        |FROM iv""".stripMargin
+  )
+}
