@@ -131,6 +131,32 @@ object AggQueries extends QueryModule {
       graft.Tables.load(s, dir, "documents")
         .select($"doc_id", sha2($"text", 256).as("text_sha"),
           upper(trim($"source")).as("source_norm"))
+    }),
+
+    // CUBE over (event_type, dow) with grouping_id — q23's rollup
+    // sibling covering the full 2^k lattice; gid pins that both
+    // engines assign the same bitmask (leftmost column = MSB).
+    "q197_cube" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "events")
+        .withColumn("dow", dayofweek($"ts") - 1)
+        .cube($"event_type", $"dow")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
+    // PIVOT: per-user wide matrix of count + exact decimal value-sum by
+    // event type — explicit value list, so the plan is a single
+    // groupBy(user_id) with no distinct-values pre-scan (the two-pass
+    // auto-infer form is the scale trap; at 100 TB the value list is
+    // config, not discovery). Absent (user, type) combos are NULL in
+    // Spark's pivot; the oracle mirrors with NULLIF/CASE.
+    "q198_pivot" -> ((s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("v"))
     })
   )
 
@@ -207,7 +233,23 @@ object AggQueries extends QueryModule {
            |FROM bars""".stripMargin,
       "q28_content_hash" ->
         """SELECT doc_id, sha256(text) AS text_sha, upper(trim(source)) AS source_norm
-          |FROM documents""".stripMargin
+          |FROM documents""".stripMargin,
+      "q197_cube" ->
+        s"""WITH e AS (
+           |  SELECT event_type, date_part('dow', ts) AS dow, value FROM events)
+           |SELECT event_type, dow, COUNT(*) AS n,
+           |  ${sqlSum("value")} AS sum_value,
+           |  CAST(GROUPING(event_type, dow) AS BIGINT) AS gid
+           |FROM e GROUP BY CUBE(event_type, dow)""".stripMargin,
+      "q198_pivot" -> {
+        def arm(v: String) =
+          s"""NULLIF(COUNT(CASE WHEN event_type = '$v' THEN 1 END), 0) AS ${v}_n,
+             |  ${sqlSum(s"CASE WHEN event_type = '$v' THEN value END")} AS ${v}_v""".stripMargin
+        s"""SELECT user_id,
+           |  ${Seq("view", "click", "purchase", "signup", "error")
+                .map(arm).mkString(",\n  ")}
+           |FROM events GROUP BY 1""".stripMargin
+      }
     )
   }
 }

@@ -176,6 +176,22 @@ object WindowQueries extends QueryModule {
               lit(0).cast(dec6))).cast("double") / n)
             .as("atr14")
         })
+    }),
+
+    // Rank-function suite: ntile / percent_rank / cume_dist (the three
+    // ranking built-ins q13/q15 don't cover). Ordering is unique by
+    // (value, event_id), so peer groups are singletons and both
+    // engines' percent_rank = (rn-1)/(n-1), cume_dist = rn/n — exact
+    // IEEE divisions of integers, no float-class caveat.
+    "q199_rank_suite" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      graft.Tables.load(s, dir, "events")
+        .select($"event_type", $"event_id",
+          row_number().over(w).as("rn"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
     })
   )
 
@@ -311,6 +327,15 @@ object WindowQueries extends QueryModule {
          |SELECT ticker, seq, tr,
          |  ${dsumW("tr", f)} / ${cntW("tr", f)} AS atr14
          |FROM trs""".stripMargin
+    },
+    "q199_rank_suite" -> {
+      val w = "PARTITION BY event_type ORDER BY value, event_id"
+      s"""SELECT event_type, event_id,
+         |  row_number() OVER ($w) AS rn,
+         |  CAST(ntile(4) OVER ($w) AS BIGINT) AS quartile,
+         |  percent_rank() OVER ($w) AS pr,
+         |  cume_dist() OVER ($w) AS cd
+         |FROM events""".stripMargin
     }
   )
 }
