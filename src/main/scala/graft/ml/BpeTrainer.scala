@@ -66,7 +66,11 @@ object BpeTrainer {
       .select($"word".as[String], $"wf".as[Long])
       .map { case (w, f) => WordSyms(w, f, w.map(_.toString) :+ EndOfWord) }
       .cache()
-    cur.count() // materialize before the loop re-reads it per round
+    // One Spark action per round (the census), not three: the census
+    // over `cur` is what materializes its cache, and the PREVIOUS
+    // round's table is unpersisted only after that — so no extra
+    // count() materialization job per round, and nothing recomputes.
+    var prev: Option[Dataset[WordSyms]] = None
     val merges = ArrayBuffer.empty[Merge]
     var r = 1
     var exhausted = false
@@ -79,14 +83,15 @@ object BpeTrainer {
         .groupBy($"p.a", $"p.b").agg(sum($"wf").as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b"))
         .limit(1).collect()
+      prev.foreach(_.unpersist()) // cur is materialized now; parent can go
+      prev = None
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, c) = (best.head.getString(0), best.head.getString(1),
           best.head.getLong(2))
         merges += Merge(a, b, c, r)
         val next = cur.map(ws => ws.copy(syms = applyMerge(ws.syms, a, b))).cache()
-        next.count()
-        cur.unpersist()
+        prev = Some(cur)
         cur = next
         r += 1
       }
