@@ -122,6 +122,27 @@ object ServeQueries extends QueryModule {
 
     // q143 over the persisted assignment: one join + a dims-sized
     // contingency table with its windows.
+    // q191 with the BPE segmentation read from the persisted vocab
+    // table — the 12 training rounds (the dominant cost) are artifact
+    // build-time; the serve path is one broadcast join + one agg.
+    "q191s_bpe_tokens_serve" -> ((s, dir) => {
+      import s.implicits._
+      val art = ServeArtifacts.ensure(s, dir)
+      val docs = graft.Tables.load(s, dir, "documents")
+      val seg = s.read.parquet(s"$art/bpe_seg.parquet")
+      val pd = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+        .where($"word" =!= "")
+        .join(broadcast(seg), "word")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("nw"), sum($"n_syms").as("ns"))
+      docs.select($"doc_id")
+        .join(pd, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"nw", lit(0L)).as("n_words"),
+          coalesce($"ns", lit(0L)).as("n_subword"),
+          when($"nw" > 0, $"ns".cast("double") / $"nw").as("subword_ratio"))
+    }),
+
     "q143s_cluster_mix_serve" -> ((s, dir) => {
       import s.implicits._
       val art = ServeArtifacts.ensure(s, dir)
@@ -150,7 +171,9 @@ object ServeQueries extends QueryModule {
     "q139s_semdedup_serve" ->
       CorpusQueries.oracles("q139_semdedup"),
     "q143s_cluster_mix_serve" ->
-      CorpusQueries.oracles("q143_cluster_mix")
+      CorpusQueries.oracles("q143_cluster_mix"),
+    "q191s_bpe_tokens_serve" ->
+      CorpusQueries.oracles("q191_bpe_tokens")
   )
 }
 
@@ -185,8 +208,9 @@ object ServeArtifacts {
   /** Bump when any artifact-PRODUCING semantic changes (a stale artifact
     * built by older code would otherwise serve values the current gate
     * oracle no longer matches — the key fingerprints the DATA, this
-    * fingerprints the CODE). v2: grid-exact ExactKMeans distances. */
-  private val artifactVersion = "v2"
+    * fingerprints the CODE). v2: grid-exact ExactKMeans distances.
+    * v3: + BPE segmentation table (q191s). */
+  private val artifactVersion = "v3"
 
   private[queries] def key(dir: String): String = {
     val prints = Seq("documents.parquet", "embeddings.parquet")
@@ -220,6 +244,11 @@ object ServeArtifacts {
         .run(graft.Tables.load(s, dir, "embeddings"), k = 8, updates = 2)
         .select(col("vec_id"), col("cluster"))
         .write.mode("overwrite").parquet(s"$root/kmeans.parquet")
+      graft.ml.BpeTrainer.train(
+          graft.ml.BpeTrainer.wordFrequencies(
+            graft.Tables.load(s, dir, "documents")), rounds = 12)._2
+        .select(col("word"), col("n_syms"))
+        .write.mode("overwrite").parquet(s"$root/bpe_seg.parquet")
       done.createNewFile(): Unit
     }
     root.toString
