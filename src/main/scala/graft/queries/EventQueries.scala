@@ -76,6 +76,36 @@ object EventQueries extends QueryModule {
           $"n_active")
     }),
 
+    // Forward as-of join with tolerance (attribution): each click is
+    // attributed to the user's NEXT purchase — the first purchase whose
+    // (ts, event_id) is lexicographically after the click's — if it
+    // lands within 2 h. The backward as-of (q30 macro join) walks
+    // history; this walks forward, and the naive form is a range
+    // self-join of the event log against itself. Here it is ONE
+    // reverse-ordered running-min window over a sortable string
+    // encoding of (epoch_micros, event_id) — zero-pad both so string
+    // order = numeric order identically in both engines — so the whole
+    // attribution is a single shuffle on user_id.
+    "q200_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val key = concat(lpad(unix_micros($"ts").cast("string"), 20, "0"),
+        lit("-"), lpad($"event_id".cast("string"), 10, "0"))
+      graft.Tables.load(s, dir, "events")
+        .withColumn("nxt",
+          min(when($"event_type" === "purchase", key)).over(w))
+        .where($"event_type" === "click")
+        .withColumn("p_us",
+          substring($"nxt", 1, 20).cast("long"))
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"),
+          when($"p_us" - unix_micros($"ts") <= 7200000000L,
+            substring($"nxt", 22, 10).cast("long")).as("purchase_id"),
+          when($"p_us" - unix_micros($"ts") <= 7200000000L,
+            ($"p_us" - unix_micros($"ts")) / 1000000L).as("latency_sec"))
+    }),
+
     "q195_scd2" -> ((s, dir) => {
       import s.implicits._
       val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -122,6 +152,24 @@ object EventQueries extends QueryModule {
          |  CAST((t_view IS NOT NULL)::INT + (t_click IS NOT NULL)::INT +
          |    (t_purchase IS NOT NULL)::INT AS INT) AS stage
          |FROM f""".stripMargin
+    },
+    "q200_attribution" -> {
+      val us = "CAST(substr(nxt, 1, 20) AS BIGINT)"
+      s"""WITH k AS (
+         |  SELECT *, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+         |    lpad(CAST(event_id AS VARCHAR), 10, '0') AS key
+         |  FROM events),
+         |n AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN key END) OVER (
+         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt
+         |  FROM k)
+         |SELECT user_id, event_id AS click_id, ts AS click_ts,
+         |  CASE WHEN $us - epoch_us(ts) <= 7200000000
+         |       THEN CAST(substr(nxt, 22, 10) AS BIGINT) END AS purchase_id,
+         |  CASE WHEN $us - epoch_us(ts) <= 7200000000
+         |       THEN ($us - epoch_us(ts)) / 1000000 END AS latency_sec
+         |FROM n WHERE event_type = 'click'""".stripMargin
     },
     "q194_retention" ->
       """WITH first AS (

@@ -103,6 +103,43 @@ class EventQueriesSpec extends AnyFunSuite with TestSpark {
     assert(out(2).get(5) == null)
   }
 
+  test("attribution picks the NEXT purchase, strictly after, within 2h") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      // u1: click at 10:00; purchases at 09:00 (before — ignored),
+      // 11:00 (next — attributed), 12:00 (later — not picked)
+      (1L, "2024-01-01 09:00:00", "purchase", 1L),
+      (1L, "2024-01-01 10:00:00", "click", 2L),
+      (1L, "2024-01-01 11:00:00", "purchase", 3L),
+      (1L, "2024-01-01 12:00:00", "purchase", 4L),
+      // u2: next purchase is 2h + 1s away — outside tolerance
+      (2L, "2024-01-01 10:00:00", "click", 5L),
+      (2L, "2024-01-01 12:00:01", "purchase", 6L),
+      // u3: purchase at the SAME ts with LOWER event_id sorts before
+      // the click — not "after", so unattributed
+      (3L, "2024-01-01 10:00:00", "purchase", 7L),
+      (3L, "2024-01-01 10:00:00", "click", 8L))
+      .map { case (u, t, e, id) => (u, ts(t), e, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val key = concat(lpad(unix_micros($"ts").cast("string"), 20, "0"),
+      lit("-"), lpad($"event_id".cast("string"), 10, "0"))
+    val out = df
+      .withColumn("nxt", min(when($"event_type" === "purchase", key)).over(w))
+      .where($"event_type" === "click")
+      .withColumn("p_us", substring($"nxt", 1, 20).cast("long"))
+      .select($"user_id",
+        when($"p_us" - unix_micros($"ts") <= 7200000000L,
+          substring($"nxt", 22, 10).cast("long")).as("purchase_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === Some(3L)) // next, not earliest or latest
+    assert(out(2L) === None)     // outside the 2h box
+    assert(out(3L) === None)     // same-ts lower-id is not "after"
+  }
+
   test("BloomDedup never false-negatives and positions are in-range") {
     import spark.implicits._
     val hist = (1 to 50).map(i => s"key-$i").toDF("k")
