@@ -384,6 +384,52 @@ object CorpusQueries extends QueryModule {
         textCol = "text", idCols = Seq("doc_id"), chunkSize = 32, overlap = 8)
     }),
 
+    // Count-min sketch over corpus token frequencies (Cormode &
+    // Muthukrishnan 2005): d=4 md5-derived hash rows × w=1024 counters
+    // — a FIXED 4096-cell summary however large the corpus, the
+    // mergeable heavy-hitter sketch beside the HLL distinct arms
+    // (dxe/dxa). Deterministic by construction (unlike sampled
+    // sketches), so the whole thing gates: counters build from the
+    // map-side-combined exact token counts (algebraically identical to
+    // streaming token instances — addition commutes), estimates are
+    // min over the d cells, and the gate reports estimate vs exact for
+    // the top-50 tokens plus the signature one-sided error
+    // (overcount ≥ 0 always; CorpusQueriesSpec pins it corpus-wide).
+    // Counter tables are ≤ w rows → the 4 estimate joins all broadcast.
+    "q201_cms" -> ((s, dir) => {
+      import s.implicits._
+      // w=256 against this corpus's ~1k unigram+bigram keys ≈ 4
+      // keys/cell — small enough that the overcount branch actually
+      // fires (the corpus's bare 31-word vocab in a production-width
+      // sketch collides nowhere and gates nothing); production width
+      // is config, the algebra is identical
+      val w = 256L
+      val toks = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+      val uni = toks.select(explode($"t").as("tok")).where($"tok" =!= "")
+      val bi = toks.select(explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
+          "i -> concat(t[i-1], ' ', t[i])) ELSE CAST(array() AS array<string>) END"))
+        .as("tok"))
+      val cnt = uni.unionByName(bi)
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+      def pos(i: Int, t: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lit(s"$i:"), t)), 18, 15), 16, 10)
+          .cast("long"), lit(w))
+      val keyed = cnt.select($"tok" +: $"c" +:
+        (0 until 4).map(i => pos(i, $"tok").as(s"p$i")): _*)
+      val top = keyed.orderBy($"c".desc, $"tok").limit(50)
+      val est = (0 until 4).foldLeft(top) { (acc, i) =>
+        acc.join(
+          broadcast(keyed.groupBy(col(s"p$i").as(s"q$i"))
+            .agg(sum($"c").as(s"s$i"))),
+          col(s"p$i") === col(s"q$i"))
+      }
+      est.select($"tok", $"c".as("exact_cnt"),
+        least($"s0", $"s1", $"s2", $"s3").as("cms_est"),
+        (least($"s0", $"s1", $"s2", $"s3") - $"c").as("overcount"))
+    }),
+
     // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): score every doc
     // by its hashed-n-gram log-likelihood ratio between a TARGET slice
@@ -687,6 +733,38 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, chunk_id, start_tok, end_tok,
         |  end_tok - start_tok AS n_tok, sha256(chunk_text) AS chunk_sha
         |FROM b""".stripMargin,
+    "q201_cms" -> {
+      def hexP(x: String) =
+        s"""list_reduce(list_transform(string_split_regex(substr(md5($x), 18, 15), ''),
+           |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+      val rows = (0 until 4)
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |uni AS (
+         |  SELECT unnest(t) AS tok FROM toks),
+         |bidx AS (
+         |  SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+         |  FROM toks),
+         |bi AS (SELECT t[i] || ' ' || t[i+1] AS tok FROM bidx),
+         |cnt AS (
+         |  SELECT tok, COUNT(*) AS c FROM (
+         |    SELECT * FROM uni UNION ALL SELECT * FROM bi)
+         |  WHERE tok <> '' GROUP BY 1),
+         |keyed AS (
+         |  SELECT tok, c,
+         |    ${rows.map(i => s"${hexP(s"'$i:' || tok")} % 256 AS p$i")
+                  .mkString(",\n    ")}
+         |  FROM cnt),
+         |${rows.map(i =>
+             s"cms$i AS (SELECT p$i AS q$i, SUM(c) AS s$i FROM keyed GROUP BY 1)")
+             .mkString(",\n")},
+         |top AS (SELECT * FROM keyed ORDER BY c DESC, tok LIMIT 50)
+         |SELECT t.tok, t.c AS exact_cnt,
+         |  CAST(least(s0, s1, s2, s3) AS BIGINT) AS cms_est,
+         |  CAST(least(s0, s1, s2, s3) - t.c AS BIGINT) AS overcount
+         |FROM top t
+         |${rows.map(i => s"JOIN cms$i ON t.p$i = cms$i.q$i").mkString("\n")}""".stripMargin
+    },
     "q189_dsir_select" ->
       s"""WITH $dsirScoreSql
          |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,

@@ -154,6 +154,32 @@ class CorpusQueriesSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(g.getLong(1) - g.getLong(0)).toDouble / g.getLong(0) <= 0.05)
   }
 
+  test("q201 CMS one-sided error: estimate >= exact for EVERY key, not just the top-50") {
+    val s = spark; import s.implicits._
+    // the count-min estimate can only overcount (each cell sums its
+    // key's count plus colliders) — run the q201 estimate over the
+    // FULL key set, not the top-50 the gate reports
+    val toks = graft.Tables.load(s, dir, "documents")
+      .select(split($"text", " ").as("t"))
+    val uni = toks.select(explode($"t").as("tok")).where($"tok" =!= "")
+    val bi = toks.select(explode(expr(
+      "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
+        "i -> concat(t[i-1], ' ', t[i])) ELSE CAST(array() AS array<string>) END"))
+      .as("tok"))
+    val cnt = uni.unionByName(bi).groupBy($"tok").agg(count(lit(1)).as("c"))
+    def pos(i: Int) =
+      pmod(conv(substring(md5(concat(lit(s"$i:"), $"tok")), 18, 15), 16, 10)
+        .cast("long"), lit(256L))
+    val keyed = cnt.select($"tok" +: $"c" +:
+      (0 until 4).map(i => pos(i).as(s"p$i")): _*)
+    val est = (0 until 4).foldLeft(keyed) { (acc, i) =>
+      acc.join(broadcast(keyed.groupBy(col(s"p$i").as(s"q$i"))
+        .agg(sum($"c").as(s"s$i"))), col(s"p$i") === col(s"q$i"))
+    }.select($"tok", $"c", least($"s0", $"s1", $"s2", $"s3").as("e"))
+    assert(est.where($"e" < $"c").count() === 0)
+    assert(est.count() > 500) // unigrams + bigrams give a real key set
+  }
+
   test("q144 packing: every doc once, bins never overflow, offsets contiguous") {
     val s = spark; import s.implicits._
     val L = 1024L
