@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank in all-integer arithmetic (the q202 TextRank
+  * kernel — see the query's comment for the replay contract): pr is a
+  * BIGINT numerator on the 1e-12 grid, contributions are
+  * (pr·w) div wdeg, damping is (15·unit + 85·Σmsg) div 100. Every
+  * iteration is one join + one aggregate on the symmetric edge list —
+  * at production vocab scale the per-iteration frame would be
+  * checkpointed; the algebra is iteration-count-fixed and exact.
+  */
+object TextRank {
+
+  /** @param adj undirected weighted adjacency: columns (a, b, w),
+    *            one row per unordered pair. */
+  def run(adj: DataFrame, iters: Int = 8): DataFrame = {
+    val edges = adj.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(adj.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val unit = deg.agg(count(lit(1)).as("n"))
+      .select(expr("1000000000000L div n").as("unit"))
+    var pr = deg.crossJoin(broadcast(unit))
+      .select(col("src").as("node"), col("wdeg"), col("unit"),
+        col("unit").as("pr"))
+    for (_ <- 1 to iters) {
+      val msg = edges
+        .join(pr.select(col("node").as("src"), col("pr"), col("wdeg")), "src")
+        .select(col("dst"), expr("(pr * w) div wdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("msg"))
+      pr = pr.drop("pr")
+        .join(msg.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), col("wdeg"), col("unit"),
+          expr("(15L * unit + 85L * coalesce(msg, 0L)) div 100").as("pr"))
+    }
+    pr.select(col("node"), col("pr").as("pr_q"),
+      (col("pr").cast("double") / 1e12).as("score"))
+  }
+}

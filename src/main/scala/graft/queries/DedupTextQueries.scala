@@ -672,6 +672,37 @@ object DedupTextQueries extends QueryModule {
           coalesce($"x" > 3.45, lit(false)).as("low_quality"))
     }),
 
+    // TextRank (Mihalcea & Tarau 2004) — weighted PageRank over the
+    // word co-occurrence graph: the iterative message-passing operator
+    // class beyond CC's label propagation (q95/q112), producing the
+    // corpus-level keyword salience every extractive summarizer /
+    // keyword tagger consumes. (PR over the near-dup PAIR graph is
+    // uninformative here — dup clusters are cliques, and PR on a
+    // regular component is uniform; the co-occurrence graph has real
+    // degree spread.) 8 damped iterations in ALL-INTEGER arithmetic so
+    // both engines replay bit-for-bit: pr lives on the 1e-12 grid as a
+    // BIGINT numerator, the weighted contribution is (pr·w) div wdeg
+    // (truncating integer division — Spark `div` ≡ DuckDB `//` on the
+    // all-positive values here), and the damping update is
+    // (15·unit + 85·Σmsg) div 100. Each iteration is one join + one
+    // agg on the edge list — the standard distributed PR shape; at
+    // 100 TB (vocab in the millions) the per-iteration frames would be
+    // checkpointed, the plan algebra is unchanged.
+    "q202_textrank" -> ((s, dir) => {
+      import s.implicits._
+      val toks = graft.Tables.load(s, dir, "documents")
+        .select(split($"text", " ").as("t"))
+      val adj = toks.select(explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
+          "i -> struct(least(t[i-1], t[i]) AS a, greatest(t[i-1], t[i]) AS b)) " +
+          "ELSE CAST(array() AS array<struct<a:string,b:string>>) END")).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .where($"a" =!= $"b" && $"a" =!= "" && $"b" =!= "")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("w"))
+      graft.operators.TextRank.run(adj, iters = 8)
+        .withColumnRenamed("node", "token")
+    }),
+
     // Bloom-filter shard-dedup prefilter (functions/BloomDedup): the
     // q135 incremental-dedup story at its cheapest rung. History =
     // doc_id % 4 != 0, shard = the rest; the filter is the history's
@@ -1241,6 +1272,42 @@ object DedupTextQueries extends QueryModule {
          |  px.x AS xent,
          |  COALESCE(px.x > 3.45, FALSE) AS low_quality
          |FROM documents d LEFT JOIN px ON px.doc_id = d.doc_id""".stripMargin,
+    "q202_textrank" -> {
+      def iter(i: Int): String = {
+        val p = s"pr${i - 1}"
+        s"""m$i AS (
+           |  SELECT e.dst, SUM((p.pr * e.w) // p.wdeg) AS msg
+           |  FROM edges e JOIN $p p ON p.node = e.src GROUP BY 1),
+           |pr$i AS MATERIALIZED (
+           |  SELECT p.node, p.wdeg, p.unit,
+           |    (15 * p.unit + 85 * COALESCE(m.msg, 0)) // 100 AS pr
+           |  FROM $p p LEFT JOIN m$i m ON m.dst = p.node)""".stripMargin
+      }
+      s"""WITH toks AS (
+         |  SELECT string_split(text, ' ') AS t FROM documents),
+         |bidx AS (
+         |  SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+         |  FROM toks),
+         |adj AS (
+         |  SELECT least(t[i], t[i+1]) AS a, greatest(t[i], t[i+1]) AS b,
+         |    COUNT(*) AS w
+         |  FROM bidx
+         |  WHERE t[i] <> t[i+1] AND t[i] <> '' AND t[i+1] <> ''
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT a AS src, b AS dst, w FROM adj
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst, w FROM adj),
+         |deg AS (SELECT src, SUM(w) AS wdeg FROM edges GROUP BY 1),
+         |u AS (SELECT 1000000000000 // COUNT(*) AS unit FROM deg),
+         |pr0 AS MATERIALIZED (
+         |  SELECT d.src AS node, d.wdeg, u.unit, u.unit AS pr
+         |  FROM deg d CROSS JOIN u),
+         |${(1 to 8).map(iter).mkString(",\n")}
+         |SELECT node AS token, CAST(pr AS BIGINT) AS pr_q,
+         |  CAST(pr AS DOUBLE) / 1e12 AS score
+         |FROM pr8""".stripMargin
+    },
     "q196_bloom_prefilter" -> {
       // 60 bits of md5 → BIGINT (the shared hexParse idiom)
       def hexParse(x: String) =
