@@ -18,12 +18,24 @@ object TextRank {
   def run(adj: DataFrame, iters: Int = 8): DataFrame = {
     val edges = adj.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionByName(adj.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .persist()
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val unit = deg.agg(count(lit(1)).as("n"))
       .select(expr("1000000000000L div n").as("unit"))
     var pr = deg.crossJoin(broadcast(unit))
       .select(col("src").as("node"), col("wdeg"), col("unit"),
         col("unit").as("pr"))
+      .persist()
+    // Each iteration references the previous pr TWICE (message build +
+    // rank join), so the lazy lineage re-expands 2^iters branches.
+    // persist() alone is NOT enough: it dedups the computation but the
+    // LOGICAL plan still carries the full doubled tree, and rendering
+    // it (AQE's plan-update explainString) OOMs the driver long before
+    // any data moves — the first cut died exactly there on a 31-node
+    // graph. localCheckpoint truncates the lineage itself: each
+    // iteration's plan starts from the previous rank TABLE, which is
+    // also precisely the per-iteration reliable-checkpoint shape a
+    // production vocab-scale run uses.
     for (_ <- 1 to iters) {
       val msg = edges
         .join(pr.select(col("node").as("src"), col("pr"), col("wdeg")), "src")
@@ -33,7 +45,9 @@ object TextRank {
         .join(msg.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), col("wdeg"), col("unit"),
           expr("(15L * unit + 85L * coalesce(msg, 0L)) div 100").as("pr"))
+        .localCheckpoint(true)
     }
+    edges.unpersist()
     pr.select(col("node"), col("pr").as("pr_q"),
       (col("pr").cast("double") / 1e12).as("score"))
   }
