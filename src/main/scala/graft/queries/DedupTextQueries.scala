@@ -672,6 +672,31 @@ object DedupTextQueries extends QueryModule {
           coalesce($"x" > 3.45, lit(false)).as("low_quality"))
     }),
 
+    // Fuzzy-dedup refinement: edit-distance verification of the LSH
+    // candidate pairs — the OTHER verifier beside q90's exact Jaccard,
+    // catching near-dups that token-set similarity misses (in-place
+    // edits keep the Jaccard low but the edit distance low too).
+    // Candidates come from the same banding (tiny → broadcast), each
+    // pair pays one levenshtein on the two texts — never a corpus ×
+    // corpus string comparison. Both engines implement the classic
+    // unit-cost Levenshtein; the corpus is ASCII so code-unit vs
+    // codepoint length semantics cannot diverge. edit_sim is an exact
+    // IEEE ratio of ints.
+    "q203_fuzzy_refine" -> ((s, dir) => {
+      import s.implicits._
+      val docs = graft.Tables.load(s, dir, "documents")
+      val cand = lshCandidates(shingleSet(s, dir))
+      val ta = docs.select($"doc_id".as("da"), $"text".as("ta"))
+      val tb = docs.select($"doc_id".as("db"), $"text".as("tb"))
+      ta.join(broadcast(cand), "da").join(tb, "db")
+        .select($"da", $"db",
+          levenshtein($"ta", $"tb").cast("long").as("dist"),
+          (lit(1.0) - levenshtein($"ta", $"tb").cast("double") /
+            greatest(length($"ta"), length($"tb")).cast("double"))
+            .as("edit_sim"))
+        .withColumn("is_fuzzy_dup", $"edit_sim" >= 0.4)
+    }),
+
     // TextRank (Mihalcea & Tarau 2004) — weighted PageRank over the
     // word co-occurrence graph: the iterative message-passing operator
     // class beyond CC's label propagation (q95/q112), producing the
@@ -1272,6 +1297,17 @@ object DedupTextQueries extends QueryModule {
          |  px.x AS xent,
          |  COALESCE(px.x > 3.45, FALSE) AS low_quality
          |FROM documents d LEFT JOIN px ON px.doc_id = d.doc_id""".stripMargin,
+    "q203_fuzzy_refine" ->
+      s"""WITH $lshCandSql
+         |SELECT c.da, c.db,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+         |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+         |    greatest(length(a.text), length(b.text)) AS edit_sim,
+         |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+         |    greatest(length(a.text), length(b.text)) >= 0.4 AS is_fuzzy_dup
+         |FROM cand c
+         |JOIN documents a ON a.doc_id = c.da
+         |JOIN documents b ON b.doc_id = c.db""".stripMargin,
     "q202_textrank" -> {
       def iter(i: Int): String = {
         val p = s"pr${i - 1}"

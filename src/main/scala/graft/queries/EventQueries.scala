@@ -106,6 +106,23 @@ object EventQueries extends QueryModule {
             ($"p_us" - unix_micros($"ts")) / 1000000L).as("latency_sec"))
     }),
 
+    // Next-event Markov transition matrix: per-user lead() pairs →
+    // transition counts and row-normalized probabilities — the
+    // sequence-model fit every behavioral predictor starts from, and a
+    // single shuffle (window + groupBy share the user_id exchange).
+    // p is an exact IEEE ratio of exact counts.
+    "q204_markov" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val counts = graft.Tables.load(s, dir, "events")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .where($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("p", $"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"from_type")))
+    }),
+
     "q195_scd2" -> ((s, dir) => {
       import s.implicits._
       val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -181,6 +198,18 @@ object EventQueries extends QueryModule {
         |  COUNT(*) AS n_active
         |FROM act a JOIN first f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "q204_markov" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+        |FROM c""".stripMargin,
     "q195_scd2" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, event_type,
