@@ -157,6 +157,29 @@ object AggQueries extends QueryModule {
         .groupBy($"user_id")
         .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
         .agg(count(lit(1)).as("n"), dsum($"value").as("v"))
+    }),
+
+    // Exact WEIGHTED median (per-lang doc length weighted by token
+    // count) via cumulative-weight rank arithmetic — q136's unweighted
+    // rank trick generalized: the median is the first value whose
+    // running weight reaches half the total (2·cw ≥ tw in integers, no
+    // division), one partitioned window + one aggregate, no global
+    // sort. The weighted form is what mixture/budget planning actually
+    // needs: "the doc length below which half the TOKENS sit", not
+    // half the docs.
+    "q205_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val run = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.Tables.load(s, dir, "documents")
+        .select($"lang", $"doc_id", $"n_chars",
+          size(split($"text", " ")).cast("long").as("wt"))
+        .withColumn("cw", sum($"wt").over(run))
+        .withColumn("tw", sum($"wt").over(Window.partitionBy($"lang")))
+        .where($"cw" * 2 >= $"tw")
+        .groupBy($"lang")
+        .agg(min($"n_chars").as("median_chars"), max($"tw").as("total_tokens"))
     })
   )
 
@@ -241,6 +264,20 @@ object AggQueries extends QueryModule {
            |  ${sqlSum("value")} AS sum_value,
            |  CAST(GROUPING(event_type, dow) AS BIGINT) AS gid
            |FROM e GROUP BY CUBE(event_type, dow)""".stripMargin,
+      "q205_weighted_median" ->
+        """WITH d AS (
+          |  SELECT lang, doc_id, n_chars,
+          |    len(string_split(text, ' ')) AS wt
+          |  FROM documents),
+          |c AS (
+          |  SELECT *,
+          |    SUM(wt) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+          |    SUM(wt) OVER (PARTITION BY lang) AS tw
+          |  FROM d)
+          |SELECT lang, MIN(n_chars) AS median_chars,
+          |  CAST(MAX(tw) AS BIGINT) AS total_tokens
+          |FROM c WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
       "q198_pivot" -> {
         def arm(v: String) =
           s"""NULLIF(COUNT(CASE WHEN event_type = '$v' THEN 1 END), 0) AS ${v}_n,
