@@ -159,6 +159,35 @@ object AggQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), dsum($"value").as("v"))
     }),
 
+    // Order-independent table fingerprint (anti-entropy checksum): the
+    // MERGE/replication verifier that tells two 100 TB replicas apart
+    // in ONE aggregation pass with no sort and no shuffle beyond the
+    // final 1-row combine — per-row md5 over a canonical serialization
+    // (doubles quantized via Det so the serialization is engine-stable,
+    // every nullable column coalesced to a sentinel BEFORE concat —
+    // Spark's concat_ws SKIPS nulls while || propagates them, so
+    // explicit coalesce is the only portable null story), folded by
+    // commutative SUM (split 30-bit lo/hi so 100k×2^30 stays far inside
+    // BIGINT) and BIT_XOR channels. Equal fingerprints don't prove
+    // equality, but unequal ones locate drift for free.
+    "q206_table_checksum" -> ((s, dir) => {
+      import s.implicits._
+      val qv = Det.qfloor($"value", 1e6).cast("long")
+      val key = md5(concat(
+        $"event_id".cast("string"), lit("|"),
+        unix_micros($"ts").cast("string"), lit("|"),
+        $"user_id".cast("string"), lit("|"),
+        coalesce($"event_type", lit("~")), lit("|"),
+        coalesce(qv.cast("string"), lit("~")), lit("|"),
+        coalesce($"props", lit("~"))))
+      graft.Tables.load(s, dir, "events")
+        .select(conv(substring(key, 18, 15), 16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(pmod($"h", lit(1073741824L))).as("sum_lo"),
+          sum(expr("h div 1073741824")).as("sum_hi"),
+          expr("bit_xor(h)").as("xor_h"))
+    }),
+
     // Exact WEIGHTED median (per-lang doc length weighted by token
     // count) via cumulative-weight rank arithmetic — q136's unweighted
     // rank trick generalized: the median is the first value whose
@@ -264,6 +293,27 @@ object AggQueries extends QueryModule {
            |  ${sqlSum("value")} AS sum_value,
            |  CAST(GROUPING(event_type, dow) AS BIGINT) AS gid
            |FROM e GROUP BY CUBE(event_type, dow)""".stripMargin,
+      "q206_table_checksum" -> {
+        val hexParse =
+          """list_reduce(list_transform(string_split_regex(substr(k, 18, 15), ''),
+            |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+        val qv = s"CAST(${sqlQfloor("value", "1e6")} AS BIGINT)"
+        s"""WITH keyed AS (
+           |  SELECT md5(
+           |    CAST(event_id AS VARCHAR) || '|' ||
+           |    CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+           |    CAST(user_id AS VARCHAR) || '|' ||
+           |    COALESCE(event_type, '~') || '|' ||
+           |    COALESCE(CAST($qv AS VARCHAR), '~') || '|' ||
+           |    COALESCE(props, '~')) AS k
+           |  FROM events),
+           |h AS (SELECT $hexParse AS h FROM keyed)
+           |SELECT COUNT(*) AS n_rows,
+           |  CAST(SUM(h % 1073741824) AS BIGINT) AS sum_lo,
+           |  CAST(SUM(h // 1073741824) AS BIGINT) AS sum_hi,
+           |  bit_xor(h) AS xor_h
+           |FROM h""".stripMargin
+      },
       "q205_weighted_median" ->
         """WITH d AS (
           |  SELECT lang, doc_id, n_chars,
