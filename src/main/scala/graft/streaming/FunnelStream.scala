@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming form of q193's time-boxed ordered funnel: per-user
+  * conversion state (first touch, first view, first qualifying click,
+  * first qualifying purchase) maintained via flatMapGroupsWithState,
+  * emitting the user's current stage row every micro-batch
+  * (OutputMode.Update — downstream MERGEs by user_id).
+  *
+  * Parity contract with the batch funnel (EventQueries q193), proven
+  * by FunnelStreamSpec on both a boundary fixture and real testdata
+  * split into chronological micro-batches: step k counts only STRICTLY
+  * later than step k−1's first completion, events at or past
+  * t0 + boxHours are ignored, and within-batch arrival order is
+  * irrelevant (rows re-sort by (event-time micros, event_id) before
+  * the fold — micro-batches preserve per-key grouping, not order).
+  * Cross-batch the stream assumes in-order event time per user, the
+  * same contract as the bar streams: a view arriving in a LATER batch
+  * than a click it should have qualified is late data, and the batch
+  * form is the backfill remedy.
+  *
+  * All state times are epoch MICROS (millis would alias the testdata's
+  * micro-precision timestamps and break strict `<` comparisons).
+  */
+object FunnelStream {
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, event_id: Long)
+
+  /** -1 = unset; times in epoch micros. */
+  final case class FunnelState(t0: Long, tView: Long, tClick: Long,
+      tPurchase: Long)
+
+  final case class Stage(user_id: Long, t_view_us: Option[Long],
+      t_click_us: Option[Long], t_purchase_us: Option[Long], stage: Int)
+
+  def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  def funnel(events: Dataset[Ev], boxHours: Int = 36): Dataset[Stage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val boxUs = boxHours * 3600000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Stage](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
+          val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            if (st.t0 < 0) st = st.copy(t0 = t)
+            if (t < st.t0 + boxUs) e.event_type match {
+              case "view" if st.tView < 0 =>
+                st = st.copy(tView = t)
+              case "click" if st.tClick < 0 && st.tView >= 0 && st.tView < t =>
+                st = st.copy(tClick = t)
+              case "purchase"
+                  if st.tPurchase < 0 && st.tClick >= 0 && st.tClick < t =>
+                st = st.copy(tPurchase = t)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          def o(v: Long) = if (v >= 0) Some(v) else None
+          Iterator.single(Stage(uid, o(st.tView), o(st.tClick), o(st.tPurchase),
+            Seq(st.tView, st.tClick, st.tPurchase).count(_ >= 0)))
+      }
+  }
+}

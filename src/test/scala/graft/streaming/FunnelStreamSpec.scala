@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.FunnelStream.Ev
+
+class FunnelStreamSpec extends AnyFunSuite with TestSpark {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Latest emitted stage row per user from the memory sink. */
+  private def latest(table: String) = {
+    val s = spark; import s.implicits._
+    spark.table(table)
+      .withColumn("rn", monotonically_increasing_id())
+      .orderBy($"rn".desc).dropDuplicates("user_id")
+      .select($"user_id", $"t_view_us", $"t_click_us", $"t_purchase_us", $"stage")
+  }
+
+  test("boundary fixture parity: same-ts exclusion, order, box — across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = FunnelStream.funnel(input.toDS())
+      .writeStream.format("memory").queryName("fs_fix")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1 converts through click; u2's click shares the view's
+      // ts (must NOT count); u3 sees a purchase before any click
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "view", 1L),
+        Ev(1L, ts("2024-01-01 11:00:00"), "click", 2L),
+        Ev(2L, ts("2024-01-01 10:00:00"), "view", 3L),
+        Ev(2L, ts("2024-01-01 10:00:00"), "click", 4L),
+        Ev(3L, ts("2024-01-01 10:00:00"), "view", 5L),
+        Ev(3L, ts("2024-01-01 10:30:00"), "purchase", 6L))
+      q.processAllAvailable()
+      // batch 2: u1's purchase completes the funnel; u3's click arrives
+      // but its earlier purchase stays unqualified; u1's SECOND view
+      // must not move t_view
+      input.addData(
+        Ev(1L, ts("2024-01-01 12:00:00"), "purchase", 7L),
+        Ev(1L, ts("2024-01-01 12:30:00"), "view", 8L),
+        Ev(3L, ts("2024-01-01 11:00:00"), "click", 9L))
+      q.processAllAvailable()
+      // batch 3: an event past u1's 36h box is ignored entirely
+      input.addData(Ev(2L, ts("2024-01-03 10:00:01"), "click", 10L))
+      q.processAllAvailable()
+      val out = latest("fs_fix").collect()
+        .map(r => r.getLong(0) -> ((r.get(1) != null, r.get(2) != null,
+          r.get(3) != null, r.getInt(4)))).toMap
+      assert(out(1L) === ((true, true, true, 3)))
+      assert(out(2L) === ((true, false, false, 1))) // same-ts + boxed-out
+      assert(out(3L) === ((true, true, false, 2)))  // purchase-before-click
+    } finally q.stop()
+  }
+
+  test("testdata parity: chronological micro-batches reproduce batch q193 exactly") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_type", $"event_id")
+      .as[Ev].collect().sortBy(e => (FunnelStream.micros(e.ts), e.event_id))
+    val input = MemoryStream[Ev]
+    val q = FunnelStream.funnel(input.toDS())
+      .writeStream.format("memory").queryName("fs_data")
+      .outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 7)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = latest("fs_data").collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getInt(4)))).toMap
+      val batch = graft.SparkEntry.queries("q193_funnel")(spark, dir)
+        .select($"user_id", unix_micros($"t_view").as("v"),
+          unix_micros($"t_click").as("c"), unix_micros($"t_purchase").as("p"),
+          $"stage")
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getInt(4)))).toMap
+      assert(streamed.keySet === batch.keySet)
+      assert(batch.nonEmpty)
+      batch.foreach { case (u, exp) =>
+        assert(streamed(u) === exp, s"user $u drifted")
+      }
+    } finally q.stop()
+  }
+}
