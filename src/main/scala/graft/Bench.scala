@@ -151,6 +151,9 @@ object Bench {
         // throws must never feed its time-to-exception into the min, even
         // when another rep succeeded.
         var repOk = false
+        // The BPE segmentation memo (verify-run amortization) must not
+        // leak across timed arms: q190/q191 each measure a full train.
+        graft.ml.BpeTrainer.clearSegMemo()
         try { body(); repOk = true } catch {
           case t: Throwable => System.err.println(s"[bench] $name FAILED: $t")
         }

@@ -96,9 +96,34 @@ object BpeTrainer {
         r += 1
       }
     }
+    // Snapshot the result and free the working cache: the segmentation
+    // is the durable artifact (a production run reliably-checkpoints or
+    // writes it here); callers reuse a materialized table, not a
+    // 12-round lineage pinned to an internal cache.
     val seg = cur.toDF().select($"word", $"wf",
       size($"syms").cast("long").as("n_syms"),
       array_join($"syms", " ").as("seg"))
+      .localCheckpoint(true)
+    cur.unpersist()
     (merges.toSeq, seg)
   }
+
+  private val segMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+
+  /** Memoized [[train]] over a dir's `documents` table: q190, q191, and
+    * the serve-artifact build consume the SAME 12-round segmentation, so
+    * one Verify/serve run trains once instead of three times (r12
+    * ADVICE). Safe because train() now returns an eager localCheckpoint
+    * (session-lived, lineage-free). Bench clears the memo before every
+    * timed rep ([[clearSegMemo]]) so the q190/q191 gate arms remain
+    * self-contained measurements. */
+  def trainedSegmentation(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rounds: Int = 12): DataFrame =
+    segMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, rounds),
+      train(wordFrequencies(graft.Tables.load(spark, dir, "documents")),
+        rounds)._2)
+
+  def clearSegMemo(): Unit = segMemo.clear()
 }

@@ -22,10 +22,11 @@ object TextRank {
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val unit = deg.agg(count(lit(1)).as("n"))
       .select(expr("1000000000000L div n").as("unit"))
-    var pr = deg.crossJoin(broadcast(unit))
+    val seed = deg.crossJoin(broadcast(unit))
       .select(col("src").as("node"), col("wdeg"), col("unit"),
         col("unit").as("pr"))
       .persist()
+    var pr = seed
     // Each iteration references the previous pr TWICE (message build +
     // rank join), so the lazy lineage re-expands 2^iters branches.
     // persist() alone is NOT enough: it dedups the computation but the
@@ -36,16 +37,26 @@ object TextRank {
     // iteration's plan starts from the previous rank TABLE, which is
     // also precisely the per-iteration reliable-checkpoint shape a
     // production vocab-scale run uses.
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
+      // pr is on the 1e12 grid, so (pr * w) stays inside Long only while
+      // w ≲ 9.2e6. Spark's non-ANSI multiply would WRAP silently past
+      // that while the DuckDB replay raises on BIGINT overflow —
+      // divergent failure modes. Compute the product in DECIMAL(38,0)
+      // (exact, overflow-proof at any co-occurrence weight) and take
+      // the integer quotient there; div yields BIGINT back.
       val msg = edges
         .join(pr.select(col("node").as("src"), col("pr"), col("wdeg")), "src")
-        .select(col("dst"), expr("(pr * w) div wdeg").as("c"))
+        .select(col("dst"), expr(
+          "cast((cast(pr as decimal(38,0)) * cast(w as decimal(38,0))) " +
+            "div wdeg as bigint)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("msg"))
       pr = pr.drop("pr")
         .join(msg.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), col("wdeg"), col("unit"),
           expr("(15L * unit + 85L * coalesce(msg, 0L)) div 100").as("pr"))
         .localCheckpoint(true)
+      // The first localCheckpoint materialized past the seed — drop it.
+      if (i == 1) seed.unpersist()
     }
     edges.unpersist()
     pr.select(col("node"), col("pr").as("pr_q"),

@@ -385,8 +385,8 @@ object CorpusQueries extends QueryModule {
     }),
 
     // Count-min sketch over corpus token frequencies (Cormode &
-    // Muthukrishnan 2005): d=4 md5-derived hash rows × w=1024 counters
-    // — a FIXED 4096-cell summary however large the corpus, the
+    // Muthukrishnan 2005): d=4 md5-derived hash rows × w=256 counters
+    // — a FIXED 1024-cell summary however large the corpus, the
     // mergeable heavy-hitter sketch beside the HLL distinct arms
     // (dxe/dxa). Deterministic by construction (unlike sampled
     // sketches), so the whole thing gates: counters build from the
@@ -493,11 +493,8 @@ object CorpusQueries extends QueryModule {
     // MATERIALIZED: each round reads its predecessor twice (census +
     // application), and DuckDB's default CTE inlining would re-expand
     // the chain 2^rounds times.
-    "q190_bpe_vocab" -> ((s, dir) => {
-      val wf = graft.ml.BpeTrainer.wordFrequencies(
-        graft.Tables.load(s, dir, "documents"))
-      graft.ml.BpeTrainer.train(wf, rounds = 12)._2
-    }),
+    "q190_bpe_vocab" -> ((s, dir) =>
+      graft.ml.BpeTrainer.trainedSegmentation(s, dir, rounds = 12)),
 
     // q190's vocab APPLIED back to the corpus: per-doc subword token
     // counts under the induced segmentation — the "token budget under
@@ -509,8 +506,7 @@ object CorpusQueries extends QueryModule {
     "q191_bpe_tokens" -> ((s, dir) => {
       import s.implicits._
       val docs = graft.Tables.load(s, dir, "documents")
-      val seg = graft.ml.BpeTrainer
-        .train(graft.ml.BpeTrainer.wordFrequencies(docs), rounds = 12)._2
+      val seg = graft.ml.BpeTrainer.trainedSegmentation(s, dir, rounds = 12)
         .select($"word", $"n_syms")
       val pd = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
         .where($"word" =!= "")
@@ -615,7 +611,11 @@ object CorpusQueries extends QueryModule {
        |${(1 to 12).map(bpeRoundSql).mkString(",\n")}""".stripMargin
 
   /** One BPE round as chained DuckDB CTEs: census from s{r-1}, argmax,
-    * islands-parity merge application into s{r} (see q190). */
+    * islands-parity merge application into s{r} (see q190). The argmax
+    * attaches via LEFT JOIN ON TRUE so an EMPTY b$r (merges exhausted
+    * before the round budget — every word fully merged) degrades to
+    * hit=0 everywhere and s$r passes s{r-1} through unchanged, matching
+    * BpeTrainer.train's graceful stop. */
   private def bpeRoundSql(r: Int): String = {
     val prev = s"s${r - 1}"
     s"""p${r}i AS (
@@ -632,7 +632,7 @@ object CorpusQueries extends QueryModule {
        |  SELECT e.word, e.wf, e.syms, e.i, e.syms[e.i] AS s,
        |    CASE WHEN e.i < len(e.syms) AND e.syms[e.i] = b$r.a
        |         AND e.syms[e.i+1] = b$r.b THEN 1 ELSE 0 END AS hit
-       |  FROM e$r e CROSS JOIN b$r),
+       |  FROM e$r e LEFT JOIN b$r ON TRUE),
        |g$r AS (
        |  SELECT *, CASE WHEN hit = 1 THEN
        |    i - row_number() OVER (PARTITION BY word, hit ORDER BY i) END AS isl

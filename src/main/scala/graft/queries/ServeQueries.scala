@@ -244,9 +244,7 @@ object ServeArtifacts {
         .run(graft.Tables.load(s, dir, "embeddings"), k = 8, updates = 2)
         .select(col("vec_id"), col("cluster"))
         .write.mode("overwrite").parquet(s"$root/kmeans.parquet")
-      graft.ml.BpeTrainer.train(
-          graft.ml.BpeTrainer.wordFrequencies(
-            graft.Tables.load(s, dir, "documents")), rounds = 12)._2
+      graft.ml.BpeTrainer.trainedSegmentation(s, dir, rounds = 12)
         .select(col("word"), col("n_syms"))
         .write.mode("overwrite").parquet(s"$root/bpe_seg.parquet")
       done.createNewFile(): Unit
