@@ -353,10 +353,7 @@ object Bench {
     val results: Seq[(String, Double)] =
       work.map { case (name, _) => name -> best.getOrElse(name, lastDur(name)) }
         .toSeq ++ soak ++ streamSoak ++ lcSoak ++ soakNorm
-    // Seconds at 2-decimal precision: the driver keeps only a ~2000-char
-    // tail of stdout, so the single JSON line must stay well under that
-    // or the HEAD of the JSON gets truncated away (r6's full-name line
-    // was 1897 chars at 80 entries; this round crosses 90). Keys are the
+    // Seconds at 2-decimal precision. Keys are the
     // unique qNN prefix — the name every other artifact (CORRECTNESS,
     // VERDICT, BASELINE) already uses — which keeps the line ~1.1k.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
@@ -398,6 +395,21 @@ object Bench {
     val failedField =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"total_gate":${fmt(totalGate)},"total_serve":${fmt(totalServe)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField}""")
+    // The driver keeps only a ~2000-char TAIL of stdout and json-parses
+    // what it finds there; at 200+ entries the full line is ~3.3k, so a
+    // single line always lost its HEAD (metric/value/totals) — every
+    // round's BENCH_rN.json recorded parsed:null. Emit two lines:
+    //  1. the FULL map with the headline fields LAST, so even the
+    //     truncated tail of this line shows value/total_gate/total_serve;
+    //  2. a compact (<1k) line — same schema, queries trimmed to the
+    //     slowest 30 + calib — that fits the tail WHOLE and parses.
+    val headFields = s""""metric":"total","value":${fmt(total)},"total_gate":${fmt(totalGate)},"total_serve":${fmt(totalServe)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}$failedField"""
+    println(s"""{"queries":$qs,$headFields}""")
+    val slowest = results.sortBy(-_._2).take(30)
+    val compact = (slowest ++ results.filter(_._1.startsWith("calib")))
+      .distinctBy(_._1)
+      .map { case (k, v) => "\"" + shortName(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{$headFields,"queries":$compact,"queries_omitted":${results.size - slowest.size}}""")
   }
 }

@@ -49,4 +49,18 @@ object Bars {
       |         date_trunc('day', ts) AS day
       |  FROM events WHERE value <> 0
       |)""".stripMargin
+
+  /** [[sql]] plus a `barsn` CTE mirroring [[firstN]]. Sequential-kernel
+    * oracles (per-bar recursive CTEs: EWMA/Kalman/GARCH) read `barsn`
+    * so their recursion depth is FIXED at n per ticker at every scale
+    * factor — the oracle walks the same ~n-step recurrence whether the
+    * table holds 2k or 20k bars per ticker, instead of a depth (and
+    * roughly quadratic cost) that grows with SF. */
+  def sqlFirstN(n: Int): String =
+    s"""$sql,
+       |barsn AS (
+       |  SELECT ticker, ts, seq, price, day FROM (
+       |    SELECT ticker, ts, seq, price, day,
+       |      row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS brn
+       |    FROM bars) b WHERE brn <= $n)""".stripMargin
 }

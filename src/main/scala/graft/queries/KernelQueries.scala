@@ -40,8 +40,9 @@ object KernelQueries extends QueryModule {
   override def queries: Map[String, QFn] = Map(
     "q47_ewma_vol" -> ((s, dir) => {
       import s.implicits._
-      Bars.of(s, dir)
-        .select($"ticker", $"ts", $"seq", $"price")
+      // firstN(600): in-plan rank filter bounds the per-group footprint
+      // AND fixes the oracle's recursion depth at every SF (Bars.sqlFirstN)
+      Bars.firstN(s, dir, 600)
         .as[(String, java.sql.Timestamp, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (ticker, rows) =>
@@ -138,8 +139,7 @@ object KernelQueries extends QueryModule {
     // (0.1 / 2.0) — parameter estimation is Ar/Garch territory.
     "q134_kalman_level" -> ((s, dir) => {
       import s.implicits._
-      Bars.of(s, dir)
-        .select($"ticker", $"ts", $"seq", $"price")
+      Bars.firstN(s, dir, 600) // fixed oracle recursion depth per SF
         .as[(String, java.sql.Timestamp, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (ticker, rows) =>
@@ -206,8 +206,7 @@ object KernelQueries extends QueryModule {
       val fit = graft.forecast.Garch.Fit(omega = 2e-6, alpha = 0.08,
         beta = 0.90, persistence = 0.98, logLik = 0.0, converged = true,
         usedEwma = false)
-      val out = Bars.of(s, dir)
-        .select($"ticker", $"ts", $"seq", $"price")
+      val out = Bars.firstN(s, dir, 600) // fixed oracle depth per SF
         .as[(String, java.sql.Timestamp, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (ticker, rows) =>
@@ -472,11 +471,11 @@ object KernelQueries extends QueryModule {
     // all in DOUBLE (the bare 0.94 literal would be DECIMAL in DuckDB and
     // fold 1-0.94 exactly — CASTs force the same IEEE constants Scala uses)
     "q47_ewma_vol" ->
-      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+      s"""${Bars.sqlFirstN(600).replace("WITH bars", "WITH RECURSIVE bars")},
          |rets AS (
          |  SELECT ticker, seq, ts,
          |    price / lag(price, 1) OVER (PARTITION BY ticker ORDER BY ts, seq) - 1 AS r
-         |  FROM bars),
+         |  FROM barsn),
          |numbered AS (
          |  SELECT ticker, seq, r,
          |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
@@ -564,11 +563,11 @@ object KernelQueries extends QueryModule {
     // to DOUBLE so DuckDB uses the same IEEE constants Scala does.
     // Ops in Scala order: a' = a + k*(y−a); P' = (1−k)*(P+Q).
     "q134_kalman_level" ->
-      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+      s"""${Bars.sqlFirstN(600).replace("WITH bars", "WITH RECURSIVE bars")},
          |numbered AS (
          |  SELECT ticker, seq, price AS y,
          |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
-         |  FROM bars),
+         |  FROM barsn),
          |rec AS (
          |  SELECT ticker, seq, rn, y AS a, CAST(2.0 AS DOUBLE) AS p
          |  FROM numbered WHERE rn = 1
@@ -682,12 +681,12 @@ object KernelQueries extends QueryModule {
     // literal CAST to DOUBLE so DuckDB folds the same IEEE constants
     // Scala uses.
     "q149_garch_vol_path" ->
-      s"""${Bars.sql.replace("WITH bars", "WITH RECURSIVE bars")},
+      s"""${Bars.sqlFirstN(600).replace("WITH bars", "WITH RECURSIVE bars")},
          |rets AS (
          |  SELECT ticker,
          |    price / lag(price, 1) OVER (PARTITION BY ticker ORDER BY ts, seq) - 1 AS r,
          |    row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) - 1 AS rn
-         |  FROM bars),
+         |  FROM barsn),
          |r2 AS (
          |  SELECT ticker, r, rn, count(*) OVER (PARTITION BY ticker) AS m
          |  FROM rets WHERE r IS NOT NULL),
