@@ -36,6 +36,13 @@ object FunnelStream {
   final case class Stage(user_id: Long, t_view_us: Option[Long],
       t_click_us: Option[Long], t_purchase_us: Option[Long], stage: Int)
 
+  /** [[funnelSessions]] output row — keyed (user_id, t0_us): one row per
+    * funnel SESSION, so a user re-appearing after eviction MERGEs as a
+    * new session instead of overwriting the closed one. */
+  final case class SessionStage(user_id: Long, t0_us: Long,
+      t_view_us: Option[Long], t_click_us: Option[Long],
+      t_purchase_us: Option[Long], stage: Int)
+
   def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
 
@@ -48,25 +55,90 @@ object FunnelStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
           val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
-          sorted.foreach { e =>
-            val t = micros(e.ts)
-            if (st.t0 < 0) st = st.copy(t0 = t)
-            if (t < st.t0 + boxUs) e.event_type match {
-              case "view" if st.tView < 0 =>
-                st = st.copy(tView = t)
-              case "click" if st.tClick < 0 && st.tView >= 0 && st.tView < t =>
-                st = st.copy(tClick = t)
-              case "purchase"
-                  if st.tPurchase < 0 && st.tClick >= 0 && st.tClick < t =>
-                st = st.copy(tPurchase = t)
-              case _ => ()
-            }
-          }
+          val st = fold(
+            state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L)),
+            sorted, boxUs)
           state.update(st)
           def o(v: Long) = if (v >= 0) Some(v) else None
           Iterator.single(Stage(uid, o(st.tView), o(st.tClick), o(st.tPurchase),
             Seq(st.tView, st.tClick, st.tPurchase).count(_ >= 0)))
+      }
+  }
+
+  /** Shared per-batch fold: events (re-sorted) applied to a funnel state. */
+  private def fold(st0: FunnelState, sorted: Array[Ev], boxUs: Long)
+      : FunnelState = {
+    var st = st0
+    sorted.foreach { e =>
+      val t = micros(e.ts)
+      if (st.t0 < 0) st = st.copy(t0 = t)
+      if (t < st.t0 + boxUs) e.event_type match {
+        case "view" if st.tView < 0 =>
+          st = st.copy(tView = t)
+        case "click" if st.tClick < 0 && st.tView >= 0 && st.tView < t =>
+          st = st.copy(tClick = t)
+        case "purchase"
+            if st.tPurchase < 0 && st.tClick >= 0 && st.tClick < t =>
+          st = st.copy(tPurchase = t)
+        case _ => ()
+      }
+    }
+    st
+  }
+
+  /** Production-scale form of [[funnel]]: state EVICTS once the
+    * event-time watermark passes a funnel's close (t0 + boxHours).
+    * [[funnel]] keeps one state row per user FOREVER (NoTimeout) —
+    * correct for the lifetime-user parity contract, but an unbounded
+    * state store at 100 TB user cardinality. Closing is safe because no
+    * event at or past t0 + box can change any step (every step requires
+    * t < t0 + box), so the last Update-mode row already carries the
+    * final stage when the timeout removes the state.
+    *
+    * The semantic trade is explicit in the output key: once a user's
+    * state is evicted, a later event opens a NEW funnel session (fresh
+    * t0) — rows key by (user_id, t0_us), so a downstream MERGE keeps the
+    * closed session AND the new one, where [[funnel]] would have ignored
+    * every post-box event forever. For a user whose events all fall
+    * inside one box, the session row equals the lifetime row
+    * (FunnelStreamSpec pins parity, an actual eviction via the state-
+    * operator row count, and the re-open). Late data (an event arriving
+    * behind the watermark after eviction) re-opens a session rather than
+    * silently mutating a closed one; the batch funnel is the backfill
+    * remedy, exactly as for the bar streams. */
+  def funnelSessions(events: Dataset[Ev], boxHours: Int = 36,
+      lateness: String = "1 hour"): Dataset[SessionStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val boxUs = boxHours * 3600000000L
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, SessionStage](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed t0 + box: nothing can change this funnel;
+            // the sink already holds its final row. Drop the state.
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            val st = fold(
+              state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L)),
+              sorted, boxUs)
+            state.update(st)
+            // Close at t0 + box (micros → millis, rounded UP so the
+            // timeout never fires a microsecond early); the API rejects
+            // timestamps at or behind the current watermark, so clamp
+            // forward — the state then times out on the next batch.
+            val closeMs = (st.t0 + boxUs + 999L) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(closeMs, state.getCurrentWatermarkMs() + 1L))
+            def o(v: Long) = if (v >= 0) Some(v) else None
+            Iterator.single(SessionStage(uid, st.t0, o(st.tView),
+              o(st.tClick), o(st.tPurchase),
+              Seq(st.tView, st.tClick, st.tPurchase).count(_ >= 0)))
+          }
       }
   }
 }

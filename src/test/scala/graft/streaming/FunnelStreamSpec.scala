@@ -60,6 +60,52 @@ class FunnelStreamSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("funnelSessions: in-box parity, state eviction past watermark, re-open") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = FunnelStream.funnelSessions(input.toDS(), boxHours = 36,
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("fs_sess")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1 converts fully inside its box; u2's click shares the
+      // view's ts (must NOT count) — the same fold as the lifetime form
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "view", 1L),
+        Ev(1L, ts("2024-01-01 11:00:00"), "click", 2L),
+        Ev(1L, ts("2024-01-01 12:00:00"), "purchase", 3L),
+        Ev(2L, ts("2024-01-01 10:00:00"), "view", 4L),
+        Ev(2L, ts("2024-01-01 10:00:00"), "click", 5L))
+      q.processAllAvailable()
+      // batch 2: a far-future u3 event drags the watermark past both
+      // boxes (close = Jan 2 22:00; watermark = Jan 10 - 1h lateness)
+      input.addData(Ev(3L, ts("2024-01-10 00:00:00"), "view", 6L))
+      q.processAllAvailable()
+      // batch 3: runs with the advanced watermark — u1/u2 time out
+      input.addData(Ev(3L, ts("2024-01-10 00:00:01"), "click", 7L))
+      q.processAllAvailable()
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      assert(stateRows === 1L, "u1/u2 state must evict; only u3 remains")
+      // batch 4: u1 re-appears AFTER eviction — a NEW session (fresh t0),
+      // not a mutation of the closed one
+      input.addData(Ev(1L, ts("2024-01-10 05:00:00"), "view", 8L))
+      q.processAllAvailable()
+      val out = spark.table("fs_sess")
+        .select($"user_id", $"t0_us", $"t_view_us", $"t_click_us",
+          $"t_purchase_us", $"stage").collect()
+        .groupBy(r => (r.getLong(0), r.getLong(1)))
+        .view.mapValues(_.last).toMap
+      val d1 = FunnelStream.micros(ts("2024-01-01 10:00:00"))
+      assert(out((1L, d1)).getInt(5) === 3)            // closed session intact
+      assert(out((2L, d1)).getInt(5) === 1)            // same-ts click excluded
+      val d2 = FunnelStream.micros(ts("2024-01-10 05:00:00"))
+      assert(out((1L, d2)).getInt(5) === 1)            // re-opened session
+      assert(out((1L, d2)).getLong(1) === d2)
+    } finally q.stop()
+  }
+
   test("testdata parity: chronological micro-batches reproduce batch q193 exactly") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
