@@ -123,6 +123,34 @@ object EventQueries extends QueryModule {
         sum($"n").over(Window.partitionBy($"from_type")))
     }),
 
+    // Sessionized funnel (the batch twin of streaming funnelSessions):
+    // greedy box sessionization — session k+1 opens at the user's first
+    // event at or past t0_k + 36h, so every event lands in exactly one
+    // session — then the q193 ordered-funnel fold per session. The
+    // session walk is inherently sequential per user, so it runs as one
+    // flatMapGroups over the user_id shuffle; per-group memory is the
+    // user's OWN event count (~66 rows in testdata at every SF — user
+    // cardinality scales with data volume, history per user doesn't),
+    // the same bounded-group shape as the bar kernels. The oracle
+    // replays the walk as a per-event recursive CTE carrying the
+    // current session t0 (depth = max events per user, SF-invariant)
+    // and the q193 window idiom per (user, session). All-integer epoch
+    // micros — zero float surface.
+    "q208_funnel_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val boxUs = 36L * 3600000000L
+      graft.Tables.load(s, dir, "events")
+        .select($"user_id", $"ts", $"event_type", $"event_id")
+        .as[graft.streaming.FunnelStream.Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroups { (uid, rows) =>
+          val sorted = rows.toArray.sortBy(e =>
+            (graft.streaming.FunnelStream.micros(e.ts), e.event_id))
+          graft.streaming.FunnelStream.sessionize(uid, sorted, boxUs)
+        }
+        .toDF()
+    }),
+
     "q195_scd2" -> ((s, dir) => {
       import s.implicits._
       val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -142,6 +170,48 @@ object EventQueries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the session walk as a linear recursion over each user's ordered
+    // event index (depth = max events/user — SF-invariant), then the
+    // q193 step idiom partitioned by (user_id, session t0)
+    "q208_funnel_sessions" -> {
+      val w = "PARTITION BY user_id, t0 ORDER BY tus, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM events),
+         |walk AS (
+         |  SELECT user_id, rn, tus, tus AS t0 FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn, e.tus,
+         |    CASE WHEN e.tus >= w.t0 + 129600000000 THEN e.tus ELSE w.t0 END
+         |  FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1),
+         |se AS (
+         |  SELECT e.user_id, e.event_id, e.event_type, e.tus, w.t0
+         |  FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn),
+         |v AS (
+         |  SELECT *,
+         |    min(CASE WHEN event_type = 'view' THEN tus END) OVER ($w) AS vm
+         |  FROM se),
+         |c AS (
+         |  SELECT *, min(ck) OVER ($w) AS cm FROM (
+         |    SELECT *, CASE WHEN event_type = 'click' AND vm < tus THEN tus END
+         |      AS ck
+         |    FROM v)),
+         |f AS (
+         |  SELECT user_id, t0 AS t0_us,
+         |    min(CASE WHEN event_type = 'view' THEN tus END) AS t_view_us,
+         |    min(ck) AS t_click_us,
+         |    min(CASE WHEN event_type = 'purchase' AND cm < tus THEN tus END)
+         |      AS t_purchase_us
+         |  FROM c GROUP BY 1, 2)
+         |SELECT user_id, t0_us, t_view_us, t_click_us, t_purchase_us,
+         |  CAST((t_view_us IS NOT NULL)::INT + (t_click_us IS NOT NULL)::INT +
+         |    (t_purchase_us IS NOT NULL)::INT AS INT) AS stage
+         |FROM f""".stripMargin
+    },
+
     "q193_funnel" -> {
       val w = "PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"

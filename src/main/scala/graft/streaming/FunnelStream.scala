@@ -86,6 +86,33 @@ object FunnelStream {
     st
   }
 
+  /** Batch twin of [[funnelSessions]]: greedy box sessionization of one
+    * user's full ordered history — session k+1 opens at the first event
+    * at or past t0_k + box, every event lands in exactly one session,
+    * and the funnel fold runs per session. This is the BACKFILL form:
+    * the stream matches it when eviction is timely (each new session's
+    * first event arrives after the previous session's state timed out);
+    * a post-box event racing the watermark is dropped by the stream
+    * (its state hasn't closed yet) but sessionized here — q208 gates
+    * this form against a DuckDB recursive-walk replay. */
+  def sessionize(uid: Long, sorted: Array[Ev], boxUs: Long)
+      : Iterator[SessionStage] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionStage]
+    var i = 0
+    while (i < sorted.length) {
+      val t0 = micros(sorted(i).ts)
+      var j = i
+      while (j < sorted.length && micros(sorted(j).ts) < t0 + boxUs) j += 1
+      val st = fold(FunnelState(-1L, -1L, -1L, -1L),
+        sorted.slice(i, j), boxUs)
+      def o(v: Long) = if (v >= 0) Some(v) else None
+      out += SessionStage(uid, st.t0, o(st.tView), o(st.tClick),
+        o(st.tPurchase), Seq(st.tView, st.tClick, st.tPurchase).count(_ >= 0))
+      i = j
+    }
+    out.iterator
+  }
+
   /** Production-scale form of [[funnel]]: state EVICTS once the
     * event-time watermark passes a funnel's close (t0 + boxHours).
     * [[funnel]] keeps one state row per user FOREVER (NoTimeout) —

@@ -106,6 +106,37 @@ class FunnelStreamSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("sessionize: batch walk matches the streamed sessions (timely eviction)") {
+    // the funnelSessions fixture replayed through the batch twin: same
+    // greedy boxes, same per-session folds — equality holds because the
+    // fixture's eviction was timely (each re-open arrived after the
+    // previous session's close passed the watermark)
+    val boxUs = 36L * 3600000000L
+    def run(evs: Ev*) = FunnelStream.sessionize(evs.head.user_id,
+      evs.toArray.sortBy(e => (FunnelStream.micros(e.ts), e.event_id)), boxUs)
+      .map(s => s.t0_us -> ((s.t_view_us.isDefined, s.t_click_us.isDefined,
+        s.t_purchase_us.isDefined, s.stage))).toMap
+    val u1 = run(
+      Ev(1L, ts("2024-01-01 10:00:00"), "view", 1L),
+      Ev(1L, ts("2024-01-01 11:00:00"), "click", 2L),
+      Ev(1L, ts("2024-01-01 12:00:00"), "purchase", 3L),
+      Ev(1L, ts("2024-01-10 05:00:00"), "view", 8L))
+    assert(u1(FunnelStream.micros(ts("2024-01-01 10:00:00"))) ===
+      ((true, true, true, 3)))
+    assert(u1(FunnelStream.micros(ts("2024-01-10 05:00:00"))) ===
+      ((true, false, false, 1)))
+    // same-ts click still excluded inside a session; a post-box click
+    // opens a NEW session at stage 0 (click with no prior view)
+    val u2 = run(
+      Ev(2L, ts("2024-01-01 10:00:00"), "view", 4L),
+      Ev(2L, ts("2024-01-01 10:00:00"), "click", 5L),
+      Ev(2L, ts("2024-01-03 10:00:01"), "click", 10L))
+    assert(u2(FunnelStream.micros(ts("2024-01-01 10:00:00"))) ===
+      ((true, false, false, 1)))
+    assert(u2(FunnelStream.micros(ts("2024-01-03 10:00:01"))) ===
+      ((false, false, false, 0)))
+  }
+
   test("testdata parity: chronological micro-batches reproduce batch q193 exactly") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
