@@ -36,7 +36,8 @@ object SparkEntry {
     LayoutQueries,
     StatQueries,
     SyntheticQueries,
-    EventQueries
+    EventQueries,
+    SourceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Source-layer integration gates (SURVEY §2.1) — the cache-first read
+  * machinery of `sources/CacheManager` under the DuckDB hash gate.
+  *
+  * The reference calls cache-first reads its single biggest performance
+  * feature (yfinance_extractor.py:504-626 coverage/validity/partial-hit,
+  * :456-499 tail-delta; 20× per README.md:965). The contract a consumer
+  * depends on: whatever mix of full hits, head gaps, stale tails, and
+  * misses the cache is in, `read(tickers, start, end)` returns EXACTLY
+  * the provider's bars for [start, end] — complete (every gap fetched)
+  * and duplicate-free (deltas never re-fetch covered spans). q207 pins
+  * that contract end-to-end: it pre-seeds a scratch cache into all four
+  * coverage states, runs the REAL CacheManager.read with the bars table
+  * standing in as the provider, and the oracle is simply the provider's
+  * rows in range — any boundary slip (an off-by-one in the head/tail
+  * delta ranges re-fetching a covered bar, or skipping an uncovered
+  * one) shows up as a row-count/hash mismatch.
+  */
+object SourceQueries extends QueryModule {
+
+  private def scratch(name: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_$name").toString
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+    f.delete(): Unit
+  }
+
+  /** Timestamp from epoch micros (Timestamp(ms) would truncate). */
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  override def queries: Map[String, QFn] = Map(
+    // Cache state per ticker (cut points at exact integer percents of
+    // the global micros span, replayable in both engines):
+    //   click   → full coverage           (pure hit, no fetch)
+    //   view    → bars ≤ 50% only         (stale tail  → tail delta)
+    //   error   → bars ≥ 40% only         (head gap    → head fetch)
+    //   signup  → bars in [40%, 60%] only (both deltas)
+    //   purchase→ absent                  (miss → full-range fetch)
+    // Request = [25%, 75%]. Expected = provider bars in range, exactly.
+    "q207_cache_read" -> ((s, dir) => {
+      import s.implicits._
+      val provider = Bars.of(s, dir)
+        .select($"ticker", $"ts".as("date"), $"seq", $"price")
+      val (mn, mx) = provider
+        .agg(min(unix_micros($"date")), max(unix_micros($"date")))
+        .as[(Long, Long)].head()
+      val span = mx - mn
+      def pct(p: Long): Long = mn + span * p / 100
+      val us = unix_micros($"date")
+      // fresh cache every invocation: CacheManager appends, so a stale
+      // scratch dir from a previous bench rep would accumulate dups
+      val cacheDir = scratch("cache_read")
+      rm(new java.io.File(cacheDir))
+      val cache = new graft.sources.CacheManager(s, cacheDir)
+      cache.write(provider.where($"ticker" === "click"))
+      cache.write(provider.where($"ticker" === "view" && us <= pct(50)))
+      cache.write(provider.where($"ticker" === "error" && us >= pct(40)))
+      cache.write(provider.where($"ticker" === "signup"
+        && us.between(pct(40), pct(60))))
+      val tickers = Seq("click", "error", "purchase", "signup", "view")
+      cache.read(tickers, tsOf(pct(25)), tsOf(pct(75))) { (ts, a, b) =>
+        provider.where($"ticker".isin(ts: _*) && $"date".between(a, b))
+      }.select($"ticker", $"date", $"seq", $"price")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // the contract, not the mechanism: provider rows in [25%, 75%]
+    "q207_cache_read" ->
+      s"""${Bars.sql},
+         |b AS (SELECT ticker, ts AS date, seq, price, epoch_us(ts) AS us
+         |      FROM bars),
+         |sp AS (SELECT min(us) AS mn, max(us) AS mx FROM b),
+         |rng AS (SELECT mn + (mx - mn) * 25 // 100 AS s,
+         |               mn + (mx - mn) * 75 // 100 AS e FROM sp)
+         |SELECT ticker, date, seq, price FROM b, rng
+         |WHERE us BETWEEN rng.s AND rng.e""".stripMargin
+  )
+}
