@@ -40,6 +40,31 @@ class EventQueriesSpec extends AnyFunSuite with TestSpark {
         (r.get(1) != null, r.get(2) != null, r.get(3) != null)).toMap
   }
 
+  test("q208 sessionize: AT-boundary event opens a new session; one shuffle") {
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.Ev
+    val boxUs = 36L * 3600000000L
+    // an event EXACTLY at t0 + 36h is outside the box (strict <) and
+    // must open session 2 at its own timestamp
+    val evs = Array(
+      Ev(7L, ts("2024-01-01 10:00:00"), "view", 1L),
+      Ev(7L, ts("2024-01-02 22:00:00"), "view", 2L))
+    val out = FunnelStream.sessionize(7L, evs, boxUs).toSeq
+    assert(out.map(_.t0_us) === Seq(
+      FunnelStream.micros(ts("2024-01-01 10:00:00")),
+      FunnelStream.micros(ts("2024-01-02 22:00:00"))))
+    assert(out.forall(_.stage === 1))
+    // plan shape: the whole query is ONE user_id exchange — the session
+    // walk adds no shuffle beyond the groupByKey
+    val p = graft.SparkEntry.queries("q208_funnel_sessions")(
+      spark, "/root/testdata/sf0.001").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // formatted mode prints each node twice (tree + detail header);
+    // count the "(n) Exchange" detail headers only
+    val nEx = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(nEx === 1, s"q208 must shuffle exactly once on user_id:\n$p")
+  }
+
   test("funnel steps require STRICTLY later timestamps, in order") {
     val res = funnel(Seq(
       // u1: clean conversion view < click < purchase
