@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 /** Source-layer integration gates (SURVEY §2.1) — the cache-first read
-  * machinery of `sources/CacheManager` under the DuckDB hash gate.
+  * machinery of `sources/CacheManager` (q207) and the multi-provider
+  * failover chain of `sources/DataSourceManager` (q209) under the
+  * DuckDB hash gate.
   *
   * The reference calls cache-first reads its single biggest performance
   * feature (yfinance_extractor.py:504-626 coverage/validity/partial-hit,
@@ -69,6 +71,47 @@ object SourceQueries extends QueryModule {
       cache.read(tickers, tsOf(pct(25)), tsOf(pct(75))) { (ts, a, b) =>
         provider.where($"ticker".isin(ts: _*) && $"date".between(a, b))
       }.select($"ticker", $"date", $"seq", $"price")
+    }),
+
+    // Multi-provider failover chain (DataSourceManager — reference
+    // data_source_manager.py:389-437): per-ticker extraction through a
+    // 3-provider priority chain where alpha THROWS on 'error' and only
+    // serves click/view, beta only serves purchase, gamma serves all.
+    // Pins the priority order, the error-vs-empty failover tags, the
+    // provenance column, and that a thrown provider CONTINUES the chain.
+    // The oracle is the decision table the chain must produce: bars ×
+    // (source, failed_providers) per ticker.
+    "q209_failover" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.DataSourceManager
+      val provider = Bars.of(s, dir)
+        .select($"ticker", $"ts".as("date"), $"seq", $"price")
+      val (mn, mx) = provider.agg(min($"date"), max($"date"))
+        .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+      def src(nm: String, ok: Set[String], err: Set[String]) =
+        new DataSourceManager.Source {
+          val name = nm
+          def extract(ts: Seq[String], a: java.sql.Timestamp,
+              b: java.sql.Timestamp): org.apache.spark.sql.DataFrame = {
+            if (ts.exists(err))
+              throw new IllegalArgumentException(s"$nm cannot serve $ts")
+            val served = ts.filter(ok)
+            provider.where($"ticker".isin(served: _*)
+              && $"date".between(a, b))
+          }
+        }
+      val chain = new DataSourceManager.FailoverChain(Seq(
+        src("alpha", Set("click", "view"), Set("error")),
+        src("beta", Set("purchase"), Set.empty),
+        src("gamma",
+          Set("click", "view", "error", "purchase", "signup"), Set.empty)))
+      Seq("click", "error", "purchase", "signup", "view")
+        .map { t =>
+          val r = chain.extract(Seq(t), mn, mx)
+          r.df.withColumn("failed_providers",
+            lit(r.failedProviders.mkString(",")))
+        }
+        .reduce(_ unionByName _)
     })
   )
 
@@ -82,6 +125,19 @@ object SourceQueries extends QueryModule {
          |rng AS (SELECT mn + (mx - mn) * 25 // 100 AS s,
          |               mn + (mx - mn) * 75 // 100 AS e FROM sp)
          |SELECT ticker, date, seq, price FROM b, rng
-         |WHERE us BETWEEN rng.s AND rng.e""".stripMargin
+         |WHERE us BETWEEN rng.s AND rng.e""".stripMargin,
+
+    "q209_failover" ->
+      s"""${Bars.sql}
+         |SELECT ticker, ts AS date, seq, price,
+         |  CASE WHEN ticker IN ('click', 'view') THEN 'alpha'
+         |       WHEN ticker = 'purchase' THEN 'beta'
+         |       ELSE 'gamma' END AS source,
+         |  CASE WHEN ticker IN ('click', 'view') THEN ''
+         |       WHEN ticker = 'purchase' THEN 'alpha:empty'
+         |       WHEN ticker = 'error'
+         |         THEN 'alpha:IllegalArgumentException,beta:empty'
+         |       ELSE 'alpha:empty,beta:empty' END AS failed_providers
+         |FROM bars""".stripMargin
   )
 }
