@@ -38,6 +38,33 @@ object SourceQueries extends QueryModule {
     t
   }
 
+  /** The shared q207/q210 scenario: a FRESH scratch cache (CacheManager
+    * appends — a stale dir from a previous bench rep would accumulate
+    * dups) pre-seeded into the four coverage states, plus the provider
+    * frame and the span-percent cut function. */
+  private def seeded(s: org.apache.spark.sql.SparkSession, dir: String,
+      tag: String): (graft.sources.CacheManager,
+      org.apache.spark.sql.DataFrame, Long => Long) = {
+    import s.implicits._
+    val provider = Bars.of(s, dir)
+      .select($"ticker", $"ts".as("date"), $"seq", $"price")
+    val (mn, mx) = provider
+      .agg(min(unix_micros($"date")), max(unix_micros($"date")))
+      .as[(Long, Long)].head()
+    val span = mx - mn
+    def pct(p: Long): Long = mn + span * p / 100
+    val us = unix_micros($"date")
+    val cacheDir = scratch(tag)
+    rm(new java.io.File(cacheDir))
+    val cache = new graft.sources.CacheManager(s, cacheDir)
+    cache.write(provider.where($"ticker" === "click"))
+    cache.write(provider.where($"ticker" === "view" && us <= pct(50)))
+    cache.write(provider.where($"ticker" === "error" && us >= pct(40)))
+    cache.write(provider.where($"ticker" === "signup"
+      && us.between(pct(40), pct(60))))
+    (cache, provider, pct)
+  }
+
   override def queries: Map[String, QFn] = Map(
     // Cache state per ticker (cut points at exact integer percents of
     // the global micros span, replayable in both engines):
@@ -49,28 +76,28 @@ object SourceQueries extends QueryModule {
     // Request = [25%, 75%]. Expected = provider bars in range, exactly.
     "q207_cache_read" -> ((s, dir) => {
       import s.implicits._
-      val provider = Bars.of(s, dir)
-        .select($"ticker", $"ts".as("date"), $"seq", $"price")
-      val (mn, mx) = provider
-        .agg(min(unix_micros($"date")), max(unix_micros($"date")))
-        .as[(Long, Long)].head()
-      val span = mx - mn
-      def pct(p: Long): Long = mn + span * p / 100
-      val us = unix_micros($"date")
-      // fresh cache every invocation: CacheManager appends, so a stale
-      // scratch dir from a previous bench rep would accumulate dups
-      val cacheDir = scratch("cache_read")
-      rm(new java.io.File(cacheDir))
-      val cache = new graft.sources.CacheManager(s, cacheDir)
-      cache.write(provider.where($"ticker" === "click"))
-      cache.write(provider.where($"ticker" === "view" && us <= pct(50)))
-      cache.write(provider.where($"ticker" === "error" && us >= pct(40)))
-      cache.write(provider.where($"ticker" === "signup"
-        && us.between(pct(40), pct(60))))
+      val (cache, provider, pct) = seeded(s, dir, "cache_read")
       val tickers = Seq("click", "error", "purchase", "signup", "view")
       cache.read(tickers, tsOf(pct(25)), tsOf(pct(75))) { (ts, a, b) =>
         provider.where($"ticker".isin(ts: _*) && $"date".between(a, b))
       }.select($"ticker", $"date", $"seq", $"price")
+    }),
+
+    // The per-ticker cache-status report over the SAME scenario, read
+    // BEFORE any delta fetch mutates the cache: coverage bounds + the
+    // full/head_gap/stale_tail/head_and_tail/miss classification —
+    // the row-level form of the reference's cache counters
+    // (base_extractor.py:64-201). Pins the strict after/before
+    // comparisons the read path routes on, per ticker, with the
+    // coverage catalog's min/max beside them.
+    "q210_cache_status" -> ((s, dir) => {
+      import s.implicits._
+      val (cache, _, pct) = seeded(s, dir, "cache_status")
+      cache.statusOf(
+          Seq("click", "error", "purchase", "signup", "view"),
+          tsOf(pct(25)), tsOf(pct(75)))
+        .select($"ticker", unix_micros($"min_date").as("min_us"),
+          unix_micros($"max_date").as("max_us"), $"status")
     }),
 
     // Multi-provider failover chain (DataSourceManager — reference
@@ -126,6 +153,37 @@ object SourceQueries extends QueryModule {
          |               mn + (mx - mn) * 75 // 100 AS e FROM sp)
          |SELECT ticker, date, seq, price FROM b, rng
          |WHERE us BETWEEN rng.s AND rng.e""".stripMargin,
+
+    // the seeded coverage recomputed from the same predicates, then the
+    // same strict >/< routing the read path uses
+    "q210_cache_status" ->
+      s"""${Bars.sql},
+         |b AS (SELECT ticker, epoch_us(ts) AS us FROM bars),
+         |sp AS (SELECT min(us) AS mn, max(us) AS mx FROM b),
+         |rng AS (SELECT mn + (mx - mn) * 25 // 100 AS s,
+         |               mn + (mx - mn) * 75 // 100 AS e,
+         |               mn + (mx - mn) * 40 // 100 AS p40,
+         |               mn + (mx - mn) * 50 // 100 AS p50,
+         |               mn + (mx - mn) * 60 // 100 AS p60 FROM sp),
+         |seedcov AS (
+         |  SELECT ticker, min(us) AS min_us, max(us) AS max_us
+         |  FROM b CROSS JOIN rng
+         |  WHERE (ticker = 'click')
+         |     OR (ticker = 'view' AND us <= p50)
+         |     OR (ticker = 'error' AND us >= p40)
+         |     OR (ticker = 'signup' AND us BETWEEN p40 AND p60)
+         |  GROUP BY ticker),
+         |req AS (SELECT unnest(
+         |  ['click', 'error', 'purchase', 'signup', 'view']) AS ticker)
+         |SELECT r.ticker, c.min_us, c.max_us,
+         |  CASE WHEN c.ticker IS NULL THEN 'miss'
+         |       WHEN c.min_us > rng.s AND c.max_us < rng.e
+         |         THEN 'head_and_tail'
+         |       WHEN c.min_us > rng.s THEN 'head_gap'
+         |       WHEN c.max_us < rng.e THEN 'stale_tail'
+         |       ELSE 'full' END AS status
+         |FROM req r CROSS JOIN rng
+         |LEFT JOIN seedcov c ON r.ticker = c.ticker""".stripMargin,
 
     "q209_failover" ->
       s"""${Bars.sql}

@@ -123,6 +123,34 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
         col("date").between(start, end))
   }
 
+  /** Per-ticker cache status for a request — the row-level form of
+    * [[stats]]: (ticker, min_date, max_date, status) with status ∈
+    * full | head_gap | stale_tail | head_and_tail | miss, using the
+    * SAME strict after/before comparisons read() routes on. Bounded by
+    * the request (coverageOf prunes to the requested partitions), so
+    * the report costs one aggregate however many tickers the cache has
+    * accumulated. */
+  def statusOf(tickers: Seq[String], start: java.sql.Timestamp,
+      end: java.sql.Timestamp): DataFrame = {
+    val cov = coverageOf(tickers)
+    val rows = tickers.sorted.map { t =>
+      cov.get(t) match {
+        case None => (t, None: Option[java.sql.Timestamp],
+          None: Option[java.sql.Timestamp], "miss")
+        case Some((lo, hi)) =>
+          val status = (lo.after(start), hi.before(end)) match {
+            case (false, false) => "full"
+            case (true, false)  => "head_gap"
+            case (false, true)  => "stale_tail"
+            case (true, true)   => "head_and_tail"
+          }
+          (t, Some(lo), Some(hi), status)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("ticker", "min_date", "max_date", "status")
+  }
+
   /** Hit/miss accounting for a request (mirrors the reference's cache
     * counters, base_extractor.py:64-201). */
   def stats(tickers: Seq[String], start: java.sql.Timestamp,
