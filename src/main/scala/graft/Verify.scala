@@ -36,6 +36,11 @@ object Verify {
     System.err.println(
       if (failed.isEmpty) s"[verify] all ${selected.size} queries dumped"
       else s"[verify] ${failed.size} FAILED: ${failed.sorted.mkString(", ")}")
+    // ...and a machine-readable one on stdout: round 12's external
+    // correctness artifact came back empty with no trace of WHERE the
+    // pipeline broke; a parseable dump receipt bounds the search.
+    println(s"""{"verify_dumped":${selected.size - failed.size},""" +
+      s""""verify_failed":${failed.size},"out":"$outDir"}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
