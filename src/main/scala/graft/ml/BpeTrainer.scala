@@ -62,15 +62,21 @@ object BpeTrainer {
   def train(wordFreq: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
+    // Every round's state is an EAGER localCheckpoint, not a cache on a
+    // growing lineage: with cache(), round r's census plan carried r
+    // chained typed maps, so Catalyst re-analyzed and re-generated code
+    // for a DIFFERENT (deeper) plan every round — ~0.5 s/round of pure
+    // driver work that dwarfed the vocab-sized dataflow (q190 measured
+    // 6.2 s at sf0.001 even on local[1]). Checkpointing resets each
+    // round's plan to LogicalRDD → census, a CONSTANT shape, so
+    // analysis is trivial and codegen caches after round 1 — the same
+    // fix TextRank needed for its iteration loop. The checkpoint write
+    // is vocab-sized (trivial), and it doubles as the per-round
+    // durability point a production vocab-scale run wants anyway.
     var cur: Dataset[WordSyms] = wordFreq
       .select($"word".as[String], $"wf".as[Long])
       .map { case (w, f) => WordSyms(w, f, w.map(_.toString) :+ EndOfWord) }
-      .cache()
-    // One Spark action per round (the census), not three: the census
-    // over `cur` is what materializes its cache, and the PREVIOUS
-    // round's table is unpersisted only after that — so no extra
-    // count() materialization job per round, and nothing recomputes.
-    var prev: Option[Dataset[WordSyms]] = None
+      .localCheckpoint(true)
     val merges = ArrayBuffer.empty[Merge]
     var r = 1
     var exhausted = false
@@ -83,28 +89,23 @@ object BpeTrainer {
         .groupBy($"p.a", $"p.b").agg(sum($"wf").as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b"))
         .limit(1).collect()
-      prev.foreach(_.unpersist()) // cur is materialized now; parent can go
-      prev = None
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, c) = (best.head.getString(0), best.head.getString(1),
           best.head.getLong(2))
         merges += Merge(a, b, c, r)
-        val next = cur.map(ws => ws.copy(syms = applyMerge(ws.syms, a, b))).cache()
-        prev = Some(cur)
-        cur = next
+        cur = cur.map(ws => ws.copy(syms = applyMerge(ws.syms, a, b)))
+          .localCheckpoint(true)
         r += 1
       }
     }
-    // Snapshot the result and free the working cache: the segmentation
-    // is the durable artifact (a production run reliably-checkpoints or
-    // writes it here); callers reuse a materialized table, not a
-    // 12-round lineage pinned to an internal cache.
+    // Snapshot the result: the segmentation is the durable artifact (a
+    // production run reliably-checkpoints or writes it here); callers
+    // reuse a materialized table with no lineage into the round states.
     val seg = cur.toDF().select($"word", $"wf",
       size($"syms").cast("long").as("n_syms"),
       array_join($"syms", " ").as("seg"))
       .localCheckpoint(true)
-    cur.unpersist()
     (merges.toSeq, seg)
   }
 
