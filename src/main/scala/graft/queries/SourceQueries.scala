@@ -100,6 +100,26 @@ object SourceQueries extends QueryModule {
           unix_micros($"max_date").as("max_us"), $"status")
     }),
 
+    // Column standardizer (etl/Standardize — the reference's
+    // _standardize_columns, base_extractor.py:203-257): a deliberately
+    // messy provider frame (padded mixed-case ticker under "Symbol",
+    // "Timestamp"/"O"/"H"/"L"/"C"/"Vol" spellings) through the REAL
+    // standardizer. The oracle states the canonical RESULT — alias
+    // mapping, lowercase canonicalization, and ticker upper+trim all
+    // gate. Pure projection: zero shuffles at any scale.
+    "q211_standardize" -> ((s, dir) => {
+      import s.implicits._
+      val messy = Bars.of(s, dir).select(
+        concat(lit("  "), $"ticker", lit(" ")).as("Symbol"),
+        $"ts".as("Timestamp"),
+        $"price".as("O"), ($"price" + 1.0).as("H"),
+        ($"price" - 1.0).as("L"), $"price".as("C"),
+        $"seq".as("Vol"))
+      graft.etl.Standardize(messy)
+        .select($"ticker", $"date", $"open", $"high", $"low", $"close",
+          $"volume")
+    }),
+
     // Multi-provider failover chain (DataSourceManager — reference
     // data_source_manager.py:389-437): per-ticker extraction through a
     // 3-provider priority chain where alpha THROWS on 'error' and only
@@ -184,6 +204,13 @@ object SourceQueries extends QueryModule {
          |       ELSE 'full' END AS status
          |FROM req r CROSS JOIN rng
          |LEFT JOIN seedcov c ON r.ticker = c.ticker""".stripMargin,
+
+    "q211_standardize" ->
+      s"""${Bars.sql}
+         |SELECT upper(ticker) AS ticker, ts AS date,
+         |  price AS open, price + 1.0 AS high, price - 1.0 AS low,
+         |  price AS close, seq AS volume
+         |FROM bars""".stripMargin,
 
     "q209_failover" ->
       s"""${Bars.sql}
