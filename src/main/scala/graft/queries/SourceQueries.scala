@@ -57,11 +57,14 @@ object SourceQueries extends QueryModule {
     val cacheDir = scratch(tag)
     rm(new java.io.File(cacheDir))
     val cache = new graft.sources.CacheManager(s, cacheDir)
-    cache.write(provider.where($"ticker" === "click"))
-    cache.write(provider.where($"ticker" === "view" && us <= pct(50)))
-    cache.write(provider.where($"ticker" === "error" && us >= pct(40)))
-    cache.write(provider.where($"ticker" === "signup"
-      && us.between(pct(40), pct(60))))
+    // one seed write, not four: the cache contents are a union anyway
+    // (append order is irrelevant to coverage), and a single parquet
+    // write is one job instead of four
+    cache.write(provider.where(
+      ($"ticker" === "click")
+        || ($"ticker" === "view" && us <= pct(50))
+        || ($"ticker" === "error" && us >= pct(40))
+        || ($"ticker" === "signup" && us.between(pct(40), pct(60)))))
     (cache, provider, pct)
   }
 
