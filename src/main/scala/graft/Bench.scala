@@ -406,10 +406,13 @@ object Bench {
     val headFields = s""""metric":"total","value":${fmt(total)},"total_gate":${fmt(totalGate)},"total_serve":${fmt(totalServe)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}$failedField"""
     println(s"""{"queries":$qs,$headFields}""")
     val slowest = results.sortBy(-_._2).take(30)
-    val compact = (slowest ++ results.filter(_._1.startsWith("calib")))
+    val compactEntries = (slowest ++ results.filter(_._1.startsWith("calib")))
       .distinctBy(_._1)
+    val compact = compactEntries
       .map { case (k, v) => "\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{$headFields,"queries":$compact,"queries_omitted":${results.size - slowest.size}}""")
+    // omitted = what the compact map actually dropped (calib entries
+    // outside the top-30 are IN the map, so subtract the real size)
+    println(s"""{$headFields,"queries":$compact,"queries_omitted":${results.size - compactEntries.size}}""")
   }
 }

@@ -109,8 +109,13 @@ object BpeTrainer {
     (merges.toSeq, seg)
   }
 
+  // Keyed by the session OBJECT via a WeakHashMap: identityHashCode is
+  // not unique (after GC a new session can collide with a stopped one's
+  // hash and hand back a DataFrame bound to a dead session), and weak
+  // keys let a stopped session's entries be collected instead of pinned.
   private val segMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]
 
   /** Memoized [[train]] over a dir's `documents` table: q190, q191, and
     * the serve-artifact build consume the SAME 12-round segmentation, so
@@ -120,11 +125,19 @@ object BpeTrainer {
     * timed rep ([[clearSegMemo]]) so the q190/q191 gate arms remain
     * self-contained measurements. */
   def trainedSegmentation(spark: org.apache.spark.sql.SparkSession,
-      dir: String, rounds: Int = 12): DataFrame =
-    segMemo.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, rounds),
+      dir: String, rounds: Int = 12): DataFrame = {
+    val perSession = segMemo.synchronized {
+      var m = segMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+        segMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, rounds),
       train(wordFrequencies(graft.Tables.load(spark, dir, "documents")),
         rounds)._2)
+  }
 
-  def clearSegMemo(): Unit = segMemo.clear()
+  def clearSegMemo(): Unit = segMemo.synchronized(segMemo.clear())
 }

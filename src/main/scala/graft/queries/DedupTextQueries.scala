@@ -1312,7 +1312,9 @@ object DedupTextQueries extends QueryModule {
       def iter(i: Int): String = {
         val p = s"pr${i - 1}"
         s"""m$i AS (
-           |  SELECT e.dst, SUM((p.pr * e.w) // p.wdeg) AS msg
+           |  SELECT e.dst,
+           |    SUM((CAST(p.pr AS HUGEINT) * CAST(e.w AS HUGEINT)) // p.wdeg)
+           |      AS msg
            |  FROM edges e JOIN $p p ON p.node = e.src GROUP BY 1),
            |pr$i AS MATERIALIZED (
            |  SELECT p.node, p.wdeg, p.unit,

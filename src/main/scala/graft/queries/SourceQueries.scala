@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object SourceQueries extends QueryModule {
 
+  /** Per-process scratch root: two concurrent JVMs (a test suite running
+    * beside a bench) must not rm/append the same cache dir, so the path
+    * carries this JVM's pid. Within one JVM the fixed name is what we
+    * want — each rep re-seeds the same dir after rm. */
+  private val pidNonce: Long = ProcessHandle.current.pid
+
   private def scratch(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_$name").toString
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${pidNonce}_$name").toString
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))

@@ -22,9 +22,23 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
 
   private def path = s"$cacheDir/bars"
 
+  /** Epoch micros of a Timestamp, sub-millisecond part included — the
+    * delta-fetch bounds MUST be computed at the timestamps' own
+    * precision: with millisecond arithmetic, provider bars in the same
+    * millisecond as a coverage edge (ts in [floor_ms(lo), lo)) were
+    * never fetched and read() silently returned an incomplete range. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def isEmpty: Boolean = !Files.exists(Paths.get(path))
 
-  /** Earliest start (epoch ms) already head-probed per ticker. Once the
+  /** Earliest start (epoch micros) already head-probed per ticker. Once the
     * provider has been asked for [start, cachedLo) — whatever it
     * returned — re-asking for the same or a later start can never add
     * rows, so the head-gap branch skips it; without this mark a ticker
@@ -96,7 +110,7 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
     // probe mark that head range re-fetched on every read, forever).
     val probes = loadProbes()
     val headGap = tickers.filter(t => cov.get(t).exists { case (lo, _) =>
-      lo.after(start) } && probes.get(t).forall(_ > start.getTime))
+      lo.after(start) } && probes.get(t).forall(_ > micros(start)))
     val staleTail = tickers.filter(t => cov.get(t).exists { case (_, hi) =>
       hi.before(end) })
 
@@ -104,17 +118,17 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
     if (headGap.nonEmpty) {
       headGap.foreach { t =>
         val lo = cov(t)._1
-        val head = fetch(Seq(t), start, new java.sql.Timestamp(lo.getTime - 1))
+        val head = fetch(Seq(t), start, tsOfMicros(micros(lo) - 1))
         if (!head.isEmpty) write(head)
       }
       // whatever came back is cached now: [start, lo) is settled
       saveProbes(probes ++ headGap.map(t =>
-        t -> math.min(probes.getOrElse(t, Long.MaxValue), start.getTime)))
+        t -> math.min(probes.getOrElse(t, Long.MaxValue), micros(start))))
     }
     staleTail.foreach { t =>
       val hi = cov(t)._2
       // tail delta: only the bars after the cached high-water mark
-      val delta = fetch(Seq(t), new java.sql.Timestamp(hi.getTime + 1), end)
+      val delta = fetch(Seq(t), tsOfMicros(micros(hi) + 1), end)
       if (!delta.isEmpty) write(delta)
     }
 
