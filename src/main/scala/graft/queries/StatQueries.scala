@@ -239,6 +239,42 @@ object StatQueries extends QueryModule {
           }
         }
         .toDF("ticker", "ci_lo", "ci_hi")
+    }),
+
+    // Barbell feasible-region projection (risk/barbell_policy.py:96-189
+    // bucket_weights + project_to_feasible): per-cohort portfolio
+    // weight vectors — event-count shares over the five event types,
+    // exact BIGINT counts divided in double — through the REAL
+    // PortfolioMath.barbellProject, with per-cohort caps chosen so
+    // every branch of the decision tree fires somewhere (risk cap on/
+    // off, the coreMax>0 guard, spec cap, safe floor + donor scaling,
+    // final renormalization). Scale: one count aggregation is the only
+    // shuffle; the kernel is a per-group O(assets) pass — portfolios
+    // are the parallel unit, same as q165/q166.
+    "q212_barbell_project" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Array("click", "error", "purchase", "signup", "view")
+      val bArr = Array("safe", "spec", "core", "other", "core")
+      graft.Tables.load(s, dir, "events")
+        .groupBy(($"user_id" % 7).as("pf"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (pf, rows) =>
+          val n = rows.map(r => r._2 -> r._3).toMap
+          val counts = assets.map(a => n.getOrElse(a, 0L))
+          var nTot = 0L
+          counts.foreach(nTot += _)
+          val w0 = counts.map(c => c.toDouble / nTot.toDouble)
+          val riskMax = 0.45 + 0.05 * (pf % 4).toDouble
+          val coreMax = if (pf % 3 == 0) 0.0 else 0.28
+          val specMax = 0.10
+          val safeMin = 0.25 + 0.10 * (pf % 2).toDouble
+          val w = PortfolioMath.barbellProject(
+            w0, bArr, riskMax, coreMax, specMax, safeMin)
+          assets.indices.map(i => (pf, assets(i), bArr(i), w0(i), w(i)))
+        }
+        .toDF("pf", "asset", "bucket", "weight_raw", "weight")
     })
   )
 
@@ -547,6 +583,98 @@ object StatQueries extends QueryModule {
          |SELECT ticker,
          |  MAX(CASE WHEN rk = 3 THEN mean END) AS ci_lo,
          |  MAX(CASE WHEN rk = 98 THEN mean END) AS ci_hi
-         |FROM ranked GROUP BY ticker""".stripMargin
+         |FROM ranked GROUP BY ticker""".stripMargin,
+
+    // Replays barbellProject stage by stage in the kernel's exact IEEE
+    // op order: fixed asset order click/error/purchase/signup/view
+    // (w1..w5), left-assoc sums, every conditional scale mirrored as
+    // ×1.0 when its branch does not fire (exact identity), the safe
+    // floor's donor factor max(0, 1−deficit/(total−safe)) and boost
+    // 1+deficit/safe_current, then the ≠-guarded renormalization to
+    // the ORIGINAL left-assoc total.
+    "q212_barbell_project" -> {
+      val D1 = "CAST(1.0 AS DOUBLE)"
+      val D0 = "CAST(0.0 AS DOUBLE)"
+      s"""WITH cnt AS (
+         |  SELECT user_id % 7 AS pf,
+         |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+         |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n2,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n3,
+         |    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n4,
+         |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n5
+         |  FROM events GROUP BY 1),
+         |w0 AS (
+         |  SELECT pf,
+         |    CAST(n1 AS DOUBLE) / nt AS w1, CAST(n2 AS DOUBLE) / nt AS w2,
+         |    CAST(n3 AS DOUBLE) / nt AS w3, CAST(n4 AS DOUBLE) / nt AS w4,
+         |    CAST(n5 AS DOUBLE) / nt AS w5,
+         |    CAST(0.45 AS DOUBLE)
+         |      + CAST(0.05 AS DOUBLE) * CAST(pf % 4 AS DOUBLE) AS risk_max,
+         |    CASE WHEN pf % 3 = 0 THEN $D0
+         |         ELSE CAST(0.28 AS DOUBLE) END AS core_max,
+         |    CAST(0.10 AS DOUBLE) AS spec_max,
+         |    CAST(0.25 AS DOUBLE)
+         |      + CAST(0.10 AS DOUBLE) * CAST(pf % 2 AS DOUBLE) AS safe_min
+         |  FROM (SELECT *,
+         |      CAST((((n1 + n2) + n3) + n4) + n5 AS DOUBLE) AS nt
+         |    FROM cnt) c),
+         |s1 AS (
+         |  SELECT *,
+         |    CASE WHEN traw = $D0 THEN $D1 ELSE traw END AS total,
+         |    (w3 + w5) + w2 AS risk0
+         |  FROM (SELECT *, (((w1 + w2) + w3) + w4) + w5 AS traw FROM w0) t),
+         |s2 AS (
+         |  SELECT *, w1 AS a1, w4 AS a4,
+         |    w2 * rs AS a2, w3 * rs AS a3, w5 * rs AS a5
+         |  FROM (SELECT *,
+         |      CASE WHEN risk0 > risk_max
+         |        THEN risk_max / GREATEST(risk0, CAST(1e-12 AS DOUBLE))
+         |        ELSE $D1 END AS rs
+         |    FROM s1) t),
+         |s3 AS (
+         |  SELECT *, a3 * cs AS b3, a5 * cs AS b5, a2 * ss AS b2
+         |  FROM (SELECT *,
+         |      CASE WHEN (a3 + a5) > core_max AND core_max > $D0
+         |        THEN core_max / GREATEST(a3 + a5, CAST(1e-12 AS DOUBLE))
+         |        ELSE $D1 END AS cs,
+         |      CASE WHEN a2 > spec_max AND spec_max > $D0
+         |        THEN spec_max / GREATEST(a2, CAST(1e-12 AS DOUBLE))
+         |        ELSE $D1 END AS ss
+         |    FROM s2) t),
+         |s4 AS (
+         |  SELECT *, a1 * bf AS d1, b2 * nf AS d2, b3 * nf AS d3,
+         |    a4 * nf AS d4, b5 * nf AS d5
+         |  FROM (SELECT *,
+         |      CASE WHEN a1 < safe_min AND (total - a1) > $D0
+         |        THEN GREATEST($D0,
+         |          $D1 - (safe_min - a1) / (total - a1))
+         |        ELSE $D1 END AS nf,
+         |      CASE WHEN a1 < safe_min AND (total - a1) > $D0
+         |          AND a1 > $D0
+         |        THEN $D1 + (safe_min - a1) / a1
+         |        ELSE $D1 END AS bf
+         |    FROM s3) t),
+         |s5 AS (
+         |  SELECT pf, w1, w2, w3, w4, w5,
+         |    d1 * fs AS f1, d2 * fs AS f2, d3 * fs AS f3,
+         |    d4 * fs AS f4, d5 * fs AS f5
+         |  FROM (SELECT *,
+         |      CASE WHEN ntc <> total THEN total / ntc ELSE $D1 END AS fs
+         |    FROM (SELECT *,
+         |        CASE WHEN ntraw = $D0 THEN $D1 ELSE ntraw END AS ntc
+         |      FROM (SELECT *,
+         |          (((d1 + d2) + d3) + d4) + d5 AS ntraw
+         |        FROM s4) t0) t1) t2)
+         |SELECT pf, a.asset, a.bucket,
+         |  CASE a.asset WHEN 'click' THEN w1 WHEN 'error' THEN w2
+         |    WHEN 'purchase' THEN w3 WHEN 'signup' THEN w4
+         |    ELSE w5 END AS weight_raw,
+         |  CASE a.asset WHEN 'click' THEN f1 WHEN 'error' THEN f2
+         |    WHEN 'purchase' THEN f3 WHEN 'signup' THEN f4
+         |    ELSE f5 END AS weight
+         |FROM s5, (VALUES ('click', 'safe'), ('error', 'spec'),
+         |  ('purchase', 'core'), ('signup', 'other'),
+         |  ('view', 'core')) a(asset, bucket)""".stripMargin
+    }
   )
 }

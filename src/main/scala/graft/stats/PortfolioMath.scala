@@ -299,4 +299,88 @@ object PortfolioMath {
 
   def plattApply(a: Double, b: Double)(x: Double): Double =
     1.0 / (1.0 + math.exp(-(a * x + b)))
+
+  /** Bucket roll-up for a weight vector: left-to-right sums of the
+    * weights whose bucket matches, in input order — the float op order
+    * is part of the contract (the q212 oracle replays it term by term).
+    * Rebuild of /root/reference/risk/barbell_policy.py:104-121
+    * bucket_weights (safe/core/spec/other). */
+  def barbellBucketSum(w: Array[Double], buckets: Array[String],
+      bucket: String): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < w.length) {
+      if (buckets(i) == bucket) s += w(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Projection of a raw weight vector into the barbell-feasible region —
+    * rebuild of /root/reference/risk/barbell_policy.py:123-189
+    * project_to_feasible, op-for-op:
+    *   1. risk cap: if core+spec > riskMax, scale core∪spec by
+    *      riskMax/max(risk, 1e-12), then recompute buckets;
+    *   2. per-bucket caps: core > coreMax > 0 and spec > specMax > 0
+    *      each scale only their own bucket (spec's base is the
+    *      post-risk-cap spec, unchanged by the core cap);
+    *   3. safe floor: if safe < safeMin, take the deficit
+    *      proportionally from every non-safe symbol (factor
+    *      max(0, 1 − deficit/(total − safe))), then boost the safe
+    *      symbols by 1 + deficit/safe_current when safe_current > 0;
+    *   4. renormalize to the ORIGINAL total iff the sum moved.
+    * All sums are left-to-right in input order; scales multiply only
+    * when their branch fires (mirrored as ×1.0 otherwise — exact).
+    * Asset counts are tiny (a handful of buckets per portfolio), so
+    * this is a per-group kernel; the distributed work is producing the
+    * weight vectors, one per portfolio, upstream. */
+  def barbellProject(w0: Array[Double], buckets: Array[String],
+      riskMax: Double, coreMax: Double, specMax: Double,
+      safeMin: Double): Array[Double] = {
+    val w = w0.clone()
+    def bsum(b: String): Double = barbellBucketSum(w, buckets, b)
+    def scaleWhere(p: Int => Boolean, scale: Double): Unit = {
+      var i = 0
+      while (i < w.length) { if (p(i)) w(i) *= scale; i += 1 }
+    }
+    def totalOf(): Double = {
+      var s = 0.0; var i = 0
+      while (i < w.length) { s += w(i); i += 1 }
+      s
+    }
+    val totalRaw = totalOf()
+    val total = if (totalRaw == 0.0) 1.0 else totalRaw
+
+    var core = bsum("core")
+    var spec = bsum("spec")
+    val risk = core + spec
+    if (risk > riskMax) {
+      val scale = riskMax / math.max(risk, 1e-12)
+      scaleWhere(i => buckets(i) == "core" || buckets(i) == "spec", scale)
+      core = bsum("core")
+      spec = bsum("spec")
+    }
+    if (core > coreMax && coreMax > 0)
+      scaleWhere(i => buckets(i) == "core", coreMax / math.max(core, 1e-12))
+    if (spec > specMax && specMax > 0)
+      scaleWhere(i => buckets(i) == "spec", specMax / math.max(spec, 1e-12))
+
+    val safe = bsum("safe")
+    if (safe < safeMin) {
+      val deficit = safeMin - safe
+      val donorTotal = total - safe
+      if (donorTotal > 0) {
+        val frac = deficit / donorTotal
+        scaleWhere(i => buckets(i) != "safe", math.max(0.0, 1.0 - frac))
+        val safeCurrent = bsum("safe")
+        if (safeCurrent > 0)
+          scaleWhere(i => buckets(i) == "safe", 1.0 + deficit / safeCurrent)
+      }
+    }
+
+    val newTotalRaw = totalOf()
+    val newTotal = if (newTotalRaw == 0.0) 1.0 else newTotalRaw
+    if (newTotal != total) scaleWhere(_ => true, total / newTotal)
+    w
+  }
 }

@@ -201,4 +201,55 @@ class StatsSpec extends AnyFunSuite with TestSpark {
       Map("a" -> 1e6, "b" -> 0.0))
     assert(sat === Some(1.0))
   }
+
+  test("barbellProject enforces caps, floors, and total preservation") {
+    val buckets = Array("safe", "spec", "core", "other", "core")
+    def bsum(w: Array[Double], b: String) =
+      PortfolioMath.barbellBucketSum(w, buckets, b)
+
+    // Already feasible: risk 0.3 ≤ 0.45, core 0.2 ≤ 0.28, spec 0.1 ≤
+    // 0.15, safe 0.5 ≥ 0.35 — a strict no-op (renorm branch not taken).
+    val feasible = Array(0.5, 0.1, 0.1, 0.2, 0.1)
+    assert(PortfolioMath.barbellProject(feasible, buckets,
+      riskMax = 0.45, coreMax = 0.28, specMax = 0.15, safeMin = 0.35)
+      .sameElements(feasible))
+
+    // All branches fire: uniform 0.2 ⇒ risk 0.6 > 0.45, then core
+    // 0.3 > 0.28, spec 0.15 > 0.10, safe 0.2 < 0.35. Hand-replay:
+    // risk ×0.75 ⇒ core .3/spec .15; caps ⇒ core .28/spec .10; safe
+    // deficit .15 over donor pool (total−safe = .8) shrinks non-safe
+    // ×.8125 and boosts safe to .35 (post-floor sum .82125); the final
+    // renorm ×(1/.82125) restores total 1.
+    val w0 = Array(0.2, 0.2, 0.2, 0.2, 0.2)
+    val w = PortfolioMath.barbellProject(w0, buckets,
+      riskMax = 0.45, coreMax = 0.28, specMax = 0.10, safeMin = 0.35)
+    assert(math.abs(w.sum - 1.0) < 1e-12)          // total preserved
+    assert(w.forall(_ >= 0.0))
+    val fs = 1.0 / 0.82125
+    assert(math.abs(w(0) - 0.35 * fs) < 1e-9)                 // safe
+    assert(math.abs(w(1) - 0.10 * 0.8125 * fs) < 1e-9)        // spec
+    assert(math.abs(w(2) - 0.14 * 0.8125 * fs) < 1e-9)        // core half
+    assert(math.abs(w(3) - 0.20 * 0.8125 * fs) < 1e-9)        // other
+    assert(bsum(w, "safe") >= 0.35 - 1e-9)         // floor met
+
+    // coreMax = 0 disables the core cap (the reference's chained
+    // `core > core_max > 0` comparison). Reference quirk preserved:
+    // the final renorm restores the TOTAL even when that pushes the
+    // risk bucket back above riskMax (here 0.8-sum → ×1.25 ⇒ risk 0.5).
+    val w2 = PortfolioMath.barbellProject(w0, buckets,
+      riskMax = 0.45, coreMax = 0.0, specMax = 0.10, safeMin = 0.0)
+    assert(bsum(w2, "core") > 0.28)                // not core-capped
+    assert(math.abs(
+      (bsum(w2, "core") + bsum(w2, "spec")) - 0.5) < 1e-9)
+
+    // zero safe holdings: deficit cannot be redistributed into safe
+    // (safe_current = 0 skips the boost), but donors still shrink and
+    // the final renorm restores the original total
+    val noSafe = Array(0.0, 0.25, 0.25, 0.25, 0.25)
+    val w3 = PortfolioMath.barbellProject(noSafe, buckets,
+      riskMax = 1.0, coreMax = 0.0, specMax = 0.0, safeMin = 0.3)
+    assert(bsum(w3, "safe") === 0.0)
+    assert(math.abs(w3.sum - 1.0) < 1e-12)
+
+  }
 }
