@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import scala.reflect.ClassTag
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.math.{BigDecimal => JBig}
@@ -29,14 +32,18 @@ import java.math.{BigDecimal => JBig}
   *      partitions. Collected size is O(partitions * keys-per-partition
   *      * h) — broadcast back;
   *   3. each partition streams its sorted rows once with an O(h)
-  *      ring buffer of exact decimal prefix sums — no second shuffle,
-  *      no row duplication.
+  *      kernel — no second shuffle, no row duplication.
   *
-  * Exactness: quantization happens in Spark expressions BEFORE the
-  * kernel — x itself on the raw (38,6) grid, the higher moments as
-  * GRID-EXACT integer products (Det.qfloor at grid2/grid3, multiplied
-  * as DECIMAL(38,0) — no lossy double→decimal rounding of a computed
-  * product, the q83 tie class). The kernel only adds/subtracts
+  * The machinery (steps 1-2 + the per-key halo replay) is generic
+  * ([[haloScan]]); [[rollingMoments]] plugs in the exact-decimal moment
+  * ring kernel, and `graft.features.FeatureKernel` plugs in the full
+  * per-ticker feature block.
+  *
+  * Exactness (rollingMoments): quantization happens in Spark expressions
+  * BEFORE the kernel — x itself on the raw (38,6) grid, the higher
+  * moments as GRID-EXACT integer products (Det.qfloor at grid2/grid3,
+  * multiplied as DECIMAL(38,0) — no lossy double→decimal rounding of a
+  * computed product, the q83 tie class). The kernel only adds/subtracts
   * BigDecimals, which is exact and order-independent — so results are
   * hash-identical to the same grid-exact plain-window expressions
   * (spec: ChunkedWindowSpec). s2/s3 are divided back by grid²/grid³
@@ -48,11 +55,94 @@ import java.math.{BigDecimal => JBig}
   */
 object ChunkedWindow {
 
-  /** Row entering the kernel: pre-quantized decimal moments of x (public
-    * only because Spark codegen must construct it). Null x arrives as
-    * `x = None, c = 0` with the decimals coalesced to ZERO — the kernel
-    * never sees a null BigDecimal, and `c` is the prefix-countable
-    * "counts toward count(x)" flag. */
+  /** Per-key streaming kernel driven by [[haloScan]]: `reset` starts a
+    * new key run (rn0 = global per-key row index of the first REAL row
+    * in this partition), `halo` warms state with a carried boundary row
+    * (no emit), `row` processes a real row and emits. One instance is
+    * reused across the keys of a partition — reset must clear ALL state. */
+  private[graft] trait HaloKernel[T, O] {
+    def reset(rn0: Long): Unit
+    def halo(t: T): Unit
+    def row(t: T): O
+  }
+
+  /** The generic halo-exchange scan: range-shuffle `keyed` once, collect
+    * per-(partition, key) counts + h-row boundary tails, compute per-key
+    * offsets and halos on the driver, then stream each partition once
+    * through a fresh kernel. `light` is a cheap (key, t, seq) projection
+    * used only for RangePartitioner bound sampling — it lets the sampling
+    * job prune the scan to the sort columns. */
+  private[graft] def haloScan[T: ClassTag, O: ClassTag](
+      spark: SparkSession,
+      keyed: RDD[((String, Long, Long), T)],
+      light: RDD[((String, Long, Long), Unit)],
+      numPartitions: Int, h: Int)(mk: () => HaloKernel[T, O]): RDD[O] = {
+    val part = new org.apache.spark.RangePartitioner(numPartitions, light)
+    val sorted = keyed.repartitionAndSortWithinPartitions(part)
+
+    // metadata pass: per (partition, key) -> (count, last h rows)
+    val meta = sorted.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, scala.collection.mutable.ArrayDeque[T])]
+      it.foreach { case ((k, _, _), t) =>
+        val (cnt, tail) = m.getOrElseUpdate(k,
+          (0L, scala.collection.mutable.ArrayDeque.empty[T]))
+        tail.append(t)
+        if (tail.length > h) tail.removeHead()
+        m.update(k, (cnt + 1L, tail))
+      }
+      m.iterator.map { case (k, (n, tail)) => (pid, k, n, tail.toArray) }
+    }.collect()
+    // driver-side by design: one row per (partition, key-run) — at most
+    // p + #keys entries, each carrying ≤ h halo rows. For p=1000 tasks,
+    // 10k keys, h=126 that is ~11k × 126 small structs (a few MB), and
+    // it does NOT grow with fact rows. The guard enforces the bound.
+    require(meta.length <= 1000000,
+      s"halo metadata unexpectedly large (${meta.length} partition-key runs)")
+
+    // driver: per-key cumulative offsets + the halo rows partition p must
+    // prepend for key k (the last min(h, startRn) rows from earlier pids)
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+    val halos = scala.collection.mutable.HashMap.empty[(Int, String), Array[T]]
+    meta.groupBy(_._2).foreach { case (k, rows) =>
+      var acc = 0L
+      val carry = scala.collection.mutable.ArrayDeque.empty[T]
+      rows.sortBy(_._1).foreach { case (pid, _, n, tail) =>
+        offsets((pid, k)) = acc
+        if (acc > 0) halos((pid, k)) = carry.toArray // length = min(h, acc)
+        acc += n
+        if (n >= h) { carry.clear(); carry.appendAll(tail) }
+        else {
+          carry.appendAll(tail)
+          while (carry.length > h) carry.removeHead()
+        }
+      }
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
+    val bHalos = spark.sparkContext.broadcast(halos.toMap)
+
+    sorted.mapPartitionsWithIndex { (pid, it) =>
+      val offs = bOffsets.value
+      val hls = bHalos.value
+      var curKey: String = null
+      var kern: HaloKernel[T, O] = null
+      it.map { case ((k, _, _), t) =>
+        if (k != curKey) {
+          curKey = k
+          if (kern == null) kern = mk()
+          kern.reset(offs((pid, k)))
+          hls.get((pid, k)).foreach(_.foreach(kern.halo))
+        }
+        kern.row(t)
+      }
+    }
+  }
+
+  /** Row entering the moment kernel: pre-quantized decimal moments of x
+    * (public only because Spark codegen must construct it). Null x
+    * arrives as `x = None, c = 0` with the decimals coalesced to ZERO —
+    * the kernel never sees a null BigDecimal, and `c` is the
+    * prefix-countable "counts toward count(x)" flag. */
   case class Raw(key: String, t: Long, seq: Long, x: Option[Double],
       c: Long, d1: JBig, d2: JBig, d3: JBig)
 
@@ -65,7 +155,58 @@ object ChunkedWindow {
       prev: Option[Double], n: Long,
       s1: Option[Double], s2: Option[Double], s3: Option[Double])
 
-  private case class Halo(x: Option[Double], c: Long, d1: JBig, d2: JBig, d3: JBig)
+  /** O(h) ring of exact decimal prefix sums — one streaming pass. */
+  private final class MomentKernel(lo: Int, hi: Int, h: Int,
+      div2: Double, div3: Double) extends HaloKernel[Raw, Moments] {
+    private val ring = h + 2 // prefix sums P(i-h-1..i) kept mod `ring`
+    private val p1 = new Array[JBig](ring)
+    private val p2 = new Array[JBig](ring)
+    private val p3 = new Array[JBig](ring)
+    private val pc = new Array[Long](ring) // prefix count of NON-NULL x
+    private val xs = new Array[Option[Double]](ring) // last x's for `prev`
+    private var rn = 0L // per-key global row index of the NEXT row
+    private var i = 0L // local index incl. halo (prefix P(i) at slot i%ring)
+
+    def reset(rn0: Long): Unit = {
+      rn = rn0
+      i = 0
+      p1(0) = JBig.ZERO; p2(0) = JBig.ZERO; p3(0) = JBig.ZERO; pc(0) = 0L
+    }
+
+    private def push(r: Raw): Unit = {
+      val s = ((i + 1) % ring).toInt
+      val c = (i % ring).toInt
+      p1(s) = p1(c).add(r.d1); p2(s) = p2(c).add(r.d2); p3(s) = p3(c).add(r.d3)
+      pc(s) = pc(c) + r.c
+      xs(s) = r.x
+      i += 1
+    }
+
+    def halo(r: Raw): Unit = push(r)
+
+    def row(r: Raw): Moments = {
+      push(r)
+      // this row sits at local prefix index i (P(i) includes it);
+      // frame [rn+lo, rn+hi] -> prefix range (i + lo', i + hi'] with
+      // clipping at the key's first row (rn = 0)
+      val rows = (rn + hi) - math.max(rn + lo, 0L) + 1 // frame size in ROWS
+      val prev = if (rn > 0) xs(((i - 1) % ring).toInt) else None
+      val m =
+        if (rows <= 0) Moments(r.key, r.seq, r.x, prev, 0, None, None, None)
+        else {
+          val hiP = ((i + hi) % ring).toInt // hi <= 0: within ring
+          val loP = ((i + hi - rows) % ring).toInt
+          val n = pc(hiP) - pc(loP) // count(x): nulls excluded
+          if (n == 0) Moments(r.key, r.seq, r.x, prev, 0, None, None, None)
+          else Moments(r.key, r.seq, r.x, prev, n,
+            Some(p1(hiP).subtract(p1(loP)).doubleValue),
+            Some(p2(hiP).subtract(p2(loP)).doubleValue / div2),
+            Some(p3(hiP).subtract(p3(loP)).doubleValue / div3))
+        }
+      rn += 1
+      m
+    }
+  }
 
   /** Rolling moments of `xCol` over `rowsBetween(lo, hi)` per `keyCol`,
     * ordered by (`tCol`, `seqCol`). Requires lo <= hi <= 0. Returns
@@ -113,103 +254,9 @@ object ChunkedWindow {
     val light = df.select(
       col(keyCol).cast("string"), col(tCol).cast("long"), col(seqCol).cast("long"))
       .as[(String, Long, Long)].rdd.map(k => (k, ()))
-    val part = new org.apache.spark.RangePartitioner(p, light)
-    val sorted = keyed.repartitionAndSortWithinPartitions(part).map(_._2)
 
-    // metadata pass: per (partition, key) -> (count, last h rows)
-    val meta = sorted.mapPartitionsWithIndex { (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap
-        .empty[String, (Long, scala.collection.mutable.ArrayDeque[Halo])]
-      it.foreach { r =>
-        val (cnt, tail) = m.getOrElseUpdate(r.key,
-          (0L, scala.collection.mutable.ArrayDeque.empty[Halo]))
-        tail.append(Halo(r.x, r.c, r.d1, r.d2, r.d3))
-        if (tail.length > h) tail.removeHead()
-        m.update(r.key, (cnt + 1L, tail))
-      }
-      m.iterator.map { case (k, (n, tail)) => (pid, k, n, tail.toArray) }
-    }.collect()
-    // driver-side by design: one row per (partition, key-run) — at most
-    // p + #keys entries, each carrying ≤ h halo rows. For p=1000 tasks,
-    // 10k keys, h=126 that is ~11k × 126 small structs (a few MB), and
-    // it does NOT grow with fact rows. The guard enforces the bound.
-    require(meta.length <= 1000000,
-      s"halo metadata unexpectedly large (${meta.length} partition-key runs)")
-
-    // driver: per-key cumulative offsets + the halo rows partition p must
-    // prepend for key k (the last min(h, startRn) rows from earlier pids)
-    val offsets = scala.collection.mutable.HashMap.empty[(Int, String), Long]
-    val halos = scala.collection.mutable.HashMap.empty[(Int, String), Array[Halo]]
-    meta.groupBy(_._2).foreach { case (k, rows) =>
-      var acc = 0L
-      val carry = scala.collection.mutable.ArrayDeque.empty[Halo]
-      rows.sortBy(_._1).foreach { case (pid, _, n, tail) =>
-        offsets((pid, k)) = acc
-        if (acc > 0) halos((pid, k)) = carry.toArray // length = min(h, acc)
-        acc += n
-        if (n >= h) { carry.clear(); carry.appendAll(tail) }
-        else {
-          carry.appendAll(tail)
-          while (carry.length > h) carry.removeHead()
-        }
-      }
-    }
-    val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
-    val bHalos = spark.sparkContext.broadcast(halos.toMap)
-
-    // kernel: one streaming pass per partition, O(h) ring of prefix sums
-    val out = sorted.mapPartitionsWithIndex { (pid, it) =>
-      val offs = bOffsets.value
-      val hls = bHalos.value
-      val ring = h + 2 // prefix sums P(i-h-1..i) kept mod `ring`
-      val p1 = new Array[JBig](ring)
-      val p2 = new Array[JBig](ring)
-      val p3 = new Array[JBig](ring)
-      val pc = new Array[Long](ring) // prefix count of NON-NULL x
-      val xs = new Array[Option[Double]](ring) // last rows' x for `prev`
-      var curKey: String = null
-      var rn = 0L // per-key global row index of the NEXT row
-      var i = 0L // local index including halo (prefix P(i) at slot i%ring)
-
-      def push(x: Option[Double], cnt: Long, d1: JBig, d2: JBig, d3: JBig): Unit = {
-        val s = ((i + 1) % ring).toInt
-        val c = (i % ring).toInt
-        p1(s) = p1(c).add(d1); p2(s) = p2(c).add(d2); p3(s) = p3(c).add(d3)
-        pc(s) = pc(c) + cnt
-        xs(s) = x
-        i += 1
-      }
-
-      it.flatMap { r =>
-        if (r.key != curKey) {
-          curKey = r.key
-          rn = offs((pid, r.key))
-          i = 0
-          p1(0) = JBig.ZERO; p2(0) = JBig.ZERO; p3(0) = JBig.ZERO; pc(0) = 0L
-          hls.get((pid, r.key)).foreach(_.foreach(t => push(t.x, t.c, t.d1, t.d2, t.d3)))
-        }
-        push(r.x, r.c, r.d1, r.d2, r.d3)
-        // this row sits at local prefix index i (P(i) includes it);
-        // frame [rn+lo, rn+hi] -> prefix range (i + lo', i + hi'] with
-        // clipping at the key's first row (rn = 0)
-        val rows = (rn + hi) - math.max(rn + lo, 0L) + 1 // frame size in ROWS
-        val prev = if (rn > 0) xs(((i - 1) % ring).toInt) else None
-        val m =
-          if (rows <= 0) Moments(r.key, r.seq, r.x, prev, 0, None, None, None)
-          else {
-            val hiP = ((i + hi) % ring).toInt // hi <= 0: within ring
-            val loP = ((i + hi - rows) % ring).toInt
-            val n = pc(hiP) - pc(loP) // count(x): nulls excluded
-            if (n == 0) Moments(r.key, r.seq, r.x, prev, 0, None, None, None)
-            else Moments(r.key, r.seq, r.x, prev, n,
-              Some(p1(hiP).subtract(p1(loP)).doubleValue),
-              Some(p2(hiP).subtract(p2(loP)).doubleValue / div2),
-              Some(p3(hiP).subtract(p3(loP)).doubleValue / div3))
-          }
-        rn += 1
-        Seq(m)
-      }
-    }
+    val out = haloScan(spark, keyed, light, p, h)(
+      () => new MomentKernel(lo, hi, h, div2, div3))
     spark.createDataset(out)
   }
 }
