@@ -91,6 +91,44 @@ object FeatureBuilder {
             |  [CAST(floor(0.05 * (size(_cv_lst) - 1)) AS INT)]
             |END""".stripMargin)))
       .drop("_cv_lst")
+    // ATR(14) from true range
+    val prevClose = lag(close, 1).over(w)
+    val tr = greatest(col("high") - col("low"),
+      abs(col("high") - prevClose), abs(col("low") - prevClose))
+    out = out
+      .withColumn("true_range", tr)
+      .withColumn("atr_14", avg(col("true_range")).over(wN(14)))
+    // seasonal decompose-lite at period 126 (reference :197-208,
+    // statsmodels one-sided additive): trend = one-sided MA(126);
+    // detrended + phase feed the per-(ticker, phase) index in finish()
+    val trend = avg(close).over(wN(126))
+    out = out
+      .withColumn("seasonal_trend_126", trend)
+      .withColumn("_detrended", close - trend)
+      .withColumn("_phase", (row_number().over(w) - 1) % 126)
+    finish(out, dropNa)
+  }
+
+  /** The fast twin of [[build]]: identical columns, the per-ticker
+    * windowed block computed by [[FeatureKernel]] in one halo-exchange
+    * streaming pass (row-proportional parallelism, O(h)/row) instead of
+    * ~20 WindowExec sliding aggregates (one core per ticker,
+    * O(frame)/row). Requires the feature-input contract: columns
+    * (ticker, date, close, high, low), all non-null, unique (ticker,
+    * date) — gappy or wider inputs stay on [[build]], which remains the
+    * spec-pinned reference implementation (parity: FeatureBuilderSpec).
+    * Gated outputs (lags/returns, null patterns, order statistics,
+    * cvar) are bit-identical; inexact moment VALUES agree to last ulps
+    * (the kernel sums exact decimals where WindowExec sums doubles). */
+  def buildFast(df: DataFrame, dropNa: Boolean = true): DataFrame =
+    finish(FeatureKernel.run(df), dropNa)
+
+  /** Cross-sectional + dimension-join tail shared by both forms: vol
+    * regime, per-date rank/z, the seasonal index join, calendar flags,
+    * and the dropNa gate. `out` carries the per-ticker windowed block
+    * (incl. `_detrended`, `_phase`). */
+  private def finish(out0: DataFrame, dropNa: Boolean): DataFrame = {
+    var out = out0
     // volatility regime bucket from rolling σ20 terciles (per ticker)
     out = out.withColumn("_vol20", col("roll_std_20"))
     val cuts = out.groupBy("ticker")
@@ -112,25 +150,11 @@ object FeatureBuilder {
         val sd = stddev_samp(col("ret_20")).over(wDate)
         when(sd =!= 0.0, (col("ret_20") - avg(col("ret_20")).over(wDate)) / sd)
       })
-    // ATR(14) from true range
-    val prevClose = lag(close, 1).over(w)
-    val tr = greatest(col("high") - col("low"),
-      abs(col("high") - prevClose), abs(col("low") - prevClose))
-    out = out
-      .withColumn("true_range", tr)
-      .withColumn("atr_14", avg(col("true_range")).over(wN(14)))
-    // seasonal decompose-lite at period 126 (reference :197-208,
-    // statsmodels one-sided additive): trend = one-sided MA(126);
     // seasonal = per-(ticker, phase) mean of the detrended series with
     // phase = bar index mod 126 (the same shape q17 oracles at period
     // 7); resid = detrended − seasonal. The phase index is a tiny
     // (tickers × 126) dimension → broadcast joined back, so the big
     // side is never reshuffled for it.
-    val trend = avg(close).over(wN(126))
-    out = out
-      .withColumn("seasonal_trend_126", trend)
-      .withColumn("_detrended", close - trend)
-      .withColumn("_phase", (row_number().over(w) - 1) % 126)
     val seasonalIdx = out.groupBy(col("ticker"), col("_phase"))
       .agg(avg(col("_detrended")).as("seasonal_126"))
     out = out.join(broadcast(seasonalIdx), Seq("ticker", "_phase"), "left")

@@ -118,6 +118,85 @@ class FeatureBuilderSpec extends AnyFunSuite with TestSpark {
     assert(dropped.count() === bars.count() - 2 * 20)
   }
 
+  test("buildFast parity: bit-exact gated columns, ulp-close moments, identical null patterns") {
+    val spark2 = spark
+    import spark2.implicits._
+    val in = bars.select("ticker", "date", "close", "high", "low")
+    val plain = FeatureBuilder.build(in, dropNa = false)
+    // 8 partitions over 2×200 rows: key runs SPLIT across partitions, so
+    // the halo replay path is exercised, not just the fresh-key path
+    val fast = FeatureBuilder.buildFast(in, dropNa = false)
+    assert(plain.columns.sorted.sameElements(fast.columns.sorted))
+
+    val cols = plain.columns.sorted
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(cols.head, cols.tail: _*)
+      .orderBy("ticker", "date").collect()
+    val p = rowsOf(plain)
+    val f = rowsOf(fast)
+    assert(p.length === f.length)
+
+    val exact = Set("ticker", "date", "close", "high", "low",
+      "ret_1", "close_lag_1", "close_lag_5", "close_lag_10", "close_lag_20",
+      "ret_5", "ret_10", "ret_20", "diff_1", "diff_5", "gap_run_len",
+      "drawdown_60", "max_drawdown_60", "cvar_95_60", "true_range",
+      "xsec_rank_ret5", "is_month_end", "is_quarter_end", "vol_regime")
+    p.zip(f).zipWithIndex.foreach { case ((pr, fr), ri) =>
+      cols.zipWithIndex.foreach { case (c, ci) =>
+        val ctx = s"row $ri col $c"
+        assert(pr.isNullAt(ci) === fr.isNullAt(ci), s"null pattern @ $ctx")
+        if (!pr.isNullAt(ci)) {
+          (pr.get(ci), fr.get(ci)) match {
+            case (a: Double, b: Double) =>
+              if (exact(c)) assert(
+                java.lang.Double.compare(a, b) == 0, s"$ctx: $a vs $b")
+              else {
+                // moments: exact-decimal sums vs frame-order double sums
+                assert(a.isNaN === b.isNaN, s"NaN @ $ctx: $a vs $b")
+                if (!a.isNaN)
+                  assert(math.abs(a - b) <=
+                    1e-7 * math.max(1.0, math.max(a.abs, b.abs)),
+                    s"$ctx: $a vs $b")
+              }
+            case (a, b) => assert(a === b, s"$ctx: $a vs $b")
+          }
+        }
+      }
+    }
+  }
+
+  test("buildFast parity on constant closes: std exactly 0, skew exactly NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    val flat = (0 until 80).map(i =>
+      ("FLAT", Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        50.0, 51.0, 49.0))
+      .toDF("ticker", "date", "close", "high", "low")
+    val plain = FeatureBuilder.build(flat, dropNa = false)
+      .orderBy("date").select("roll_std_20", "roll_skew_20", "cvar_95_60").collect()
+    val fast = FeatureBuilder.buildFast(flat, dropNa = false)
+      .orderBy("date").select("roll_std_20", "roll_skew_20", "cvar_95_60").collect()
+    plain.zip(fast).zipWithIndex.foreach { case ((pr, fr), i) =>
+      assert(pr.isNullAt(0) === fr.isNullAt(0), s"std null @ $i")
+      if (!pr.isNullAt(0))
+        assert(java.lang.Double.compare(
+          pr.getDouble(0), fr.getDouble(0)) == 0, s"std @ $i")
+      // constant frame ⇒ m2 = 0 ⇒ Spark 4 skewness is NULL on both sides
+      assert(pr.isNullAt(1) && fr.isNullAt(1), s"skew null @ $i")
+      assert(pr.isNullAt(2) === fr.isNullAt(2), s"cvar null @ $i")
+      if (!pr.isNullAt(2)) assert(pr.getDouble(2) === fr.getDouble(2))
+    }
+  }
+
+  test("buildFast dropNa keeps exactly the plain surviving row set") {
+    val in = bars.select("ticker", "date", "close", "high", "low")
+    val a = FeatureBuilder.build(in, dropNa = true)
+      .select("ticker", "date").collect().map(_.toString).sorted
+    val b = FeatureBuilder.buildFast(in, dropNa = true)
+      .select("ticker", "date").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("macro as-of merge is causal (no future macro leaks)") {
     val spark2 = spark
     import spark2.implicits._
