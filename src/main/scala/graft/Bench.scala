@@ -332,6 +332,106 @@ object Bench {
           System.err.println(s"[bench] lc_soak FAILED: $t"); Seq.empty
       }
 
+    // Funnel-session soak (unfiltered runs only): the watermark-evicting
+    // funnelSessions — the one stateful operator that had parity specs
+    // but no bench entry until round 14 — driven with 2 000 users ×
+    // 4 funnel sessions each (~18k events) in 12 chronological
+    // micro-batches through the REAL MERGE sink. Users are staggered
+    // UNIFORMLY across the session gap so the global event stream (and
+    // with it the watermark) advances smoothly ~48 h per batch; each
+    // user's next session then starts ≥ 11 h after the previous one's
+    // state provably timed out (144 h gap vs 36 h box + 1 h lateness +
+    // ≤ 49 h watermark lag), so end-state parity against the batch
+    // sessionize twin is REQUIRED — exactly the lc_soak pattern — and
+    // an actual eviction is REQUIRED too (final state rows must be well
+    // under total sessions), so the entry prices the eviction path, not
+    // just its correctness. (A clustered timeline breaks parity
+    // legitimately: post-box events race a watermark parked a whole
+    // cluster behind — the documented streaming trade.)
+    val fsSoak: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.FunnelStream
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions.{col, timestamp_micros, to_date}
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val boxH = 36
+        val boxUs = boxH * 3600000000L
+        val gapUs = 4 * boxUs
+        def tsOf(us: Long) = {
+          val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+          t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          t
+        }
+        val baseUs = 1700000000L * 1000000L
+        // session shapes hit every funnel stage; offsets carry sub-ms
+        // components so the micros-precision state arithmetic is live
+        def pattern(shape: Int): Seq[(String, Long)] = shape match {
+          case 0 => Seq("view" -> 0L, "click" -> 3600000001L,
+            "purchase" -> 7200000003L)
+          case 1 => Seq("view" -> 0L, "click" -> 1800000007L)
+          case 2 => Seq("view" -> 0L)
+          case _ => Seq("click" -> 0L, "view" -> 600000011L,
+            "click" -> 1200000013L)
+        }
+        val nUsers = 2000
+        val evs = (for {
+          u <- 0 until nUsers
+          k <- 0 until 4
+          ((et, off), i) <- pattern((u + k) % 4).zipWithIndex
+        } yield FunnelStream.Ev(u.toLong,
+          tsOf(baseUs + k.toLong * gapUs + u.toLong * (gapUs / nUsers)
+            + (u % 977).toLong * 1003L + off),
+          et, (u.toLong << 20) + k * 100 + i))
+          .sortBy(e => (FunnelStream.micros(e.ts), e.event_id))
+        val batchRows = evs.groupBy(_.user_id).iterator.flatMap {
+          case (u, es) => FunnelStream.sessionize(u, es.toArray, boxUs)
+        }.map(_.toString).toSeq.sorted
+        require(batchRows.nonEmpty, "fs_soak: zero batch sessions")
+
+        val tmp = java.nio.file.Files.createTempDirectory("graft_fs_soak")
+        val sink = new graft.sources.MergeSink(spark, s"$tmp/sessions",
+          keyCols = Seq("user_id", "t0_us"), partitionCol = "t0_date")
+        val input = MemoryStream[FunnelStream.Ev]
+        val q = FunnelStream.funnelSessions(input.toDS(), boxHours = boxH,
+          lateness = "1 hour")
+          .withColumn("t0_date", to_date(timestamp_micros(col("t0_us"))))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // funnelSessions emits one row per live session per batch
+            sink.upsert(b, assumeUniqueKeys = true): Unit
+          }
+          .start()
+        val (dur, live) = try {
+          val t0 = System.nanoTime()
+          evs.grouped(math.max(1, evs.length / 12)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+          ((System.nanoTime() - t0) / 1e9,
+            Option(q.lastProgress).toSeq
+              .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum)
+        } finally q.stop()
+        val streamed = sink.read()
+          .select($"user_id", $"t0_us", $"t_view_us", $"t_click_us",
+            $"t_purchase_us", $"stage")
+          .as[FunnelStream.SessionStage].collect().map(_.toString).sorted
+        require(streamed.toSeq == batchRows,
+          "fs_soak: streamed sessions diverged from the batch sessionize")
+        require(live < batchRows.length / 2,
+          s"fs_soak: no eviction ($live live states / ${batchRows.length} sessions)")
+        System.err.println(
+          f"[bench] fs_soak: ${evs.length}%d events / ${batchRows.length}%d " +
+            f"sessions / $dur%.2f s = ${evs.length / dur}%.0f events/s, " +
+            f"evicted ${batchRows.length - live}%d, live $live%d, parity OK")
+        Seq("fs_soak" -> dur)
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] fs_soak FAILED: $t"); Seq.empty
+      }
+
     // Soak-phase box factor: the soaks are single-shot and run MINUTES
     // after the round-robin calib, and r8-r10 showed 3x raw swings in
     // them with zero code change while the round-robin calib moved only
@@ -344,15 +444,16 @@ object Bench {
       else {
         val t0 = System.nanoTime(); calibJob()
         val calibSoak = (System.nanoTime() - t0) / 1e9
-        ("calib_soak" -> calibSoak) +: (soak ++ streamSoak ++ lcSoak).map {
-          case (n, v) =>
-            (n.replace("_1m", "") + "_x") -> v / calibSoak
-        }
+        ("calib_soak" -> calibSoak) +:
+          (soak ++ streamSoak ++ lcSoak ++ fsSoak).map {
+            case (n, v) =>
+              (n.replace("_1m", "") + "_x") -> v / calibSoak
+          }
       }
 
     val results: Seq[(String, Double)] =
       work.map { case (name, _) => name -> best.getOrElse(name, lastDur(name)) }
-        .toSeq ++ soak ++ streamSoak ++ lcSoak ++ soakNorm
+        .toSeq ++ soak ++ streamSoak ++ lcSoak ++ fsSoak ++ soakNorm
     // Seconds at 2-decimal precision. Keys are the
     // unique qNN prefix — the name every other artifact (CORRECTNESS,
     // VERDICT, BASELINE) already uses — which keeps the line ~1.1k.
@@ -369,7 +470,8 @@ object Bench {
     // the BOX, not the engine — report it, don't sum it.
     val headline = results
       .filterNot(r => r._1.startsWith("cc_soak") || r._1.startsWith("ss_")
-        || r._1.startsWith("lc_soak") || r._1.startsWith("calib"))
+        || r._1.startsWith("lc_soak") || r._1.startsWith("fs_soak")
+        || r._1.startsWith("calib"))
     val total = headline.map(_._2).sum
     // Split the headline by deployment role: a qNNNs entry is the SERVE
     // arm (reads persisted artifacts — the deployed cost) of the qNNN
