@@ -81,4 +81,26 @@ class SchemaGuardSpec extends AnyFunSuite with TestSpark {
     }
     assert(broken.isEmpty, broken.mkString("\n"))
   }
+
+  test("events table SHAPE: ~30-day span, bounded per-user cardinality") {
+    // q207/q210 cut the span at exact integer percents, q208 sizes its
+    // recursive-walk oracle from sessions-per-user, and the funnel
+    // operators assume users (not the time axis) scale with SF. If a
+    // driver testdata regeneration changes that shape, this test names
+    // the drift BEFORE a gate infers it from a hash mismatch.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val r = Tables.load(s, dir, "events").agg(
+      (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("spanUs"),
+      (count(lit(1)) / countDistinct(col("user_id"))).as("perUser")).head()
+    val spanDays = r.getLong(0) / 86400000000.0
+    assert(spanDays >= 25 && spanDays <= 35,
+      s"events span drifted: $spanDays days (expected ~30)")
+    assert(r.getDouble(1) >= 30 && r.getDouble(1) <= 150,
+      s"events per user drifted: ${r.getDouble(1)} (expected ~66)")
+    val maxPerUser = Tables.load(s, dir, "events")
+      .groupBy(col("user_id")).count().agg(max(col("count"))).head().getLong(0)
+    assert(maxPerUser <= 400,
+      s"max events/user drifted: $maxPerUser (expected ≤ ~100)")
+  }
 }
