@@ -1,0 +1,271 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale soak: measure how the heaviest operators scale from
+  * sf0.1 to a 10×-sf0.1 dataset, and emit a committed `SCALING_r{N}.json`
+  * artifact so superlinear drift is caught mechanically, round over
+  * round (the CORRECTNESS_LOCAL pattern).
+  *
+  * The 10× dataset is generated ONCE into a scratch dir, in the same
+  * generative family as the driver's testdata (measured from sf0.1, not
+  * assumed): documents = bags of the SAME ~31-token vocabulary at the
+  * same 10–100 length range with comparable exact-dup (~1/625) and
+  * near-dup (~1/100, prefix-overlap) rates; embeddings = 10 clusters ×
+  * 64 dims at the same value range; events = the same 30-day span and
+  * 5 event types with users scaled 10× (the testdata's own scaling
+  * axis — SchemaGuardSpec pins that shape). Deterministic via hash
+  * arithmetic, no RNG state.
+  *
+  * Usage: runMain graft.tools.ScaleSweep [baseDir] [outJson] [scale]
+  * Env: SPARK_GRAFT_SCALE_DIR (scratch; default /tmp/graft_scale10),
+  *      SPARK_GRAFT_CPUS.
+  *
+  * The exact all-pairs baselines q51/q86 are EXCLUDED by design: they
+  * are quadratic on purpose (the honesty arms for the LSH/blocked scale
+  * paths q90/q85/q133) and the sweep exists to check everything else
+  * is not.
+  */
+object ScaleSweep {
+
+  /** The heavy tail — the operators whose 100 TB behavior matters most
+    * (VERDICT r13 "Next round" #1), in SparkEntry.queries key form. */
+  val heavy: Seq[String] = Seq(
+    "q90_neardup_lsh_verify", "q95_dedup_clusters",
+    "q112_dedup_clusters_stars", "q127_corpus_filter",
+    "q135_incremental_dedup", "q138_kmeans", "q139_semdedup",
+    "q147_incremental_cc", "q156_cvar_rolling", "q185_dup_spans",
+    "q186_span_strip", "q190_bpe_vocab", "q191_bpe_tokens",
+    "q202_textrank")
+
+  val excluded: Map[String, String] = Map(
+    "q51_ngram_jaccard" -> ("exact all-pairs Jaccard baseline - " +
+      "quadratic by design; q90 LSH is the scale arm"),
+    "q86_cosine_neardup" -> ("exact block-pair cosine baseline - " +
+      "quadratic by design; q85/q133 are the scale arms"))
+
+  // ---- generators (same family as the driver testdata, measured) ----
+
+  def genDocuments(spark: SparkSession, n: Long, vocab: Seq[String]): DataFrame = {
+    val v = typedlit(vocab)
+    val nv = vocab.length
+    val langs = typedlit(Seq.fill(8)("en") ++ Seq.fill(3)("zh") ++
+      Seq.fill(3)("es") ++ Seq.fill(3)("fr") ++ Seq.fill(3)("de"))
+    spark.range(n).toDF("id")
+      .select(col("id").as("doc_id"),
+        // exact dups ~1/625 copy the previous doc; near-dups ~1/100
+        // regenerate doc-2's text truncated by 3 tokens (high-overlap
+        // shingles -> real LSH candidate load)
+        when(pmod(col("id"), lit(625)) === 3 && col("id") >= 1, col("id") - 1)
+          .when(pmod(col("id"), lit(100)) === 7 && col("id") >= 2, col("id") - 2)
+          .otherwise(col("id")).as("seed"),
+        when(pmod(col("id"), lit(100)) === 7, lit(3)).otherwise(lit(0)).as("trunc"))
+      .select(col("doc_id"), col("seed"), col("trunc"),
+        (pmod(hash(col("seed"), lit(1)), lit(91)) + lit(10)).as("len"))
+      .select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), col("len") - 1 - col("trunc")),
+          i => element_at(v, pmod(hash(col("seed"), i), lit(nv)) + 1)), " ")
+          .as("text"))
+      .select(col("doc_id"), col("text"),
+        element_at(langs, pmod(hash(col("doc_id"), lit(77)), lit(20)) + 1)
+          .as("lang"),
+        concat(lit("src"), pmod(hash(col("doc_id"), lit(99)), lit(20)))
+          .as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  def genEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    val centers: Seq[Seq[Float]] = (0 until 10).map(c => (0 until 64).map { d =>
+      ((Math.floorMod((c * 64 + d) * 2654435761L, 601L) - 300L) / 1000.0).toFloat
+    })
+    val cLit = typedlit(centers)
+    spark.range(n).toDF("id")
+      .select(col("id").as("vec_id"),
+        pmod(hash(col("id"), lit(3)), lit(10)).as("label"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (element_at(element_at(cLit, col("label") + 1), d + 1) +
+            (pmod(hash(col("vec_id"), d), lit(200)) - lit(100)) / lit(1000.0))
+            .cast("float")).as("embedding"),
+        col("label").cast("int").as("label"))
+  }
+
+  def genEvents(spark: SparkSession, n: Long, nUsers: Long): DataFrame = {
+    val spanUs = 2592000000000L // 30 days
+    val baseUs = 1704067200000000L // 2024-01-01
+    val types = typedlit(Seq("click", "view", "purchase", "signup", "error"))
+    spark.range(n).toDF("id")
+      .select(col("id").as("event_id"),
+        timestamp_micros(lit(baseUs) +
+          pmod(hash(col("id"), lit(11)).cast("long") * 1000003L, lit(spanUs)))
+          .as("ts"),
+        pmod(hash(col("id"), lit(5)), lit(nUsers)).cast("long").as("user_id"),
+        element_at(types, pmod(hash(col("id"), lit(7)), lit(5)) + 1)
+          .as("event_type"),
+        (pmod(hash(col("id"), lit(13)), lit(56022)) / lit(100.0)).as("value"),
+        concat(lit("{\"k\": "), pmod(hash(col("id"), lit(17)), lit(100)),
+          lit("}")).as("props"))
+  }
+
+  def ensureScaled(spark: SparkSession, base: String, scratch: String,
+      scale: Int): Unit = {
+    if (Files.exists(Paths.get(s"$scratch/events.parquet/_SUCCESS"))) return
+    val vocab = graft.Tables.load(spark, base, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "").distinct()
+      .orderBy("t").collect().map(_.getString(0)).toSeq
+    val nDocs = graft.Tables.load(spark, base, "documents").count() * scale
+    val nEmb = graft.Tables.load(spark, base, "embeddings").count() * scale
+    val ev = graft.Tables.load(spark, base, "events")
+    val nEvents = ev.count() * scale
+    val nUsers = ev.select(countDistinct(col("user_id"))).head().getLong(0) * scale
+    System.err.println(s"[scale] generating $scratch: docs=$nDocs " +
+      s"emb=$nEmb events=$nEvents users=$nUsers vocab=${vocab.length}")
+    genDocuments(spark, nDocs, vocab).coalesce(8)
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    genEmbeddings(spark, nEmb).coalesce(4)
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    genEvents(spark, nEvents, nUsers).coalesce(8)
+      .write.mode("overwrite").parquet(s"$scratch/events.parquet")
+  }
+
+  // ---- sweep ----
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outJson = args.lift(1).getOrElse("SCALING_r14.json")
+    val scale = args.lift(2).map(_.toInt).getOrElse(10)
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ensureScaled(spark, base, scratch, scale)
+
+    def execOn(name: String, dir: String): Unit =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    def clock(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def calib(): Double = clock {
+      spark.range(50000000L)
+        .selectExpr("pmod(id * 2654435761, 1024) AS k", "id AS v")
+        .groupBy("k").sum("v")
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // JIT/codegen warm-up at sf0.001, then footer warm-up on both dirs
+    heavy.foreach { q =>
+      try execOn(q, "/root/testdata/sf0.001")
+      catch { case t: Throwable => System.err.println(s"[scale] warm $q: $t") }
+    }
+    Seq(base, scratch).foreach { d =>
+      Seq("documents", "embeddings", "events").foreach { t =>
+        try graft.Tables.load(spark, d, t).count(): Unit
+        catch { case _: Throwable => () }
+      }
+    }
+
+    val calib0 = calib()
+    val tBase = scala.collection.mutable.Map.empty[String, Double]
+    val tBig = scala.collection.mutable.Map.empty[String, Double]
+    def record(m: scala.collection.mutable.Map[String, Double],
+        name: String, v: Double): Unit =
+      m(name) = math.min(m.getOrElse(name, Double.MaxValue), v)
+    (1 to reps).foreach { rep =>
+      heavy.foreach { q =>
+        // the BPE memo must not amortize across timed arms (Bench rule)
+        graft.ml.BpeTrainer.clearSegMemo()
+        try record(tBase, q, clock(execOn(q, base)))
+        catch { case t: Throwable =>
+          System.err.println(s"[scale] $q@base FAILED: $t") }
+        graft.ml.BpeTrainer.clearSegMemo()
+        try record(tBig, q, clock(execOn(q, scratch)))
+        catch { case t: Throwable =>
+          System.err.println(s"[scale] $q@10x FAILED: $t") }
+        System.err.println(f"[scale] rep $rep $q: " +
+          f"base ${tBase.getOrElse(q, -1.0)}%.2f s, " +
+          f"${scale}x ${tBig.getOrElse(q, -1.0)}%.2f s")
+      }
+    }
+
+    // streaming corpus operators at both scales: md5-shuffled docs in 20
+    // micro-batches (the Bench ss_* drain, parameterized by dir)
+    def drain(dir: String, nd: Boolean): Double = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.{CorpusStream, NearDupStream}
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rows = graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .orderBy(md5(col("doc_id").cast("string")))
+        .as[(Long, String, String, String)].collect()
+      val batches = rows.grouped(math.max(1, rows.length / 20)).toSeq
+      if (nd) {
+        val in = MemoryStream[NearDupStream.Doc]
+        val q = NearDupStream.candidates(in.toDS())
+          .writeStream.outputMode("append").format("noop").start()
+        try clock(batches.foreach { b =>
+          in.addData(b.map(r => NearDupStream.Doc(r._1, r._2)))
+          q.processAllAvailable()
+        }) finally q.stop()
+      } else {
+        val in = MemoryStream[CorpusStream.Doc]
+        val q = CorpusStream.ingest(in.toDS())
+          .writeStream.outputMode("append").format("noop").start()
+        try clock(batches.foreach { b =>
+          in.addData(b.map(r => CorpusStream.Doc(r._1, r._2, r._3, r._4)))
+          q.processAllAvailable()
+        }) finally q.stop()
+      }
+    }
+    Seq(("ss_corpus", false), ("ss_neardup", true)).foreach { case (n, nd) =>
+      try {
+        record(tBase, n, drain(base, nd))
+        record(tBig, n, drain(scratch, nd))
+        System.err.println(f"[scale] $n: base ${tBase(n)}%.2f s, " +
+          f"${scale}x ${tBig(n)}%.2f s")
+      } catch { case t: Throwable =>
+        System.err.println(s"[scale] $n FAILED: $t") }
+    }
+    val calib1 = calib()
+
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val names = (heavy ++ Seq("ss_corpus", "ss_neardup"))
+      .filter(n => tBase.contains(n) && tBig.contains(n))
+    val entries = names.map { n =>
+      val r = tBig(n) / tBase(n)
+      val e = math.log(r) / math.log(scale.toDouble)
+      s""""$n": {"t_base": ${fmt(tBase(n))}, "t_${scale}x": ${fmt(tBig(n))}, "ratio": ${fmt(r)}, "exponent": ${fmt(e)}}"""
+    }.mkString(",\n  ")
+    val excl = excluded.map { case (k, v) => s""""$k": "$v"""" }
+      .mkString(",\n  ")
+    val json =
+      s"""{
+         |"metric": "scaling", "base": "$base", "scale": $scale,
+         |"reps": $reps, "calib_start": ${fmt(calib0)}, "calib_end": ${fmt(calib1)},
+         |"note": "exponent = log(t_${scale}x/t_base)/log($scale); 1.0 = linear in data volume; fixed per-query overhead (scheduling, dim builds, MERGE commit contracts) deflates exponents at these absolute times, so sublinear values mean overhead-dominated, not magic",
+         |"entries": {
+         |  $entries
+         |},
+         |"excluded_quadratic_baselines": {
+         |  $excl
+         |}
+         |}""".stripMargin
+    Files.writeString(Paths.get(outJson), json)
+    println(json)
+    spark.stop()
+  }
+}
