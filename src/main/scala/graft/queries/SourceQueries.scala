@@ -26,12 +26,25 @@ object SourceQueries extends QueryModule {
   /** Per-process scratch root: two concurrent JVMs (a test suite running
     * beside a bench) must not rm/append the same cache dir, so the path
     * carries this JVM's pid. Within one JVM the fixed name is what we
-    * want — each rep re-seeds the same dir after rm. */
+    * want — each rep re-seeds the same dir after rm. A shutdown hook
+    * removes whatever this JVM created (pid-suffixed dirs would
+    * otherwise accumulate in tmp, one pair per bench/verify run). */
   private val pidNonce: Long = ProcessHandle.current.pid
 
-  private def scratch(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
+  private val scratchMade =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchMade.forEach(p => rm(new java.io.File(p)))))
+  }
+
+  private def scratch(name: String): String = {
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${pidNonce}_$name").toString
+    scratchMade.add(p)
+    p
+  }
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
