@@ -275,6 +275,61 @@ object StatQueries extends QueryModule {
           assets.indices.map(i => (pf, assets(i), bArr(i), w0(i), w(i)))
         }
         .toDF("pf", "asset", "bucket", "weight_raw", "weight")
+    }),
+
+    // Barbell confidence-sizing overlay (risk/barbell_sizing.py:129-356
+    // apply_barbell_confidence + evaluate_barbell_path_risk): per-event
+    // market contexts with every None pattern exercised (null edge /
+    // cost / gap / funding / depth / order / leverage / horizon on
+    // coprime modulo cycles, plus blank and unmapped regimes), through
+    // the REAL BarbellSizing columns — bucket + regime + min-of-leg
+    // market multipliers and the binary path-risk audit. Pure per-row
+    // Column arithmetic: zero shuffles, whole-stage codegen end to end.
+    "q213_barbell_confidence" -> ((s, dir) => {
+      import s.implicits._
+      import graft.stats.BarbellSizing
+      val o = BarbellSizing.Overlay(
+        bucketMult = Map("safe" -> 1.0, "core" -> 0.9, "spec" -> 0.7),
+        regimeMult = Map(
+          "BULL" -> Map("core" -> 1.1, "spec" -> 1.2),
+          "BEAR" -> Map("spec" -> 0.5, "other" -> 0.9)))
+      val id = $"event_id"
+      val v = $"value"
+      val ctx = graft.Tables.load(s, dir, "events").select(
+        id, $"event_type".as("ticker"),
+        ((id % 130).cast("double") / lit(100.0)).as("base_conf"),
+        when(id % 7 === 0, lit(null).cast("double"))
+          .when(v === 250.0, lit(0.0))
+          .otherwise((v - lit(250.0)) / lit(10000.0)).as("ret_net"),
+        when(id % 5 === 0, lit(null).cast("int"))
+          .otherwise((id % 9 - 2).cast("int")).as("horizon"),
+        when(id % 3 === 0, lit(null).cast("double"))
+          .otherwise(v % 20.0).as("cost_bps"),
+        when(id % 4 === 0, lit(null).cast("double"))
+          .otherwise((v % 7.0) / lit(100.0)).as("gap_pct"),
+        when(id % 6 === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) + v % 3.0).as("lev"),
+        when(id % 8 === 0, lit(null).cast("double"))
+          .otherwise((v % 5.0) / lit(2.0)).as("funding"),
+        when(id % 9 === 0, lit(null).cast("double"))
+          .otherwise(v * 10.0 + 1.0).as("depth"),
+        when(id % 10 === 0, lit(null).cast("double"))
+          .otherwise(v % 400.0).as("order_notional"),
+        element_at(typedLit(Seq("BULL", "BEAR", "", "flat")),
+          (pmod(id, lit(4)) + 1).cast("int")).as("regime"))
+      val r = BarbellSizing.ratios($"ret_net", $"horizon", $"cost_bps",
+        $"gap_pct", $"lev", $"funding", $"depth", $"order_notional")
+      val c = BarbellSizing.applyConfidence($"ticker", $"base_conf",
+        $"regime", r, o, safe = Seq("click"),
+        core = Seq("purchase", "view"), spec = Seq("error"))
+      ctx.select($"event_id", $"ticker",
+        c("bucket").as("bucket"),
+        c("bucket_mult").as("bucket_mult"),
+        c("regime_mult").as("regime_mult"),
+        c("market_mult").as("market_mult"),
+        c("multiplier").as("multiplier"),
+        c("effective_confidence").as("effective_confidence"),
+        c("path_risk_ok").as("path_risk_ok"))
     })
   )
 
@@ -675,6 +730,127 @@ object StatQueries extends QueryModule {
          |FROM s5, (VALUES ('click', 'safe'), ('error', 'spec'),
          |  ('purchase', 'core'), ('signup', 'other'),
          |  ('view', 'core')) a(asset, bucket)""".stripMargin
+    },
+
+    // Replays BarbellSizing expression-for-expression: the None-pattern
+    // context build, edge/edge_bps, the leg ratios with their presence
+    // conditions, the ratio penalty 1/(1+excess) clamped [floor, 1],
+    // min-of-present-legs (LEAST skips NULLs in both engines) clamped
+    // [0,1] with empty→1, the regime/bucket multiplier tables, the
+    // clamped confidence product, and the all-present-checks path-risk
+    // audit with leverage cap 1/max(floor, 1e-6) computed as the same
+    // IEEE division.
+    "q213_barbell_confidence" -> {
+      val D1 = "CAST(1.0 AS DOUBLE)"
+      val D0 = "CAST(0.0 AS DOUBLE)"
+      def pen(ratio: String, cap: Double, floor: Double) =
+        s"""CASE WHEN $ratio IS NULL OR $ratio <= CAST($cap AS DOUBLE)
+           |  THEN $D1
+           |  ELSE GREATEST(CAST($floor AS DOUBLE), LEAST($D1,
+           |    $D1 / ($D1 + GREATEST($D0,
+           |      ($ratio - CAST($cap AS DOUBLE)) / CAST($cap AS DOUBLE)))))
+           |  END""".stripMargin
+      s"""WITH ctx AS (
+         |  SELECT event_id, event_type AS ticker,
+         |    CAST(event_id % 130 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         |      AS base_conf,
+         |    CASE WHEN event_id % 7 = 0 THEN NULL
+         |         WHEN value = 250.0 THEN $D0
+         |         ELSE (value - CAST(250.0 AS DOUBLE))
+         |           / CAST(10000.0 AS DOUBLE) END AS ret_net,
+         |    CASE WHEN event_id % 5 = 0 THEN NULL
+         |         ELSE CAST(event_id % 9 - 2 AS INT) END AS horizon,
+         |    CASE WHEN event_id % 3 = 0 THEN NULL
+         |         ELSE value % CAST(20.0 AS DOUBLE) END AS cost_bps,
+         |    CASE WHEN event_id % 4 = 0 THEN NULL
+         |         ELSE (value % CAST(7.0 AS DOUBLE))
+         |           / CAST(100.0 AS DOUBLE) END AS gap_pct,
+         |    CASE WHEN event_id % 6 = 0 THEN NULL
+         |         ELSE $D1 + value % CAST(3.0 AS DOUBLE) END AS lev,
+         |    CASE WHEN event_id % 8 = 0 THEN NULL
+         |         ELSE (value % CAST(5.0 AS DOUBLE))
+         |           / CAST(2.0 AS DOUBLE) END AS funding,
+         |    CASE WHEN event_id % 9 = 0 THEN NULL
+         |         ELSE value * CAST(10.0 AS DOUBLE) + $D1 END AS depth,
+         |    CASE WHEN event_id % 10 = 0 THEN NULL
+         |         ELSE value % CAST(400.0 AS DOUBLE) END AS order_notional,
+         |    (['BULL', 'BEAR', '', 'flat'])[CAST(event_id % 4 AS INT) + 1]
+         |      AS regime
+         |  FROM events),
+         |b AS (
+         |  SELECT *, CASE WHEN upper(ticker) = 'CLICK' THEN 'safe'
+         |    WHEN upper(ticker) IN ('PURCHASE', 'VIEW') THEN 'core'
+         |    WHEN upper(ticker) = 'ERROR' THEN 'spec'
+         |    ELSE 'other' END AS bucket
+         |  FROM ctx),
+         |e AS (
+         |  SELECT *,
+         |    abs(COALESCE(ret_net, $D0)) AS edge,
+         |    CASE WHEN abs(COALESCE(ret_net, $D0)) > 0
+         |      THEN abs(COALESCE(ret_net, $D0)) * CAST(1e4 AS DOUBLE)
+         |      END AS edge_bps,
+         |    GREATEST(COALESCE(CAST(CASE WHEN horizon = 0 THEN 1
+         |      ELSE horizon END AS INT), 1), 1) AS hz,
+         |    CASE WHEN lev IS NULL OR lev = $D0 THEN $D1
+         |      ELSE lev END AS lev2
+         |  FROM b),
+         |rr AS (
+         |  SELECT *,
+         |    CASE WHEN edge_bps IS NOT NULL AND cost_bps IS NOT NULL
+         |      THEN cost_bps / edge_bps END AS r_cost,
+         |    CASE WHEN edge > 0 AND gap_pct IS NOT NULL
+         |      THEN gap_pct / edge END AS r_gap,
+         |    CASE WHEN edge_bps IS NOT NULL AND funding IS NOT NULL
+         |      THEN (funding * hz) / edge_bps END AS r_fund,
+         |    CASE WHEN depth IS NOT NULL AND order_notional IS NOT NULL
+         |      AND depth > 0 THEN order_notional / depth END AS r_liq
+         |  FROM e),
+         |m AS (
+         |  SELECT *,
+         |    CASE WHEN r_cost IS NOT NULL
+         |      THEN ${pen("r_cost", 0.35, 0.55)} END AS m_cost,
+         |    CASE WHEN r_gap IS NOT NULL
+         |      THEN ${pen("r_gap", 0.75, 0.50)} END AS m_gap,
+         |    CASE WHEN r_fund IS NOT NULL
+         |      THEN ${pen("r_fund", 0.25, 0.70)} END AS m_fund,
+         |    CASE WHEN r_liq IS NOT NULL
+         |      THEN ${pen("r_liq", 0.10, 0.65)} END AS m_liq,
+         |    CASE WHEN lev2 > $D1 THEN GREATEST(CAST(0.60 AS DOUBLE),
+         |      LEAST($D1, $D1 / lev2)) END AS m_lev
+         |  FROM rr),
+         |mm AS (
+         |  SELECT *,
+         |    CASE bucket WHEN 'safe' THEN $D1
+         |      WHEN 'core' THEN CAST(0.9 AS DOUBLE)
+         |      WHEN 'spec' THEN CAST(0.7 AS DOUBLE)
+         |      ELSE CAST(0.85 AS DOUBLE) END AS bucket_mult,
+         |    CASE WHEN upper(COALESCE(regime, '')) = 'BULL'
+         |        AND bucket = 'core' THEN CAST(1.1 AS DOUBLE)
+         |      WHEN upper(COALESCE(regime, '')) = 'BULL'
+         |        AND bucket = 'spec' THEN CAST(1.2 AS DOUBLE)
+         |      WHEN upper(COALESCE(regime, '')) = 'BEAR'
+         |        AND bucket = 'spec' THEN CAST(0.5 AS DOUBLE)
+         |      WHEN upper(COALESCE(regime, '')) = 'BEAR'
+         |        AND bucket = 'other' THEN CAST(0.9 AS DOUBLE)
+         |      ELSE $D1 END AS regime_mult,
+         |    COALESCE(GREATEST($D0, LEAST($D1,
+         |      LEAST(m_cost, m_gap, m_fund, m_liq, m_lev))), $D1)
+         |      AS market_mult
+         |  FROM m)
+         |SELECT event_id, ticker, bucket, bucket_mult, regime_mult,
+         |  market_mult,
+         |  (bucket_mult * regime_mult) * market_mult AS multiplier,
+         |  GREATEST($D0, LEAST($D1,
+         |    GREATEST($D0, LEAST($D1, base_conf))
+         |      * ((bucket_mult * regime_mult) * market_mult)))
+         |    AS effective_confidence,
+         |  COALESCE(r_cost <= CAST(0.35 AS DOUBLE), TRUE)
+         |    AND COALESCE(r_gap <= CAST(0.75 AS DOUBLE), TRUE)
+         |    AND COALESCE(r_fund <= CAST(0.25 AS DOUBLE), TRUE)
+         |    AND COALESCE(r_liq <= CAST(0.10 AS DOUBLE), TRUE)
+         |    AND (lev2 <= $D1 / GREATEST(CAST(0.60 AS DOUBLE),
+         |      CAST(1e-6 AS DOUBLE))) AS path_risk_ok
+         |FROM mm""".stripMargin
     }
   )
 }

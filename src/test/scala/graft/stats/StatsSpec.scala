@@ -202,6 +202,75 @@ class StatsSpec extends AnyFunSuite with TestSpark {
     assert(sat === Some(1.0))
   }
 
+  test("BarbellSizing: penalties, legacy multipliers, and the hand-computed overlay") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.stats.BarbellSizing
+    def eval1(c: org.apache.spark.sql.Column): Double =
+      Seq(1).toDF("x").select(c.as("v")).head().getDouble(0)
+
+    // ratio penalty: 1.0 at/below cap; 1/(1+excess) above; floor clamp
+    assert(eval1(BarbellSizing.ratioPenalty(lit(0.35), 0.35, 0.55)) === 1.0)
+    assert(math.abs(eval1(BarbellSizing.ratioPenalty(lit(0.70), 0.35, 0.40))
+      - 1.0 / 2.0) < 1e-12) // excess = 1, floor 0.40 below the raw penalty
+    assert(eval1(BarbellSizing.ratioPenalty(lit(0.70), 0.35, 0.55))
+      === 0.55) // same ratio, floor above the raw penalty ⇒ floored
+    assert(eval1(BarbellSizing.ratioPenalty(lit(100.0), 0.35, 0.55)) === 0.55)
+    assert(eval1(BarbellSizing.ratioPenalty(lit(null).cast("double"),
+      0.35, 0.55)) === 1.0)
+
+    // legacy per-position-cap heuristic (no explicit bucket map)
+    val legacy = BarbellSizing.bucketMultipliers(
+      BarbellSizing.Overlay(coreMaxPer = 0.20, specMaxPer = 0.05))
+    assert(legacy("safe") === 1.0 && legacy("other") === 1.0)
+    assert(math.abs(legacy("core") - 0.4) < 1e-12)
+    assert(math.abs(legacy("spec") - 0.1) < 1e-12)
+    // explicit map: missing keys default 1.0 (safe) / 0.85 (rest)
+    val expl = BarbellSizing.bucketMultipliers(
+      BarbellSizing.Overlay(bucketMult = Map("core" -> 0.9)))
+    assert(expl === Map("safe" -> 1.0, "core" -> 0.9, "spec" -> 0.85,
+      "other" -> 0.85))
+
+    // end-to-end hand-computed row: core ticker, BULL regime (×1.1),
+    // edge 20 bps, cost 14 bps ⇒ ratio 0.7, penalty 1/(1+1) = 0.5
+    // floored UP to 0.55; lev 1.25 ⇒ leg 0.8 (not the min) ⇒ market
+    // 0.55; path risk FAILS on cost ratio 0.7 > hard cap 0.35
+    val o = BarbellSizing.Overlay(
+      bucketMult = Map("safe" -> 1.0, "core" -> 0.9, "spec" -> 0.7),
+      regimeMult = Map("BULL" -> Map("core" -> 1.1)))
+    val row = Seq(("VIEW", 0.5, "bull")).toDF("ticker", "conf", "regime")
+    val r = BarbellSizing.ratios(lit(0.002), lit(3), lit(14.0),
+      lit(null).cast("double"), lit(1.25), lit(null).cast("double"),
+      lit(null).cast("double"), lit(null).cast("double"))
+    val c = BarbellSizing.applyConfidence(col("ticker"), col("conf"),
+      col("regime"), r, o, safe = Seq("click"),
+      core = Seq("purchase", "view"), spec = Seq("error"))
+    val out = row.select(c("bucket"), c("bucket_mult"), c("regime_mult"),
+      c("market_mult"), c("effective_confidence"), c("path_risk_ok")).head()
+    assert(out.getString(0) === "core")
+    assert(out.getDouble(1) === 0.9)
+    assert(math.abs(out.getDouble(2) - 1.1) < 1e-12)
+    assert(math.abs(out.getDouble(3) - 0.55) < 1e-12) // floored cost leg
+    assert(math.abs(out.getDouble(4) - 0.5 * (0.9 * 1.1 * 0.55)) < 1e-9)
+    assert(out.getBoolean(5) === false) // cost ratio 0.7 > hard cap 0.35
+
+    // no context legs at all: market 1.0, path risk vacuously ok
+    val rEmpty = BarbellSizing.ratios(lit(null).cast("double"),
+      lit(null).cast("int"), lit(null).cast("double"),
+      lit(null).cast("double"), lit(null).cast("double"),
+      lit(null).cast("double"), lit(null).cast("double"),
+      lit(null).cast("double"))
+    val c2 = BarbellSizing.applyConfidence(col("ticker"), col("conf"),
+      lit(null).cast("string"), rEmpty, o, Seq("click"),
+      Seq("purchase", "view"), Seq("error"))
+    val out2 = row.select(c2("market_mult"), c2("path_risk_ok"),
+      c2("regime_mult")).head()
+    assert(out2.getDouble(0) === 1.0)
+    assert(out2.getBoolean(1) === true)
+    assert(out2.getDouble(2) === 1.0)
+  }
+
   test("barbellProject enforces caps, floors, and total preservation") {
     val buckets = Array("safe", "spec", "core", "other", "core")
     def bsum(w: Array[Double], b: String) =
