@@ -54,11 +54,28 @@ object ExactKMeans {
       (acc, v) => acc + v)
       .cast("double") / 1e12
 
-  /** Attach (cluster, dist2) = argmin over the literal centroid set; ties
+  /** Above this k the assignment switches from k literal fold
+    * expressions to the broadcast-centroid kernel: the expression form's
+    * PLAN grows with k (k × dims literal folds inside one sort_array),
+    * and past a few dozen centroids Janino compilation and plan analysis
+    * dominate wall time — the 10× scale sweep measured k=80 at 20k rows
+    * spending ~50 s in plan overhead for sub-second data work. Both
+    * paths compute the identical grid-exact arithmetic (spec-pinned
+    * equal output), so the switch is invisible to results. */
+  private val kernelAssignThreshold = 16
+
+  /** Attach (cluster, dist2) = argmin over the centroid set; ties
     * (exact on the quantized grid, including duplicate centroids from
-    * empty clusters) break to the lowest cluster id via the
-    * lexicographic struct sort. */
-  private def withAssign(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    * empty clusters) break to the lowest cluster id. Small k: literal
+    * fold expressions (whole-stage codegen, zero overhead per plan).
+    * Large k: one broadcast of the k×dim matrix + a per-partition
+    * kernel computing the SAME long fold — plan size now constant in k,
+    * per-row cost the same O(k·dim). */
+  private def withAssign(ed: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    if (cents.length <= kernelAssignThreshold) assignExpr(ed, cents)
+    else assignKernel(ed, cents)
+
+  private[ml] def assignExpr(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val cand = cents.zipWithIndex.map { case (c, j) =>
       struct(dist2To(c).as("dist2"), lit(j).as("cluster"))
     }
@@ -66,6 +83,46 @@ object ExactKMeans {
     ed.withColumn("best", best)
       .select(col("vec_id"), col("ed"),
         col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+  }
+
+  private[ml] def assignKernel(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val s = ed.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cents)
+    ed.select(col("vec_id").cast("long"), col("ed"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e) =>
+          val x = e.toArray
+          var bestJ = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < cs.length) {
+            val c = cs(j)
+            var acc = 0L
+            var i = 0
+            while (i < x.length) {
+              // Det.qfloor(x − c, 1e6): floor of the ±9.2e18-clamped
+              // (x−c)·1e6 + 0.5 as LONG, squared and folded in exact
+              // long arithmetic (the clamp never fires inside the
+              // |x| ≤ 100 scale gate; mirrored for bit parity)
+              val q = math.floor(math.max(math.min(
+                (x(i) - c(i)) * 1e6 + 0.5, 9.2e18), -9.2e18)).toLong
+              acc += q * q
+              i += 1
+            }
+            // compare on the DOUBLE image (Σq²/1e12), exactly like the
+            // expression path's struct sort; strict < keeps the lowest
+            // cluster id on ties
+            val d = acc.toDouble / 1e12
+            if (d < bestD) { bestD = d; bestJ = j }
+            j += 1
+          }
+          (id, e, bestJ, bestD)
+        }
+      }
+      .toDF("vec_id", "ed", "cluster", "dist2")
   }
 
   /** `updates` Lloyd rounds from the k-lowest-vec_id init; returns the

@@ -246,33 +246,15 @@ object CorpusQueries extends QueryModule {
         .select($"vec_id", $"cluster", $"dist2".cast("double").as("dist2"))
     }),
 
-    // SemDeDup: semantic near-dup pruning WITHIN k-means clusters — the
-    // quadratic cosine scoring only ever pairs vectors that share a
-    // cluster, so the all-pairs term drops from n²/2 to Σ|cluster|²/2
-    // (the whole point of clustering first; at 100 TB k scales with the
-    // corpus to bound per-cluster populations). A vector is pruned iff
-    // some LOWER-id vector in its cluster has cosine ≥ 0.45 with it —
-    // the deterministic min-id keeper rule, same threshold and rounded
-    // float arithmetic as q86/q133.
-    "q139_semdedup" -> ((s, dir) => {
-      import graft.functions.VectorExprs.{dotF64, l2normF64}
-      import s.implicits._
-      val asg = graft.ml.ExactKMeans
-        .run(graft.Tables.load(s, dir, "embeddings"), k = 8, updates = 2)
-        .withColumn("nrm", l2normF64($"ed"))
-        .select($"vec_id", $"cluster", $"ed", $"nrm")
-      val a = asg.select($"cluster", $"vec_id".as("va"), $"ed".as("ea"),
-        $"nrm".as("na"))
-      val b = asg.select($"cluster", $"vec_id".as("vb"), $"ed".as("eb"),
-        $"nrm".as("nb"))
-      val pruned = a.join(b, "cluster")
-        .where($"va" < $"vb" &&
-          round(dotF64($"ea", $"eb") / ($"na" * $"nb"), 6) >= 0.45)
-        .select($"vb".as("vec_id")).distinct()
-      asg.select($"vec_id", $"cluster")
-        .join(pruned.withColumn("p", lit(true)), Seq("vec_id"), "left")
-        .select($"vec_id", $"cluster", coalesce($"p", lit(false)).as("pruned"))
-    }),
+    // SemDeDup (ml/SemDeDup.prune — the named operator): semantic
+    // near-dup pruning within k-means clusters; the all-pairs term
+    // drops from n²/2 to Σ|cluster|²/2, and at 100 TB k scales with the
+    // corpus to bound per-cluster populations (the fixed-k vs k∝n
+    // scaling pair is measured in SCALING_r14.json). Min-id keeper
+    // rule, same threshold and rounded float arithmetic as q86/q133.
+    "q139_semdedup" -> ((s, dir) =>
+      graft.ml.SemDeDup.prune(
+        graft.Tables.load(s, dir, "embeddings"), k = 8, updates = 2)),
 
     // Semantic-mixture report: the cluster × label contingency table over
     // the q138 partition plus per-cluster purity (majority-label share) —

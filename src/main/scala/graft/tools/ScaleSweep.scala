@@ -240,10 +240,30 @@ object ScaleSweep {
       } catch { case t: Throwable =>
         System.err.println(s"[scale] $n FAILED: $t") }
     }
+
+    // SemDeDup's scale knob, measured: q139's fixed k=8 makes the
+    // within-cluster pair term grow quadratically with data (its
+    // exponent is the sweep's steepest); the production answer is
+    // k ∝ n (bounded cluster size). This arm runs the SAME operator
+    // with k scaled by the data factor — its exponent should fall back
+    // toward the linear pack.
+    try {
+      def semK(dir: String, k: Int): Unit =
+        graft.ml.SemDeDup.prune(
+          graft.Tables.load(spark, dir, "embeddings"), k = k, updates = 2)
+          .write.format("noop").mode("overwrite").save()
+      semK(base, 8) // warm the k-scaled code path
+      record(tBase, "semdedup_k_scaled", clock(semK(base, 8)))
+      record(tBig, "semdedup_k_scaled", clock(semK(scratch, 8 * scale)))
+      System.err.println(
+        f"[scale] semdedup_k_scaled: base(k=8) ${tBase("semdedup_k_scaled")}%.2f s, " +
+          f"${scale}x(k=${8 * scale}) ${tBig("semdedup_k_scaled")}%.2f s")
+    } catch { case t: Throwable =>
+      System.err.println(s"[scale] semdedup_k_scaled FAILED: $t") }
     val calib1 = calib()
 
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val names = (heavy ++ Seq("ss_corpus", "ss_neardup"))
+    val names = (heavy ++ Seq("ss_corpus", "ss_neardup", "semdedup_k_scaled"))
       .filter(n => tBase.contains(n) && tBig.contains(n))
     val entries = names.map { n =>
       val r = tBig(n) / tBase(n)

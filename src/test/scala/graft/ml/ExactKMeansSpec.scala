@@ -88,6 +88,31 @@ class ExactKMeansSpec extends AnyFunSuite with TestSpark {
     assert(np > 0 && np < got.size)
   }
 
+  test("kernel assignment path is bit-identical to the expression path") {
+    // Large k switches assignment from k literal fold expressions (plan
+    // size grows with k — the 10x sweep measured k=80 spending ~50 s in
+    // plan/codegen overhead) to a broadcast-centroid kernel. Both paths
+    // must compute the SAME grid-exact argmin, including double-image
+    // distance ties breaking to the lowest cluster id. Duplicate
+    // centroids (rows 0 and 2) force exact ties.
+    val s = spark; import s.implicits._
+    val ed = emb.select($"vec_id", $"embedding".cast("array<double>").as("ed"))
+    val cents = ed.orderBy($"vec_id").limit(20)
+      .select($"ed").as[Seq[Double]].collect().map(_.toArray)
+    cents(2) = cents(0).clone() // exact duplicate => tie on every row
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cluster", $"dist2".cast("double"))
+        .collect().map(_.toString).sorted
+    val e = rowsOf(ExactKMeans.assignExpr(ed, cents))
+    val k = rowsOf(ExactKMeans.assignKernel(ed, cents))
+    assert(e.sameElements(k))
+    // the duplicate's tie resolved to cluster 0, never 2 — on both paths
+    assert(ExactKMeans.assignKernel(ed, cents)
+      .where($"cluster" === 2).isEmpty)
+    assert(ExactKMeans.assignExpr(ed, cents)
+      .where($"cluster" === 2).isEmpty)
+  }
+
   test("q143 mixture cells conserve mass and purity is the majority share") {
     val s = spark; import s.implicits._
     val rows = graft.queries.CorpusQueries.queries("q143_cluster_mix")(s, dir)
