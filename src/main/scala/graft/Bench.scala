@@ -360,11 +360,7 @@ object Bench {
         val boxH = 36
         val boxUs = boxH * 3600000000L
         val gapUs = 4 * boxUs
-        def tsOf(us: Long) = {
-          val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-          t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-          t
-        }
+        def tsOf(us: Long) = graft.Times.ofMicros(us)
         val baseUs = 1700000000L * 1000000L
         // session shapes hit every funnel stage; offsets carry sub-ms
         // components so the micros-precision state arithmetic is live
@@ -410,9 +406,13 @@ object Bench {
           evs.grouped(math.max(1, evs.length / 12)).foreach { b =>
             input.addData(b); q.processAllAvailable()
           }
+          // the eviction REQUIRE below must never pass because metrics
+          // were simply unavailable — demand the progress object
+          val p = q.lastProgress
+          require(p != null, "fs_soak: no streaming progress captured — " +
+            "cannot certify eviction")
           ((System.nanoTime() - t0) / 1e9,
-            Option(q.lastProgress).toSeq
-              .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum)
+            p.stateOperators.toSeq.map(_.numRowsTotal).sum)
         } finally q.stop()
         val streamed = sink.read()
           .select($"user_id", $"t0_us", $"t_view_us", $"t_click_us",

@@ -111,11 +111,17 @@ object BpeTrainer {
 
   // Keyed by the session OBJECT via a WeakHashMap: identityHashCode is
   // not unique (after GC a new session can collide with a stopped one's
-  // hash and hand back a DataFrame bound to a dead session), and weak
-  // keys let a stopped session's entries be collected instead of pinned.
+  // hash and hand back a DataFrame bound to a dead session). The VALUES
+  // hold SoftReferences: a DataFrame strongly references its session, so
+  // a strong value would pin its own key forever (the WeakHashMap javadoc
+  // trap) — soft values keep cache semantics (a plain GC between q190
+  // and q191 does not drop the entry) while letting memory pressure
+  // collect stopped sessions' entries, and with them the keys. A cleared
+  // reference just retrains; correctness is unaffected.
   private val segMemo =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]
+      scala.collection.concurrent.TrieMap[(String, Int),
+        java.lang.ref.SoftReference[DataFrame]]]
 
   /** Memoized [[train]] over a dir's `documents` table: q190, q191, and
     * the serve-artifact build consume the SAME 12-round segmentation, so
@@ -129,14 +135,20 @@ object BpeTrainer {
     val perSession = segMemo.synchronized {
       var m = segMemo.get(spark)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+        m = scala.collection.concurrent.TrieMap.empty[(String, Int),
+          java.lang.ref.SoftReference[DataFrame]]
         segMemo.put(spark, m)
       }
       m
     }
-    perSession.getOrElseUpdate((dir, rounds),
-      train(wordFrequencies(graft.Tables.load(spark, dir, "documents")),
-        rounds)._2)
+    val key = (dir, rounds)
+    perSession.get(key).flatMap(r => Option(r.get)).getOrElse {
+      val seg = train(
+        wordFrequencies(graft.Tables.load(spark, dir, "documents")),
+        rounds)._2
+      perSession.put(key, new java.lang.ref.SoftReference(seg))
+      seg
+    }
   }
 
   def clearSegMemo(): Unit = segMemo.synchronized(segMemo.clear())

@@ -52,11 +52,7 @@ object SourceQueries extends QueryModule {
   }
 
   /** Timestamp from epoch micros (Timestamp(ms) would truncate). */
-  private def tsOf(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  private def tsOf(us: Long): java.sql.Timestamp = graft.Times.ofMicros(us)
 
   /** The shared q207/q210 scenario: a FRESH scratch cache (CacheManager
     * appends — a stale dir from a previous bench rep would accumulate

@@ -22,19 +22,15 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
 
   private def path = s"$cacheDir/bars"
 
-  /** Epoch micros of a Timestamp, sub-millisecond part included — the
-    * delta-fetch bounds MUST be computed at the timestamps' own
-    * precision: with millisecond arithmetic, provider bars in the same
-    * millisecond as a coverage edge (ts in [floor_ms(lo), lo)) were
-    * never fetched and read() silently returned an incomplete range. */
-  private def micros(ts: java.sql.Timestamp): Long =
-    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  /** Delta-fetch bounds MUST be computed at the timestamps' own
+    * precision (graft.Times, epoch micros): with millisecond arithmetic,
+    * provider bars in the same millisecond as a coverage edge (ts in
+    * [floor_ms(lo), lo)) were never fetched and read() silently returned
+    * an incomplete range. */
+  private def micros(ts: java.sql.Timestamp): Long = graft.Times.micros(ts)
 
-  private def tsOfMicros(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  private def tsOfMicros(us: Long): java.sql.Timestamp =
+    graft.Times.ofMicros(us)
 
   def isEmpty: Boolean = !Files.exists(Paths.get(path))
 

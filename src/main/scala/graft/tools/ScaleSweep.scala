@@ -111,9 +111,13 @@ object ScaleSweep {
           lit("}")).as("props"))
   }
 
+  /** Bump when any generator above changes shape — part of the dataset
+    * fingerprint, so a stale scratch dir regenerates instead of silently
+    * mislabeling the committed scaling artifact. */
+  private val genVersion = 2
+
   def ensureScaled(spark: SparkSession, base: String, scratch: String,
       scale: Int): Unit = {
-    if (Files.exists(Paths.get(s"$scratch/events.parquet/_SUCCESS"))) return
     val vocab = graft.Tables.load(spark, base, "documents")
       .select(explode(split(col("text"), " ")).as("t"))
       .where(col("t") =!= "").distinct()
@@ -123,6 +127,15 @@ object ScaleSweep {
     val ev = graft.Tables.load(spark, base, "events")
     val nEvents = ev.count() * scale
     val nUsers = ev.select(countDistinct(col("user_id"))).head().getLong(0) * scale
+    // fingerprint = everything the generated bytes depend on: generator
+    // version, scale, the measured base counts, and the vocab itself —
+    // a generator edit OR a driver testdata regeneration both miss it
+    val fp = s"v$genVersion scale=$scale docs=$nDocs emb=$nEmb " +
+      s"events=$nEvents users=$nUsers vocab=${vocab.mkString(",").hashCode}"
+    val fpPath = Paths.get(s"$scratch/_FINGERPRINT")
+    if (Files.exists(fpPath) &&
+      new String(Files.readAllBytes(fpPath), "UTF-8") == fp &&
+      Files.exists(Paths.get(s"$scratch/events.parquet/_SUCCESS"))) return
     System.err.println(s"[scale] generating $scratch: docs=$nDocs " +
       s"emb=$nEmb events=$nEvents users=$nUsers vocab=${vocab.length}")
     genDocuments(spark, nDocs, vocab).coalesce(8)
@@ -131,6 +144,7 @@ object ScaleSweep {
       .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
     genEvents(spark, nEvents, nUsers).coalesce(8)
       .write.mode("overwrite").parquet(s"$scratch/events.parquet")
+    Files.write(fpPath, fp.getBytes("UTF-8")): Unit
   }
 
   // ---- sweep ----
@@ -252,7 +266,11 @@ object ScaleSweep {
         graft.ml.SemDeDup.prune(
           graft.Tables.load(spark, dir, "embeddings"), k = k, updates = 2)
           .write.format("noop").mode("overwrite").save()
-      semK(base, 8) // warm the k-scaled code path
+      // warm BOTH assignment paths: k=8 exercises the expression form,
+      // k=17 (just past the threshold) the broadcast kernel — otherwise
+      // the timed k=80 arm pays the kernel's first-ever JIT/codegen
+      semK(base, 8)
+      semK(base, 17)
       record(tBase, "semdedup_k_scaled", clock(semK(base, 8)))
       record(tBig, "semdedup_k_scaled", clock(semK(scratch, 8 * scale)))
       System.err.println(
