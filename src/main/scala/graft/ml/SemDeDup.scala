@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object SemDeDup {
 
+  /** Balanced cluster count for a corpus of n vectors: k ≈ √n equalizes
+    * the operator's two quadratic horns — in-cluster pairing Σ|c|²/2
+    * (dominates at fixed k: measured superlinear from 10×-sf0.1 up,
+    * 557 s at 100×) and exact-Lloyd assignment n·k·d (dominates at
+    * k ∝ n: measured marginal exponent 1.24) — at n^1.5/P each; see
+    * SCALING_r14{,_30x,_100x}.json. For true corpus scale prefer the
+    * IVF/LSH-bucketed near-dup path (AnnIndex, gates q85/q133) and use
+    * SemDeDup as the cluster-quality variant. */
+  def balancedK(n: Long): Int =
+    math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
+
   /** (vec_id, cluster, pruned) for every input vector. */
   def prune(emb: DataFrame, k: Int, updates: Int,
       threshold: Double = 0.45): DataFrame = {

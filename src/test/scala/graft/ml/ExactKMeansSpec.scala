@@ -113,6 +113,13 @@ class ExactKMeansSpec extends AnyFunSuite with TestSpark {
       .where($"cluster" === 2).isEmpty)
   }
 
+  test("SemDeDup.balancedK tracks sqrt(n) with the small-corpus floor") {
+    assert(SemDeDup.balancedK(0) === 8)
+    assert(SemDeDup.balancedK(64) === 8)
+    assert(SemDeDup.balancedK(10000) === 100)
+    assert(SemDeDup.balancedK(1000000) === 1000)
+  }
+
   test("q143 mixture cells conserve mass and purity is the majority share") {
     val s = spark; import s.implicits._
     val rows = graft.queries.CorpusQueries.queries("q143_cluster_mix")(s, dir)
