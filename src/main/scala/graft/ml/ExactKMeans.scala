@@ -71,9 +71,21 @@ object ExactKMeans {
     * Large k: one broadcast of the k×dim matrix + a per-partition
     * kernel computing the SAME long fold — plan size now constant in k,
     * per-row cost the same O(k·dim). */
-  private def withAssign(ed: DataFrame, cents: Array[Array[Double]]): DataFrame =
+  private def withAssign(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    // Contract: exactly (vec_id: bigint, ed) — the kernel path narrows
+    // its output to these two + (cluster, dist2) and casts vec_id to
+    // long, while the expression path passes columns through; enforcing
+    // the shape HERE means the k>16 switch can never change the output
+    // schema out from under a caller (fit() always conforms today; this
+    // turns "currently benign" into "structurally impossible").
+    require(ed.columns.sameElements(Array("vec_id", "ed")),
+      s"withAssign expects exactly (vec_id, ed), got ${ed.columns.mkString(",")}")
+    require(ed.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"withAssign expects vec_id: bigint, got ${ed.schema("vec_id").dataType}")
     if (cents.length <= kernelAssignThreshold) assignExpr(ed, cents)
     else assignKernel(ed, cents)
+  }
 
   private[ml] def assignExpr(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val cand = cents.zipWithIndex.map { case (c, j) =>
@@ -131,7 +143,9 @@ object ExactKMeans {
   def fit(emb: DataFrame, k: Int, updates: Int): (DataFrame, Array[Array[Double]]) = {
     val s = emb.sparkSession
     import s.implicits._
-    val ed = emb.select($"vec_id", $"embedding".cast("array<double>").as("ed"))
+    // vec_id normalized to bigint up front — withAssign's shape contract
+    val ed = emb.select($"vec_id".cast("long").as("vec_id"),
+      $"embedding".cast("array<double>").as("ed"))
     // Loud scale gate for the LONG-fold bound above: |x| ≤ 100 keeps
     // per-dim q ≤ 2e8 and Σq² ≤ 2.6e18 at dims ≤ 64 — fail here instead
     // of silently overflowing the fold on out-of-scale input. One extra

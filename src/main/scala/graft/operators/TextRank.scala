@@ -34,8 +34,17 @@ object TextRank {
     // ITERATED frame needs lineage truncation (see below).
     val edgesW = sym.join(deg, "src").persist()
     // One bounded driver scalar: |V| is the vocab size by construction.
-    val unit: Long = 1000000000000L /
-      edgesW.agg(countDistinct(col("src"))).head().getLong(0)
+    // An EMPTY adjacency has |V| = 0 — return the empty (node, pr_q,
+    // score) frame instead of dividing by it (the pre-fusion form was
+    // lazily empty here; the eager scalar must keep that contract).
+    val n: Long = edgesW.agg(countDistinct(col("src"))).head().getLong(0)
+    if (n == 0L) {
+      edgesW.unpersist()
+      return adj.select(col("a").as("node")).limit(0)
+        .withColumn("pr_q", lit(null).cast("bigint"))
+        .withColumn("score", lit(null).cast("double"))
+    }
+    val unit: Long = 1000000000000L / n
 
     var pr = edgesW.select(col("src").as("node")).distinct()
       .select(col("node"), lit(unit).as("pr"))

@@ -40,8 +40,19 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
     * rows, so the head-gap branch skips it; without this mark a ticker
     * whose history simply begins after `start` (pre-listing dates) was
     * re-fetched on EVERY read forever. Delete the sidecar to force a
-    * re-probe (e.g. after a provider backfill). */
-  private def probesPath = Paths.get(s"$cacheDir/head_probes.json")
+    * re-probe (e.g. after a provider backfill).
+    *
+    * The filename carries the unit (`_us` = epoch MICROS): the sidecar's
+    * values changed meaning from millis to micros when the delta bounds
+    * went micros-precise, and a legacy millis-valued file read as micros
+    * would be ~1000× too small — `probes.get(t).forall(_ > micros(start))`
+    * would go false and the head-gap fetch would be silently skipped
+    * forever. A legacy `head_probes.json` is therefore IGNORED (and
+    * deleted on the next save): its marks are discarded, which at worst
+    * re-probes a head range once — fail-open, never fail-silent. */
+  private def probesPath = Paths.get(s"$cacheDir/head_probes_us.json")
+
+  private def legacyProbesPath = Paths.get(s"$cacheDir/head_probes.json")
 
   private def loadProbes(): Map[String, Long] =
     if (!Files.exists(probesPath)) Map.empty
@@ -58,6 +69,7 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
     Files.move(tmp, probesPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(legacyProbesPath) // superseded millis-unit sidecar
   }
 
   /** (minDate, maxDate) per cached ticker — the coverage catalog. */

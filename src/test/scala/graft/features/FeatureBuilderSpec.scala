@@ -140,7 +140,22 @@ class FeatureBuilderSpec extends AnyFunSuite with TestSpark {
       "ret_1", "close_lag_1", "close_lag_5", "close_lag_10", "close_lag_20",
       "ret_5", "ret_10", "ret_20", "diff_1", "diff_5", "gap_run_len",
       "drawdown_60", "max_drawdown_60", "cvar_95_60", "true_range",
-      "xsec_rank_ret5", "is_month_end", "is_quarter_end", "vol_regime")
+      "xsec_rank_ret5", "is_month_end", "is_quarter_end")
+    // vol_regime is NOT in the guaranteed-exact set: it buckets
+    // roll_std_20 (ulp-close, not bit-equal, between the two forms)
+    // against percentile_approx tercile cuts over that same column — a
+    // std landing exactly ON a cut can legitimately flip the bucket by
+    // one. A mismatch is accepted only when it is exactly that: adjacent
+    // buckets AND the row's std within relative 1e-7 of a tercile cut
+    // (recomputed here from the plain frame, the same
+    // percentile_approx(…, 1e4) call finish() uses).
+    val volCuts: Map[String, Seq[Double]] = plain.groupBy("ticker")
+      .agg(percentile_approx(col("roll_std_20"),
+        typedLit(Seq(1.0 / 3, 2.0 / 3)), lit(10000)).as("cuts"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val stdIdx = cols.indexOf("roll_std_20")
+    val tickerIdx = cols.indexOf("ticker")
     p.zip(f).zipWithIndex.foreach { case ((pr, fr), ri) =>
       cols.zipWithIndex.foreach { case (c, ci) =>
         val ctx = s"row $ri col $c"
@@ -158,6 +173,13 @@ class FeatureBuilderSpec extends AnyFunSuite with TestSpark {
                     1e-7 * math.max(1.0, math.max(a.abs, b.abs)),
                     s"$ctx: $a vs $b")
               }
+            case (a: Int, b: Int) if c == "vol_regime" && a != b =>
+              val std = pr.getDouble(stdIdx)
+              val cutsT = volCuts(pr.getString(tickerIdx))
+              val nearCut = cutsT.exists(cut =>
+                math.abs(std - cut) <= 1e-7 * math.max(1.0, std.abs))
+              assert(math.abs(a - b) == 1 && nearCut,
+                s"$ctx: bucket $a vs $b with std=$std not at a cut $cutsT")
             case (a, b) => assert(a === b, s"$ctx: $a vs $b")
           }
         }

@@ -34,4 +34,12 @@ class TextRankSpec extends AnyFunSuite with TestSpark {
     assert(out("a") > 4 * out("c") && out("b") > 4 * out("c"),
       s"light node must trail: $out")
   }
+
+  test("empty adjacency returns an empty frame, not a divide-by-zero") {
+    val s = spark; import s.implicits._
+    val adj = Seq.empty[(String, String, Long)].toDF("a", "b", "w")
+    val out = TextRank.run(adj)
+    assert(out.columns.toSeq === Seq("node", "pr_q", "score"))
+    assert(out.isEmpty)
+  }
 }

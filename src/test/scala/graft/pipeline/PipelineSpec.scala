@@ -138,6 +138,41 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
     assert(fetchCalls.size === c1 + 2) // empty probe not repeated
   }
 
+  test("legacy millis probe sidecar is ignored, then superseded on save") {
+    val dir = Files.createTempDirectory("graft_cache_legacy").toString
+    val cache = new CacheManager(spark, dir)
+    var fetchCalls = 0
+    def fetch(ts: Seq[String], a: Timestamp, b: Timestamp) = {
+      fetchCalls += 1
+      SyntheticSource.generate(spark, ts, 90,
+          startDate = java.time.LocalDate.of(2023, 12, 1), seed = 9).toDF()
+        .where(col("date").between(a, b))
+    }
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t30 = Timestamp.valueOf("2024-01-30 00:00:00")
+    cache.read(Seq("AAPL"), t0, t30)(fetch)
+    assert(fetchCalls === 1)
+    // A pre-versioning sidecar (epoch MILLIS values) claims the head
+    // start below was already probed. Read as micros those marks are
+    // ~1000× too small — under the old filename they would have
+    // silently suppressed the head-gap fetch forever. The versioned
+    // loader must IGNORE the legacy file (fail-open: re-probe once).
+    val tm5 = Timestamp.valueOf("2023-12-27 00:00:00")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/head_probes.json"),
+      s"""{"AAPL":${tm5.getTime}}""".getBytes("UTF-8"))
+    cache.read(Seq("AAPL"), tm5, t30)(fetch)
+    assert(fetchCalls === 2, "legacy marks must not suppress the head fetch")
+    // the save that recorded the fresh micros probe deletes the legacy file
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/head_probes.json")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/head_probes_us.json")))
+    // and the new mark holds: same head start is settled, no re-fetch
+    cache.read(Seq("AAPL"), tm5, t30)(fetch)
+    assert(fetchCalls === 2)
+  }
+
   test("strategy sweep ranks candidates and tighter stops change outcomes") {
     val spark2 = spark
     import spark2.implicits._
