@@ -71,7 +71,7 @@ object ExactKMeans {
     * Large k: one broadcast of the k×dim matrix + a per-partition
     * kernel computing the SAME long fold — plan size now constant in k,
     * per-row cost the same O(k·dim). */
-  private def withAssign(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+  private[graft] def withAssign(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     // Contract: exactly (vec_id: bigint, ed) — the kernel path narrows
     // its output to these two + (cluster, dist2) and casts vec_id to
     // long, while the expression path passes columns through; enforcing
@@ -87,7 +87,7 @@ object ExactKMeans {
     else assignKernel(ed, cents)
   }
 
-  private[ml] def assignExpr(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+  private[graft] def assignExpr(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val cand = cents.zipWithIndex.map { case (c, j) =>
       struct(dist2To(c).as("dist2"), lit(j).as("cluster"))
     }
@@ -97,7 +97,7 @@ object ExactKMeans {
         col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
   }
 
-  private[ml] def assignKernel(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+  private[graft] def assignKernel(ed: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val s = ed.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(cents)

@@ -256,6 +256,22 @@ object CorpusQueries extends QueryModule {
       graft.ml.SemDeDup.prune(
         graft.Tables.load(s, dir, "embeddings"), k = 8, updates = 2)),
 
+    // SemDeDup at the BALANCED posture: k = balancedK(n) ≈ √n, the
+    // measured equalizer of the operator's two quadratic horns
+    // (SCALING_r14: fixed-k pair term marginal 1.71 at 100×, k∝n
+    // assignment horn 1.24; √n puts both at n^1.5/P). This gate makes
+    // the √n claim hash-checked, not commented: k is derived from the
+    // corpus (one bounded count action — the operator's contract), so
+    // the same entry exercises the expression assignment path at small
+    // SFs and the broadcast-kernel path from k>16 up (sf0.001/sf0.01:
+    // n=500 → k=22; sf0.1: n=2000 → k=45). The sweep's
+    // semdedup_k_balanced arm carries its measured exponent.
+    "q214_semdedup_balanced" -> ((s, dir) => {
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      graft.ml.SemDeDup.prune(emb,
+        k = graft.ml.SemDeDup.balancedK(emb.count()), updates = 2)
+    }),
+
     // Semantic-mixture report: the cluster × label contingency table over
     // the q138 partition plus per-cluster purity (majority-label share) —
     // the eval a curation pipeline runs before using clusters for
@@ -634,13 +650,17 @@ object CorpusQueries extends QueryModule {
        |    FROM c$r WHERE mrg = 1 OR pm = 0) GROUP BY word, wf)""".stripMargin
   }
 
-  /** DuckDB replay of ml/ExactKMeans (k=8, 2 update rounds): exploded-dim
+  /** DuckDB replay of ml/ExactKMeans (2 update rounds): exploded-dim
     * joins against unrolled centroid CTEs, DECIMAL(38,12) distance sums,
     * Det.davg12-style centroid means — the same associative arithmetic
     * the Spark kernel uses, so assignments and distances hash-match with
     * no tolerance. Ends at `a3` (vec_id, cl, dist2, rn; rn=1 is the
-    * argmin row). Shared by the q138 and q139 oracles. */
-  private val kmeansSql: String = {
+    * argmin row). Shared by the q138/q139/q214 oracles; `limitSql` is
+    * the k of the k-lowest-vec_id init — a literal for the fixed-k
+    * gates, a scalar subquery for the data-derived balancedK gate
+    * (only the init's LIMIT depends on k; the unrolled rounds are
+    * k-independent joins on `cl`). */
+  private def kmeansSqlK(limitSql: String): String = {
     // grid-exact mirror of ExactKMeans (round 12): per-dim differences
     // quantized once at 1e6 (Det.sqlQfloor — pure IEEE), integer squares
     // summed exactly; centroid means are grid-exact 1e9 sums divided by
@@ -673,7 +693,7 @@ object CorpusQueries extends QueryModule {
        |    unnest(generate_series(0, len(embedding) - 1)) AS d
        |  FROM embeddings),
        |dx AS (SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x FROM dxe),
-       |ki AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+       |ki AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $limitSql),
        |ki2 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, embedding
        |  FROM ki),
@@ -688,6 +708,37 @@ object CorpusQueries extends QueryModule {
        |${update("u2", "a2", "c1", "c2")},
        |${assign("a3", "c2")}""".stripMargin
   }
+
+  private val kmeansSql: String = kmeansSqlK("8")
+
+  /** SemDeDup replay over any kmeans CTE block (q139 fixed k=8, q214
+    * balanced k): per-cluster lower-id cosine pairing, min-id keeper. */
+  private def semdedupSql(kmeans: String): String =
+    (s"WITH $kmeans," + """
+      |asg AS (SELECT vec_id, cl AS cluster FROM a3 WHERE rn = 1),
+      |en AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |pp AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    round(
+      |      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |      / (ea.nrm * eb.nrm), 6) AS cosine
+      |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  JOIN en ea ON ea.vec_id = a.vec_id
+      |  JOIN en eb ON eb.vec_id = b.vec_id),
+      |pr AS (SELECT DISTINCT vb AS vec_id FROM pp WHERE cosine >= 0.45)
+      |SELECT s.vec_id, s.cluster, pr.vec_id IS NOT NULL AS pruned
+      |FROM asg s LEFT JOIN pr ON pr.vec_id = s.vec_id""".stripMargin)
+
+  /** k = balancedK(n) = max(8, round(√n)) in SQL — DuckDB's round() is
+    * half-away-from-zero like Scala's math.round, and √n of an integer
+    * n is never exactly x.5, so the two agree for every n. */
+  private val balancedLimitSql: String =
+    "(SELECT GREATEST(8, CAST(round(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)"
 
   override def oracles: Map[String, String] = Map(
     "q184_context_chunks" ->
@@ -927,26 +978,12 @@ object CorpusQueries extends QueryModule {
         "\nSELECT vec_id, cl AS cluster, CAST(dist2 AS DOUBLE) AS dist2" +
         "\nFROM a3 WHERE rn = 1"),
 
-    "q139_semdedup" ->
-      (s"WITH $kmeansSql," + """
-        |asg AS (SELECT vec_id, cl AS cluster FROM a3 WHERE rn = 1),
-        |en AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |pp AS (
-        |  SELECT a.vec_id AS va, b.vec_id AS vb,
-        |    round(
-        |      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (ea.nrm * eb.nrm), 6) AS cosine
-        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |  JOIN en ea ON ea.vec_id = a.vec_id
-        |  JOIN en eb ON eb.vec_id = b.vec_id),
-        |pr AS (SELECT DISTINCT vb AS vec_id FROM pp WHERE cosine >= 0.45)
-        |SELECT s.vec_id, s.cluster, pr.vec_id IS NOT NULL AS pruned
-        |FROM asg s LEFT JOIN pr ON pr.vec_id = s.vec_id""".stripMargin),
+    "q139_semdedup" -> semdedupSql(kmeansSql),
+
+    // the SAME operator and replay at the data-derived balanced k —
+    // only the k-means init LIMIT differs (a scalar subquery computing
+    // max(8, round(sqrt(n))) instead of the literal 8)
+    "q214_semdedup_balanced" -> semdedupSql(kmeansSqlK(balancedLimitSql)),
 
     "q143_cluster_mix" ->
       (s"WITH $kmeansSql," + """

@@ -127,10 +127,26 @@ object BarbellSizing {
 
   /** _regime_multiplier (:177-187): regime map lookup (upper-cased),
     * 1.0 when the regime is absent/blank or unmapped. */
+  /** The literal `map(entries: _*)` below embeds one expression pair
+    * per (regime, bucket) cell, so the PLAN grows with the config —
+    * the ExactKMeans k=80 plan-growth class (analysis + Janino cost ∝
+    * parameter, ~50 s of overhead for sub-second work once the
+    * parameter is large). A regime map is a small enum × bucket CONFIG
+    * (the reference's barbell.yml has ~5 regimes × ≤4 buckets), never
+    * data-derived, so the bound is enforced here rather than by a
+    * broadcast-join twin; `ExplainAudit --plansize` pins both the
+    * growth and this cap. */
+  private[graft] val maxRegimeCells = 64
+
   def regimeMultiplier(regime: Column, bucket: Column,
       o: Overlay): Column = {
     if (o.regimeMult.isEmpty) lit(1.0)
     else {
+      val cells = o.regimeMult.valuesIterator.map(_.size).sum
+      require(cells <= maxRegimeCells,
+        s"regimeMult has $cells (regime, bucket) cells > $maxRegimeCells: " +
+          "the literal map() plan grows with the config — a map this " +
+          "large is not a config; join a broadcast lookup table instead")
       val entries = o.regimeMult.toSeq.sortBy(_._1).flatMap {
         case (reg, byBucket) => byBucket.toSeq.sortBy(_._1).flatMap {
           case (b, v) =>

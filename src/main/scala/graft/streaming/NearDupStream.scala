@@ -72,7 +72,7 @@ object NearDupStream {
   /** The 8 (band, band_key) probes of one document: 32 min-hash values
     * h_i = (a_i·x + b_i) mod (2^31−1) sliced 4 per band, keys joined
     * ':' — identical constants and string shape to the batch bands. */
-  private[streaming] def bandKeys(text: String): Seq[(Int, String)] = {
+  private[graft] def bandKeys(text: String): Seq[(Int, String)] = {
     val shs = shingles(text)
     if (shs.isEmpty) return Seq.empty
     val xs = shs.toArray.map(md5Low60)

@@ -120,6 +120,84 @@ object ExplainAudit {
     out.result()
   }
 
+  /** Plan weight of a frame = total expression-node count across its
+    * ANALYZED logical plan — the quantity Catalyst analysis and Janino
+    * codegen cost scale with. Measured pre-execution (no action). */
+  def exprWeight(df: org.apache.spark.sql.DataFrame): Long = {
+    var n = 0L
+    df.queryExecution.analyzed.foreach { node =>
+      node.expressions.foreach(_.foreach(_ => n += 1))
+    }
+    n
+  }
+
+  /** `--plansize` fixtures: parameterized operators instantiated at two
+    * parameter settings (5× apart); `grows` = weight(large) > 2×
+    * weight(small) — linear-in-parameter plans show ~5×, constant plans
+    * ~1×, so 2 separates cleanly. The ExactKMeans k=80 incident
+    * (plan ∝ k ⇒ ~50 s of analysis+Janino for sub-second data) is a
+    * CLASS; this audit pins each known member of it:
+    *  - the production assignment (withAssign at k>16) must be FLAT —
+    *    if a refactor ever routes large k through the expression form
+    *    again, this fails loud;
+    *  - the raw expression form must GROW (positive detector fixture —
+    *    proves the measurement sees the class at all) and the kernel
+    *    form must not (negative fixture);
+    *  - BarbellSizing.regimeMultiplier's literal map() grows BY DESIGN
+    *    (a config lookup), so its guard is the maxRegimeCells require —
+    *    the audit asserts the cap actually fires past the bound. */
+  def plansizeViolations(spark: SparkSession): Seq[String] = {
+    import graft.ml.ExactKMeans
+    import graft.stats.BarbellSizing
+    import org.apache.spark.sql.functions.col
+    val ed = spark.range(8).selectExpr("id AS vec_id",
+      "transform(sequence(0, 3), d -> CAST(d AS DOUBLE) / 10 + id) AS ed")
+    def cents(k: Int): Array[Array[Double]] =
+      Array.tabulate(k)(j => Array.tabulate(4)(d => j * 0.01 + d * 0.1))
+    val regimeDf = spark.range(4)
+      .selectExpr("'BULL' AS regime", "'core' AS bucket")
+    def overlay(nRegimes: Int) = BarbellSizing.Overlay(regimeMult =
+      (0 until nRegimes).map(i =>
+        s"R$i" -> Map("core" -> 0.9, "spec" -> 0.8)).toMap)
+    def regimePlan(nRegimes: Int) = regimeDf.select(
+      BarbellSizing.regimeMultiplier(
+        col("regime"), col("bucket"), overlay(nRegimes)).as("m"))
+
+    val fixtures: Seq[(String, Long, Long, Boolean)] = Seq(
+      ("kmeans_assign_production",
+        exprWeight(ExactKMeans.withAssign(ed, cents(20))),
+        exprWeight(ExactKMeans.withAssign(ed, cents(100))), false),
+      ("kmeans_assign_expr_form",
+        exprWeight(ExactKMeans.assignExpr(ed, cents(20))),
+        exprWeight(ExactKMeans.assignExpr(ed, cents(100))), true),
+      ("kmeans_assign_kernel_form",
+        exprWeight(ExactKMeans.assignKernel(ed, cents(20))),
+        exprWeight(ExactKMeans.assignKernel(ed, cents(100))), false),
+      // 2 → 16 regimes (8×): the map literal's fixed overhead dilutes
+      // the ratio, so the growth fixture uses a wider parameter spread
+      ("barbell_regime_multiplier",
+        exprWeight(regimePlan(2)), exprWeight(regimePlan(16)), true))
+
+    val out = Seq.newBuilder[String]
+    fixtures.foreach { case (name, wSmall, wLarge, expectGrowth) =>
+      val grows = wLarge > 2L * wSmall
+      System.err.println(s"[plansize] $name: weight $wSmall -> $wLarge " +
+        s"(${if (grows) "grows with parameter" else "flat"})")
+      if (grows != expectGrowth)
+        out += s"$name: expected ${if (expectGrowth) "growth" else "flat"} " +
+          s"but weight went $wSmall -> $wLarge"
+    }
+    // the config-growth site must be CAPPED: past maxRegimeCells the
+    // literal map() must refuse, not silently build a mega-plan
+    val over = BarbellSizing.maxRegimeCells / 2 + 1
+    try {
+      regimePlan(over)
+      out += s"barbell_regime_multiplier: ${2 * over} cells exceeded " +
+        s"maxRegimeCells=${BarbellSizing.maxRegimeCells} without failing"
+    } catch { case _: IllegalArgumentException => () }
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
@@ -127,6 +205,14 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.contains("--plansize")) {
+      val bad = plansizeViolations(spark)
+      bad.foreach(v => System.err.println(s"[plansize-audit] $v"))
+      println(if (bad.isEmpty) "[plansize-audit] PASS"
+        else s"[plansize-audit] ${bad.size} violations")
+      spark.stop()
+      sys.exit(if (bad.isEmpty) 0 else 1)
+    }
     if (args.contains("--windows")) {
       val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
