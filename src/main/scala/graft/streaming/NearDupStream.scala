@@ -33,6 +33,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    `maxBucket = Int.MaxValue` for strict batch-q52 parity (what the
   *    parity specs do); the recall-delta spec measures exactly what a
   *    finite cap drops on a boilerplate-heavy corpus.
+  *
+  *    MEASURED at scale (SCALING_r15{,_100x}.json, `neardup_recall`):
+  *    the dial's contract is that capped buckets drop only pairs that
+  *    would FAIL verification. At 10×-sf0.1 density (50k docs, 20
+  *    saturated buckets at cap 16) candidate recall vs the uncapped
+  *    batch q52 set falls to 0.37 @cap16 / 0.92 @cap64 / 1.00 @cap256,
+  *    while VERIFIED recall (vs the batch q90 jaccard ≥ 0.5 set — the
+  *    pairs a dedup run acts on) stays 1.000 at EVERY cap: saturated
+  *    buckets are boilerplate bands whose pairs don't verify, and true
+  *    near-dups collide through their other, low-population bands.
+  *    Same result at 100× density. The cap bounds state and pair
+  *    emission without costing one verified near-dup on this corpus
+  *    family; a corpus whose true dups route through saturated bands
+  *    would surface as recall_verified < 1 in the committed sweep row.
   *  - A pair sharing several bands is emitted once per colliding band
   *    (bucket states are independent; Spark rejects a second stateful
   *    dedup stage downstream of flatMapGroupsWithState). Contract is
