@@ -438,12 +438,18 @@ object Bench {
     // 1.3x — contention during the soak phase specifically. A calib
     // probe timed HERE (calib_soak) plus calib-relative soak entries
     // (*_x = raw / calib_soak) make cross-round soak comparisons read
-    // box-factor-free; raw seconds stay alongside.
+    // box-factor-free; raw seconds stay alongside. The probe is
+    // MIN-OF-3: a single-shot normalizer is itself a noisy measurement
+    // (r14 caught a 2.48 s probe — contended — that made every _x look
+    // great; a normalizer spike inverts into a phantom _x regression
+    // next round), and min-of-3 costs ~1 s against 100+ s of soaks.
     val soakNorm: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty
       else {
-        val t0 = System.nanoTime(); calibJob()
-        val calibSoak = (System.nanoTime() - t0) / 1e9
+        val calibSoak = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); calibJob()
+          (System.nanoTime() - t0) / 1e9
+        }.min
         ("calib_soak" -> calibSoak) +:
           (soak ++ streamSoak ++ lcSoak ++ fsSoak).map {
             case (n, v) =>
