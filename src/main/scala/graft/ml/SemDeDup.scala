@@ -21,9 +21,13 @@ object SemDeDup {
     * (dominates at fixed k: measured superlinear from 10×-sf0.1 up,
     * 557 s at 100×) and exact-Lloyd assignment n·k·d (dominates at
     * k ∝ n: measured marginal exponent 1.24) — at n^1.5/P each; see
-    * SCALING_r14{,_30x,_100x}.json. For true corpus scale prefer the
-    * IVF/LSH-bucketed near-dup path (AnnIndex, gates q85/q133) and use
-    * SemDeDup as the cluster-quality variant. */
+    * SCALING_r14{,_30x,_100x}.json, and the balanced posture itself is
+    * gated (q214/q214s) + exponent-checked in SCALING_r15+. For true
+    * corpus scale prefer the BOUNDED-OUTPUT route — IVF top-k
+    * (AnnIndex, gate q85; ladder exponent 0.24) — and use SemDeDup as
+    * the cluster-quality variant. q133's fixed-bit sign-LSH pair list
+    * is the quadratic class with a 2^bits constant discount (its
+    * comment has the measured story); it is a scorer, not the route. */
   def balancedK(n: Long): Int =
     math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
 

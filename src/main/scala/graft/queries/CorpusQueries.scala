@@ -183,8 +183,14 @@ object CorpusQueries extends QueryModule {
     // pins the measured recall and the candidate-reduction factor).
     // The oracle replays the identical banding, so the APPROXIMATE
     // operator is still hash-exact. Scale: candidate volume is the
-    // bucket-collision count (n²/2^bits per band), not n²/2; bits per
-    // band is the dial.
+    // bucket-collision count — n²/2^bits per band at FIXED bits, i.e.
+    // still the quadratic CLASS with a 2^bits constant discount (the
+    // r15 ladder measures it superlinear on faithful geometry; the
+    // unfaithful v2 sweep family first exposed it at 190M output rows).
+    // The dial is bits (key SPACE must grow with n, like the text-LSH
+    // minhash keys, which are unbounded strings — measured 0.5 there);
+    // the bounded-output corpus-scale routes are q85 (IVF top-k,
+    // measured 0.24) and q214 (balanced SemDeDup decisions).
     "q133_lsh_embed_neardup" -> ((s, dir) => {
       import graft.functions.VectorExprs.{dotF64, l2normF64}
       import s.implicits._

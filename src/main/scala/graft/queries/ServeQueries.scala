@@ -25,6 +25,34 @@ object ServeQueries extends QueryModule {
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSql = stop.map(s => s"'$s'").mkString(", ")
 
+  /** SemDeDup's serve body over a persisted assignment table: vectors
+    * re-read from the embeddings base (same cast/norm arithmetic as the
+    * gate arm), only the in-cluster pairing + keeper rule run. Shared
+    * by the fixed-k (q139s) and balanced-k (q214s) twins. */
+  private def semdedupServe(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import graft.functions.VectorExprs.{dotF64, l2normF64}
+    import s.implicits._
+    val art = ServeArtifacts.ensure(s, dir)
+    val vecs = graft.Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("ed"))
+      .withColumn("nrm", l2normF64($"ed"))
+    val asg = s.read.parquet(s"$art/$table")
+      .join(vecs, "vec_id")
+      .select($"vec_id", $"cluster", $"ed", $"nrm")
+    val a = asg.select($"cluster", $"vec_id".as("va"), $"ed".as("ea"),
+      $"nrm".as("na"))
+    val b = asg.select($"cluster", $"vec_id".as("vb"), $"ed".as("eb"),
+      $"nrm".as("nb"))
+    val pruned = a.join(b, "cluster")
+      .where($"va" < $"vb" &&
+        round(dotF64($"ea", $"eb") / ($"na" * $"nb"), 6) >= 0.45)
+      .select($"vb".as("vec_id")).distinct()
+    asg.select($"vec_id", $"cluster")
+      .join(pruned.withColumn("p", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster", coalesce($"p", lit(false)).as("pruned"))
+  }
+
   override def queries: Map[String, QFn] = Map(
     // q127's taxonomy with the two expensive inputs (near-dup clusters,
     // contamination) read from the artifact store; the per-row signals
@@ -97,28 +125,15 @@ object ServeQueries extends QueryModule {
     // q139 with the k-means partition read from the persisted
     // assignment table (vectors re-read from the embeddings base table,
     // same cast/norm arithmetic): only the in-cluster pairing runs.
-    "q139s_semdedup_serve" -> ((s, dir) => {
-      import graft.functions.VectorExprs.{dotF64, l2normF64}
-      import s.implicits._
-      val art = ServeArtifacts.ensure(s, dir)
-      val vecs = graft.Tables.load(s, dir, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("ed"))
-        .withColumn("nrm", l2normF64($"ed"))
-      val asg = s.read.parquet(s"$art/kmeans.parquet")
-        .join(vecs, "vec_id")
-        .select($"vec_id", $"cluster", $"ed", $"nrm")
-      val a = asg.select($"cluster", $"vec_id".as("va"), $"ed".as("ea"),
-        $"nrm".as("na"))
-      val b = asg.select($"cluster", $"vec_id".as("vb"), $"ed".as("eb"),
-        $"nrm".as("nb"))
-      val pruned = a.join(b, "cluster")
-        .where($"va" < $"vb" &&
-          round(dotF64($"ea", $"eb") / ($"na" * $"nb"), 6) >= 0.45)
-        .select($"vb".as("vec_id")).distinct()
-      asg.select($"vec_id", $"cluster")
-        .join(pruned.withColumn("p", lit(true)), Seq("vec_id"), "left")
-        .select($"vec_id", $"cluster", coalesce($"p", lit(false)).as("pruned"))
-    }),
+    "q139s_semdedup_serve" -> ((s, dir) =>
+      semdedupServe(s, dir, "kmeans.parquet")),
+
+    // q214 over the persisted BALANCED (k ≈ √n) assignment — the same
+    // serve accounting for the posture a production corpus would run:
+    // the Lloyd fit is artifact build-time, only the (smaller, since
+    // clusters are √n-sized) in-cluster pairing runs at serve.
+    "q214s_semdedup_balanced_serve" -> ((s, dir) =>
+      semdedupServe(s, dir, "kmeans_balanced.parquet")),
 
     // q143 over the persisted assignment: one join + a dims-sized
     // contingency table with its windows.
@@ -170,6 +185,8 @@ object ServeQueries extends QueryModule {
       DedupTextQueries.oracles("q137_source_report"),
     "q139s_semdedup_serve" ->
       CorpusQueries.oracles("q139_semdedup"),
+    "q214s_semdedup_balanced_serve" ->
+      CorpusQueries.oracles("q214_semdedup_balanced"),
     "q143s_cluster_mix_serve" ->
       CorpusQueries.oracles("q143_cluster_mix"),
     "q191s_bpe_tokens_serve" ->
@@ -209,8 +226,9 @@ object ServeArtifacts {
     * built by older code would otherwise serve values the current gate
     * oracle no longer matches — the key fingerprints the DATA, this
     * fingerprints the CODE). v2: grid-exact ExactKMeans distances.
-    * v3: + BPE segmentation table (q191s). */
-  private val artifactVersion = "v3"
+    * v3: + BPE segmentation table (q191s).
+    * v4: + balanced-k k-means assignment (q214s). */
+  private val artifactVersion = "v4"
 
   private[queries] def key(dir: String): String = {
     val prints = Seq("documents.parquet", "embeddings.parquet")
@@ -240,10 +258,14 @@ object ServeArtifacts {
         .write.mode("overwrite").parquet(s"$root/contam.parquet")
       DedupTextQueries.queries("q127_corpus_filter")(s, dir)
         .write.mode("overwrite").parquet(s"$root/decisions.parquet")
-      graft.ml.ExactKMeans
-        .run(graft.Tables.load(s, dir, "embeddings"), k = 8, updates = 2)
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      graft.ml.ExactKMeans.run(emb, k = 8, updates = 2)
         .select(col("vec_id"), col("cluster"))
         .write.mode("overwrite").parquet(s"$root/kmeans.parquet")
+      graft.ml.ExactKMeans
+        .run(emb, k = graft.ml.SemDeDup.balancedK(emb.count()), updates = 2)
+        .select(col("vec_id"), col("cluster"))
+        .write.mode("overwrite").parquet(s"$root/kmeans_balanced.parquet")
       graft.ml.BpeTrainer.trainedSegmentation(s, dir, rounds = 12)
         .select(col("word"), col("n_syms"))
         .write.mode("overwrite").parquet(s"$root/bpe_seg.parquet")

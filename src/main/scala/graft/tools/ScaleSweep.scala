@@ -39,7 +39,11 @@ object ScaleSweep {
     "q135_incremental_dedup", "q138_kmeans", "q139_semdedup",
     "q147_incremental_cc", "q156_cvar_rolling", "q185_dup_spans",
     "q186_span_strip", "q190_bpe_vocab", "q191_bpe_tokens",
-    "q202_textrank")
+    "q202_textrank",
+    // the DESIGNATED corpus-scale semantic routes (every SemDeDup horn
+    // discussion points here) — on the ladder since r15 so the claim
+    // carries measured exponents, not an argument
+    "q85_ann_ivf", "q133_lsh_embed_neardup")
 
   val excluded: Map[String, String] = Map(
     "q51_ngram_jaccard" -> ("exact all-pairs Jaccard baseline - " +
@@ -78,19 +82,32 @@ object ScaleSweep {
         length(col("text")).cast("long").as("n_chars"))
   }
 
+  /** Faithful to the MEASURED driver family (r15; SchemaGuardSpec pins
+    * it): UNIT-NORM near-isotropic vectors with a FAINT label signal —
+    * center norm ≈ 0.07 against per-dim noise std ≈ 0.125, so in-cluster
+    * mean cosine ≈ 0.001 and the 0.45 cosine gate passes ~5e-4 of
+    * in-cluster pairs. The v2 generator had the ratio INVERTED (center
+    * ±0.3 vs noise ±0.1): on that family ~95% of ALL pairs passed 0.45
+    * and q133's 10× output was 190M rows — a property of the family,
+    * not of scale. Cosine-gated operators' output volume is a function
+    * of the corpus's cosine GEOMETRY, not just its row count, so the
+    * sweep is only evidence if the geometry matches. */
   def genEmbeddings(spark: SparkSession, n: Long): DataFrame = {
-    val centers: Seq[Seq[Float]] = (0 until 10).map(c => (0 until 64).map { d =>
-      ((Math.floorMod((c * 64 + d) * 2654435761L, 601L) - 300L) / 1000.0).toFloat
+    val centers: Seq[Seq[Double]] = (0 until 10).map(c => (0 until 64).map { d =>
+      (Math.floorMod((c * 64 + d) * 2654435761L, 601L) - 300L) / 20000.0
     })
     val cLit = typedlit(centers)
     spark.range(n).toDF("id")
       .select(col("id").as("vec_id"),
         pmod(hash(col("id"), lit(3)), lit(10)).as("label"))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         transform(sequence(lit(0), lit(63)), d =>
-          (element_at(element_at(cLit, col("label") + 1), d + 1) +
-            (pmod(hash(col("vec_id"), d), lit(200)) - lit(100)) / lit(1000.0))
-            .cast("float")).as("embedding"),
+          element_at(element_at(cLit, col("label") + 1), d + 1) +
+            (pmod(hash(col("vec_id"), d), lit(433)) - lit(216)) / lit(1000.0))
+          .as("raw"))
+      .select(col("vec_id"),
+        expr("transform(raw, x -> cast(x / sqrt(aggregate(raw, 0.0D, " +
+          "(a, v) -> a + v * v)) as float))").as("embedding"),
         col("label").cast("int").as("label"))
   }
 
@@ -114,7 +131,7 @@ object ScaleSweep {
   /** Bump when any generator above changes shape — part of the dataset
     * fingerprint, so a stale scratch dir regenerates instead of silently
     * mislabeling the committed scaling artifact. */
-  private val genVersion = 2
+  private val genVersion = 3
 
   def ensureScaled(spark: SparkSession, base: String, scratch: String,
       scale: Int): Unit = {

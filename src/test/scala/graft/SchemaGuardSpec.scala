@@ -103,4 +103,66 @@ class SchemaGuardSpec extends AnyFunSuite with TestSpark {
     assert(maxPerUser <= 400,
       s"max events/user drifted: $maxPerUser (expected ≤ ~100)")
   }
+
+  test("embeddings table GEOMETRY: unit-norm, near-isotropic, faint label signal") {
+    // Cosine-gated operators' OUTPUT volume (q86/q133/q139-pruning) is a
+    // function of the corpus's cosine geometry, not just its row count:
+    // r15's scale sweep briefly generated strong clusters (center >>
+    // noise) and q133's 10x output inflated from 33 rows to 190M with
+    // zero code change. The driver family is unit-norm vectors whose
+    // label signal is FAINT (center norm ~0.07 vs per-dim noise std
+    // ~0.125; in-cluster cosine>=0.45 rate ~5e-4). Pin that geometry so
+    // a driver regeneration — or an unfaithful scale generator — is
+    // named here before any gate infers it from a hash mismatch.
+    val s = spark
+    val rows = Tables.load(s, dir, "embeddings")
+      .selectExpr("cast(embedding as array<double>) AS e", "label")
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+    assertEmbeddingGeometry(rows)
+  }
+
+  test("scale-sweep embedding generator matches the pinned geometry") {
+    // the sweep is only scale EVIDENCE if its generated family matches
+    // the driver family the base measurements run on — same pin, same
+    // assertions, so the two can never drift apart silently again
+    val rows = graft.tools.ScaleSweep.genEmbeddings(spark, 2000)
+      .selectExpr("cast(embedding as array<double>) AS e", "label")
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+    assertEmbeddingGeometry(rows)
+  }
+
+  private def assertEmbeddingGeometry(
+      rows: Array[(Array[Double], Int)]): Unit = {
+    assert(rows.length <= 5000, "pin assumes a bounded embeddings table")
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val norms = rows.map(r => norm(r._1))
+    assert(norms.forall(n => math.abs(n - 1.0) < 0.02),
+      s"embeddings no longer unit-norm: norms in [${norms.min}, ${norms.max}]")
+    val byLabel = rows.groupBy(_._2)
+    val centerNorms = byLabel.values.map { vs =>
+      val c = vs.map(_._1).transpose.map(ds => ds.sum / ds.length).toArray
+      norm(c)
+    }
+    assert(centerNorms.forall(_ <= 0.2),
+      s"label centers too strong: max center norm ${centerNorms.max} " +
+        "(faint-signal family has ~0.07)")
+    // bounded in-cluster cosine sample: stride pairs inside each label
+    var pass = 0L; var tot = 0L
+    byLabel.values.foreach { vs =>
+      val a = vs.map(_._1)
+      var i = 0
+      while (i + 1 < a.length && tot < 200000) {
+        val (x, y) = (a(i), a(i + 1))
+        val cos = x.zip(y).map(p => p._1 * p._2).sum / (norm(x) * norm(y))
+        if (cos >= 0.45) pass += 1
+        tot += 1
+        i += 1
+      }
+    }
+    assert(tot > 100 && pass.toDouble / tot <= 0.02,
+      s"in-cluster cosine>=0.45 rate drifted: $pass/$tot " +
+        "(faint-signal family is ~5e-4)")
+  }
 }
