@@ -49,7 +49,8 @@ object ScaleSweep {
     "q51_ngram_jaccard" -> ("exact all-pairs Jaccard baseline - " +
       "quadratic by design; q90 LSH is the scale arm"),
     "q86_cosine_neardup" -> ("exact block-pair cosine baseline - " +
-      "quadratic by design; q85/q133 are the scale arms"))
+      "quadratic by design; q85 (top-k) is the bounded-output scale " +
+      "arm, q133 the 2^bits-discounted scorer (on the ladder, labeled)"))
 
   // ---- generators (same family as the driver testdata, measured) ----
 
@@ -204,8 +205,22 @@ object ScaleSweep {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // SPARK_GRAFT_SKIP: comma list of heavy entries to leave out of
+    // THIS run — for arms whose class is already measured at a lower
+    // rung and whose next decade would only burn the wall clock (q133's
+    // n²/2^bits candidates: 105 s at 30× pins exponent 1.49; the 100×
+    // point is ~11× that work for no new information — the same logic
+    // that excludes q51/q86 entirely). A skipped entry is simply absent
+    // from the artifact; the lower-rung artifact carries the evidence.
+    val skip: Set[String] =
+      sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val heavyRun = heavy.filterNot(skip)
+    if (skip.nonEmpty)
+      System.err.println(s"[scale] skipping (env): ${skip.mkString(", ")}")
+
     // JIT/codegen warm-up at sf0.001, then footer warm-up on both dirs
-    heavy.foreach { q =>
+    heavyRun.foreach { q =>
       try execOn(q, "/root/testdata/sf0.001")
       catch { case t: Throwable => System.err.println(s"[scale] warm $q: $t") }
     }
@@ -223,7 +238,7 @@ object ScaleSweep {
         name: String, v: Double): Unit =
       m(name) = math.min(m.getOrElse(name, Double.MaxValue), v)
     (1 to reps).foreach { rep =>
-      heavy.foreach { q =>
+      heavyRun.foreach { q =>
         // the BPE memo must not amortize across timed arms (Bench rule)
         graft.ml.BpeTrainer.clearSegMemo()
         try record(tBase, q, clock(execOn(q, base)))
