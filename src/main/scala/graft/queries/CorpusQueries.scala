@@ -740,9 +740,11 @@ object CorpusQueries extends QueryModule {
       |SELECT s.vec_id, s.cluster, pr.vec_id IS NOT NULL AS pruned
       |FROM asg s LEFT JOIN pr ON pr.vec_id = s.vec_id""".stripMargin)
 
-  /** k = balancedK(n) = max(8, round(√n)) in SQL — DuckDB's round() is
-    * half-away-from-zero like Scala's math.round, and √n of an integer
-    * n is never exactly x.5, so the two agree for every n. */
+  /** k = balancedK(n) = max(8, round(√n)) in SQL. DuckDB's round() is
+    * half-away-from-zero while Scala's math.round(double) is
+    * floor(x + 0.5) (half-UP — the two differ on negative halves); they
+    * agree here because the argument √n is non-negative and, for
+    * integer n, never exactly x.5. */
   private val balancedLimitSql: String =
     "(SELECT GREATEST(8, CAST(round(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)"
 

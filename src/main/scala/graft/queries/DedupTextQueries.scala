@@ -585,13 +585,10 @@ object DedupTextQueries extends QueryModule {
     // NearDupStream case) and pays only the per-batch delta.
     "q147_incremental_cc" -> ((s, dir) => {
       import s.implicits._
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_inccc_q147")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      if (root.exists) rm(root)
+      // pid-scoped store (graft.queries.Scratch): concurrent JVMs must
+      // not MERGE into the same component table; exit-cleaned
+      val root = new java.io.File(Scratch.dir("inccc_q147"))
+      if (root.exists) Scratch.rmTree(root.toString)
       val pairs = queries("q90_neardup_lsh_verify")(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val vt = graft.operators.IncrementalCC.table(s, root.toString)

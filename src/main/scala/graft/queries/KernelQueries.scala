@@ -13,12 +13,13 @@ import graft.forecast.{Ewma, Kalman}
   */
 object KernelQueries extends QueryModule {
 
-  /** Fixed per-query scratch dir (mode=overwrite on every use): the
-    * bench's min-of-3 × multi-pass loop re-runs these queries dozens of
-    * times per JVM, so a fresh `createTempDirectory` per invocation
-    * leaks one parquet dir per rep. */
-  private def scratch(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_$name").toString
+  /** Fixed-per-JVM, pid-scoped scratch dir (graft.queries.Scratch;
+    * mode=overwrite on every use): fixed within a JVM so the bench's
+    * min-of-3 × multi-pass loop doesn't leak one parquet dir per rep,
+    * pid-scoped so two concurrent JVMs (driver Verify beside a local
+    * bench/test run) can't overwrite each other's store mid-read,
+    * exit-cleaned by the shared shutdown hook. */
+  private def scratch(name: String): String = Scratch.dir(name)
 
   /** Second-bucketed davg price series per event_type, capped at the
     * first 200 points per ticker — the shared input of the q151/q152

@@ -242,8 +242,12 @@ object ServeArtifacts {
 
   /** Build the artifact set for `dir` if absent; returns its root. */
   def ensure(s: SparkSession, dir: String): String = synchronized {
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_serve_${key(dir)}")
+    // pid-scoped (graft.queries.Scratch): a second JVM seeing `_done`
+    // absent would otherwise build INTO a root this one is mid-build on
+    // (the `synchronized` + `_done` handshake protects one JVM only).
+    // Costs cross-JVM artifact reuse, which only ever helped local
+    // back-to-back runs — the driver's bench starts cold regardless.
+    val root = new java.io.File(Scratch.dir(s"serve_${key(dir)}"))
     val done = new java.io.File(root, "_done")
     if (!done.exists) {
       import org.apache.spark.storage.StorageLevel

@@ -23,33 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object SourceQueries extends QueryModule {
 
-  /** Per-process scratch root: two concurrent JVMs (a test suite running
-    * beside a bench) must not rm/append the same cache dir, so the path
-    * carries this JVM's pid. Within one JVM the fixed name is what we
-    * want — each rep re-seeds the same dir after rm. A shutdown hook
-    * removes whatever this JVM created (pid-suffixed dirs would
-    * otherwise accumulate in tmp, one pair per bench/verify run). */
-  private val pidNonce: Long = ProcessHandle.current.pid
+  /** Per-process scratch root (graft.queries.Scratch): pid-scoped so
+    * concurrent JVMs never rm/append the same cache dir, fixed within a
+    * JVM so each bench rep re-seeds the same dir after rm, exit-cleaned. */
+  private def scratch(name: String): String = Scratch.dir(name)
 
-  private val scratchMade =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scratchMade.forEach(p => rm(new java.io.File(p)))))
-  }
-
-  private def scratch(name: String): String = {
-    val p = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${pidNonce}_$name").toString
-    scratchMade.add(p)
-    p
-  }
-
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-    f.delete(): Unit
-  }
+  private def rm(f: java.io.File): Unit = Scratch.rmTree(f.toString)
 
   /** Timestamp from epoch micros (Timestamp(ms) would truncate). */
   private def tsOf(us: Long): java.sql.Timestamp = graft.Times.ofMicros(us)
