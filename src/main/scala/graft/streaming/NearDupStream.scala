@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming MinHash-LSH near-dup candidate generation — the q52/q90
@@ -43,10 +44,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    pairs a dedup run acts on) stays 1.000 at EVERY cap: saturated
   *    buckets are boilerplate bands whose pairs don't verify, and true
   *    near-dups collide through their other, low-population bands.
-  *    Same result at 100× density. The cap bounds state and pair
-  *    emission without costing one verified near-dup on this corpus
-  *    family; a corpus whose true dups route through saturated bands
-  *    would surface as recall_verified < 1 in the committed sweep row.
+  *    Verified recall is likewise 1.000 at every cap at 100× density —
+  *    candidate recall falls further there (to 0.04 @cap16); only the
+  *    VERIFIED numbers repeat across densities. The cap bounds state
+  *    and pair emission without costing one verified near-dup on this
+  *    corpus family; a corpus whose true dups route through saturated
+  *    bands surfaces as recall_verified < 1 in the committed sweep row.
   *  - A pair sharing several bands is emitted once per colliding band
   *    (bucket states are independent; Spark rejects a second stateful
   *    dedup stage downstream of flatMapGroupsWithState). Contract is
@@ -103,6 +106,25 @@ object NearDupStream {
       m
     }
     (0 until 8).map(b => (b, (0 until 4).map(r => sig(b * 4 + r)).mkString(":")))
+  }
+
+  /** Batch census of the band index `candidates` would build over
+    * `docs`: one row per (band, band_key) with member count m —
+    * deterministic and arrival-order-free. This is the recall dial's
+    * OPERATIONAL check: before fixing `maxBucket` for a corpus, measure
+    * the bucket populations its true near-dups route through — a cap
+    * below a hot bucket's population drops memberships there, and on a
+    * family whose true dups route ONLY through such buckets, verified
+    * recall degrades (the measured adversarial curve above). The sweep's
+    * saturation/drop census and the adversarial boundary arm are built
+    * on this. */
+  def bucketCensus(docs: Dataset[Doc]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.flatMap(d => bandKeys(d.text))
+      .toDF("band", "band_key")
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("m"))
   }
 
   /** Candidate pairs (da < db by doc id) as they become knowable; the

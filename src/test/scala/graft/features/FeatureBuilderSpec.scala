@@ -146,7 +146,7 @@ class FeatureBuilderSpec extends AnyFunSuite with TestSpark {
     // against percentile_approx tercile cuts over that same column — a
     // std landing exactly ON a cut can legitimately flip the bucket by
     // one. A mismatch is accepted only when it is exactly that: adjacent
-    // buckets AND the row's std within relative 1e-7 of a tercile cut
+    // buckets AND the row's std within relative 2e-7 of a tercile cut
     // (recomputed here from the plain frame, the same
     // percentile_approx(…, 1e4) call finish() uses).
     val volCuts: Map[String, Seq[Double]] = plain.groupBy("ticker")
@@ -176,8 +176,12 @@ class FeatureBuilderSpec extends AnyFunSuite with TestSpark {
             case (a: Int, b: Int) if c == "vol_regime" && a != b =>
               val std = pr.getDouble(stdIdx)
               val cutsT = volCuts(pr.getString(tickerIdx))
+              // 2e-7: the row's std and the recomputed cut can EACH sit
+              // up to rel 1e-7 from their fast-path twins (ulp drift
+              // compounds), so a legitimate flip can show plain-std vs
+              // plain-cut distance up to ~2e-7
               val nearCut = cutsT.exists(cut =>
-                math.abs(std - cut) <= 1e-7 * math.max(1.0, std.abs))
+                math.abs(std - cut) <= 2e-7 * math.max(1.0, std.abs))
               assert(math.abs(a - b) == 1 && nearCut,
                 s"$ctx: bucket $a vs $b with std=$std not at a cut $cutsT")
             case (a, b) => assert(a === b, s"$ctx: $a vs $b")

@@ -126,6 +126,62 @@ class NearDupStreamSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("adversarial boundary family: true near-dups routing only through saturated buckets LOSE verified recall under the cap, and bucketCensus detects the family") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Miniature of ScaleSweep.genAdversarialDocs: one group of 40 docs
+    // sharing a 60-token boilerplate block + 15 unique tail tokens per
+    // doc. Every pair's jaccard = 58/88 ≈ 0.66 ≥ 0.5 (all 780 pairs are
+    // TRUE near-dups), while disjoint tails mean two docs' band keys
+    // match only when all 4 minhash rows land in the shared block in
+    // both — every collision routes through the one all-boilerplate
+    // bucket per band, population ≈ 0.795⁴·40 ≈ 16 > cap 8.
+    val boil = (0 until 60).map(i => s"b0x$i").mkString(" ")
+    val docs = (0L until 40L).map(d =>
+      Doc(d, boil + " " + (0 until 15).map(i => s"u${d}t$i").mkString(" ")))
+    def jac(a: Doc, b: Doc): Double = {
+      val sa = NearDupStream.shingles(a.text)
+      val sb = NearDupStream.shingles(b.text)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val truePairs = (for {
+      a <- docs; b <- docs if a.docId < b.docId && jac(a, b) >= 0.5
+    } yield (a.docId, b.docId)).toSet
+    assert(truePairs.size === 40 * 39 / 2, "the whole group must be true near-dups")
+
+    val cap = 8
+    // the operational check the scaladoc prescribes: the census exposes
+    // the hot buckets BEFORE any cap is fixed
+    val census = NearDupStream.bucketCensus(docs.toDS()).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(census.count(_._3 > cap) >= 4,
+      s"family failed to saturate buckets at cap $cap: ${census.filter(_._3 > 1).mkString(", ")}")
+
+    def streamed(mb: Int, qn: String): Set[(Long, Long)] = {
+      val input = MemoryStream[Doc]
+      val q = NearDupStream.candidates(input.toDS(), maxBucket = mb)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        input.addData(docs); q.processAllAvailable()
+        spark.table(qn).as[CandPair].collect().map(p => (p.da, p.db)).toSet
+      } finally q.stop()
+    }
+    val uncapped = streamed(Int.MaxValue, "adv_uncapped")
+    val capped = streamed(cap, "adv_capped")
+    val verUncapped = uncapped.intersect(truePairs)
+    val verCapped = capped.intersect(truePairs)
+    assert(verUncapped.size > truePairs.size / 2,
+      "uncapped LSH should surface most true pairs on this family")
+    // THE BOUNDARY, measured: unlike the boilerplate-pairs-don't-verify
+    // family above, here the cap costs VERIFIED recall
+    assert(verCapped.size < verUncapped.size,
+      s"cap $cap was expected to lose verified recall on the adversarial family " +
+        s"(uncapped ${verUncapped.size}, capped ${verCapped.size})")
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("maxBucket recall dial: cap 1 emits no pairs, uncapped is batch-complete") {
     val spark2 = spark
     import spark2.implicits._
