@@ -157,6 +157,23 @@ object DedupTextQueries extends QueryModule {
         .select($"da", $"db", $"jaccard")
     }),
 
+    // Band-index CENSUS (streaming/NearDupStream.bucketCensus): one row
+    // per (band, band_key) bucket with its member count — the recall
+    // dial's OPERATIONAL pre-check (the measured adversarial boundary
+    // showed verified recall collapsing when true dups route through
+    // buckets hotter than maxBucket; this is the query that tells an
+    // operator whether a corpus is such a family BEFORE fixing the
+    // cap). One map-side-combined groupBy over the banded signatures —
+    // the same shuffle volume as q52's band stage without the
+    // self-join. Oracled against the q52 oracle's own bk CTE.
+    "q215_band_census" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.NearDupStream.bucketCensus(
+        graft.Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text").as[(Long, String)]
+          .map { case (id, t) => graft.streaming.NearDupStream.Doc(id, t) })
+    }),
+
     // Dedup CLUSTERS from the verified near-dup pairs: connected
     // components by min-label propagation (operators/ConnectedComponents)
     // — the step a production dedup pipeline runs after pair generation,
@@ -981,6 +998,10 @@ object DedupTextQueries extends QueryModule {
     "q90_neardup_lsh_verify" ->
       s"""WITH $verifiedPairsSql
          |SELECT da, db, jaccard FROM vp""".stripMargin,
+    // the census replays the q52 oracle's band pipeline and aggregates
+    // the bk CTE instead of self-joining it (cand is present but unused)
+    "q215_band_census" -> s"""WITH $lshCandSql
+         |SELECT band, band_key, COUNT(*) AS m FROM bk GROUP BY 1, 2""".stripMargin,
     // connected components over the verified near-dup pairs via a
     // recursive reachability walk: every node's cluster id is the MIN
     // doc id it can reach in the (symmetrized) pair graph.

@@ -48,8 +48,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    candidate recall falls further there (to 0.04 @cap16); only the
   *    VERIFIED numbers repeat across densities. The cap bounds state
   *    and pair emission without costing one verified near-dup on this
-  *    corpus family; a corpus whose true dups route through saturated
-  *    bands surfaces as recall_verified < 1 in the committed sweep row.
+  *    corpus family.
+  *
+  *    The FAILURE boundary is also measured, not hypothesized
+  *    (SCALING_r16.json `neardup_recall_adversarial`): on a constructed
+  *    family whose true near-dups route ONLY through saturated buckets
+  *    — groups sharing a 200-token boilerplate block with disjoint
+  *    50-token tails, so within-group jaccard is 0.66 (every pair a
+  *    true near-dup) while every band collision goes through the one
+  *    all-boilerplate bucket per (band, group) — verified recall
+  *    degrades exactly as the cap predicts: 0.006 @cap16 / 0.101
+  *    @cap64 / 0.880 @cap256 over 324,858 true pairs, recovering as
+  *    the cap passes the hot-bucket population. The dial's operating
+  *    contract follows: run `bucketCensus` on a corpus sample BEFORE
+  *    fixing the cap; if true dups can route through buckets hotter
+  *    than the cap (boilerplate-dominated docs whose residual overlap
+  *    still matters), raise `maxBucket` past that population or strip
+  *    the boilerplate upstream (operators/SpanDedup is the batch tool
+  *    for exactly that). NearDupStreamSpec pins the boundary on a
+  *    miniature of the family.
   *  - A pair sharing several bands is emitted once per colliding band
   *    (bucket states are independent; Spark rejects a second stateful
   *    dedup stage downstream of flatMapGroupsWithState). Contract is
