@@ -65,8 +65,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    than the cap (boilerplate-dominated docs whose residual overlap
   *    still matters), raise `maxBucket` past that population or strip
   *    the boilerplate upstream (operators/SpanDedup is the batch tool
-  *    for exactly that). NearDupStreamSpec pins the boundary on a
-  *    miniature of the family.
+  *    for exactly that). NearDupStreamSpec pins BOTH sides on a
+  *    miniature of the family: the boundary (cap 8 measurably loses
+  *    verified recall) and the remedy (stripSpans retains one block
+  *    copy, dissolves the boilerplate-induced pairs, and the census
+  *    reads every bucket back under the cap — the cap is recall-free
+  *    again).
   *  - A pair sharing several bands is emitted once per colliding band
   *    (bucket states are independent; Spark rejects a second stateful
   *    dedup stage downstream of flatMapGroupsWithState). Contract is

@@ -182,6 +182,69 @@ class NearDupStreamSpec extends AnyFunSuite with TestSpark {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("adversarial remedy: stripping the hot block upstream dissolves the boilerplate pairs and empties the hot buckets — the cap then costs nothing") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the same family as the boundary test: the scaladoc's prescribed
+    // remedy is operators/SpanDedup upstream, because the near-dup mass
+    // IS the shared block — these pairs are boilerplate-induced, and a
+    // dedup run acting on them would drop docs whose UNIQUE content
+    // differs. The operational loop this pins: census detects the hot
+    // family → strip the block (first copy retained) → census clean →
+    // the cap is recall-free again.
+    val boil = (0 until 60).map(i => s"b0x$i").mkString(" ")
+    val docs = (0L until 40L).map(d =>
+      Doc(d, boil + " " + (0 until 15).map(i => s"u${d}t$i").mkString(" ")))
+    val cap = 8
+
+    val stripped = graft.operators.SpanDedup
+      .stripSpans(docs.toDF("docId", "text")
+        .select(col("docId").as("doc_id"), col("text")), 6)
+      .select(col("doc_id"), col("clean_text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, t) => Doc(id, t) }.toSeq
+    // first-occurrence retention: exactly ONE doc keeps the block
+    val nWithBlock = stripped.count(_.text.contains("b0x0 b0x1"))
+    assert(nWithBlock === 1, s"expected one retained block copy, got $nWithBlock")
+
+    // ground truth on the stripped corpus: no pair is a near-dup any
+    // more (the block WAS the shared mass; tails are disjoint)
+    def jac(a: Doc, b: Doc): Double = {
+      val sa = NearDupStream.shingles(a.text)
+      val sb = NearDupStream.shingles(b.text)
+      if (sa.isEmpty || sb.isEmpty) 0.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val trueAfter = (for {
+      a <- stripped; b <- stripped if a.docId < b.docId && jac(a, b) >= 0.5
+    } yield (a.docId, b.docId)).toSet
+    assert(trueAfter.isEmpty, s"stripped corpus still has near-dups: $trueAfter")
+
+    // the hot buckets are gone: the census that detected the family
+    // now reads every bucket under the cap
+    val censusAfter = NearDupStream.bucketCensus(stripped.toDS()).collect()
+      .map(_.getLong(2))
+    assert(censusAfter.nonEmpty && censusAfter.max <= cap,
+      s"post-strip census still has a bucket at ${censusAfter.max} > cap $cap")
+
+    // and the capped stream on the stripped corpus drops no true pair
+    // (there are none to drop — verified parity with ground truth)
+    val input = MemoryStream[Doc]
+    val q = NearDupStream.candidates(input.toDS(), maxBucket = cap)
+      .writeStream.format("memory").queryName("adv_remedy")
+      .outputMode("append").start()
+    try {
+      input.addData(stripped); q.processAllAvailable()
+      val got = spark.table("adv_remedy").as[CandPair].collect()
+        .map(p => (p.da, p.db)).toSet
+      val verifiedGot = got.filter { case (a, b) =>
+        jac(stripped(a.toInt), stripped(b.toInt)) >= 0.5 }
+      assert(verifiedGot === trueAfter)
+    } finally q.stop()
+  }
+
   test("maxBucket recall dial: cap 1 emits no pairs, uncapped is batch-complete") {
     val spark2 = spark
     import spark2.implicits._
