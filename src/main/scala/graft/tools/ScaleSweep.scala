@@ -133,22 +133,46 @@ object ScaleSweep {
     * sharing a 3-gram shingle outside the block is birthday-improbable.
     * Within-group jaccard (B-2)/(B+2T-2); all-boilerplate band
     * probability f⁴ with f = (B-2)/(B+T-2). Deterministic — hash
-    * arithmetic, no RNG state — same documents schema as the testdata. */
+    * arithmetic, no RNG state — same documents schema as the testdata.
+    *
+    * `sharedTailFrac` (ρ) generates the MIXED-ROUTING variant between
+    * the all-or-nothing boundary (ρ=0, every collision through the one
+    * hot bucket) and a benign corpus: each group splits into subgroups
+    * of size max(2, round(ρ·G)), and each doc's tail leads with
+    * round(ρ·T) subgroup-shared tokens ("s{g}q{sub}x{i}") before its
+    * unique remainder. Same-subgroup pairs then share the B+ρT-token
+    * prefix, so a band whose 4 minhash rows land in that prefix but not
+    * all in the boilerplate routes through a bucket only the subgroup
+    * (≤ round(ρ·G) docs) can populate — a LOW-population route for a
+    * ρ-controlled slice (≈ (M−1)/(G−1)) of the true pairs, while
+    * cross-subgroup pairs keep jaccard (B-2)/(B+2T-2) and still route
+    * only through the hot all-boilerplate bucket. ρ=0 reproduces the
+    * base family byte-identically. */
   def genAdversarialDocs(spark: SparkSession, groups: Int, groupSize: Int,
-      boilTokens: Int, tailTokens: Int): DataFrame =
+      boilTokens: Int, tailTokens: Int,
+      sharedTailFrac: Double = 0.0): DataFrame = {
+    val sharedT = math.round(sharedTailFrac * tailTokens).toInt
+    val subSize = math.max(2, math.round(sharedTailFrac * groupSize).toInt)
+    val boil = array_join(transform(sequence(lit(0), lit(boilTokens - 1)),
+      i => concat(lit("b"), col("g"), lit("x"), i)), " ")
+    val uniq = array_join(transform(
+      sequence(lit(0), lit(tailTokens - sharedT - 1)),
+      i => concat(lit("u"), abs(hash(col("doc_id"), i)))), " ")
+    val text =
+      if (sharedT == 0) concat(boil, lit(" "), uniq)
+      else concat(boil, lit(" "),
+        array_join(transform(sequence(lit(0), lit(sharedT - 1)),
+          i => concat(lit("s"), col("g"), lit("q"), col("sub"), lit("x"), i)),
+          " "),
+        lit(" "), uniq)
     spark.range(groups.toLong * groupSize).toDF("id")
-      .select(col("id").as("doc_id"), pmod(col("id"), lit(groups)).as("g"))
-      .select(col("doc_id"),
-        concat(
-          array_join(transform(sequence(lit(0), lit(boilTokens - 1)),
-            i => concat(lit("b"), col("g"), lit("x"), i)), " "),
-          lit(" "),
-          array_join(transform(sequence(lit(0), lit(tailTokens - 1)),
-            i => concat(lit("u"), abs(hash(col("doc_id"), i)))), " "))
-          .as("text"))
+      .select(col("id").as("doc_id"), pmod(col("id"), lit(groups)).as("g"),
+        (expr(s"id DIV $groups") / subSize).cast("long").as("sub"))
+      .select(col("doc_id"), text.as("text"))
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
         concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
         length(col("text")).cast("long").as("n_chars"))
+  }
 
   def genEvents(spark: SparkSession, n: Long, nUsers: Long): DataFrame = {
     val spanUs = 2592000000000L // 30 days
@@ -264,7 +288,11 @@ object ScaleSweep {
             s"rung ceiling ${maxScaleOf(q)}x")}", """ +
           s""""evidence": "this round's scale=${maxScaleOf(q)} artifact """ +
           s"""(the arm runs at every rung up to its ceiling)"}"""
-      } ++ envSkip.toSeq.sorted.map { q =>
+      } ++ envSkip.diff(structSkip.toSet).toSeq.sorted.map { q =>
+        // an arm both under its structural ceiling AND env-skipped must
+        // not emit two JSON entries under the same key (last-wins in most
+        // parsers would shadow the structural reason) — the structural
+        // channel owns the key, the env channel covers the rest
         s""""$q": {"reason": "manual SPARK_GRAFT_SKIP override for this run", """ +
           """"evidence": "the invoking round's NOTES must state why"}"""
       }).mkString(",\n  ")
@@ -531,21 +559,60 @@ object ScaleSweep {
     // override with SPARK_GRAFT_ADV=1/0.
     val advOn = recallOn && sys.env.getOrElse("SPARK_GRAFT_ADV",
       if (scale == 10) "1" else "0") == "1"
+    val (advGroups, advGroupSize, advBoilT, advTailT) = (3, 500, 200, 50)
+    def advArm(rho: Double, label: String): String = {
+      val advDir =
+        if (rho == 0.0) s"$scratch/_adv"
+        else s"$scratch/_advm${math.round(rho * 100)}"
+      genAdversarialDocs(spark, advGroups, advGroupSize, advBoilT, advTailT,
+        rho).coalesce(1).write.mode("overwrite")
+        .parquet(s"$advDir/documents.parquet")
+      val a = recallArm(advDir, label)
+      // scratch hygiene: the adversarial data is regenerated per run
+      // (cheap, 1.5k docs) — leaving it would accumulate stale datasets
+      // in the persistent scale dir, unlike the fingerprinted main cache
+      try rmTree(advDir) catch { case _: Throwable => () }
+      a
+    }
     val advJson: String =
       if (!advOn) ""
       else {
-        val (groups, groupSize, boilT, tailT) = (3, 500, 200, 50)
-        val advDir = s"$scratch/_adv"
-        genAdversarialDocs(spark, groups, groupSize, boilT, tailT)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$advDir/documents.parquet")
-        val a = recallArm(advDir, "adversarial")
-        s""","neardup_recall_adversarial": {"family": {"groups": $groups, """ +
-          s""""group_size": $groupSize, "boil_tokens": $boilT, """ +
-          s""""tail_tokens": $tailT, "within_group_jaccard": """ +
-          s"""${fmt((boilT - 2).toDouble / (boilT + 2 * tailT - 2))}, """ +
+        val a = advArm(0.0, "adversarial")
+        s""","neardup_recall_adversarial": {"family": {"groups": $advGroups, """ +
+          s""""group_size": $advGroupSize, "boil_tokens": $advBoilT, """ +
+          s""""tail_tokens": $advTailT, "within_group_jaccard": """ +
+          s"""${fmt((advBoilT - 2).toDouble / (advBoilT + 2 * advTailT - 2))}, """ +
           """"note": "every within-group pair is a true near-dup (jaccard >= 0.5 via the shared boilerplate block) whose band collisions route ONLY through the one all-boilerplate bucket per (band, group) - the family NearDupStream's scaladoc names as the dial's failure boundary; recall recovers when the cap exceeds the hot-bucket population, which bucketCensus measures per-corpus"}, """ +
           a + "}"
+      }
+    // The MIXED-ROUTING points on the boundary (VERDICT r16 Next #4):
+    // real corpora sit between the all-or-nothing family (every true-dup
+    // collision through the hot bucket) and the benign driver family
+    // (none). ρ splits each group into subgroups of round(ρ·G) docs
+    // sharing round(ρ·T) leading tail tokens: same-subgroup pairs gain a
+    // LOW-population collision route (bucket ≤ subgroup size) while
+    // cross-subgroup pairs still route only through the hot bucket — so
+    // verified recall at intermediate caps measures the ONSET of
+    // degradation, not just its endpoints.
+    val advMixedJson: String =
+      if (!advOn) ""
+      else {
+        val parts = Seq(0.1, 0.3).map { rho =>
+          val sharedT = math.round(rho * advTailT).toInt
+          val subSize = math.max(2, math.round(rho * advGroupSize).toInt)
+          val jWithin = (advBoilT + sharedT - 2).toDouble /
+            (advBoilT + 2 * advTailT - sharedT - 2)
+          val jCross = (advBoilT - 2).toDouble / (advBoilT + 2 * advTailT - 2)
+          val a = advArm(rho, s"adv_mixed_${math.round(rho * 100)}")
+          s""""rho_${fmt(rho)}": {"family": {"rho": ${fmt(rho)}, """ +
+            s""""subgroup_size": $subSize, "shared_tail_tokens": $sharedT, """ +
+            s""""within_subgroup_jaccard": ${fmt(jWithin)}, """ +
+            s""""cross_subgroup_jaccard": ${fmt(jCross)}, """ +
+            s""""true_pair_frac_with_low_route": """ +
+            s"""${fmt((subSize - 1).toDouble / (advGroupSize - 1))}}, """ +
+            a + "}"
+        }
+        s""","neardup_recall_adversarial_mixed": {${parts.mkString(", ")}}"""
       }
     val calib1 = calib()
 
@@ -554,25 +621,29 @@ object ScaleSweep {
     // non-streaming-soak entry is flagged in `drift` — superlinear creep
     // becomes mechanically visible round over round instead of depending
     // on a judge re-deriving exponents by hand.
-    val prevExp: Map[String, Double] = args.lift(3) match {
-      case Some(p) if Files.exists(Paths.get(p)) =>
-        // exponent may be followed by exponent_prev/delta fields in
-        // artifacts this very feature writes — don't anchor on `}`
-        val parsed =
-          """"([A-Za-z0-9_]+)": \{"t_base[^}]*?"exponent": (-?[0-9.]+)[,}]""".r
-            .findAllMatchIn(new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        // fail LOUD on a format drift: a prev artifact that yields zero
-        // exponents would otherwise silently disable drift flagging
-        if (parsed.isEmpty)
-          System.err.println(s"[scale] WARNING: prev artifact $p parsed " +
-            "ZERO exponents — format drift? drift flagging is OFF this run")
-        parsed
-      case Some(p) =>
-        System.err.println(s"[scale] prev artifact $p not found; no deltas")
-        Map.empty
-      case None => Map.empty
-    }
+    val (prevExp, driftStatus): (Map[String, Double], String) =
+      args.lift(3) match {
+        case Some(p) if Files.exists(Paths.get(p)) =>
+          // exponent may be followed by exponent_prev/delta fields in
+          // artifacts this very feature writes — don't anchor on `}`
+          val parsed =
+            """"([A-Za-z0-9_]+)": \{"t_base[^}]*?"exponent": (-?[0-9.]+)[,}]""".r
+              .findAllMatchIn(new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // fail LOUD on a format drift, on stderr AND in the artifact:
+          // a prev artifact that yields zero exponents silently disables
+          // drift flagging, and an empty drift_vs_prev_flagged map alone
+          // is indistinguishable from "no drift" to a JSON-only reader
+          if (parsed.isEmpty) {
+            System.err.println(s"[scale] WARNING: prev artifact $p parsed " +
+              "ZERO exponents — format drift? drift flagging is OFF this run")
+            (parsed, "prev_artifact_parsed_zero_exponents_FLAGGING_OFF")
+          } else (parsed, "ok")
+        case Some(p) =>
+          System.err.println(s"[scale] prev artifact $p not found; no deltas")
+          (Map.empty, "prev_artifact_not_found_FLAGGING_OFF")
+        case None => (Map.empty, "no_prev_artifact_given")
+      }
     def expOf(n: String): Double =
       math.log(tBig(n) / tBase(n)) / math.log(scale.toDouble)
     val names = (heavy ++ Seq("ss_corpus", "ss_neardup",
@@ -608,9 +679,10 @@ object ScaleSweep {
          |"entries": {
          |  $entries
          |},
+         |"drift_status": "$driftStatus",
          |"drift_vs_prev_flagged": {$drift},
          |"skipped": {$skippedJson},
-         |"checks": {"balanced_exponent_le_1.30": $balancedCheck}$recallJson$advJson,
+         |"checks": {"balanced_exponent_le_1.30": $balancedCheck}$recallJson$advJson$advMixedJson,
          |"excluded_quadratic_baselines": {
          |  $excl
          |}
