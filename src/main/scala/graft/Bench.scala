@@ -168,13 +168,12 @@ object Bench {
     // dense 6-node clusters + 16k 32-node chains — timing min-label
     // propagation (O(diameter) rounds: ~33 here) against the star
     // contraction (O(log n) rounds + bounded local finish) on the SAME
-    // edges, with label parity REQUIRED after the clocks stop. Single
-    // shot, not min-of-3: each algorithm runs tens of jobs, so rep noise
+    // edges, with label parity REQUIRED after the clocks stop. Not
+    // min-of-3: each algorithm runs tens of jobs, so rep noise
     // amortizes internally, and 3 reps of a ~30 s propagation would
-    // dominate the whole bench budget.
-    val soak: Seq[(String, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else {
+    // dominate the whole bench budget (the soakPhase stabilizer below
+    // adds at most one re-run when the phase lands under 60 s).
+    def ccSoakRun(): Seq[(String, Double)] = {
         import graft.operators.ConnectedComponents
         val edges = ConnectedComponents.soakEdges(spark)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -207,9 +206,8 @@ object Bench {
     // (excluded from the headline total like cc_soak); rows/s and the
     // final state-store rows/bytes — the state-per-doc and state-per-
     // bucket claims, measured — go to stderr for the round NOTES.
-    val streamSoak: Seq[(String, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else try {
+    def streamSoakRun(): Seq[(String, Double)] =
+      try {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.{CorpusStream, NearDupStream}
         import spark.implicits._
@@ -278,9 +276,8 @@ object Bench {
     // after the clock stops (parity on zero fills would be vacuous, so
     // a nonempty fill set is required too). The one major surface that
     // had parity specs but no bench entry until round 12.
-    val lcSoak: Seq[(String, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else try {
+    def lcSoakRun(): Seq[(String, Double)] =
+      try {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.{LiveCycle, LivePortfolio}
         import graft.pipeline.AutoTrader
@@ -348,9 +345,8 @@ object Bench {
     // just its correctness. (A clustered timeline breaks parity
     // legitimately: post-box events race a watermark parked a whole
     // cluster behind — the documented streaming trade.)
-    val fsSoak: Seq[(String, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else try {
+    def fsSoakRun(): Seq[(String, Double)] =
+      try {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.FunnelStream
         import org.apache.spark.sql.DataFrame
@@ -432,34 +428,66 @@ object Bench {
           System.err.println(s"[bench] fs_soak FAILED: $t"); Seq.empty
       }
 
-    // Soak-phase box factor: the soaks are single-shot and run MINUTES
-    // after the round-robin calib, and r8-r10 showed 3x raw swings in
-    // them with zero code change while the round-robin calib moved only
-    // 1.3x — contention during the soak phase specifically. A calib
-    // probe timed HERE (calib_soak) plus calib-relative soak entries
-    // (*_x = raw / calib_soak) make cross-round soak comparisons read
-    // box-factor-free; raw seconds stay alongside. The probe is
-    // MIN-OF-3: a single-shot normalizer is itself a noisy measurement
-    // (r14 caught a 2.48 s probe — contended — that made every _x look
-    // great; a normalizer spike inverts into a phantom _x regression
-    // next round), and min-of-3 costs ~1 s against 100+ s of soaks.
-    val soakNorm: Seq[(String, Double)] =
+    // Soak-phase noise policy (VERDICT r16 Next #1 — the soaks were the
+    // one phase whose round-over-round deltas the committed artifact
+    // could not self-adjudicate):
+    //  1. Each soak phase is BRACKETED by its own min-of-2 calib probe
+    //    (calib_cc/calib_ss/calib_lc/calib_fs) timed immediately before
+    //    it, and each soak's `_x` divides by ITS phase's bracket — a
+    //    local-in-time box factor, not a single normalizer measured
+    //    minutes away (r8-r10 showed 3x raw soak swings while the
+    //    round-robin calib moved 1.3x; r16's fs_soak_x +143% was
+    //    exactly a contended late phase that the lone end-of-run probe
+    //    could not attribute).
+    //  2. Phases whose slowest entry lands under 60 s re-run ONCE and
+    //    keep the per-entry MIN — the ScaleSweep big-shot stabilizer
+    //    applied to soaks, so a one-off scheduler burst can no longer
+    //    write the committed number. Phases above the bar stay
+    //    single-shot (doubling a ~60 s+ soak would dominate the bench
+    //    budget for proportionally little noise reduction).
+    // calib_soak (min across the brackets) stays for cross-round
+    // continuity of the old single-normalizer field.
+    val stabilizeBelow = 60.0
+    def soakPhase(label: String, run: () => Seq[(String, Double)])
+        : (Double, Seq[(String, Double)]) = {
+      val bracket = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); calibJob()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val first = run()
+      val vals =
+        if (first.isEmpty || first.map(_._2).max >= stabilizeBelow) first
+        else {
+          val second = run().toMap
+          first.map { case (n, v) => n -> math.min(v, second.getOrElse(n, v)) }
+        }
+      System.err.println(f"[bench] soak phase $label: calib $bracket%.2f s, " +
+        s"shots ${if (vals eq first) 1 else 2}")
+      (bracket, vals)
+    }
+    val soakPhases: Seq[(String, Double, Seq[(String, Double)])] =
       if (only.nonEmpty) Seq.empty
+      else Seq[(String, () => Seq[(String, Double)])](
+        ("cc", () => ccSoakRun()), ("ss", () => streamSoakRun()),
+        ("lc", () => lcSoakRun()), ("fs", () => fsSoakRun()))
+        .map { case (lbl, run) =>
+          val (bracket, vals) = soakPhase(lbl, run)
+          (lbl, bracket, vals)
+        }
+    val soakVals: Seq[(String, Double)] = soakPhases.flatMap(_._3)
+    val soakNorm: Seq[(String, Double)] =
+      if (soakPhases.isEmpty) Seq.empty
       else {
-        val calibSoak = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); calibJob()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        ("calib_soak" -> calibSoak) +:
-          (soak ++ streamSoak ++ lcSoak ++ fsSoak).map {
-            case (n, v) =>
-              (n.replace("_1m", "") + "_x") -> v / calibSoak
-          }
+        val brackets = soakPhases.map { case (lbl, b, _) => s"calib_$lbl" -> b }
+        val xs = soakPhases.flatMap { case (_, bracket, vals) =>
+          vals.map { case (n, v) => (n.replace("_1m", "") + "_x") -> v / bracket }
+        }
+        (("calib_soak" -> soakPhases.map(_._2).min) +: brackets) ++ xs
       }
 
     val results: Seq[(String, Double)] =
       work.map { case (name, _) => name -> best.getOrElse(name, lastDur(name)) }
-        .toSeq ++ soak ++ streamSoak ++ lcSoak ++ fsSoak ++ soakNorm
+        .toSeq ++ soakVals ++ soakNorm
     // Seconds at 2-decimal precision. Keys are the
     // unique qNN prefix — the name every other artifact (CORRECTNESS,
     // VERDICT, BASELINE) already uses — which keeps the line ~1.1k.
@@ -516,7 +544,10 @@ object Bench {
     // drifts (r14: calib_soak 1.14→2.48 while every _x entry improved) —
     // raw soak seconds compare boxes, the _x entries compare code. This
     // map puts the calib-relative values in the PARSED tail so no judge
-    // has to re-derive the argument from the full queries map.
+    // has to re-derive the argument from the full queries map. Since
+    // r17 each _x divides by its own phase's bracket probe (calib_cc/
+    // _ss/_lc/_fs, also in this map) and sub-60s phases are min-of-2 —
+    // see the soakPhase policy above.
     val soaksXField =
       if (soakNorm.isEmpty) ""
       else soakNorm.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
