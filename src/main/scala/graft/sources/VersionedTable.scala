@@ -244,6 +244,43 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     adds.toSeq
   }
 
+  /** Atomically publish a COMPLETE log entry at `p`; returns false when
+    * the version is already taken. On the local FS the bytes go to a
+    * unique hidden temp file (fully written and closed) that is then
+    * HARD-LINKED into place: link(2) is atomic and fails when the
+    * destination exists, so exclusive-create arbitration is preserved
+    * AND an entry file that exists is always fully readable — a commit
+    * loser can never observe a torn winner. (The r16 flake mechanism,
+    * pinned by VersionedTableStressSpec: with create(false)+write+close
+    * the winner could be descheduled between create and close under
+    * full-suite load — 32 executor threads + GC — so "entry exists" did
+    * not imply "entry readable", and the loser's bounded torn-entry poll
+    * in commit() expired into a spurious ConcurrentModificationException
+    * about once in three full-suite runs.) On non-local filesystems
+    * (HDFS) this falls back to exclusive create + write, where that
+    * bounded poll remains the documented mitigation for the residual
+    * window. */
+  private def publishEntry(p: Path, bytes: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      val dir = java.nio.file.Paths.get(new Path(logDir).toUri.getPath)
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve(
+        s".pre_${java.util.UUID.randomUUID().toString.take(8)}.json")
+      java.nio.file.Files.write(tmp, bytes)
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(p.toUri.getPath), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp): Unit
+      }
+    } else {
+      try { val out = fs.create(p, false); out.write(bytes); out.close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
   /** Exclusive-create commit with disjoint-partition rebase. Returns the
     * committed version. */
   private def commit(e: Entry): Long = {
@@ -251,9 +288,7 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     var attempts = 0
     while (attempts < 50) {
       val p = entryPath(entry.version)
-      val created =
-        try { val out = fs.create(p, false); out.write(encode(entry).getBytes("UTF-8")); out.close(); true }
-        catch { case _: java.io.IOException => false }
+      val created = publishEntry(p, encode(entry).getBytes("UTF-8"))
       if (created) return entry.version
       // lost the race: the winner holds our version. A blind APPEND can
       // always rebase (it removes nothing and read nothing). A MERGE
@@ -261,12 +296,13 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       // a winner in our partitions means our merge read a stale
       // snapshot of exactly the rows it rewrote.
       //
-      // The winner's entry may still be MID-WRITE when we read it (we
-      // lose the create race the instant its file EXISTS, not when its
-      // content is complete) — a torn read here is overwhelmingly an
-      // in-flight writer, not a crash, so poll briefly before judging
-      // the conflict. A writer that died mid-write keeps the entry torn
-      // past the budget and still lands in the conservative throw.
+      // On the local FS publishEntry is atomic (hard-linked complete
+      // bytes), so a torn read here can only be a crashed writer's
+      // remnant or a foreign/pre-protocol file — not a live in-flight
+      // winner. On HDFS the create+write window still exists, so poll
+      // briefly before judging the conflict; a writer that died
+      // mid-write keeps the entry torn past the budget and lands in the
+      // conservative throw either way.
       val winner = {
         var w = readEntry(entry.version)
         var waited = 0
@@ -525,6 +561,14 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
           !committedTx(st.getPath.getName.stripPrefix(".tx_")) &&
           st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
+    }
+    // publishEntry temp files are deleted in-line; one left behind means
+    // a writer crashed between write and link — same TTL discipline
+    if (fs.exists(new Path(logDir))) {
+      fs.listStatus(new Path(logDir))
+        .filter(st => st.getPath.getName.startsWith(".pre_") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, false))
     }
     doomed
   }
