@@ -174,6 +174,28 @@ object DedupTextQueries extends QueryModule {
           .map { case (id, t) => graft.streaming.NearDupStream.Doc(id, t) })
     }),
 
+    // The adversarial REMEDY loop as one gated operator (VERDICT r16
+    // Next #3 — the spec miniature NearDupStreamSpec "adversarial
+    // remedy" promoted to the oracle gate): SpanDedup.stripSpans
+    // dissolves repeated boilerplate upstream (first copy retained,
+    // q186's action), then bucketCensus RE-MEASURES the band index the
+    // stream would build over the CLEANED corpus — the post-remedy
+    // census an operator compares against the cap before re-enabling
+    // it. Output is the re-census; hashing it pins BOTH stages (any
+    // deviation in the strip changes the cleaned text and with it the
+    // band keys), and the DuckDB oracle replays strip + re-band end to
+    // end. Plan: q186's two shuffles (window inventory + join-back)
+    // feeding q215's one map-side-combined groupBy — no self-join, no
+    // new scale class.
+    "q216_strip_recensus" -> ((s, dir) => {
+      import s.implicits._
+      graft.streaming.NearDupStream.bucketCensus(
+        graft.operators.SpanDedup.stripSpans(
+          graft.Tables.load(s, dir, "documents"), 6)
+          .select($"doc_id", $"clean_text").as[(Long, String)]
+          .map { case (id, t) => graft.streaming.NearDupStream.Doc(id, t) })
+    }),
+
     // Dedup CLUSTERS from the verified near-dup pairs: connected
     // components by min-label propagation (operators/ConnectedComponents)
     // — the step a production dedup pipeline runs after pair generation,
@@ -789,10 +811,13 @@ object DedupTextQueries extends QueryModule {
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
       |  FROM idx)""".stripMargin
 
-  /** DuckDB CTE chain ending in `cand AS (... da, db ...)` — the LSH
-    * band candidate pairs, mirroring [[lshCandidates]]. Shared by the
-    * q52 (candidates) and q90 (verified near-dups) oracles. */
-  private val lshCandSql = {
+  /** DuckDB CTE chain (pre-stripped margins) ending in
+    * `${p}bk (doc_id, band, band_key)` — the shingle → minhash → band
+    * pipeline of [[lshCandidates]], reading (doc_id, text) from `src`.
+    * Prefix `p` keeps CTE names disjoint when two chains share one WITH
+    * (the q216 oracle re-bands CLEANED text after the span-strip chain
+    * has already claimed the bare names over `documents`). */
+  private def bandChainSql(p: String, src: String): String = {
     val hexParse =
       """list_reduce(list_transform(string_split_regex(substr(md5(sh), 18, 15), ''),
         |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
@@ -804,18 +829,33 @@ object DedupTextQueries extends QueryModule {
         .mkString(" || ':' || ") + s" AS band_$b"
     }.mkString(",\n  ")
     val arms = (0 until 8).map(b =>
-      s"SELECT doc_id, $b AS band, band_$b AS band_key FROM banded")
+      s"SELECT doc_id, $b AS band, band_$b AS band_key FROM ${p}banded")
       .mkString("\n  UNION ALL ")
-    s"""$shingleSql,
-       |hh AS (SELECT doc_id, $hexParse % 2147483647 AS x FROM sh),
-       |sig AS (SELECT doc_id, $minAggs FROM hh GROUP BY doc_id),
-       |banded AS (SELECT doc_id, $bands FROM sig),
-       |bk AS ($arms),
+    s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |${p}idx AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+       |  FROM ${p}toks),
+       |${p}sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+       |  FROM ${p}idx),
+       |${p}hh AS (SELECT doc_id, $hexParse % 2147483647 AS x FROM ${p}sh),
+       |${p}sig AS (SELECT doc_id, $minAggs FROM ${p}hh GROUP BY doc_id),
+       |${p}banded AS (SELECT doc_id, $bands FROM ${p}sig),
+       |${p}bk AS ($arms)""".stripMargin
+  }
+
+  /** DuckDB CTE chain ending in `cand AS (... da, db ...)` — the LSH
+    * band candidate pairs, mirroring [[lshCandidates]]. Shared by the
+    * q52 (candidates) and q90 (verified near-dups) oracles. Built on
+    * [[bandChainSql]] with the bare prefix (its unprefixed toks/idx/sh
+    * CTEs are byte-compatible with the [[shingleSql]] names other
+    * oracles use). */
+  private val lshCandSql =
+    s"""${bandChainSql("", "documents")},
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |  FROM bk x JOIN bk y
        |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)""".stripMargin
-  }
 
   /** [[lshCandSql]] extended with the exact-Jaccard verification,
     * ending in `vp AS (... da, db, jaccard ...)` — the q90 pair set,
@@ -1002,6 +1042,29 @@ object DedupTextQueries extends QueryModule {
     // the bk CTE instead of self-joining it (cand is present but unused)
     "q215_band_census" -> s"""WITH $lshCandSql
          |SELECT band, band_key, COUNT(*) AS m FROM bk GROUP BY 1, 2""".stripMargin,
+    // strip (q186's exact chain) -> cleaned text -> re-band (the q215
+    // pipeline under prefix c over the `clean` CTE) -> census
+    "q216_strip_recensus" ->
+      s"""WITH $spanCteSql,
+         |rem AS (SELECT doc_id, s, e FROM sp WHERE has_canon = 0),
+         |pos AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+         |  FROM toks),
+         |kept AS (
+         |  SELECT p.doc_id, p.p, p.t[p.p] AS tok
+         |  FROM pos p
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM rem r
+         |    WHERE r.doc_id = p.doc_id AND p.p >= r.s AND p.p <= r.e)),
+         |ka AS (
+         |  SELECT doc_id, COUNT(*) AS kt,
+         |    string_agg(tok, ' ' ORDER BY p) AS ct
+         |  FROM kept GROUP BY 1),
+         |clean AS (
+         |  SELECT k.doc_id, COALESCE(ka.ct, '') AS text
+         |  FROM toks k LEFT JOIN ka ON ka.doc_id = k.doc_id),
+         |${bandChainSql("c", "clean")}
+         |SELECT band, band_key, COUNT(*) AS m FROM cbk GROUP BY 1, 2""".stripMargin,
     // connected components over the verified near-dup pairs via a
     // recursive reachability walk: every node's cluster id is the MIN
     // doc id it can reach in the (symmetrized) pair graph.

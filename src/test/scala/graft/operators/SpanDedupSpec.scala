@@ -74,4 +74,27 @@ class SpanDedupSpec extends AnyFunSuite with TestSpark {
       assert(r.getLong(3) <= r.getLong(1)) // dup <= n_tokens
     }
   }
+
+  test("strip -> re-census composition (the q216 loop): 8 band memberships per shingled doc, exact-dup buckets dissolve") {
+    val s = spark; import s.implicits._
+    import graft.streaming.NearDupStream
+    def census(df: org.apache.spark.sql.DataFrame) =
+      NearDupStream.bucketCensus(df.as[(Long, String)]
+        .map { case (id, t) => NearDupStream.Doc(id, t) }).collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    // pre-strip: docs 0 and 3 are byte-identical -> identical shingle
+    // sets -> all 8 band keys coincide (eight m=2 buckets)
+    val before = census(docs.select($"doc_id", $"text"))
+    assert(before.count(_._2 === 2L) === 8)
+    val stripped = SpanDedup.stripSpans(docs, 3)
+    val after = census(stripped.select($"doc_id", $"clean_text"))
+    // every doc with >= 3 kept tokens contributes exactly 8 band
+    // memberships; shorter docs contribute none (shingle-degenerate)
+    val shingled = stripped.where($"kept_tokens" >= 3).count()
+    assert(after.map(_._2).sum === 8L * shingled)
+    // the remedy outcome on this fixture: the exact-dup copy stripped to
+    // empty, remaining docs have disjoint shingle sets -> no bucket
+    // holds two docs any more
+    assert(after.nonEmpty && after.map(_._2).max === 1L)
+  }
 }
