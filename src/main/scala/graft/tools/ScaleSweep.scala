@@ -40,6 +40,11 @@ object ScaleSweep {
     "q147_incremental_cc", "q156_cvar_rolling", "q185_dup_spans",
     "q186_span_strip", "q190_bpe_vocab", "q191_bpe_tokens",
     "q202_textrank",
+    // the strip->recensus remedy gate (r17): composition of two
+    // on-ladder stages; added so its own exponent is measured rather
+    // than argued from its parts (first full-rung entries land in r18's
+    // artifacts; r17 NOTES carries one-off probe exponents)
+    "q216_strip_recensus",
     // the DESIGNATED corpus-scale semantic routes (every SemDeDup horn
     // discussion points here) — on the ladder since r15 so the claim
     // carries measured exponents, not an argument
