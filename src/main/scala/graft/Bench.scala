@@ -455,14 +455,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
       val first = run()
-      val vals =
-        if (first.isEmpty || first.map(_._2).max >= stabilizeBelow) first
+      // an empty first shot is a caught transient failure, not a fast
+      // phase — the single re-run the policy budgets for is exactly the
+      // remedy, so retry and take the second shot's entries outright
+      val (vals, shots) =
+        if (first.isEmpty) (run(), 2)
+        else if (first.map(_._2).max >= stabilizeBelow) (first, 1)
         else {
           val second = run().toMap
-          first.map { case (n, v) => n -> math.min(v, second.getOrElse(n, v)) }
+          (first.map { case (n, v) => n -> math.min(v, second.getOrElse(n, v)) }, 2)
         }
       System.err.println(f"[bench] soak phase $label: calib $bracket%.2f s, " +
-        s"shots ${if (vals eq first) 1 else 2}")
+        s"shots $shots")
       (bracket, vals)
     }
     val soakPhases: Seq[(String, Double, Seq[(String, Double)])] =

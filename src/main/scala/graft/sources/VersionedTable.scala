@@ -244,41 +244,70 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     adds.toSeq
   }
 
+  /** Test seam: `VersionedTableStressSpec` swaps the entry-publish
+    * strategy here to pin BOTH sides of the commit-atomicity contract —
+    * the committed negative control re-installs the pre-r17
+    * create→window→write shape and proves the tight torn-entry reader
+    * CATCHES it (so the green atomic run is evidence, not vacuity).
+    * Production never sets this. */
+  private[sources] var publishOverride: Option[(Path, Array[Byte]) => Boolean] = None
+
+  /** Legacy publish: exclusive create + write + close. This is the real
+    * path on filesystems without link(2) (HDFS, and 'file'-scheme mounts
+    * where `createLink` is unsupported — NFS/SMB/FUSE, some container
+    * overlays). Here "entry exists" does NOT imply "entry fully
+    * readable" — the create→close torn window is real — so commit()'s
+    * bounded torn-entry poll remains the documented mitigation. */
+  private[sources] def publishViaCreate(p: Path, bytes: Array[Byte]): Boolean =
+    try { val out = fs.create(p, false); out.write(bytes); out.close(); true }
+    catch { case _: java.io.IOException => false }
+
+  /** Local-FS publish: the bytes go to a unique hidden temp file (fully
+    * written and closed) that is then HARD-LINKED into place — link(2)
+    * is atomic and fails when the destination exists, so
+    * exclusive-create arbitration is preserved AND an entry file that
+    * exists is always fully readable; a commit loser can never observe
+    * a torn winner. (The r16 flake mechanism, pinned by
+    * VersionedTableStressSpec: with create(false)+write+close the winner
+    * could be descheduled between create and close under full-suite
+    * load — 32 executor threads + GC — so "entry exists" did not imply
+    * "entry readable", and the loser's bounded torn-entry poll in
+    * commit() expired into a spurious ConcurrentModificationException
+    * about once in three full-suite runs.) */
+  private def publishViaLink(p: Path, bytes: Array[Byte]): Boolean = {
+    val dir = java.nio.file.Paths.get(new Path(logDir).toUri.getPath)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(
+      s".pre_${java.util.UUID.randomUUID().toString.take(8)}.json")
+    java.nio.file.Files.write(tmp, bytes)
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(p.toUri.getPath), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      // a 'file'-scheme mount without link(2) support: degrade to the
+      // legacy exclusive-create path instead of failing every commit.
+      // EEXIST (the lost-race signal) is handled above —
+      // FileAlreadyExistsException extends FileSystemException, so
+      // these cases only see genuine no-hard-link failures.
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        publishViaCreate(p, bytes)
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+    }
+  }
+
   /** Atomically publish a COMPLETE log entry at `p`; returns false when
-    * the version is already taken. On the local FS the bytes go to a
-    * unique hidden temp file (fully written and closed) that is then
-    * HARD-LINKED into place: link(2) is atomic and fails when the
-    * destination exists, so exclusive-create arbitration is preserved
-    * AND an entry file that exists is always fully readable — a commit
-    * loser can never observe a torn winner. (The r16 flake mechanism,
-    * pinned by VersionedTableStressSpec: with create(false)+write+close
-    * the winner could be descheduled between create and close under
-    * full-suite load — 32 executor threads + GC — so "entry exists" did
-    * not imply "entry readable", and the loser's bounded torn-entry poll
-    * in commit() expired into a spurious ConcurrentModificationException
-    * about once in three full-suite runs.) On non-local filesystems
-    * (HDFS) this falls back to exclusive create + write, where that
-    * bounded poll remains the documented mitigation for the residual
-    * window. */
+    * the version is already taken. Local FS → [[publishViaLink]] (no
+    * torn window at all); everything else (HDFS) → [[publishViaCreate]],
+    * where commit()'s bounded poll mitigates the residual window. */
   private def publishEntry(p: Path, bytes: Array[Byte]): Boolean =
-    if (fs.getScheme == "file") {
-      val dir = java.nio.file.Paths.get(new Path(logDir).toUri.getPath)
-      java.nio.file.Files.createDirectories(dir)
-      val tmp = dir.resolve(
-        s".pre_${java.util.UUID.randomUUID().toString.take(8)}.json")
-      java.nio.file.Files.write(tmp, bytes)
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(p.toUri.getPath), tmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally {
-        java.nio.file.Files.deleteIfExists(tmp): Unit
-      }
-    } else {
-      try { val out = fs.create(p, false); out.write(bytes); out.close(); true }
-      catch { case _: java.io.IOException => false }
+    publishOverride match {
+      case Some(publish) => publish(p, bytes)
+      case None =>
+        if (fs.getScheme == "file") publishViaLink(p, bytes)
+        else publishViaCreate(p, bytes)
     }
 
   /** Exclusive-create commit with disjoint-partition rebase. Returns the

@@ -61,11 +61,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    @cap64 / 0.880 @cap256 over 324,858 true pairs, recovering as
   *    the cap passes the hot-bucket population. The dial's operating
   *    contract follows: run `bucketCensus` on a corpus sample BEFORE
-  *    fixing the cap; if true dups can route through buckets hotter
-  *    than the cap (boilerplate-dominated docs whose residual overlap
-  *    still matters), raise `maxBucket` past that population or strip
-  *    the boilerplate upstream (operators/SpanDedup is the batch tool
-  *    for exactly that). NearDupStreamSpec pins BOTH sides on a
+  *    fixing the cap, and let `recommendCap(census, targetPairFrac)`
+  *    pick the cap from the census's pair-mass quantiles (target 1.0 =
+  *    strictly no-drop); if true dups can route through buckets hotter
+  *    than an affordable cap (boilerplate-dominated docs whose residual
+  *    overlap still matters), strip the boilerplate upstream instead
+  *    (operators/SpanDedup is the batch tool for exactly that). NearDupStreamSpec pins BOTH sides on a
   *    miniature of the family: the boundary (cap 8 measurably loses
   *    verified recall) and the remedy (stripSpans retains one block
   *    copy, dissolves the boilerplate-induced pairs, and the census
@@ -146,6 +147,48 @@ object NearDupStream {
       .toDF("band", "band_key")
       .groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("m"))
+  }
+
+  /** The census→cap prescription as code: pick the smallest `maxBucket`
+    * that keeps at least `targetPairFrac` of the census's candidate-pair
+    * mass — Σ m·(m−1)/2 over buckets with population m ≤ cap, as a
+    * fraction of the total over all buckets.
+    *
+    * This is the measured operating contract made mechanical
+    * (SCALING_r17's ρ-family curves): each recall tranche recovers
+    * exactly as the cap passes the population of the buckets it routes
+    * through — hot-bucket populations 50/150/~200 were precisely the cap
+    * thresholds at which the subgroup and boilerplate tranches returned
+    * — so the right cap for a target recall share is a census QUANTILE
+    * (weighted by per-bucket pair mass), not a guess.
+    * `targetPairFrac = 1.0` returns the hottest population: strictly
+    * no-drop, equivalent to batch-q52 parity on this corpus. A corpus
+    * with no colliding buckets has nothing to cap — the production
+    * default (64) is returned.
+    *
+    * Scale: the census is one row per (band, band_key); this aggregates
+    * it to one row per DISTINCT population m before collecting, so the
+    * driver-side set is bounded by the number of distinct bucket sizes
+    * — tiny by construction even on a 100 TB corpus sample. */
+  def recommendCap(census: DataFrame, targetPairFrac: Double): Int = {
+    require(targetPairFrac > 0.0 && targetPairFrac <= 1.0,
+      s"targetPairFrac must be in (0, 1], got $targetPairFrac")
+    val byM = census.filter(col("m") >= 2)
+      .groupBy(col("m")).agg(count(lit(1)).as("buckets"))
+      .orderBy(col("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (byM.isEmpty) return 64
+    val mass = byM.map { case (m, c) => m.toDouble * (m - 1) / 2.0 * c }
+    val total = mass.sum
+    var cum = 0.0
+    var i = 0
+    while (i < byM.length) {
+      cum += mass(i)
+      if (cum / total >= targetPairFrac - 1e-12)
+        return math.min(byM(i)._1, Int.MaxValue.toLong).toInt
+      i += 1
+    }
+    math.min(byM.last._1, Int.MaxValue.toLong).toInt
   }
 
   /** Candidate pairs (da < db by doc id) as they become knowable; the

@@ -608,13 +608,25 @@ object ScaleSweep {
           val jWithin = (advBoilT + sharedT - 2).toDouble /
             (advBoilT + 2 * advTailT - sharedT - 2)
           val jCross = (advBoilT - 2).toDouble / (advBoilT + 2 * advTailT - 2)
+          // exact low-route fraction over the ACTUAL subgroup partition:
+          // the generator floors doc index / subSize, so when subSize
+          // does not divide G the last subgroup is ragged (G mod
+          // subSize) and (subSize-1)/(G-1) overstates the fraction —
+          // e.g. ρ=0.3, G=500 splits 150/150/150/50, fraction 0.279
+          // not 0.299 (ADVICE r17)
+          def c2(m: Long): Long = m * (m - 1) / 2
+          val fullSubs = advGroupSize / subSize
+          val ragged = advGroupSize % subSize
+          val lowFrac = (fullSubs * c2(subSize.toLong) + c2(ragged.toLong))
+            .toDouble / c2(advGroupSize.toLong)
           val a = advArm(rho, s"adv_mixed_${math.round(rho * 100)}")
           s""""rho_${fmt(rho)}": {"family": {"rho": ${fmt(rho)}, """ +
-            s""""subgroup_size": $subSize, "shared_tail_tokens": $sharedT, """ +
+            s""""subgroup_size": $subSize, """ +
+            s""""last_subgroup_size": ${if (ragged == 0) subSize else ragged}, """ +
+            s""""shared_tail_tokens": $sharedT, """ +
             s""""within_subgroup_jaccard": ${fmt(jWithin)}, """ +
             s""""cross_subgroup_jaccard": ${fmt(jCross)}, """ +
-            s""""true_pair_frac_with_low_route": """ +
-            s"""${fmt((subSize - 1).toDouble / (advGroupSize - 1))}}, """ +
+            s""""true_pair_frac_with_low_route": ${fmt(lowFrac)}}, """ +
             a + "}"
         }
         s""","neardup_recall_adversarial_mixed": {${parts.mkString(", ")}}"""

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -8,7 +8,29 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Pins the r16 flake mechanism in `VersionedTable.commit` and its fix.
+/** A scheme≠"file" filesystem over local disk, so a spec can drive
+  * `VersionedTable`'s non-local publish dispatch (the HDFS fallback
+  * branch) without HDFS: behavior is RawLocalFileSystem's, but
+  * `getScheme` reports "graftfake", and every exclusive-create is
+  * counted so the test can assert the create branch (not the hard-link
+  * branch, which never calls `fs.create`) carried the commits. */
+class GraftFakeSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfake"
+  override def getUri: java.net.URI = java.net.URI.create("graftfake:///")
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    GraftFakeSchemeFs.creates.incrementAndGet(): Unit
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+}
+object GraftFakeSchemeFs {
+  val creates = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Pins the r16 flake mechanism in `VersionedTable.commit` and its fix —
+  * BOTH sides, plus the non-local publish branch.
   *
   * Mechanism (observed ~1-in-3 full-suite runs in the "checkpoints
   * during concurrent disjoint writers" test): arbitration is by
@@ -20,7 +42,7 @@ import graft.TestSpark
   * ConcurrentModificationException failed the test even though both
   * merges touched disjoint partitions.
   *
-  * Fix (publishEntry): on the local FS the entry bytes are fully
+  * Fix (publishViaLink): on the local FS the entry bytes are fully
   * written to a hidden temp file and HARD-LINKED into place — link(2)
   * is atomic and fails if the destination exists, so "entry file
   * exists" now implies "entry fully readable" and the torn window is
@@ -30,9 +52,11 @@ import graft.TestSpark
   * jobs in the loop, so create races are orders of magnitude more
   * frequent than any upsert workload can produce) while a tight reader
   * asserts every log entry it ever lists is COMPLETE at first read.
-  * Under the pre-fix protocol this reader catches 0-byte/partial
-  * entries readily; under publishEntry it can never see one.
-  */
+  * The NEGATIVE CONTROL (committed, not a local-only demonstration)
+  * re-installs the pre-fix create→window→write shape through the
+  * `publishOverride` seam and asserts the same reader DOES catch torn
+  * entries — so the green atomic run is evidence the reader would have
+  * caught a regression, not a vacuous pass. */
 class VersionedTableStressSpec extends AnyFunSuite with TestSpark {
 
   private def commitOf(t: VersionedTable): t.Entry => Long = {
@@ -46,22 +70,21 @@ class VersionedTableStressSpec extends AnyFunSuite with TestSpark {
       }
   }
 
-  test("commit publish is atomic under contention: no reader ever sees a torn entry, no disjoint merge ever conflicts") {
-    val root = Files.createTempDirectory("graft_vt_stress").toString + "/t"
-    val t = new VersionedTable(spark, root, partitionCol = "m")
+  /** `nThreads` writers × `nPer` disjoint-partition merges against the
+    * bare commit primitive, with a tight reader polling the log dir:
+    * every *.json entry file must decode-shape-complete (nonempty,
+    * closes its JSON object) the FIRST time it is visible. Returns the
+    * torn-entry map (name → observed byte length) and the poll count. */
+  private def hammer(t: VersionedTable, root: String,
+      nThreads: Int, nPer: Int): (Map[String, Int], Int) = {
     val commit = commitOf(t)
     val logDir = Paths.get(root, "_graft_log")
-
-    val nThreads = 3
-    val nPer = 200
     import java.util.concurrent.{CountDownLatch, Executors}
     import java.util.concurrent.atomic.AtomicBoolean
     val pool = Executors.newFixedThreadPool(nThreads + 1)
     val gate = new CountDownLatch(1)
     val writersDone = new AtomicBoolean(false)
 
-    // tight reader: every *.json entry file must decode-shape-complete
-    // the FIRST time it is visible (nonempty, closes its JSON object)
     val torn = scala.collection.concurrent.TrieMap.empty[String, Int]
     val reader = pool.submit(new java.util.concurrent.Callable[Int] {
       def call(): Int = {
@@ -70,11 +93,15 @@ class VersionedTableStressSpec extends AnyFunSuite with TestSpark {
         var polls = 0
         while (!writersDone.get()) {
           if (Files.exists(logDir)) {
-            Files.list(logDir).iterator().asScala
-              .map(_.getFileName.toString)
-              .filter(n => n.endsWith(".json") && !n.startsWith(".") &&
-                !n.endsWith(".checkpoint.json") && !seen(n))
-              .toSeq.foreach { n =>
+            // close the directory stream every poll — a leaked stream
+            // per iteration exhausts file descriptors over a long run
+            val st = Files.list(logDir)
+            val names =
+              try st.iterator().asScala.map(_.getFileName.toString).toList
+              finally st.close()
+            names.filter(n => n.endsWith(".json") && !n.startsWith(".") &&
+              !n.endsWith(".checkpoint.json") && !seen(n))
+              .foreach { n =>
                 seen += n
                 val b = Files.readAllBytes(logDir.resolve(n))
                 if (b.isEmpty || b.head != '{' || b.last != '}')
@@ -105,6 +132,14 @@ class VersionedTableStressSpec extends AnyFunSuite with TestSpark {
     writersDone.set(true)
     val polls = reader.get()
     pool.shutdown()
+    (torn.toMap, polls)
+  }
+
+  test("commit publish is atomic under contention: no reader ever sees a torn entry, no disjoint merge ever conflicts") {
+    val root = Files.createTempDirectory("graft_vt_stress").toString + "/t"
+    val t = new VersionedTable(spark, root, partitionCol = "m")
+    val (nThreads, nPer) = (3, 200)
+    val (torn, polls) = hammer(t, root, nThreads, nPer)
 
     assert(torn.isEmpty, s"reader observed torn entries: $torn")
     assert(polls > 0)
@@ -112,5 +147,72 @@ class VersionedTableStressSpec extends AnyFunSuite with TestSpark {
     // every commit landed exactly one decodable version — none skipped,
     // none lost, and the log replays completely
     assert(t.history().map(_.version) === (1L to (nThreads * nPer).toLong))
+  }
+
+  test("NEGATIVE CONTROL: under the pre-fix create→window→write publish shape the same reader catches torn entries") {
+    val root = Files.createTempDirectory("graft_vt_negctl").toString + "/t"
+    val t = new VersionedTable(spark, root, partitionCol = "m")
+    // the r16 mechanism, made deterministic: the entry becomes VISIBLE
+    // (exclusive create) before its content lands, with the descheduled-
+    // winner gap widened from scheduler luck to a fixed 2 ms. ONE writer
+    // only: the control pins the READER's torn-entry detection, and
+    // re-adding writer contention would re-import the pre-fix CME flake
+    // itself (a loser's bounded poll expiring while the winner sleeps in
+    // the widened window) — the very nondeterminism the r17 fix killed.
+    t.publishOverride = Some { (p, bytes) =>
+      val np = Paths.get(p.toUri.getPath)
+      try {
+        Files.createDirectories(np.getParent)
+        Files.write(np, Array.emptyByteArray, StandardOpenOption.CREATE_NEW)
+        Thread.sleep(2)
+        Files.write(np, bytes)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+    val (nThreads, nPer) = (1, 60)
+    val (torn, polls) = hammer(t, root, nThreads, nPer)
+
+    assert(polls > 0)
+    // identical commit workload — everything lands...
+    assert(t.latestVersion === (nThreads * nPer).toLong)
+    assert(t.history().map(_.version) === (1L to (nThreads * nPer).toLong))
+    // ...but the reader DOES observe visible-before-complete entries:
+    // the detector is sharp, so the atomic test's green is evidence
+    assert(torn.nonEmpty,
+      "the tight reader failed to catch the pre-fix torn window — the atomic test would be vacuous")
+  }
+
+  test("scheme != file dispatches to the exclusive-create publish path and commits stay correct (HDFS fallback branch)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfake.impl", classOf[GraftFakeSchemeFs].getName)
+    val local = Files.createTempDirectory("graft_vt_fake").toString + "/t"
+    val root = s"graftfake://$local"
+    val t = new VersionedTable(spark, root, partitionCol = "m")
+    val commit = commitOf(t)
+    val before = GraftFakeSchemeFs.creates.get()
+
+    // sequential interleaved writers (RawLocalFileSystem's create is
+    // check-then-act, not atomic — racing it would test the fake FS,
+    // not VersionedTable; HDFS's create IS atomic in production)
+    (1 to 20).foreach { i =>
+      val tid = i % 2
+      commit(t.Entry(t.latestVersion + 1, f"fb$tid%02d$i%04d", i.toLong,
+        "merge", Seq(t.Add(s"data/m=$tid/fb$tid-$i.parquet", s"$tid")),
+        Seq.empty, 1L, 0L)): Unit
+    }
+    assert(t.latestVersion === 20L)
+    assert(t.history().map(_.version) === (1L to 20L))
+    // a deliberate collision: pre-claim version 21, then commit — the
+    // loser must see EEXIST through the create path and rebase past it
+    val claimed = t.Entry(21L, "squatter", 0L, "merge",
+      Seq(t.Add("data/m=9/squat.parquet", "9")), Seq.empty, 1L, 0L)
+    assert(commit(claimed) === 21L)
+    val rebased = commit(t.Entry(21L, "loser", 0L, "merge",
+      Seq(t.Add("data/m=8/loser.parquet", "8")), Seq.empty, 1L, 0L))
+    assert(rebased === 22L, "collision on a taken version must rebase, not fail")
+    // the commits went through fs.create (publishViaCreate), not the
+    // hard-link branch, which never calls fs.create
+    assert(GraftFakeSchemeFs.creates.get() - before >= 22,
+      "scheme != file must publish via the exclusive-create branch")
   }
 }
