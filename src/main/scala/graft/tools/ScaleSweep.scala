@@ -476,7 +476,12 @@ object ScaleSweep {
       sys.env.getOrElse("SPARK_GRAFT_RECALL_CAPS", "16,64,256")
         .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val recallOn = !sys.env.get("SPARK_GRAFT_RECALL").contains("0")
-    def recallArm(dir: String, label: String): String = try {
+    // emitRec (family arms only — they exist only at the 10x rung):
+    // record what recommendCap prescribes from this corpus's census
+    // beside the measured recall-vs-cap curve, so the artifact shows
+    // the prescription AND the outcome it predicts in one place
+    def recallArm(dir: String, label: String,
+        emitRec: Boolean = false): String = try {
           import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
           import graft.streaming.NearDupStream
           import spark.implicits._
@@ -530,9 +535,15 @@ object ScaleSweep {
               s""""recall_verified": ${fmt(hitVer.toDouble / math.max(1, nVer))}, """ +
               s""""buckets_saturated": $sat, "dropped_memberships": $drops}"""
           }
+          val recJson =
+            if (!emitRec) ""
+            else s""""recommended_cap_full": ${
+              NearDupStream.recommendCap(buckets, 1.0)}, """ +
+              s""""recommended_cap_half": ${
+                NearDupStream.recommendCap(buckets, 0.5)}, """
           cand.unpersist(); verified.unpersist(); buckets.unpersist()
           s""""$label": {"n_docs": ${rows.length}, "n_cand": $nCand, """ +
-            s""""n_verified": $nVer, "state_buckets": $nBuckets, "caps": {""" +
+            s""""n_verified": $nVer, "state_buckets": $nBuckets, $recJson"caps": {""" +
             capEntries.mkString(", ") + "}}"
         } catch { case t: Throwable =>
           System.err.println(s"[scale] recall $label FAILED: $t")
@@ -572,7 +583,7 @@ object ScaleSweep {
       genAdversarialDocs(spark, advGroups, advGroupSize, advBoilT, advTailT,
         rho).coalesce(1).write.mode("overwrite")
         .parquet(s"$advDir/documents.parquet")
-      val a = recallArm(advDir, label)
+      val a = recallArm(advDir, label, emitRec = true)
       // scratch hygiene: the adversarial data is regenerated per run
       // (cheap, 1.5k docs) — leaving it would accumulate stale datasets
       // in the persistent scale dir, unlike the fingerprinted main cache
