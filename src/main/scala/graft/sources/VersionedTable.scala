@@ -252,15 +252,98 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     * Production never sets this. */
   private[sources] var publishOverride: Option[(Path, Array[Byte]) => Boolean] = None
 
-  /** Legacy publish: exclusive create + write + close. This is the real
-    * path on filesystems without link(2) (HDFS, and 'file'-scheme mounts
-    * where `createLink` is unsupported — NFS/SMB/FUSE, some container
-    * overlays). Here "entry exists" does NOT imply "entry fully
-    * readable" — the create→close torn window is real — so commit()'s
-    * bounded torn-entry poll remains the documented mitigation. */
+  /** Memoized capability flags: the link(2) / rename probe outcome is a
+    * property of the MOUNT, not of one commit — without the memo an
+    * NFS/FUSE 'file'-scheme mount would re-pay the failed createLink
+    * (temp write + exception) on EVERY commit and rebase attempt
+    * forever. Flipped at most once, on the first classified
+    * unsupported-operation failure; `@volatile` because commits race
+    * from writer threads. */
+  @volatile private[sources] var linkSupported = true
+  @volatile private[sources] var renameSupported = true
+
+  /** Does this exception mean "the filesystem cannot hard-link" (degrade
+    * to the exclusive-create path) as opposed to a genuine I/O failure
+    * that must PROPAGATE (AccessDenied, quota, disk error)? Narrow by
+    * construction: UnsupportedOperationException, or a FileSystemException
+    * whose reason is the no-link errno family — EPERM ("Operation not
+    * permitted": filesystems that forbid links), ENOTSUP/EOPNOTSUPP
+    * ("Operation not supported"), ENOSYS ("Function not implemented"),
+    * EXDEV ("Invalid cross-device link"). Anything else (ENOSPC, EDQUOT,
+    * EACCES, EROFS…) is a real failure the old blanket catch used to
+    * swallow into a misleading lost-race false. */
+  private[sources] def linkUnsupported(e: Throwable): Boolean = e match {
+    case _: UnsupportedOperationException => true
+    case fse: java.nio.file.FileSystemException =>
+      val reason = Option(fse.getReason).getOrElse("").toLowerCase
+      reason.contains("not permitted") || reason.contains("not supported") ||
+        reason.contains("not implemented") ||
+        reason.contains("cross-device link")
+    case _ => false
+  }
+
+  /** Last-resort publish: exclusive create + write + close. Reached only
+    * on mounts with neither link(2) ('file'-scheme NFS/SMB/FUSE, some
+    * container overlays) nor a usable atomic rename. Here "entry exists"
+    * does NOT imply "entry fully readable" — the create→close torn
+    * window is real — so commit()'s bounded torn-entry poll remains the
+    * documented mitigation. Returns false ONLY on the lost-race signal
+    * (destination already exists); any other create failure propagates —
+    * a blanket false here made commit() misread quota/permission errors
+    * as version races (a ~50 s rebase loop ending in a misleading
+    * retry-budget error). */
   private[sources] def publishViaCreate(p: Path, bytes: Array[Byte]): Boolean =
     try { val out = fs.create(p, false); out.write(bytes); out.close(); true }
-    catch { case _: java.io.IOException => false }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException =>
+        // some FileSystem impls surface EEXIST as a bare IOException;
+        // arbitrate on the destination, not the exception type
+        if (fs.exists(p)) false else throw e
+    }
+
+  /** Non-local publish: write the COMPLETE entry bytes to a hidden temp
+    * file in the log dir, then `rename` into place. On the production
+    * non-local filesystem class (HDFS and kin) rename is atomic and
+    * FAILS onto an existing destination, so this keeps exclusive-create
+    * arbitration while closing the torn window publishViaCreate has: an
+    * entry file that exists is always fully readable, and commit()'s
+    * bounded torn-entry poll is dead code on this path. Requires the
+    * HDFS rename contract (atomic, no-overwrite); 'file'-scheme mounts
+    * never come here (POSIX rename REPLACES an existing destination,
+    * which would destroy the winner's entry — they take
+    * [[publishViaLink]]), and object stores without atomic rename need
+    * their own committer, not this table. Temp files use the `.pre_`
+    * prefix so vacuum's TTL sweep reclaims a crashed writer's leftovers. */
+  private[sources] def publishViaRename(p: Path, bytes: Array[Byte]): Boolean = {
+    val tmp = new Path(logDir,
+      s".pre_${java.util.UUID.randomUUID().toString.take(8)}.json")
+    try {
+      val out = fs.create(tmp, true)
+      out.write(bytes)
+      out.close()
+      try {
+        if (fs.rename(tmp, p)) true
+        // rename-to-existing returns false on the HDFS contract — the
+        // lost-race signal. A false WITHOUT a destination is a real
+        // rename failure (permissions, missing log dir): propagate it
+        // rather than let commit() misread it as an endless version race.
+        else if (fs.exists(p)) false
+        else throw new java.io.IOException(
+          s"rename $tmp -> $p failed without a destination conflict")
+      } catch {
+        case e: UnsupportedOperationException =>
+          renameSupported = false
+          System.err.println(s"[versioned-table] rename unsupported on " +
+            s"scheme '${fs.getScheme}' ($e); degrading to exclusive-create " +
+            "publish for this table instance")
+          publishViaCreate(p, bytes)
+      }
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, false): Unit
+    }
+  }
 
   /** Local-FS publish: the bytes go to a unique hidden temp file (fully
     * written and closed) that is then HARD-LINKED into place — link(2)
@@ -287,11 +370,18 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
       // a 'file'-scheme mount without link(2) support: degrade to the
-      // legacy exclusive-create path instead of failing every commit.
-      // EEXIST (the lost-race signal) is handled above —
-      // FileAlreadyExistsException extends FileSystemException, so
-      // these cases only see genuine no-hard-link failures.
-      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+      // legacy exclusive-create path instead of failing every commit —
+      // but ONLY for the classified no-link errno family. EEXIST (the
+      // lost-race signal) is handled above; a genuine I/O failure
+      // (AccessDenied, quota/ENOSPC as FileSystemException) must
+      // propagate, not be laundered into a lost-race false that commit()
+      // turns into a misleading conflict/retry-budget error. The memo
+      // makes the degradation one-time per instance, not per commit.
+      case e: Throwable if linkUnsupported(e) =>
+        linkSupported = false
+        System.err.println(s"[versioned-table] hard-link unsupported on " +
+          s"this mount ($e); degrading to exclusive-create publish for " +
+          "this table instance")
         publishViaCreate(p, bytes)
     } finally {
       java.nio.file.Files.deleteIfExists(tmp): Unit
@@ -300,13 +390,19 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
 
   /** Atomically publish a COMPLETE log entry at `p`; returns false when
     * the version is already taken. Local FS → [[publishViaLink]] (no
-    * torn window at all); everything else (HDFS) → [[publishViaCreate]],
-    * where commit()'s bounded poll mitigates the residual window. */
+    * torn window at all); everything else (HDFS) → [[publishViaRename]]
+    * (temp + atomic no-overwrite rename — also torn-window-free).
+    * [[publishViaCreate]] is the memoized last resort for mounts with
+    * neither primitive; only there does commit()'s bounded poll still
+    * earn its keep. */
   private def publishEntry(p: Path, bytes: Array[Byte]): Boolean =
     publishOverride match {
       case Some(publish) => publish(p, bytes)
       case None =>
-        if (fs.getScheme == "file") publishViaLink(p, bytes)
+        if (fs.getScheme == "file")
+          if (linkSupported) publishViaLink(p, bytes)
+          else publishViaCreate(p, bytes)
+        else if (renameSupported) publishViaRename(p, bytes)
         else publishViaCreate(p, bytes)
     }
 
@@ -326,12 +422,14 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       // snapshot of exactly the rows it rewrote.
       //
       // On the local FS publishEntry is atomic (hard-linked complete
-      // bytes), so a torn read here can only be a crashed writer's
-      // remnant or a foreign/pre-protocol file — not a live in-flight
-      // winner. On HDFS the create+write window still exists, so poll
-      // briefly before judging the conflict; a writer that died
-      // mid-write keeps the entry torn past the budget and lands in the
-      // conservative throw either way.
+      // bytes) and on HDFS-class filesystems likewise (temp + atomic
+      // rename), so on both production paths a torn read here can only
+      // be a crashed writer's remnant or a foreign/pre-protocol file —
+      // not a live in-flight winner, and this poll never waits. Only the
+      // memoized create LAST RESORT (no link(2), no usable rename)
+      // retains the create+write window this poll mitigates; a writer
+      // that died mid-write keeps the entry torn past the budget and
+      // lands in the conservative throw either way.
       val winner = {
         var w = readEntry(entry.version)
         var waited = 0

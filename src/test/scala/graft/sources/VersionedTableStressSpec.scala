@@ -9,11 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** A scheme≠"file" filesystem over local disk, so a spec can drive
-  * `VersionedTable`'s non-local publish dispatch (the HDFS fallback
-  * branch) without HDFS: behavior is RawLocalFileSystem's, but
-  * `getScheme` reports "graftfake", and every exclusive-create is
-  * counted so the test can assert the create branch (not the hard-link
-  * branch, which never calls `fs.create`) carried the commits. */
+  * `VersionedTable`'s non-local publish dispatch (the HDFS branch)
+  * without HDFS: behavior is RawLocalFileSystem's, but `getScheme`
+  * reports "graftfake", every exclusive-create and rename is counted
+  * (with the created paths recorded), and `rename` enforces the HDFS
+  * contract — it FAILS onto an existing destination instead of
+  * POSIX-replacing it — so publishViaRename's arbitration is exercised
+  * under the semantics of the filesystem class it is written for.
+  * (The exists+rename here is check-then-act, fine for the sequential
+  * fixture; on real HDFS the no-overwrite rename is itself atomic.) */
 class GraftFakeSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "graftfake"
   override def getUri: java.net.URI = java.net.URI.create("graftfake:///")
@@ -22,11 +26,19 @@ class GraftFakeSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       progress: org.apache.hadoop.util.Progressable)
       : org.apache.hadoop.fs.FSDataOutputStream = {
     GraftFakeSchemeFs.creates.incrementAndGet(): Unit
+    GraftFakeSchemeFs.createdNames.add(f.getName): Unit
     super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    GraftFakeSchemeFs.renames.incrementAndGet(): Unit
+    if (exists(dst)) false else super.rename(src, dst)
   }
 }
 object GraftFakeSchemeFs {
   val creates = new java.util.concurrent.atomic.AtomicInteger(0)
+  val renames = new java.util.concurrent.atomic.AtomicInteger(0)
+  val createdNames = new java.util.concurrent.ConcurrentLinkedQueue[String]
 }
 
 /** Pins the r16 flake mechanism in `VersionedTable.commit` and its fix —
@@ -182,18 +194,20 @@ class VersionedTableStressSpec extends AnyFunSuite with TestSpark {
       "the tight reader failed to catch the pre-fix torn window — the atomic test would be vacuous")
   }
 
-  test("scheme != file dispatches to the exclusive-create publish path and commits stay correct (HDFS fallback branch)") {
+  test("scheme != file dispatches to the temp+rename publish path: commits are torn-window-free by construction and collisions rebase") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.graftfake.impl", classOf[GraftFakeSchemeFs].getName)
     val local = Files.createTempDirectory("graft_vt_fake").toString + "/t"
     val root = s"graftfake://$local"
     val t = new VersionedTable(spark, root, partitionCol = "m")
     val commit = commitOf(t)
-    val before = GraftFakeSchemeFs.creates.get()
+    GraftFakeSchemeFs.createdNames.clear()
+    val (beforeC, beforeR) =
+      (GraftFakeSchemeFs.creates.get(), GraftFakeSchemeFs.renames.get())
 
-    // sequential interleaved writers (RawLocalFileSystem's create is
+    // sequential interleaved writers (the fake's no-overwrite rename is
     // check-then-act, not atomic — racing it would test the fake FS,
-    // not VersionedTable; HDFS's create IS atomic in production)
+    // not VersionedTable; HDFS's no-overwrite rename IS atomic)
     (1 to 20).foreach { i =>
       val tid = i % 2
       commit(t.Entry(t.latestVersion + 1, f"fb$tid%02d$i%04d", i.toLong,
@@ -203,16 +217,78 @@ class VersionedTableStressSpec extends AnyFunSuite with TestSpark {
     assert(t.latestVersion === 20L)
     assert(t.history().map(_.version) === (1L to 20L))
     // a deliberate collision: pre-claim version 21, then commit — the
-    // loser must see EEXIST through the create path and rebase past it
+    // loser's rename must fail onto the taken destination (the HDFS
+    // contract the fake enforces) and rebase past it
     val claimed = t.Entry(21L, "squatter", 0L, "merge",
       Seq(t.Add("data/m=9/squat.parquet", "9")), Seq.empty, 1L, 0L)
     assert(commit(claimed) === 21L)
     val rebased = commit(t.Entry(21L, "loser", 0L, "merge",
       Seq(t.Add("data/m=8/loser.parquet", "8")), Seq.empty, 1L, 0L))
     assert(rebased === 22L, "collision on a taken version must rebase, not fail")
-    // the commits went through fs.create (publishViaCreate), not the
-    // hard-link branch, which never calls fs.create
-    assert(GraftFakeSchemeFs.creates.get() - before >= 22,
-      "scheme != file must publish via the exclusive-create branch")
+    // every commit = one temp create + one rename into place
+    assert(GraftFakeSchemeFs.renames.get() - beforeR >= 23,
+      "scheme != file must publish via the rename branch")
+    assert(GraftFakeSchemeFs.creates.get() - beforeC >= 23)
+    // the torn-window-free pin: no fs.create EVER targeted a live entry
+    // name — bytes only ever land in hidden `.pre_` temps, so an entry
+    // file that exists is complete from its first visible instant (the
+    // negative control above proves the tight reader would catch the
+    // alternative)
+    val entryCreates = GraftFakeSchemeFs.createdNames.toArray
+      .map(_.toString).filterNot(_.startsWith("."))
+    assert(entryCreates.isEmpty,
+      s"publish created live entry names in place (torn window): ${entryCreates.mkString(",")}")
+  }
+
+  test("memoized last resort: with rename unsupported, scheme != file commits land via exclusive create and still rebase on collision") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfake.impl", classOf[GraftFakeSchemeFs].getName)
+    val local = Files.createTempDirectory("graft_vt_fake_lr").toString + "/t"
+    val t = new VersionedTable(spark, s"graftfake://$local", partitionCol = "m")
+    t.renameSupported = false
+    val commit = commitOf(t)
+    GraftFakeSchemeFs.createdNames.clear()
+    val beforeR = GraftFakeSchemeFs.renames.get()
+
+    (1 to 10).foreach { i =>
+      commit(t.Entry(t.latestVersion + 1, f"lr00$i%04d", i.toLong,
+        "merge", Seq(t.Add(s"data/m=${i % 2}/lr-$i.parquet", s"${i % 2}")),
+        Seq.empty, 1L, 0L)): Unit
+    }
+    assert(t.history().map(_.version) === (1L to 10L))
+    // collision through the create path: publishViaCreate must map the
+    // EEXIST family to a lost-race false (rebase), not propagate
+    assert(commit(t.Entry(11L, "squat", 0L, "merge",
+      Seq(t.Add("data/m=9/s.parquet", "9")), Seq.empty, 1L, 0L)) === 11L)
+    assert(commit(t.Entry(11L, "loser", 0L, "merge",
+      Seq(t.Add("data/m=8/l.parquet", "8")), Seq.empty, 1L, 0L)) === 12L)
+    assert(GraftFakeSchemeFs.renames.get() === beforeR,
+      "rename-unsupported table must not touch the rename branch")
+    // entries were created IN PLACE (the last resort's documented torn
+    // window — commit()'s bounded poll is the mitigation there)
+    assert(GraftFakeSchemeFs.createdNames.toArray.map(_.toString)
+      .exists(n => n.endsWith(".json") && !n.startsWith(".")))
+  }
+
+  test("linkUnsupported classifies only the no-link errno family as degradable; real I/O failures propagate") {
+    val root = Files.createTempDirectory("graft_vt_cls").toString + "/t"
+    val t = new VersionedTable(spark, root, partitionCol = "m")
+    def fse(reason: String) =
+      new java.nio.file.FileSystemException("f", null, reason)
+    // degradable: the mount genuinely cannot hard-link
+    assert(t.linkUnsupported(new UnsupportedOperationException("links")))
+    assert(t.linkUnsupported(fse("Operation not permitted")))
+    assert(t.linkUnsupported(fse("Operation not supported")))
+    assert(t.linkUnsupported(fse("Function not implemented")))
+    assert(t.linkUnsupported(fse("Invalid cross-device link")))
+    // NOT degradable: genuine persistent I/O failures that the old
+    // blanket FileSystemException catch laundered into a lost-race
+    // false (ADVICE r18) — these must propagate to the caller
+    assert(!t.linkUnsupported(
+      new java.nio.file.AccessDeniedException("f")))
+    assert(!t.linkUnsupported(fse("Disk quota exceeded")))
+    assert(!t.linkUnsupported(fse("No space left on device")))
+    assert(!t.linkUnsupported(fse(null)))
+    assert(!t.linkUnsupported(new java.io.IOException("generic")))
   }
 }
