@@ -486,7 +486,21 @@ object Bench {
         val xs = soakPhases.flatMap { case (_, bracket, vals) =>
           vals.map { case (n, v) => (n.replace("_1m", "") + "_x") -> v / bracket }
         }
-        (("calib_soak" -> soakPhases.map(_._2).min) +: brackets) ++ xs
+        // `_xg` = raw soak / the GLOBAL round-robin calib (min-of-reps,
+        // measured across the whole query phase) — a second, independent
+        // normalization beside the phase-bracket `_x`. The bracket is a
+        // min-of-2 probe in the 0.2-0.6 s range: a high-variance
+        // denominator whose own movement can read as a soak regression
+        // (r18: lc/fs `_x` "+51-78%" on IMPROVED raw times, entirely the
+        // bracket). When `_x` and `_xg` disagree on direction, the soak
+        // didn't move — the denominators did; adjudicate from the two
+        // committed numbers, no quotient re-derivation (VERDICT r18 #3).
+        val xgs = best.get("calib").toSeq.flatMap { g =>
+          soakPhases.flatMap { case (_, _, vals) =>
+            vals.map { case (n, v) => (n.replace("_1m", "") + "_xg") -> v / g }
+          }
+        }
+        (("calib_soak" -> soakPhases.map(_._2).min) +: brackets) ++ xs ++ xgs
       }
 
     val results: Seq[(String, Double)] =

@@ -166,6 +166,15 @@ object NearDupStream {
     * with no colliding buckets has nothing to cap — the production
     * default (64) is returned.
     *
+    * The quantile is CONSERVATIVE: it counts a bucket hotter than the
+    * cap as contributing zero kept pairs, but `candidates`' maxBucket
+    * semantics keep the first cap members of a hot bucket, so
+    * cap·(cap−1)/2 of its pairs still emit. The ACTUAL kept-pair
+    * fraction at the returned cap therefore meets or exceeds
+    * `targetPairFrac` — "at least target" always holds — and a sub-1.0
+    * target is less aggressive than the number suggests;
+    * [[keptPairFrac]] reports the exact dial value at any cap.
+    *
     * Scale: the census is one row per (band, band_key); this aggregates
     * it to one row per DISTINCT population m before collecting, so the
     * driver-side set is bounded by the number of distinct bucket sizes
@@ -189,6 +198,27 @@ object NearDupStream {
       i += 1
     }
     math.min(byM.last._1, Int.MaxValue.toLong).toInt
+  }
+
+  /** The EXACT kept-pair fraction of `candidates`' maxBucket dial at
+    * `cap` — Σ min(m,cap)·(min(m,cap)−1)/2 over the census's buckets, as
+    * a fraction of the uncapped Σ m·(m−1)/2: buckets at or under the cap
+    * keep all their pairs, hotter buckets keep the first-cap-members'
+    * pairs (what the dial actually emits, ADVICE r18). This is what
+    * [[recommendCap]]'s conservative quantile under-reports; emit it
+    * beside a recommendation when the artifact should show the true dial
+    * value. Same distinct-population aggregation before the collect;
+    * 1.0 on a census with no colliding buckets (nothing to drop). */
+  def keptPairFrac(census: DataFrame, cap: Int): Double = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val byM = census.filter(col("m") >= 2)
+      .groupBy(col("m")).agg(count(lit(1)).as("buckets"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (byM.isEmpty) return 1.0
+    def c2(m: Long): Double = m.toDouble * (m - 1) / 2.0
+    val total = byM.map { case (m, c) => c2(m) * c }.sum
+    val kept = byM.map { case (m, c) => c2(math.min(m, cap.toLong)) * c }.sum
+    kept / total
   }
 
   /** Candidate pairs (da < db by doc id) as they become knowable; the

@@ -478,8 +478,15 @@ object ScaleSweep {
     val recallOn = !sys.env.get("SPARK_GRAFT_RECALL").contains("0")
     // emitRec (family arms only — they exist only at the 10x rung):
     // record what recommendCap prescribes from this corpus's census
-    // beside the measured recall-vs-cap curve, so the artifact shows
-    // the prescription AND the outcome it predicts in one place
+    // beside the measured recall-vs-cap curve — AND (since r19) RUN the
+    // prescribed caps as tested caps, so the helper's central claim
+    // ("cap here and you keep the target pair mass") is measured in the
+    // same artifact, not predicted beside it (VERDICT r18 Next #1: the
+    // r18 ρ=0 prescription 395 sat above the largest tested cap 256 and
+    // its recall was only inferable). kept_pair_frac_* records the TRUE
+    // dial value at each prescription (recommendCap's quantile is
+    // conservative — hot buckets still emit their first cap members'
+    // pairs; ADVICE r18).
     def recallArm(dir: String, label: String,
         emitRec: Boolean = false): String = try {
           import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -498,11 +505,18 @@ object ScaleSweep {
             docs.select(col("doc_id"), col("text")).as[(Long, String)]
               .map { case (id, t) => NearDupStream.Doc(id, t) }).persist()
           val nBuckets = buckets.count()
+          val recCaps: Option[(Int, Int)] =
+            if (!emitRec) None
+            else Some((NearDupStream.recommendCap(buckets, 1.0),
+              NearDupStream.recommendCap(buckets, 0.5)))
+          val testedCaps = (recallCaps ++
+            recCaps.toSeq.flatMap { case (f, h) => Seq(f, h) })
+            .distinct.sorted
           val rows = docs.select(col("doc_id"), col("text"))
             .orderBy(md5(col("doc_id").cast("string")))
             .as[(Long, String)].collect()
           val batches = rows.grouped(math.max(1, rows.length / 20)).toSeq
-          val capEntries = recallCaps.map { cap =>
+          val capEntries = testedCaps.map { cap =>
             val censusRow = buckets.agg(
               sum(greatest(col("m") - cap, lit(0L))).as("drops"),
               sum(when(col("m") > cap, 1L).otherwise(0L)).as("sat")).head()
@@ -535,12 +549,13 @@ object ScaleSweep {
               s""""recall_verified": ${fmt(hitVer.toDouble / math.max(1, nVer))}, """ +
               s""""buckets_saturated": $sat, "dropped_memberships": $drops}"""
           }
-          val recJson =
-            if (!emitRec) ""
-            else s""""recommended_cap_full": ${
-              NearDupStream.recommendCap(buckets, 1.0)}, """ +
-              s""""recommended_cap_half": ${
-                NearDupStream.recommendCap(buckets, 0.5)}, """
+          val recJson = recCaps.map { case (f, h) =>
+            s""""recommended_cap_full": $f, "recommended_cap_half": $h, """ +
+              s""""kept_pair_frac_full": ${
+                fmt(NearDupStream.keptPairFrac(buckets, f))}, """ +
+              s""""kept_pair_frac_half": ${
+                fmt(NearDupStream.keptPairFrac(buckets, h))}, """
+          }.getOrElse("")
           cand.unpersist(); verified.unpersist(); buckets.unpersist()
           s""""$label": {"n_docs": ${rows.length}, "n_cand": $nCand, """ +
             s""""n_verified": $nVer, "state_buckets": $nBuckets, $recJson"caps": {""" +
@@ -677,15 +692,23 @@ object ScaleSweep {
     val names = (heavy ++ Seq("ss_corpus", "ss_neardup",
       "semdedup_k_scaled", "semdedup_k_balanced"))
       .filter(n => tBase.contains(n) && tBig.contains(n))
+    // An exponent whose base shot is a few seconds at a low rung is
+    // scheduling-noise, not signal (r16's q90, r18's q216: same-code 10×
+    // reads spread 2× at ~4 s absolute while the 30×/100× rungs agreed
+    // within 0.03) — mark those rungs IN the artifact so a JSON-only
+    // reader knows which exponents are load-bearing, and exclude them
+    // from drift flagging by stated policy (VERDICT r18 Next #4).
+    def overheadDominated(n: String): Boolean = tBase(n) < 5.0 && scale < 30
     val entries = names.map { n =>
       val r = tBig(n) / tBase(n)
       val e = expOf(n)
       val delta = prevExp.get(n)
         .map(pe => s""", "exponent_prev": ${fmt(pe)}, "delta": ${fmt(e - pe)}""")
         .getOrElse("")
-      s""""$n": {"t_base": ${fmt(tBase(n))}, "t_${scale}x": ${fmt(tBig(n))}, "ratio": ${fmt(r)}, "exponent": ${fmt(e)}$delta}"""
+      val od = if (overheadDominated(n)) """, "overhead_dominated": true""" else ""
+      s""""$n": {"t_base": ${fmt(tBase(n))}, "t_${scale}x": ${fmt(tBig(n))}, "ratio": ${fmt(r)}, "exponent": ${fmt(e)}$delta$od}"""
     }.mkString(",\n  ")
-    val drift = names.filter(n => !n.startsWith("ss_"))
+    val drift = names.filter(n => !n.startsWith("ss_") && !overheadDominated(n))
       .flatMap(n => prevExp.get(n).map(pe => n -> (expOf(n) - pe)))
       .filter { case (_, d) => math.abs(d) > 0.15 }
       .map { case (n, d) => s""""$n": ${fmt(d)}""" }.mkString(", ")
@@ -703,7 +726,7 @@ object ScaleSweep {
       s"""{
          |"metric": "scaling", "base": "$base", "scale": $scale,
          |"reps": $reps, "calib_start": ${fmt(calib0)}, "calib_end": ${fmt(calib1)},
-         |"note": "exponent = log(t_${scale}x/t_base)/log($scale); 1.0 = linear in data volume; fixed per-query overhead (scheduling, dim builds, MERGE commit contracts) deflates exponents at these absolute times, so sublinear values mean overhead-dominated, not magic",
+         |"note": "exponent = log(t_${scale}x/t_base)/log($scale); 1.0 = linear in data volume; fixed per-query overhead (scheduling, dim builds, MERGE commit contracts) deflates exponents at these absolute times, so sublinear values mean overhead-dominated, not magic. Entries marked overhead_dominated (t_base < 5 s at scale < 30) carry exponents dominated by that fixed overhead (same-code spread ~2x at ~4 s absolute, r18's q216) and are EXCLUDED from drift_vs_prev_flagged by policy - read their 30x/100x rungs instead",
          |"entries": {
          |  $entries
          |},

@@ -122,6 +122,37 @@ class RecommendCapSpec extends AnyFunSuite with TestSpark {
     ()
   }
 
+  test("keptPairFrac is the exact dial value: matches the min(m,cap) arithmetic, and the recommendation's conservatism holds on every rho arm") {
+    Seq(0.0, 0.1, 0.3).foreach { rho =>
+      val docs = family(rho)
+      val s = spark
+      import s.implicits._
+      val census = NearDupStream.bucketCensus(docs.toDS()).persist()
+      val pops = populations(docs)
+      def c2(m: Long): Double = m.toDouble * (m - 1) / 2.0
+      def exact(cap: Int): Double =
+        pops.map(m => c2(math.min(m, cap.toLong))).sum / pops.map(c2).sum
+      // exactness against a direct population computation at several caps
+      Seq(2, 3, 8, pops.max.toInt).foreach { cap =>
+        assert(math.abs(NearDupStream.keptPairFrac(census, cap) - exact(cap))
+          < 1e-12, s"rho=$rho cap=$cap")
+      }
+      // no colliding bucket is ever dropped at the hottest population
+      assert(NearDupStream.keptPairFrac(census, pops.max.toInt) === 1.0)
+      // conservatism (ADVICE r18): the quantile counts hot buckets as
+      // zero kept pairs while the dial keeps their first cap members, so
+      // the TRUE kept fraction at the recommended cap meets or exceeds
+      // the target — "at least targetPairFrac" holds with room
+      Seq(0.25, 0.5, 0.9, 1.0).foreach { f =>
+        val cap = NearDupStream.recommendCap(census, f)
+        assert(NearDupStream.keptPairFrac(census, cap) >= f - 1e-12,
+          s"rho=$rho target=$f cap=$cap")
+      }
+      census.unpersist()
+      ()
+    }
+  }
+
   test("the recommended mid cap recovers the subgroup tranche on the rho=0.3 arm; the hot tranche waits for the hot population") {
     val rho = 0.3
     val subTier = math.max(2, math.round(rho * groupSize).toInt) // 12
