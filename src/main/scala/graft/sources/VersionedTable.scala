@@ -282,6 +282,38 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     case _ => false
   }
 
+  /** Locale-independent second chance for [[linkUnsupported]]'s English
+    * strerror match (a non-English JVM locale gets localized reasons the
+    * text classifier cannot read): ONE memoized probe — write a tiny
+    * hidden temp in the log dir and try to hard-link it. Probe link
+    * succeeds → the mount links fine, so an unclassified createLink
+    * failure was a genuine I/O error and must propagate. Probe link
+    * fails → the mount cannot link, whatever language it said it in —
+    * degrade. A probe that cannot even WRITE its temp reports true
+    * ("links may work") so the original failure propagates: never
+    * degrade on evidence of a sick disk. */
+  @volatile private[sources] var linkProbe: Option[Boolean] = None
+  private[sources] def linkProbeSucceeds(): Boolean = linkProbe.getOrElse {
+    val outcome =
+      try {
+        val dir = java.nio.file.Paths.get(new Path(logDir).toUri.getPath)
+        java.nio.file.Files.createDirectories(dir)
+        val src = dir.resolve(
+          s".pre_probe_${java.util.UUID.randomUUID().toString.take(8)}")
+        val dst = dir.resolve(s"${src.getFileName}.lnk")
+        try {
+          java.nio.file.Files.write(src, Array[Byte]('p'))
+          try { java.nio.file.Files.createLink(dst, src); true }
+          catch { case _: Exception => false }
+        } finally {
+          java.nio.file.Files.deleteIfExists(dst): Unit
+          java.nio.file.Files.deleteIfExists(src): Unit
+        }
+      } catch { case _: Exception => true }
+    linkProbe = Some(outcome)
+    outcome
+  }
+
   /** Last-resort publish: exclusive create + write + close. Reached only
     * on mounts with neither link(2) ('file'-scheme NFS/SMB/FUSE, some
     * container overlays) nor a usable atomic rename. Here "entry exists"
@@ -292,16 +324,31 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     * a blanket false here made commit() misread quota/permission errors
     * as version races (a ~50 s rebase loop ending in a misleading
     * retry-budget error). */
-  private[sources] def publishViaCreate(p: Path, bytes: Array[Byte]): Boolean =
-    try { val out = fs.create(p, false); out.write(bytes); out.close(); true }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case e: java.io.IOException =>
-        // some FileSystem impls surface EEXIST as a bare IOException;
-        // arbitrate on the destination, not the exception type
-        if (fs.exists(p)) false else throw e
+  private[sources] def publishViaCreate(p: Path, bytes: Array[Byte]): Boolean = {
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.nio.file.FileAlreadyExistsException => return false
+        case e: java.io.IOException =>
+          // some FileSystem impls surface EEXIST as a bare IOException;
+          // arbitrate on the destination, not the exception type
+          if (fs.exists(p)) return false else throw e
+      }
+    // The exclusive create succeeded: the destination is OURS. A
+    // write/close failure past this point is our own torn file, not a
+    // lost race — delete the remnant (best effort) and PROPAGATE.
+    // Returning false here would send commit() polling our own torn
+    // entry and misreport the real I/O error (ENOSPC mid-write, a died
+    // pipeline) as a version conflict, and the remnant would poison
+    // every later commit at this version until manual cleanup.
+    var ok = false
+    try { out.write(bytes); out.close(); ok = true; true }
+    finally if (!ok) {
+      try out.close() catch { case _: Exception => () }
+      try { fs.delete(p, false); () } catch { case _: Exception => () }
     }
+  }
 
   /** Non-local publish: write the COMPLETE entry bytes to a hidden temp
     * file in the log dir, then `rename` into place. On the production
@@ -321,8 +368,13 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
       s".pre_${java.util.UUID.randomUUID().toString.take(8)}.json")
     try {
       val out = fs.create(tmp, true)
-      out.write(bytes)
-      out.close()
+      var closed = false
+      try { out.write(bytes); out.close(); closed = true }
+      finally if (!closed) {
+        // never leak the stream (on HDFS: the file lease and its
+        // pipeline threads) when the temp write itself fails
+        try out.close() catch { case _: Exception => () }
+      }
       try {
         if (fs.rename(tmp, p)) true
         // rename-to-existing returns false on the HDFS contract — the
@@ -333,6 +385,12 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
         else throw new java.io.IOException(
           s"rename $tmp -> $p failed without a destination conflict")
       } catch {
+        // impls that surface the no-overwrite conflict as a THROW
+        // rather than a false (the Options.Rename contract several
+        // non-HDFS Hadoop filesystems route through): same lost-race
+        // signal, same rebase
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
         case e: UnsupportedOperationException =>
           renameSupported = false
           System.err.println(s"[versioned-table] rename unsupported on " +
@@ -341,7 +399,9 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
           publishViaCreate(p, bytes)
       }
     } finally {
-      if (fs.exists(tmp)) fs.delete(tmp, false): Unit
+      // delete of a missing path returns false without throwing — no
+      // exists() pre-check RPC on the common (rename moved it) path
+      try { fs.delete(tmp, false); () } catch { case _: Exception => () }
     }
   }
 
@@ -382,6 +442,16 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
         System.err.println(s"[versioned-table] hard-link unsupported on " +
           s"this mount ($e); degrading to exclusive-create publish for " +
           "this table instance")
+        publishViaCreate(p, bytes)
+      // a FileSystemException whose reason the English-text classifier
+      // cannot read (localized strerror): let the memoized probe settle
+      // whether this mount can link at all — degrade only when it
+      // cannot, otherwise the failure is genuine I/O and propagates
+      case e: java.nio.file.FileSystemException if !linkProbeSucceeds() =>
+        linkSupported = false
+        System.err.println(s"[versioned-table] hard-link probe failed on " +
+          s"this mount (original: $e); degrading to exclusive-create " +
+          "publish for this table instance")
         publishViaCreate(p, bytes)
     } finally {
       java.nio.file.Files.deleteIfExists(tmp): Unit

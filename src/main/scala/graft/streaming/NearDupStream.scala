@@ -179,13 +179,25 @@ object NearDupStream {
     * it to one row per DISTINCT population m before collecting, so the
     * driver-side set is bounded by the number of distinct bucket sizes
     * — tiny by construction even on a 100 TB corpus sample. */
-  def recommendCap(census: DataFrame, targetPairFrac: Double): Int = {
-    require(targetPairFrac > 0.0 && targetPairFrac <= 1.0,
-      s"targetPairFrac must be in (0, 1], got $targetPairFrac")
-    val byM = census.filter(col("m") >= 2)
+  def recommendCap(census: DataFrame, targetPairFrac: Double): Int =
+    recommendCap(censusByM(census), targetPairFrac)
+
+  /** The driver-side reduction [[recommendCap]] and [[keptPairFrac]]
+    * share: one row per DISTINCT colliding population m (ascending) with
+    * its bucket count. Collect it ONCE per census when evaluating
+    * several prescriptions/dial values (ScaleSweep's emitRec arms ask
+    * four questions of the same census) — the set is bounded by the
+    * number of distinct bucket sizes, tiny even on a 100 TB sample. */
+  def censusByM(census: DataFrame): Array[(Long, Long)] =
+    census.filter(col("m") >= 2)
       .groupBy(col("m")).agg(count(lit(1)).as("buckets"))
       .orderBy(col("m")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+
+  /** [[recommendCap]] over a pre-collected [[censusByM]] reduction. */
+  def recommendCap(byM: Array[(Long, Long)], targetPairFrac: Double): Int = {
+    require(targetPairFrac > 0.0 && targetPairFrac <= 1.0,
+      s"targetPairFrac must be in (0, 1], got $targetPairFrac")
     if (byM.isEmpty) return 64
     val mass = byM.map { case (m, c) => m.toDouble * (m - 1) / 2.0 * c }
     val total = mass.sum
@@ -209,11 +221,12 @@ object NearDupStream {
     * beside a recommendation when the artifact should show the true dial
     * value. Same distinct-population aggregation before the collect;
     * 1.0 on a census with no colliding buckets (nothing to drop). */
-  def keptPairFrac(census: DataFrame, cap: Int): Double = {
+  def keptPairFrac(census: DataFrame, cap: Int): Double =
+    keptPairFrac(censusByM(census), cap)
+
+  /** [[keptPairFrac]] over a pre-collected [[censusByM]] reduction. */
+  def keptPairFrac(byM: Array[(Long, Long)], cap: Int): Double = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    val byM = census.filter(col("m") >= 2)
-      .groupBy(col("m")).agg(count(lit(1)).as("buckets"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (byM.isEmpty) return 1.0
     def c2(m: Long): Double = m.toDouble * (m - 1) / 2.0
     val total = byM.map { case (m, c) => c2(m) * c }.sum

@@ -505,10 +505,14 @@ object ScaleSweep {
             docs.select(col("doc_id"), col("text")).as[(Long, String)]
               .map { case (id, t) => NearDupStream.Doc(id, t) }).persist()
           val nBuckets = buckets.count()
-          val recCaps: Option[(Int, Int)] =
-            if (!emitRec) None
-            else Some((NearDupStream.recommendCap(buckets, 1.0),
-              NearDupStream.recommendCap(buckets, 0.5)))
+          // one driver-side census reduction feeds all four questions
+          // (two prescriptions + two exact dial values) — not four
+          // collect jobs over the same persisted census
+          val byM: Option[Array[(Long, Long)]] =
+            if (!emitRec) None else Some(NearDupStream.censusByM(buckets))
+          val recCaps: Option[(Int, Int)] = byM.map(b =>
+            (NearDupStream.recommendCap(b, 1.0),
+              NearDupStream.recommendCap(b, 0.5)))
           val testedCaps = (recallCaps ++
             recCaps.toSeq.flatMap { case (f, h) => Seq(f, h) })
             .distinct.sorted
@@ -550,11 +554,12 @@ object ScaleSweep {
               s""""buckets_saturated": $sat, "dropped_memberships": $drops}"""
           }
           val recJson = recCaps.map { case (f, h) =>
+            val b = byM.get
             s""""recommended_cap_full": $f, "recommended_cap_half": $h, """ +
               s""""kept_pair_frac_full": ${
-                fmt(NearDupStream.keptPairFrac(buckets, f))}, """ +
+                fmt(NearDupStream.keptPairFrac(b, f))}, """ +
               s""""kept_pair_frac_half": ${
-                fmt(NearDupStream.keptPairFrac(buckets, h))}, """
+                fmt(NearDupStream.keptPairFrac(b, h))}, """
           }.getOrElse("")
           cand.unpersist(); verified.unpersist(); buckets.unpersist()
           s""""$label": {"n_docs": ${rows.length}, "n_cand": $nCand, """ +

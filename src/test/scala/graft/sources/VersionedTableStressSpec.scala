@@ -41,6 +41,47 @@ object GraftFakeSchemeFs {
   val createdNames = new java.util.concurrent.ConcurrentLinkedQueue[String]
 }
 
+/** Like [[GraftFakeSchemeFs]] but rename surfaces the no-overwrite
+  * conflict as a THROWN FileAlreadyExistsException instead of a false —
+  * the Options.Rename contract shape several non-HDFS Hadoop
+  * filesystems expose. Pins that publishViaRename maps the throw to the
+  * same lost-race rebase as the boolean form. */
+class GraftThrowRenameFs extends GraftFakeSchemeFs {
+  override def getScheme: String = "graftthrow"
+  override def getUri: java.net.URI = java.net.URI.create("graftthrow:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (exists(dst))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(dst.toString)
+    super.rename(src, dst)
+  }
+}
+
+/** Like [[GraftFakeSchemeFs]] but any stream opened on a LIVE entry name
+  * (non-hidden *.json) throws on the first write — the ENOSPC /
+  * died-pipeline shape AFTER a successful exclusive create. Pins that
+  * publishViaCreate treats a write failure on a destination it OWNS as
+  * a propagating I/O error (plus remnant cleanup), never as the
+  * lost-race false that sends commit() into a misleading conflict. */
+class GraftBoomWriteFs extends GraftFakeSchemeFs {
+  override def getScheme: String = "graftboom"
+  override def getUri: java.net.URI = java.net.URI.create("graftboom:///")
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    val out =
+      super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+    if (!f.getName.startsWith(".") && f.getName.endsWith(".json"))
+      new org.apache.hadoop.fs.FSDataOutputStream(new java.io.OutputStream {
+        override def write(b: Int): Unit =
+          throw new java.io.IOException("simulated mid-write failure")
+        override def close(): Unit = out.close()
+      }, null)
+    else out
+  }
+}
+
 /** Pins the r16 flake mechanism in `VersionedTable.commit` and its fix —
   * BOTH sides, plus the non-local publish branch.
   *
@@ -268,6 +309,63 @@ class VersionedTableStressSpec extends AnyFunSuite with TestSpark {
     // window — commit()'s bounded poll is the mitigation there)
     assert(GraftFakeSchemeFs.createdNames.toArray.map(_.toString)
       .exists(n => n.endsWith(".json") && !n.startsWith(".")))
+  }
+
+  test("rename path: a thrown FileAlreadyExistsException is the same lost-race signal as a false — collisions rebase, never crash") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftthrow.impl", classOf[GraftThrowRenameFs].getName)
+    val local = Files.createTempDirectory("graft_vt_thr").toString + "/t"
+    val t = new VersionedTable(spark, s"graftthrow://$local", partitionCol = "m")
+    val commit = commitOf(t)
+    assert(commit(t.Entry(1L, "squat", 0L, "merge",
+      Seq(t.Add("data/m=9/s.parquet", "9")), Seq.empty, 1L, 0L)) === 1L)
+    // the loser's rename THROWS onto the taken destination; the commit
+    // must rebase past it exactly as on the boolean-false contract
+    assert(commit(t.Entry(1L, "loser", 0L, "merge",
+      Seq(t.Add("data/m=8/l.parquet", "8")), Seq.empty, 1L, 0L)) === 2L)
+    assert(t.history().map(_.version) === Seq(1L, 2L))
+  }
+
+  test("create path: a write failure on an owned destination propagates the real I/O error and deletes the remnant — never a fake lost race") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftboom.impl", classOf[GraftBoomWriteFs].getName)
+    val local = Files.createTempDirectory("graft_vt_boom").toString + "/t"
+    val t = new VersionedTable(spark, s"graftboom://$local", partitionCol = "m")
+    t.renameSupported = false // force the exclusive-create last resort
+    val commit = commitOf(t)
+    val e = intercept[java.io.IOException] {
+      commit(t.Entry(1L, "w", 0L, "merge",
+        Seq(t.Add("data/m=1/w.parquet", "1")), Seq.empty, 1L, 0L))
+    }
+    // the ORIGINAL error surfaces (not a ConcurrentModificationException
+    // or a retry-budget exhaustion from polling our own torn file)...
+    assert(e.getMessage.contains("simulated mid-write failure"))
+    // ...fast — no 50-attempt rebase loop ever ran (one create, one boom)
+    // and the torn remnant was deleted, so the version is not poisoned
+    val logDir = Paths.get(local, "_graft_log")
+    val leftover =
+      if (!Files.exists(logDir)) Seq.empty
+      else {
+        val st = Files.list(logDir)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".json") && !n.startsWith(".")).toList
+        finally st.close()
+      }
+    assert(leftover.isEmpty, s"torn remnant left behind: $leftover")
+    assert(t.latestVersion === 0L)
+  }
+
+  test("link probe: succeeds and memoizes on a linking mount; a preset memo short-circuits") {
+    val root = Files.createTempDirectory("graft_vt_probe").toString + "/t"
+    val t = new VersionedTable(spark, root, partitionCol = "m")
+    assert(t.linkProbe.isEmpty)
+    // tmp dirs link fine: an unclassified (e.g. localized) createLink
+    // FileSystemException on this mount would therefore PROPAGATE
+    assert(t.linkProbeSucceeds())
+    assert(t.linkProbe === Some(true))
+    // the memo is authoritative once set — no re-probe per commit
+    t.linkProbe = Some(false)
+    assert(!t.linkProbeSucceeds())
   }
 
   test("linkUnsupported classifies only the no-link errno family as degradable; real I/O failures propagate") {
