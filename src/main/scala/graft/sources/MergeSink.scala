@@ -79,11 +79,17 @@ final class MergeSink(spark: SparkSession, path: String,
     if (!exists) {
       batch.write.partitionBy(partitionCol).parquet(path)
       batch.unpersist()
-      // marker partitions in FRAGMENT form (escaped, null → Hive
-      // sentinel) — the same namespace the swap-listing path records,
-      // so readers comparing commits never mix raw and escaped names
-      val parts = touched.map(v =>
-        MergeStaging.partFragment(if (v == null) null else String.valueOf(v)))
+      // marker partitions in FRAGMENT form, taken by LISTING the dirs
+      // the write just produced — the exact namespace the swap path
+      // records. Deriving fragments from raw census values diverges:
+      // String.valueOf is not Spark's SQL cast (java.sql.Timestamp
+      // appends ".0"; dates/decimals have their own forms), and a
+      // value-derived fragment then never matches a dir-listed one,
+      // breaking the documented same-namespace contract with later
+      // commits' markers.
+      val parts = fs.listStatus(new Path(path)).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith(s"$partitionCol="))
+        .map(_.stripPrefix(s"$partitionCol=")).toSeq
       writeCommitMarker(parts, batchTotal, 0, java.util.UUID.randomUUID().toString.take(8))
       return MergeStats(inserted = batchTotal, updated = 0,
         partitions = parts.length.toLong)
@@ -123,13 +129,22 @@ final class MergeSink(spark: SparkSession, path: String,
     // special characters (and maps null to the Hive default token) in
     // partition dir names, so an interpolated s"$partitionCol=$v" probe
     // misses such a dir and would silently drop its merged rows.
+    // Both renames are CHECKED: a swallowed false here would record the
+    // partition as swapped, publish the marker, then DELETE the staged
+    // dir — losing the batch's rows with a marker claiming success.
+    // Throwing instead leaves staging (with _SUCCESS) and trash on disk,
+    // which is exactly the crash shape recover() rolls forward.
     val swapped = fs.listStatus(new Path(staging)).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith(s"$partitionCol="))
       .map { staged =>
         val part = staged.getName
         val live = new Path(s"$path/$part")
-        if (fs.exists(live)) fs.rename(live, new Path(trash, part))
-        fs.rename(staged, live)
+        if (fs.exists(live) && !fs.rename(live, new Path(trash, part)))
+          throw new java.io.IOException(
+            s"upsert swap: failed to move live $live aside to $trash")
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(
+            s"upsert swap: failed to move staged $staged into place at $live")
         part.stripPrefix(s"$partitionCol=")
       }.toSeq
     writeCommitMarker(swapped, inserted, updated, txid)
@@ -164,8 +179,16 @@ final class MergeSink(spark: SparkSession, path: String,
           .foreach { staged =>
             val part = staged.getName
             val live = new Path(s"$path/$part")
-            if (fs.exists(live)) fs.rename(live, new Path(trash, part))
-            fs.rename(staged, live)
+            // checked for the same reason as the upsert swap: a false
+            // here followed by the staging delete below would lose the
+            // rolled-forward partition; throwing leaves everything on
+            // disk for the next recover() attempt
+            if (fs.exists(live) && !fs.rename(live, new Path(trash, part)))
+              throw new java.io.IOException(
+                s"recover swap: failed to move live $live aside to $trash")
+            if (!fs.rename(staged, live))
+              throw new java.io.IOException(
+                s"recover swap: failed to move staged $staged into place")
             txSwapped += part.stripPrefix(s"$partitionCol=")
           }
         if (txSwapped.nonEmpty)
@@ -214,9 +237,14 @@ final class MergeSink(spark: SparkSession, path: String,
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     def longOf(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
     val rec = raw.contains("\"recovered\":true")
+    // parse the QUOTED fragments, not a split on ',': commas are legal
+    // in partition fragments (Spark's escaper leaves them alone), and a
+    // split would shear "us,eu" into two bogus partitions — a spurious
+    // torn-upsert mismatch for a healthy commit. Quotes cannot appear
+    // inside a fragment ('"' IS escaped), so the regex is exact.
     val parts = """"partitions":\[([^\]]*)\]""".r.findFirstMatchIn(raw)
-      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq)
+      .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     for (ts <- longOf("ts"); i <- longOf("inserted"); u <- longOf("updated"))
       yield Commit(ts, parts, i, u, rec)

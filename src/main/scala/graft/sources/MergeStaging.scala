@@ -47,6 +47,17 @@ private[sources] object MergeStaging {
     Census(rows.map(_.get(0)).toSeq, rows.map(_.getLong(1)).sum)
   }
 
+  /** The same one-job census over SQL CAST-STRING values, for callers
+    * whose bookkeeping lives in fragment space ([[VersionedTable]]'s
+    * file log): (castString, rowCount) per touched partition. Kept here
+    * beside [[census]] so the two value namespaces (raw for
+    * `touchedFilter`, cast-string feeding [[partFragment]]) stay one
+    * decision, not two drifting copies. */
+  def censusStrings(batch: DataFrame, partitionCol: String): Seq[(String, Long)] =
+    batch.groupBy(col(partitionCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** The `<partCol>=<fragment>` directory fragment Spark's partitionBy
     * write produces for a partition value's SQL string form: the Hive
     * null sentinel for null, percent-escaped path characters otherwise

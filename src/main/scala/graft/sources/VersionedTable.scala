@@ -73,9 +73,16 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     def strOf(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(raw).map(_.group(1))
     val adds = """\{"path":"([^"]+)","part":"([^"]*)"\}""".r.findAllMatchIn(raw)
       .map(m => Add(m.group(1), m.group(2))).toSeq
+    // parse the QUOTED strings, not a split on ',': commas are legal in
+    // partition fragments (Spark's escaper leaves them unescaped), and a
+    // split would shear "data/p=us,eu/f.parquet" into two bogus paths —
+    // neither matching the live map, so the stale file stays live and
+    // every later read returns duplicates. Quotes can never appear
+    // inside a path ('"' IS in the escaper's set), so the regex is exact.
     val removes = """"removes":\[([^\]]*)\]""".r.findFirstMatchIn(raw)
-      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     for {
       v <- longOf("version"); tx <- strOf("txid"); ts <- longOf("ts")
       op <- strOf("op"); ins <- longOf("inserted"); upd <- longOf("updated")
@@ -209,7 +216,11 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
 
   /** Snapshot read at a version (default: latest). Partition-column
     * values are re-inferred from the `<partCol>=<v>` dirs via basePath,
-    * so the snapshot has the same schema a plain parquet read would. */
+    * so the snapshot has the same schema a plain parquet read would.
+    * An EMPTY snapshot (new table, nothing committed) has no parquet
+    * footer to infer from and returns a ZERO-COLUMN DataFrame — callers
+    * that reference columns before the first commit must guard on
+    * `latestVersion > 0` (there is no schema registry to conjure one). */
   def readAt(version: Long = Long.MaxValue): DataFrame = {
     val v = math.min(version, latestVersion)
     val files = snapshotFiles(v).keys.toSeq.sorted.map(p => s"$root/$p")
@@ -536,16 +547,40 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     throw new IllegalStateException("commit retry budget exhausted")
   }
 
+  /** [[commit]] for entries whose adds were just absorbed from OUR OWN
+    * staged write: a failed commit (merge conflict, retry budget) leaves
+    * those files in `data/` referenced by NO log entry — vacuum's doomed
+    * set is `everAdded -- live`, so an un-logged orphan is invisible to
+    * it forever, and a streaming writer hitting repeated conflicts leaks
+    * unbounded dead parquet. Best-effort delete the absorbed files
+    * before rethrowing. NOT for [[importFrom]]: its adds are the
+    * caller's MOVED source files — deleting them on failure would
+    * destroy data we don't own. */
+  private def commitOrClean(e: Entry): Long =
+    try commit(e)
+    catch {
+      case t: Throwable =>
+        e.adds.foreach(a =>
+          try { fs.delete(new Path(s"$root/${a.path}"), false); () }
+          catch { case _: Exception => () })
+        throw t
+    }
+
   /** Blind append (new files only; no reads, conflicts never possible
     * beyond version bumping). */
   def append(df: DataFrame): Long = {
     val txid = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$root/.tx_$txid")
-    df.write.partitionBy(partitionCol).parquet(staging.toString)
-    val n = spark.read.option("basePath", staging.toString)
-      .parquet(staging.toString).count()
+    // the `inserted` stat rides the staged write as an Observation (the
+    // observedMerge pattern) — the old read-back count re-scanned the
+    // freshly written staging files in a second job on every streaming
+    // micro-batch, pure doubled I/O on the hot path
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.partitionBy(partitionCol).parquet(staging.toString)
+    val n = obs.get("n").asInstanceOf[Long]
     val adds = absorbStaging(staging, txid)
-    commit(Entry(latestVersion + 1, txid, System.currentTimeMillis(), "append",
+    commitOrClean(Entry(latestVersion + 1, txid, System.currentTimeMillis(), "append",
       adds, Seq.empty, inserted = n, updated = 0))
   }
 
@@ -604,13 +639,15 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
   def overwrite(df: DataFrame): Long = {
     val txid = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(s"$root/.tx_$txid")
-    df.write.partitionBy(partitionCol).parquet(staging.toString)
-    val n = spark.read.option("basePath", staging.toString)
-      .parquet(staging.toString).count()
+    // count rides the staged write as an Observation — no read-back job
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.partitionBy(partitionCol).parquet(staging.toString)
+    val n = obs.get("n").asInstanceOf[Long]
     val baseV = latestVersion
     val removes = snapshotFiles(baseV).keys.toSeq
     val adds = absorbStaging(staging, txid)
-    commit(Entry(baseV + 1, txid, System.currentTimeMillis(), "overwrite",
+    commitOrClean(Entry(baseV + 1, txid, System.currentTimeMillis(), "overwrite",
       adds, removes, inserted = n, updated = 0))
   }
 
@@ -634,8 +671,7 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     // collect + batch.count() trio: per-partition counts give all three
     // answers, and a maintenance session folding many small batches
     // (q147's shape) pays one scheduled job instead of three.
-    val census = batch.groupBy(col(partitionCol).cast("string").as("__p"))
-      .agg(count(lit(1)).as("__n")).collect()
+    val census = MergeStaging.censusStrings(batch, partitionCol)
     // empty merge = no-op, NOT an empty commit (streaming foreachBatch
     // fires empty micro-batches on state flushes; versions should track
     // data changes, not trigger ticks)
@@ -651,8 +687,8 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     // partition's live files — they were neither read into the merge nor
     // listed in removes, leaving the stale file live NEXT TO the new one
     // (duplicate keys on every later read).
-    val touched = census.map(r => MergeStaging.partFragment(r.getString(0))).toSet
-    val batchTotal = census.map(_.getLong(1)).sum
+    val touched = census.map { case (s, _) => MergeStaging.partFragment(s) }.toSet
+    val batchTotal = census.map(_._2).sum
 
     val baseV = latestVersion
     val liveFiles = snapshotFiles(baseV)
@@ -691,8 +727,8 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     batch.unpersist()
     val (inserted, updated) = statsOf()
     val adds = absorbStaging(staging, txid)
-    val v = commit(Entry(baseV + 1, txid, System.currentTimeMillis(), "merge",
-      adds, touchedFiles, inserted, updated))
+    val v = commitOrClean(Entry(baseV + 1, txid, System.currentTimeMillis(),
+      "merge", adds, touchedFiles, inserted, updated))
     MergeStats(v, inserted, updated, adds.map(_.part).distinct.length.toLong)
   }
 
@@ -718,7 +754,7 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     df.write.partitionBy(partitionCol).parquet(staging.toString)
     val adds = absorbStaging(staging, txid)
     val removes = doomedParts.values.flatten.map(_._1).toSeq
-    commit(Entry(baseV + 1, txid, System.currentTimeMillis(), "compact",
+    commitOrClean(Entry(baseV + 1, txid, System.currentTimeMillis(), "compact",
       adds, removes, inserted = 0, updated = 0))
   }
 
@@ -732,8 +768,9 @@ final class VersionedTable(spark: SparkSession, root: String, partitionCol: Stri
     val horizon = entries.last.version - math.max(keepLast, 0)
     val liveAtOrAfter = (horizon to entries.last.version)
       .flatMap(v => snapshotFiles(v).keys).toSet
-    val everAdded = entries.filter(_.version <= entries.last.version)
-      .flatMap(_.adds.map(_.path)).toSet
+    // everAdded must span ALL entries — the doomed set is a subtraction,
+    // so any horizon bound here would turn missed files into leaks
+    val everAdded = entries.flatMap(_.adds.map(_.path)).toSet
     val doomed = (everAdded -- liveAtOrAfter).toSeq.sorted
     doomed.foreach(p => fs.delete(new Path(s"$root/$p"), false))
     // Superseded checkpoints: older checkpoints stay CORRECT as fold

@@ -100,13 +100,40 @@ object NearDupStream {
     else t.sliding(3).map(_.mkString(" ")).toSet
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Low 60 bits of md5 mod (2^31−1) — the engine-portable base hash of
-    * the batch generator (`substring(md5(sh), 18, 15)` parsed base-16). */
+    * the batch generator (`substring(md5(sh), 18, 15)` parsed base-16).
+    * Hex chars 18..32 (1-based) are the digest's nibbles 17..31, i.e.
+    * the last 8 bytes big-endian with the top nibble masked — derived
+    * arithmetically here (bit-identical to the hex-string parse, spec-
+    * pinned) because this runs once per SHINGLE in the streaming hot
+    * path: the old per-call getInstance + per-byte "%02x".format was a
+    * provider lookup plus 16 boxed format calls for every shingle of
+    * every document in candidates()/bucketCensus(). */
   private def md5Low60(sh: String): Long = {
+    val md = md5Digest.get()
+    val d = md.digest(sh.getBytes("UTF-8")) // digest() resets the instance
+    var v = 0L
+    var i = 8
+    while (i < 16) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v & 0x0fffffffffffffffL) % P
+  }
+
+  /** Test seam: the literal batch-generator form of [[md5Low60]]
+    * (hex string → substring(18,15) → base-16), for the bit-identity
+    * spec only. */
+  private[streaming] def md5Low60Reference(sh: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.substring(17, 32), 16) % P
   }
+
+  /** The production hash, exposed for the bit-identity spec. */
+  private[streaming] def md5Low60Fast(sh: String): Long = md5Low60(sh)
 
   /** The 8 (band, band_key) probes of one document: 32 min-hash values
     * h_i = (a_i·x + b_i) mod (2^31−1) sliced 4 per band, keys joined

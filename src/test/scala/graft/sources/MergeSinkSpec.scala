@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -150,4 +152,85 @@ class MergeSinkSpec extends AnyFunSuite with TestSpark {
     val after = sink.read().select("ticker", "price").as[(String, Double)].collect().toSet
     assert(after === Set(("AAPL", 99.0), ("MSFT", 88.0)))
   }
+
+  test("comma-valued partition fragments survive the commit-marker round-trip whole") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_merge_comma").toString + "/t"
+    val sink = new MergeSink(spark, dir, keyCols = Seq("k"), partitionCol = "m")
+    sink.upsert(Seq((1L, 10.0, "us,eu")).toDF("k", "price", "m")): Unit
+    // first-create marker: one fragment, not sheared at the comma
+    assert(sink.lastCommit.get.partitions === Seq("us,eu"))
+    sink.upsert(Seq((1L, 99.0, "us,eu")).toDF("k", "price", "m")): Unit
+    // swap-path marker: same
+    assert(sink.lastCommit.get.partitions === Seq("us,eu"))
+    assert(sink.read().select("k", "price", "m").as[(Long, Double, String)]
+      .collect().toSet === Set((1L, 99.0, "us,eu")))
+  }
+
+  test("first-create marker fragments live in the DIRECTORY namespace: a timestamp partition matches its on-disk dir and later swap markers") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_merge_ts").toString + "/t"
+    val sink = new MergeSink(spark, dir, keyCols = Seq("k"), partitionCol = "m")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    sink.upsert(Seq((1L, 10.0, ts)).toDF("k", "price", "m")): Unit
+    val onDisk = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("m="))
+      .map(_.stripPrefix("m=")).toSeq
+    val first = sink.lastCommit.get.partitions
+    // String.valueOf(ts) would give "... 00:00:00.0" — a fragment no dir
+    // (and no later swap-listed marker) ever carries
+    assert(first === onDisk, s"marker $first vs dirs $onDisk")
+    sink.upsert(Seq((1L, 99.0, ts)).toDF("k", "price", "m")): Unit
+    assert(sink.lastCommit.get.partitions === first,
+      "swap-path marker disagrees with the first-create marker namespace")
+  }
+
+  test("a failed partition-swap rename aborts the upsert with the staged data intact; recover() completes the commit") {
+    val s = spark; import s.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftswapf.impl", classOf[GraftSwapFailFs].getName)
+    val local = Files.createTempDirectory("graft_merge_swapf").toString + "/t"
+    val sink = new MergeSink(spark, s"graftswapf://$local",
+      keyCols = Seq("k"), partitionCol = "m")
+    sink.upsert(Seq((1L, 10.0, 1), (2L, 20.0, 2)).toDF("k", "price", "m")): Unit
+
+    GraftSwapFailFs.failStagedSwaps.set(true)
+    try {
+      val e = intercept[java.io.IOException] {
+        sink.upsert(Seq((1L, 99.0, 1)).toDF("k", "price", "m"))
+      }
+      assert(e.getMessage.contains("failed to move staged"))
+    } finally GraftSwapFailFs.failStagedSwaps.set(false)
+    // the staged merged partition is still on disk (crash shape), the
+    // marker still describes the LAST completed commit...
+    assert(Files.list(Paths.get(local)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".staging_")))
+    assert(!sink.lastCommit.get.recovered)
+    // ...and recover() rolls the batch forward: nothing was lost
+    assert(sink.recover() === Seq("1"))
+    assert(sink.read().select("k", "price").as[(Long, Double)].collect().toSet
+      === Set((1L, 99.0), (2L, 20.0)))
+    assert(sink.lastCommit.get.recovered)
+  }
+}
+
+/** RawLocalFileSystem under a fake scheme whose rename FAILS (returns
+  * false, like a transient HDFS failure) when armed and the source is a
+  * staged partition dir being swapped live — task-commit renames inside
+  * the staging dir (src under `_temporary`) pass through, so the parquet
+  * write itself succeeds and only the swap is hit. */
+class GraftSwapFailFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftswapf"
+  override def getUri: java.net.URI = java.net.URI.create("graftswapf:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val s = src.toString
+    if (GraftSwapFailFs.failStagedSwaps.get() && s.contains("/.staging_") &&
+      !s.contains("_temporary") && !dst.toString.contains("/.staging_"))
+      false
+    else super.rename(src, dst)
+  }
+}
+object GraftSwapFailFs {
+  val failStagedSwaps = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

@@ -396,6 +396,60 @@ class VersionedTableSpec extends AnyFunSuite with TestSpark {
     assert(after - before < 5, s"persistent RDDs grew $before -> $after")
   }
 
+  test("comma-valued partitions round-trip the log: removes parse whole, merged partitions never read duplicates, vacuum reclaims the comma path") {
+    val s = spark; import s.implicits._
+    val (dir, t) = mkTable("comma")
+    t.append(Seq(("AAPL", 1L, 10.0, "us,eu"), ("MSFT", 1L, 20.0, "ap"))
+      .toDF("ticker", "seq", "price", "m")): Unit
+    // rewrite the comma partition: its remove path "data/m=us,eu/..."
+    // must survive the log round-trip as ONE string, or the stale file
+    // stays live next to its replacement and every read duplicates
+    t.upsert(Seq(("AAPL", 1L, 99.0, "us,eu")).toDF("ticker", "seq", "price", "m"),
+      keyCols = Seq("ticker", "seq")): Unit
+    val rows = t.read().select("ticker", "seq", "price", "m")
+      .as[(String, Long, Double, String)].collect().toSet
+    assert(rows === Set(("AAPL", 1L, 99.0, "us,eu"), ("MSFT", 1L, 20.0, "ap")))
+    // the replaced file is reclaimable — proof the remove matched it
+    val doomed = t.vacuum(keepLast = 0)
+    assert(doomed.exists(p => p.contains("m=us,eu")),
+      s"vacuum missed the comma-partition remove: $doomed")
+    assert(rows === t.read().select("ticker", "seq", "price", "m")
+      .as[(String, Long, Double, String)].collect().toSet)
+  }
+
+  test("a merge that loses to a conflicting winner leaves NO orphan files: absorbed adds are cleaned before the conflict propagates") {
+    val s = spark; import s.implicits._
+    val (dir, t) = mkTable("orphan")
+    t.append(Seq(("AAPL", 1L, 10.0, 1)).toDF("ticker", "seq", "price", "m")): Unit
+    val dataDir = Paths.get(dir, "data", "m=1")
+    val filesBefore = Files.list(dataDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    // inject a conflicting winner at publish time: the overridden publish
+    // plants a committed "merge" entry over OUR partition at the version
+    // we try to claim, then reports the lost race — commit() must then
+    // throw ConcurrentModificationException, and the files the upsert
+    // already absorbed into data/ must NOT be left behind (they are in no
+    // log entry, so vacuum's everAdded-minus-live set can never see them)
+    t.publishOverride = Some { (p, _) =>
+      val np = Paths.get(p.toUri.getPath)
+      Files.createDirectories(np.getParent)
+      val v = np.getFileName.toString.stripSuffix(".json").toLong
+      Files.write(np,
+        (s"""{"version":$v,"txid":"squat","ts":1,"op":"merge",""" +
+          s""""adds":[{"path":"data/m=1/squat.parquet","part":"1"}],""" +
+          """"removes":[],"inserted":1,"updated":0}""").getBytes("UTF-8")): Unit
+      false
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.upsert(Seq(("AAPL", 1L, 99.0, 1)).toDF("ticker", "seq", "price", "m"),
+        keyCols = Seq("ticker", "seq"))
+    }
+    val filesAfter = Files.list(dataDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(filesAfter === filesBefore,
+      s"conflicted merge orphaned files: ${filesAfter -- filesBefore}")
+  }
+
   /** Drives commit() at an already-taken version over the same
     * partition — the entry-create race a stale-snapshot merge loses
     * (the public API re-resolves latest, so the race itself can only be

@@ -258,4 +258,14 @@ class NearDupStreamSpec extends AnyFunSuite with TestSpark {
       assert(spark.table("neardup_capped").isEmpty)
     } finally q.stop()
   }
+
+  test("md5Low60 arithmetic fast path is bit-identical to the hex-substring batch-generator form") {
+    val cases = Seq("", "a", "the quick brown fox", "tok1 tok2 tok3",
+      "ünïcødé ≠ ascii ❄", "x" * 10000) ++
+      (0 until 500).map(i => s"shingle $i of ${i * 31} salt ${i.toHexString}")
+    cases.foreach { s =>
+      assert(NearDupStream.md5Low60Fast(s) === NearDupStream.md5Low60Reference(s),
+        s"hash mismatch for input: $s")
+    }
+  }
 }
