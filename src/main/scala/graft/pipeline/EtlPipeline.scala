@@ -16,7 +16,7 @@ import graft.features.FeatureBuilder
   *  - split drift (PSI) is computed train-vs-validation (:1487).
   *
   * Stages are DataFrame→DataFrame transforms; "checkpoints" are parquet
-  * stage directories plus a run-catalog row with a content hash
+  * stage directories plus a run-catalog row keyed by a per-run id
   * (etl/checkpoint_manager.py:59-436 reduced to its durable core).
   */
 object EtlPipeline {
@@ -41,8 +41,11 @@ object EtlPipeline {
       stageDirs: Map[String, String])
 
   def run(spark: SparkSession, rawBars: DataFrame, cfg: Config): RunResult = {
-    val runId = java.util.UUID.nameUUIDFromBytes(
-      (cfg.toString + rawBars.schema.treeString).getBytes).toString
+    // one id per RUN: the old config+schema hash reused the same id for
+    // every re-run over fresh data, so _run_catalog accumulated rows
+    // with identical run_id and any consumer keying on it (including
+    // PipelineSpec's own count===1 pattern) read ambiguous results
+    val runId = java.util.UUID.randomUUID().toString
 
     // 1. extraction output is the input frame; persist the raw stage
     val stages = scala.collection.mutable.Map.empty[String, String]
@@ -91,10 +94,18 @@ object EtlPipeline {
     // 100 TB that census re-read is a full extra pass over the output)
     val rows: Map[String, Long] =
       if (cfg.versionedStages) {
-        splitNames.foreach(sp =>
-          store(sp, normalized.where(col("split") === sp).drop("split")))
-        normalized.groupBy(col("split")).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // each overwrite already OBSERVED its exact row count into the
+        // commit log (Entry.inserted) — read it back instead of paying a
+        // fourth full aggregation pass over the normalized lineage
+        splitNames.map { sp =>
+          val dir = s"${cfg.outDir}/$sp"
+          stages(sp) = dir
+          val table = new graft.sources.VersionedTable(spark, dir,
+            partitionCol = "ticker")
+          table.overwrite(
+            normalized.where(col("split") === sp).drop("split")): Unit
+          sp -> table.history().last.inserted
+        }.toMap
       } else {
         // ONE pass over the processed table writes every split (three
         // per-split writes scanned it once each — two wasted full-table
@@ -120,8 +131,14 @@ object EtlPipeline {
             stages(sp) = dst.toString
           } else {
             // degenerate empty split (e.g. tiny input): keep the contract
-            // with an explicit empty write so readers see a schema
-            store(sp, normalized.where(col("split") === sp).drop("split"))
+            // with an explicit empty write so readers see a schema. The
+            // write must be UNPARTITIONED — a zero-row partitionBy write
+            // emits no parquet footer (only _SUCCESS) and the stage dir
+            // would then die on schema inference, crashing exactly the
+            // case this branch exists to absorb
+            normalized.where(col("split") === sp).drop("split")
+              .write.mode("overwrite").parquet(dst.toString)
+            stages(sp) = dst.toString
           }
         }
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -131,7 +148,7 @@ object EtlPipeline {
             .getOrElse(0L)).toMap
       }
 
-    // run catalog row (checkpoint metadata with a content hash)
+    // run catalog row (checkpoint metadata keyed by the per-run id)
     val catalog = spark.createDataFrame(Seq(
       (runId, quality.status, rows.getOrElse("training", 0L),
         rows.getOrElse("validation", 0L), rows.getOrElse("testing", 0L),
@@ -157,17 +174,26 @@ object EtlPipeline {
       .filter(st => st.getPath.getName != "_run_catalog")
       .filter(_.getModificationTime < cutoff)
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
-    val catalogPath = s"$outDir/_run_catalog"
-    if (fs.exists(new org.apache.hadoop.fs.Path(catalogPath))) {
-      val kept = spark.read.parquet(catalogPath)
+    val catalogPath = new org.apache.hadoop.fs.Path(s"$outDir/_run_catalog")
+    if (fs.exists(catalogPath)) {
+      // safety comes from ORDER, not from caching: the compacted copy is
+      // fully written to tmp (which reads the source) BEFORE the source
+      // moves, and both renames are checked — the old unchecked
+      // delete-then-rename could silently lose the whole catalog on a
+      // false rename, with no recovery path. The one remaining crash
+      // window (between the two renames) leaves the full pre-compaction
+      // catalog intact at _run_catalog_old.
+      val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_run_catalog_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$outDir/_run_catalog_old")
+      spark.read.parquet(catalogPath.toString)
         .where(col("created_at") >= cutoff)
-        .cache()
-      kept.count() // materialize before overwriting the source
-      kept.write.mode("overwrite").parquet(s"$outDir/_run_catalog_tmp")
-      kept.unpersist()
-      fs.delete(new org.apache.hadoop.fs.Path(catalogPath), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/_run_catalog_tmp"),
-        new org.apache.hadoop.fs.Path(catalogPath))
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true): Unit
+      require(fs.rename(catalogPath, old),
+        s"catalog compaction: aside rename failed: $catalogPath -> $old")
+      require(fs.rename(tmp, catalogPath),
+        s"catalog compaction: swap rename failed: $tmp -> $catalogPath")
+      fs.delete(old, true): Unit
     }
     deleted
   }

@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,7 +31,17 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
   private def tsOfMicros(us: Long): java.sql.Timestamp =
     graft.Times.ofMicros(us)
 
-  def isEmpty: Boolean = !Files.exists(Paths.get(path))
+  /** All existence probes and sidecar I/O go through the Hadoop
+    * FileSystem RESOLVED FROM cacheDir — the same resolution the Spark
+    * writes use. The old java.nio probes answered against the LOCAL
+    * disk, so any non-local cacheDir (hdfs://, s3a://) read as
+    * permanently empty: every read() refetched and re-appended the full
+    * range, and the final (correctly-resolved) parquet read returned
+    * growing duplicates. */
+  private def fs = new Path(cacheDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def isEmpty: Boolean = !fs.exists(new Path(path))
 
   /** Earliest start (epoch micros) already head-probed per ticker. Once the
     * provider has been asked for [start, cachedLo) — whatever it
@@ -50,26 +59,34 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
     * forever. A legacy `head_probes.json` is therefore IGNORED (and
     * deleted on the next save): its marks are discarded, which at worst
     * re-probes a head range once — fail-open, never fail-silent. */
-  private def probesPath = Paths.get(s"$cacheDir/head_probes_us.json")
+  private def probesPath = new Path(s"$cacheDir/head_probes_us.json")
 
-  private def legacyProbesPath = Paths.get(s"$cacheDir/head_probes.json")
+  private def legacyProbesPath = new Path(s"$cacheDir/head_probes.json")
 
   private def loadProbes(): Map[String, Long] =
-    if (!Files.exists(probesPath)) Map.empty
-    else """"([^"]+)":(-?\d+)""".r
-      .findAllMatchIn(new String(Files.readAllBytes(probesPath), "UTF-8"))
-      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    if (!fs.exists(probesPath)) Map.empty
+    else {
+      val in = fs.open(probesPath)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"([^"]+)":(-?\d+)""".r.findAllMatchIn(raw)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
 
   private def saveProbes(m: Map[String, Long]): Unit = {
     val json = m.toSeq.sortBy(_._1)
       .map { case (t, v) => "\"" + t + "\":" + v }.mkString("{", ",", "}")
-    val tmp = Paths.get(s"$cacheDir/.head_probes_tmp")
-    Files.createDirectories(tmp.getParent)
-    Files.write(tmp, json.getBytes("UTF-8"))
-    Files.move(tmp, probesPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    Files.deleteIfExists(legacyProbesPath) // superseded millis-unit sidecar
+    val tmp = new Path(s"$cacheDir/.head_probes_tmp")
+    val out = fs.create(tmp, true)
+    try { out.write(json.getBytes("UTF-8")) } finally out.close()
+    // replace-by-rename: HDFS rename refuses an existing destination, so
+    // drop the old sidecar first. The delete→rename window is fail-OPEN
+    // (a crash loses marks, which at worst re-probes each head once —
+    // the sidecar's documented recovery semantics), never fail-silent.
+    fs.delete(probesPath, false): Unit
+    if (!fs.rename(tmp, probesPath))
+      throw new java.io.IOException(s"probe sidecar swap failed: $tmp -> $probesPath")
+    fs.delete(legacyProbesPath, false): Unit // superseded millis-unit sidecar
   }
 
   /** (minDate, maxDate) per cached ticker — the coverage catalog. */
@@ -122,11 +139,26 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
     val staleTail = tickers.filter(t => cov.get(t).exists { case (_, hi) =>
       hi.before(end) })
 
-    if (missing.nonEmpty) write(fetch(missing, start, end))
+    // every fetched frame is materialized ONCE (eager localCheckpoint,
+    // blocks self-release via the ContextCleaner): the emptiness probe
+    // and the append then read the same materialization — the old
+    // isEmpty-then-write shape ran the provider's plan twice per branch,
+    // doubling the remote calls this cache layer exists to minimize
+    var lastFetched: Option[DataFrame] = None
+    if (missing.nonEmpty) {
+      // guarded like the other branches: an UNGUARDED write of an empty
+      // fetch on a cold cache created a dir holding only _SUCCESS (a
+      // zero-row partitionBy write emits no parquet footer), and every
+      // later read of the cache died on schema inference
+      val got = fetch(missing, start, end).localCheckpoint(true)
+      lastFetched = Some(got)
+      if (!got.isEmpty) write(got)
+    }
     if (headGap.nonEmpty) {
       headGap.foreach { t =>
         val lo = cov(t)._1
         val head = fetch(Seq(t), start, tsOfMicros(micros(lo) - 1))
+          .localCheckpoint(true)
         if (!head.isEmpty) write(head)
       }
       // whatever came back is cached now: [start, lo) is settled
@@ -137,9 +169,15 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
       val hi = cov(t)._2
       // tail delta: only the bars after the cached high-water mark
       val delta = fetch(Seq(t), tsOfMicros(micros(hi) + 1), end)
+        .localCheckpoint(true)
       if (!delta.isEmpty) write(delta)
     }
 
+    if (isEmpty)
+      // nothing cached and nothing fetched worth writing: answer with a
+      // schema-bearing EMPTY frame (the fetch result's shape) instead of
+      // pointing the reader at a nonexistent path
+      return lastFetched.map(_.limit(0)).getOrElse(spark.emptyDataFrame)
     spark.read.parquet(path)
       .where(col("ticker").isin(tickers: _*) &&
         col("date").between(start, end))
@@ -155,12 +193,19 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
   def statusOf(tickers: Seq[String], start: java.sql.Timestamp,
       end: java.sql.Timestamp): DataFrame = {
     val cov = coverageOf(tickers)
+    val probes = loadProbes()
     val rows = tickers.sorted.map { t =>
       cov.get(t) match {
         case None => (t, None: Option[java.sql.Timestamp],
           None: Option[java.sql.Timestamp], "miss")
         case Some((lo, hi)) =>
-          val status = (lo.after(start), hi.before(end)) match {
+          // the head leg consults the probe marks EXACTLY as read()'s
+          // routing does: a head range already probed is settled — read()
+          // will never fetch it, so reporting it head_gap forever told a
+          // monitor the cache was permanently broken when it wasn't
+          val headOpen = lo.after(start) &&
+            probes.get(t).forall(_ > micros(start))
+          val status = (headOpen, hi.before(end)) match {
             case (false, false) => "full"
             case (true, false)  => "head_gap"
             case (false, true)  => "stale_tail"
@@ -178,11 +223,15 @@ final class CacheManager(spark: SparkSession, cacheDir: String) {
   def stats(tickers: Seq[String], start: java.sql.Timestamp,
       end: java.sql.Timestamp): (Int, Int, Int) = {
     val cov = coverageOf(tickers)
+    val probes = loadProbes()
+    // probe-settled heads count as covered, matching read()'s routing
+    def headOpen(t: String, lo: java.sql.Timestamp) =
+      lo.after(start) && probes.get(t).forall(_ > micros(start))
     val full = tickers.count(t => cov.get(t).exists { case (lo, hi) =>
-      !lo.after(start) && !hi.before(end) })
-    // partial = cached but not covering (head gap, stale tail, or both)
+      !headOpen(t, lo) && !hi.before(end) })
+    // partial = cached but not covering (open head gap, stale tail, both)
     val partial = tickers.count(t => cov.get(t).exists { case (lo, hi) =>
-      lo.after(start) || hi.before(end) })
+      headOpen(t, lo) || hi.before(end) })
     (full, partial, tickers.size - full - partial)
   }
 }

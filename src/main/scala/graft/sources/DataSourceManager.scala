@@ -32,7 +32,14 @@ object DataSourceManager {
       val failed = scala.collection.mutable.ArrayBuffer.empty[String]
       providers.foreach { p =>
         try {
-          val df = p.extract(tickers, start, end)
+          // materialize the candidate ONCE (eager localCheckpoint;
+          // blocks self-release when the frame is no longer referenced):
+          // the old isEmpty-probe-then-return re-executed the winning
+          // provider's plan on every downstream action — double the
+          // provider I/O, and for a non-deterministic provider the rows
+          // acted on could differ from the ones the emptiness gate and
+          // provenance decision were based on
+          val df = p.extract(tickers, start, end).localCheckpoint(true)
           if (!df.isEmpty)
             return ExtractionResult(
               df.withColumn("source", lit(p.name)), p.name, failed.toSeq)
@@ -52,9 +59,17 @@ object DataSourceManager {
       nBars: Int = 120, seed: Long = 42L): Source = new Source {
     val name = "synthetic"
     def extract(tickers: Seq[String], start: java.sql.Timestamp,
-        end: java.sql.Timestamp): DataFrame =
+        end: java.sql.Timestamp): DataFrame = {
+      // the generator stamps bars at the DAY floor, so the filter's
+      // lower bound is clamped to start's own day: an intraday window
+      // (start 09:00, end 17:00 same day) otherwise excluded every bar
+      // and the TERMINAL always-available fallback reported empty,
+      // failing the whole chain
+      val dayFloor = java.sql.Timestamp.valueOf(
+        start.toLocalDateTime.toLocalDate.atStartOfDay)
       SyntheticSource.generate(spark, tickers, nBars,
           start.toLocalDateTime.toLocalDate, seed).toDF()
-        .where(col("date").between(start, end))
+        .where(col("date").between(dayFloor, end))
+    }
   }
 }

@@ -138,6 +138,66 @@ class PipelineSpec extends AnyFunSuite with TestSpark {
     assert(fetchCalls.size === c1 + 2) // empty probe not repeated
   }
 
+  test("cold cache with an empty fetch: no poison dir, schema-bearing empty result, cache stays usable") {
+    val dir = Files.createTempDirectory("graft_cache_cold").toString
+    val cache = new CacheManager(spark, dir)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t30 = Timestamp.valueOf("2024-01-30 00:00:00")
+    def bars(ts: Seq[String]) =
+      SyntheticSource.generate(spark, ts, 30,
+        startDate = java.time.LocalDate.of(2024, 1, 1), seed = 7).toDF()
+    // the provider has NOTHING: the old path wrote the empty frame,
+    // creating a dir holding only _SUCCESS, and every later cache read
+    // died on parquet schema inference
+    val r = cache.read(Seq("AAPL"), t0, t30)((ts, _, _) =>
+      bars(ts).where(lit(false)))
+    assert(r.isEmpty && r.columns.contains("date"),
+      "empty result must still carry the provider schema")
+    assert(cache.isEmpty, "an empty fetch must not create the cache dir")
+    // the same cache then serves a real fetch normally
+    assert(cache.read(Seq("AAPL"), t0, t30)((ts, a, b) =>
+      bars(ts).where(col("date").between(a, b))).count() === 30)
+  }
+
+  test("statusOf and stats consult the head-probe marks read() routes on") {
+    val dir = Files.createTempDirectory("graft_cache_probe_status").toString
+    val cache = new CacheManager(spark, dir)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t30 = Timestamp.valueOf("2024-01-30 00:00:00")
+    def fetch(ts: Seq[String], a: Timestamp, b: Timestamp) =
+      SyntheticSource.generate(spark, ts, 30,
+          startDate = java.time.LocalDate.of(2024, 1, 1), seed = 7).toDF()
+        .where(col("date").between(a, b))
+    cache.read(Seq("AAPL"), t0, t30)(fetch): Unit
+    // ask from a start BEFORE the provider's history: the head probe
+    // comes back empty and the mark settles [preStart, t0)
+    val preStart = Timestamp.valueOf("2023-12-01 00:00:00")
+    cache.read(Seq("AAPL"), preStart, t30)(fetch): Unit
+    // read() will never fetch this head again — the report must agree
+    // (the pre-fix statusOf called this ticker head_gap forever)
+    val st = cache.statusOf(Seq("AAPL"), preStart, t30)
+      .select("status").head().getString(0)
+    assert(st === "full", s"probe-settled head reported $st")
+    assert(cache.stats(Seq("AAPL"), preStart, t30) === ((1, 0, 0)))
+    // a start DEEPER than any probe is still an open head gap
+    val deeper = Timestamp.valueOf("2023-06-01 00:00:00")
+    assert(cache.statusOf(Seq("AAPL"), deeper, t30)
+      .select("status").head().getString(0) === "head_gap")
+    assert(cache.stats(Seq("AAPL"), deeper, t30) === ((0, 1, 0)))
+  }
+
+  test("run ids are unique per run: re-running the same config appends a distinct catalog row") {
+    val out = Files.createTempDirectory("graft_etl_runid").toString
+    val bars = SyntheticSource.generate(spark, Seq("AAPL", "MSFT"), 250, seed = 3).toDF()
+    val r1 = EtlPipeline.run(spark, bars, EtlPipeline.Config(outDir = out))
+    val r2 = EtlPipeline.run(spark, bars, EtlPipeline.Config(outDir = out))
+    assert(r1.runId !== r2.runId,
+      "identical config must still get a fresh run id per run")
+    val cat = spark.read.parquet(s"$out/_run_catalog")
+    assert(cat.select("run_id").distinct().count() === 2)
+    assert(cat.where(col("run_id") === r2.runId).count() === 1)
+  }
+
   test("legacy millis probe sidecar is ignored, then superseded on save") {
     val dir = Files.createTempDirectory("graft_cache_legacy").toString
     val cache = new CacheManager(spark, dir)

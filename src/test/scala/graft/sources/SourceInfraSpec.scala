@@ -41,6 +41,21 @@ class SourceInfraSpec extends AnyFunSuite with TestSpark {
     assert(ex.getMessage.contains("yfinance") && ex.getMessage.contains("alpha_vantage"))
   }
 
+  test("synthetic terminal fallback serves an intraday window: day-floor bars are not filtered out") {
+    val fb = DataSourceManager.syntheticFallback(spark)
+    // bars are stamped at the day floor; a same-day 09:00-17:00 request
+    // previously excluded every bar and the TERMINAL fallback reported
+    // empty, failing the whole chain
+    val df = fb.extract(Seq("AAPL"),
+      Timestamp.valueOf("2024-01-05 09:00:00"),
+      Timestamp.valueOf("2024-01-05 17:00:00"))
+    assert(!df.isEmpty, "terminal fallback must serve an intraday window")
+    val chain = new DataSourceManager.FailoverChain(Seq(fb))
+    assert(chain.extract(Seq("AAPL"),
+      Timestamp.valueOf("2024-01-05 09:00:00"),
+      Timestamp.valueOf("2024-01-05 17:00:00")).df.count() >= 1)
+  }
+
   test("snapshot store: identical inputs restore without refitting") {
     val dir = Files.createTempDirectory("graft_snap").toString
     val store = new SnapshotStore(spark, dir)
