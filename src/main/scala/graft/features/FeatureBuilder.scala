@@ -120,8 +120,23 @@ object FeatureBuilder {
     * Gated outputs (lags/returns, null patterns, order statistics,
     * cvar) are bit-identical; inexact moment VALUES agree to last ulps
     * (the kernel sums exact decimals where WindowExec sums doubles). */
-  def buildFast(df: DataFrame, dropNa: Boolean = true): DataFrame =
-    finish(FeatureKernel.run(df), dropNa)
+  def buildFast(df: DataFrame, dropNa: Boolean = true,
+      reuseKernel: Boolean = false): DataFrame = {
+    // reuseKernel: finish() consumes the kernel frame from three
+    // subtrees (vol-regime cuts, the seasonal index, the main stream),
+    // and a kernel RDD has no exchange for Spark to reuse — when a
+    // caller's projection keeps those joins alive (q158's health over
+    // every feature), the whole halo pass re-ran per subtree (r19
+    // measured: 2 kernel scans in the plan). Persisting costs one
+    // full-width cache write, so it stays OFF for callers whose final
+    // projection lets Catalyst prune the joins away (q156 keeps only
+    // cvar — its plan is a single kernel scan already). Blocks are
+    // reclaimed by the ContextCleaner when the caller drops the frame.
+    val kernel = FeatureKernel.run(df)
+    finish(if (reuseKernel)
+      kernel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else kernel, dropNa)
+  }
 
   /** Cross-sectional + dimension-join tail shared by both forms: vol
     * regime, per-date rank/z, the seasonal index join, calendar flags,

@@ -354,8 +354,11 @@ object FeatureKernel {
       col("high").cast("double").as("high"),
       col("low").cast("double").as("low"))
 
+    // data-derived partition count (capped at shuffle.partitions): this
+    // range shuffle is RDD-level, so AQE never right-sizes it — see
+    // graft.operators.SizedPartitions
     val p = if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
+      else graft.operators.SizedPartitions.of(df)
     val keyed = base.as[FRow].rdd.map(r => ((r.ticker, r.dateUs, 0L), r))
     val light = base.select(col("ticker"), col("dateUs"))
       .as[(String, Long)].rdd.map(k => ((k._1, k._2, 0L), ()))

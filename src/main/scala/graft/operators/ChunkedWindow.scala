@@ -212,8 +212,11 @@ object ChunkedWindow {
     * ordered by (`tCol`, `seqCol`). Requires lo <= hi <= 0. Returns
     * columns: key, seq, x, prev (lag 1), n, s1 (Σ dec6(x)), s2 (grid-
     * exact Σx² on the grid2 grid), s3 (grid-exact Σx³ on grid3) — sums
-    * as doubles, null when the frame is empty. `numPartitions` defaults to
-    * spark.sql.shuffle.partitions — size it to the data, not the keys.
+    * as doubles, null when the frame is empty. `numPartitions` defaults
+    * to [[SizedPartitions.of]] the input — derived from the estimated
+    * input size and capped at spark.sql.shuffle.partitions (this range
+    * shuffle is RDD-level, so AQE never right-sizes it; the constant
+    * default cost 32 near-empty tasks per stage at sf0.1 — r19).
     */
   def rollingMoments(df: DataFrame, keyCol: String, tCol: String,
       seqCol: String, xCol: String, lo: Int, hi: Int,
@@ -245,8 +248,7 @@ object ChunkedWindow {
       pw(grid2, 2).as("d2"),
       pw(grid3, 3).as("d3"))
 
-    val p = if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
+    val p = if (numPartitions > 0) numPartitions else SizedPartitions.of(df)
     val keyed = base.as[Raw].rdd.map(r => ((r.key, r.t, r.seq), r))
     // bounds are sampled from a 3-column projection: the sampling job
     // prunes the parquet scan to (key, t, seq) and skips the decimal

@@ -31,14 +31,45 @@ object ConnectedComponents {
     * returning: repeated calls in one session (bench reps, a dedup
     * pipeline clustering many pair sets) pin nothing across calls, and
     * the checkpoint blocks are reclaimed by the ContextCleaner once the
-    * caller drops the frame. */
+    * caller drops the frame.
+    *
+    * Hybrid local finish (r19, mirroring [[runStars]]): the symmetrized
+    * edge persist's own count is one cheap aggregate; when the edge set
+    * is ≤ `localFinishEdges` the whole component labeling is a bounded
+    * driver union-find (min-root, identical contract) instead of
+    * O(diameter) distributed rounds — at bench scale a few-hundred-pair
+    * near-dup graph paid ~7 scheduling-bound jobs for 2-3 propagation
+    * rounds over kilobytes. At 100 TB the pair set exceeds the bound and
+    * the distributed path below is unchanged. `localFinishEdges = 0`
+    * forces the pure distributed path (the round-count/convergence specs
+    * use it). */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, localFinishEdges: Long = 100000L): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    // symmetrize once so propagation flows both ways
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize once so propagation flows both ways. ONE pass via
+    // explode: the old self-union evaluated the (possibly expensive —
+    // q95's LSH pair generation) input pipeline twice at persist
+    // materialization and doubled the cached partition count, so every
+    // propagation round downstream paid 2× the tasks for the same rows.
+    val sym = e.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("p"))
+      .select(col("p.s").as("src"), col("p.d").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one bounded count on the persisted frame — the materialization the
+    // loop (or the labels init) would pay anyway, surfaced as the
+    // local-finish gate
+    val nSym = sym.count()
+    if (nSym <= 2L * localFinishEdges) {
+      // ≤ 2·bound symmetrized rows — the same explicit driver bound as
+      // runStars' local finish (~1.6 MB of longs per 100k edges)
+      val rows = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      sym.unpersist()
+      val s = edges.sparkSession
+      import s.implicits._
+      return minRootLabels(rows).toSeq.toDF("node", "component")
+    }
     // Each round's labels are EAGERLY localCheckpoint'ed rather than
     // persisted: a round references its input twice (propagation join +
     // union), so the LOGICAL plan doubles per round even under persist
@@ -133,12 +164,16 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // original endpoint set: the output contract is one label per
     // endpoint node, including self-loop-only singletons that the
-    // star transforms drop with their self-loops
-    val allNodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+    // star transforms drop with their self-loops. explode, not
+    // self-union: one pass over the cached edges, half the partitions.
+    val allNodes = e0
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
 
     def largeStar(es: DataFrame): DataFrame = {
-      val sym = es.union(es.select(col("dst").as("src"), col("src").as("dst")))
+      val sym = es.select(explode(array(
+          struct(col("src").as("s"), col("dst").as("d")),
+          struct(col("dst").as("s"), col("src").as("d")))).as("p"))
+        .select(col("p.s").as("src"), col("p.d").as("dst"))
       val m = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
       // (v, m(u)) for v ∈ N(u), v > u; v > u ≥ m(u) keeps the src > dst
@@ -257,14 +292,30 @@ object ConnectedComponents {
     minRootStars(rows).toSeq.toDF("src", "dst")
   }
 
-  /** Driver min-root union-find over edge tuples: union attaches the
-    * larger root under the smaller, so every root is its component's
-    * minimum. Returns (node → root) for every non-root node — the star
-    * edges of the fixpoint. Shared by the hybrid local finish above and
-    * [[IncrementalCC]]'s micro-batch fast path; callers must have
-    * bounded the edge count before collecting. */
+  /** Driver min-root union-find labeling EVERY endpoint node (roots and
+    * singleton self-loops label themselves) — the complete (node,
+    * component) contract of [[run]], for its bounded local-finish branch.
+    * Same arithmetic as [[minRootStars]] minus the non-root filter. */
+  private[operators] def minRootLabels(
+      rows: Array[(Long, Long)]): Iterator[(Long, Long)] =
+    unionFind(rows) { (nodes, find) => nodes.iterator.map(n => (n, find(n))) }
+
+  /** Driver min-root union-find over edge tuples: returns (node → root)
+    * for every NON-root node — the star edges of the fixpoint. Shared by
+    * the hybrid local finish above and [[IncrementalCC]]'s micro-batch
+    * fast path; callers must have bounded the edge count before
+    * collecting. */
   private[operators] def minRootStars(
-      rows: Array[(Long, Long)]): Iterator[(Long, Long)] = {
+      rows: Array[(Long, Long)]): Iterator[(Long, Long)] =
+    unionFind(rows) { (nodes, find) =>
+      nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+    }
+
+  /** Shared min-root union-find: union attaches the larger root under
+    * the smaller, so every root is its component's minimum. `k` receives
+    * the insertion-ordered endpoint set and the find function. */
+  private def unionFind[A](rows: Array[(Long, Long)])(
+      k: (scala.collection.mutable.LinkedHashSet[Long], Long => Long) => A): A = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
       var r = x0
@@ -279,6 +330,6 @@ object ConnectedComponents {
     }
     val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
     rows.foreach { case (a, b) => nodes += a; nodes += b }
-    nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+    k(nodes, find)
   }
 }

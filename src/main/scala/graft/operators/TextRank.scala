@@ -25,8 +25,15 @@ object TextRank {
   /** @param adj undirected weighted adjacency: columns (a, b, w),
     *            one row per unordered pair. */
   def run(adj: DataFrame, iters: Int = 8): DataFrame = {
-    val sym = adj.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionByName(adj.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    // symmetrize in ONE pass (explode): the old self-union evaluated the
+    // adjacency pipeline (q202: a full token-pair aggregation) twice at
+    // edgesW materialization and doubled its cached partition count —
+    // every iteration's join then read 2× the partitions for the same
+    // rows.
+    val sym = adj.select(explode(array(
+        struct(col("a").as("s"), col("b").as("d"), col("w").as("w")),
+        struct(col("b").as("s"), col("a").as("d"), col("w").as("w")))).as("p"))
+      .select(col("p.s").as("src"), col("p.d").as("dst"), col("p.w").as("w"))
     val deg = sym.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     // Static per-node degree fused onto the edges once — the table every
     // iteration reads. Its lineage is FIXED (sym ⋈ deg, never grows), so
@@ -48,7 +55,7 @@ object TextRank {
 
     var pr = edgesW.select(col("src").as("node")).distinct()
       .select(col("node"), lit(unit).as("pr"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // pr is on the 1e12 grid, so (pr * w) stays inside Long only while
       // w ≲ 9.2e6. Spark's non-ANSI multiply would WRAP silently past
       // that while the DuckDB replay raises on BIGINT overflow —
@@ -56,11 +63,14 @@ object TextRank {
       // (exact, overflow-proof at any co-occurrence weight) and take
       // the integer quotient there; div yields BIGINT back.
       //
-      // localCheckpoint(true) per iteration: each iteration's plan must
-      // start from a TABLE, not a growing lineage (persist() alone
+      // localCheckpoint every SECOND iteration: each checkpointed plan
+      // must start from a TABLE, not a growing lineage (persist() alone
       // dedups the computation but the logical plan still grows per
       // iteration and re-analyzing/rendering it costs more each round —
-      // the engine-wide lineage-tax fix).
+      // the engine-wide lineage-tax fix). pr appears exactly ONCE per
+      // iteration, so a 2-deep un-checkpointed chain recomputes nothing;
+      // cadence 2 keeps the plan O(1) while halving the eager
+      // materialization jobs (r19: 8 → 4 checkpoint jobs per run).
       pr = edgesW
         .join(pr.select(col("node").as("src"), col("pr")), "src")
         .select(col("dst"), expr(
@@ -69,7 +79,7 @@ object TextRank {
         .groupBy(col("dst")).agg(sum(col("c")).as("msg"))
         .select(col("dst").as("node"),
           expr(s"(15L * ${unit}L + 85L * msg) div 100").as("pr"))
-        .localCheckpoint(true)
+      if (it % 2 == 0 || it == iters) pr = pr.localCheckpoint(true)
     }
     edgesW.unpersist()
     pr.select(col("node"), col("pr").as("pr_q"),

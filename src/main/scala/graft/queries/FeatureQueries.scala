@@ -156,7 +156,8 @@ object FeatureQueries extends QueryModule {
     // (0/1 sums — exact), availability + warning flags.
     "q158_feature_health" -> ((s, dir) => {
       FeatureBuilder.health(
-        FeatureBuilder.buildFast(featureInput(s, dir), dropNa = false))
+        FeatureBuilder.buildFast(featureInput(s, dir), dropNa = false,
+          reuseKernel = true))
     })
   )
 

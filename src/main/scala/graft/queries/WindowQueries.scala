@@ -128,10 +128,15 @@ object WindowQueries extends QueryModule {
       val m = graft.operators.ChunkedWindow.rollingMoments(
         Bars.of(s, dir).withColumn("t", unix_micros($"ts")),
         "ticker", "t", "seq", "price", lo = -29, hi = 0).toDF()
+      // persist: base feeds BOTH the per-phase index aggregate and the
+      // final join's big side, and the halo-kernel RDD behind it has no
+      // exchange for Spark to reuse — un-persisted, the kernel pass ran
+      // twice (r19 measured: 2 kernel scans in the plan)
       val base = m.select($"key".as("ticker"), $"seq", $"x".as("price"),
           ($"s1" / $"n").as("trend"))
         .withColumn("detrended", $"price" - $"trend")
         .withColumn("phase", $"seq" % 7)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val idx = base.groupBy($"ticker", $"phase")
         .agg(davg($"detrended").as("seasonal"))
       base.join(broadcast(idx), Seq("ticker", "phase"))

@@ -20,6 +20,26 @@ class ConnectedComponentsSpec extends AnyFunSuite with TestSpark {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("run(): hybrid local finish equals pure distributed propagation") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the r19 local-finish seam: a sub-threshold graph takes the driver
+    // union-find; localFinishEdges = 0 forces the old distributed rounds.
+    // Both paths must label identically — including a self-loop-only
+    // singleton and a diameter-4 chain (multi-round propagation).
+    val rng = new scala.util.Random(23)
+    val rand = ((1 to 400).map(_ =>
+      (rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      ++ Seq((900L, 900L), (910L, 911L), (911L, 912L), (912L, 913L),
+        (913L, 914L))).toDF("src", "dst")
+    val viaLocal = ConnectedComponents.run(rand).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDistributed = ConnectedComponents.run(rand, localFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLocal === viaDistributed)
+    assert(viaLocal(914L) === 910L && viaLocal(900L) === 900L)
+  }
+
   test("large-star/small-star: same labels as min-propagation, O(log n) rounds on a 10k path") {
     val spark2 = spark
     import spark2.implicits._
