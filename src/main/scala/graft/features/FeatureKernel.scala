@@ -356,9 +356,14 @@ object FeatureKernel {
 
     // data-derived partition count (capped at shuffle.partitions): this
     // range shuffle is RDD-level, so AQE never right-sizes it — see
-    // graft.operators.SizedPartitions
+    // graft.operators.SizedPartitions. The target chunk is 8× smaller
+    // than the moment kernel's: this kernel computes the full ~40-column
+    // feature block per row (BigDecimal prefix rings for every moment),
+    // an order of magnitude more compute per input byte, so the
+    // overhead/parallelism balance tips at correspondingly smaller
+    // chunks (r19 measured: q156 lost ~1 s serial at the 512 KB target).
     val p = if (numPartitions > 0) numPartitions
-      else graft.operators.SizedPartitions.of(df)
+      else graft.operators.SizedPartitions.of(df, targetBytes = 64L << 10)
     val keyed = base.as[FRow].rdd.map(r => ((r.ticker, r.dateUs, 0L), r))
     val light = base.select(col("ticker"), col("dateUs"))
       .as[(String, Long)].rdd.map(k => ((k._1, k._2, 0L), ()))

@@ -458,10 +458,12 @@ object MetricsQueries extends QueryModule {
         dfl = dfl.withColumn(s"d$l", $"price" - lag($"price", l).over(w)))
       // The window leaves |tickers| output partitions — repartition before
       // the 19× unpivot so the (19·rows)-element aggregation runs
-      // cluster-wide, not on |tickers| tasks. Decimal sums are
-      // order-independent, so the round-robin redistribution cannot move
-      // the result.
-      val pairs = dfl.repartition(s.sparkContext.defaultParallelism)
+      // cluster-wide, not on |tickers| tasks. Count derived from the
+      // input size (capped at shuffle.partitions), not the constant
+      // defaultParallelism — r19: 32 near-empty tasks cost more than the
+      // unpivot they spread. Decimal sums are order-independent, so the
+      // redistribution cannot move the result.
+      val pairs = dfl.repartition(graft.operators.SizedPartitions.of(dfl))
         .select($"ticker", expr("stack(19, " +
           (2 to 20).map(l => s"$l, d$l").mkString(", ") + ") as (l, d)"))
         .where($"d".isNotNull)

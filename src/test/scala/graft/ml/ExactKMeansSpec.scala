@@ -34,6 +34,24 @@ class ExactKMeansSpec extends AnyFunSuite with TestSpark {
     s.toDouble / 1e12
   }
 
+  test("out-of-scale input fails loud on the observe-folded gate (r19)") {
+    val s = spark; import s.implicits._
+    // |x| > 100 violates the LONG-fold bound; the r19 fold moved the
+    // gate scan onto round 1's own job (observe) — it must still throw
+    // from fit() before any result escapes, on both the updates >= 1
+    // (observed) and updates = 0 (eager) paths.
+    val bad = Seq((1L, Seq(0.1, 250.0)), (2L, Seq(0.2, 0.3)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      ExactKMeans.fit(bad, k = 1, updates = 1)
+    }
+    assert(e1.getMessage.contains("out of scale"))
+    val e0 = intercept[IllegalArgumentException] {
+      ExactKMeans.fit(bad, k = 1, updates = 0)
+    }
+    assert(e0.getMessage.contains("out of scale"))
+  }
+
   test("q138 assignment is the exact argmin against the final centroids") {
     val s = spark; import s.implicits._
     val (asgDf, cents) = ExactKMeans.fit(emb, k = 8, updates = 2)
