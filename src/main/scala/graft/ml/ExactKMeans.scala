@@ -147,40 +147,29 @@ object ExactKMeans {
     val ed = emb.select($"vec_id".cast("long").as("vec_id"),
       $"embedding".cast("array<double>").as("ed"))
     // Loud scale gate for the LONG-fold bound above: |x| ≤ 100 keeps
-    // per-dim q ≤ 2e8 and Σq² ≤ 2.6e18 at dims ≤ 64 — fail loud instead
-    // of silently RETURNING results from an overflowed fold. The gate
-    // scan rides the FIRST update round's own job as an `observe` (r19:
-    // the separate eager pass was one whole extra job per fit across
-    // q138/q139/q143/q214); an out-of-scale round 1 may compute garbage
-    // assignments internally, but the require fires before anything
-    // escapes fit(). The updates = 0 path keeps the eager pass — there
-    // is no round to ride.
-    val maxAbsCol = max(expr(
-      "aggregate(ed, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"))
-    def gate(maxAbs: Double): Unit =
-      require(maxAbs <= 100.0,
-        s"ExactKMeans input out of scale: max |embedding dim| = $maxAbs > 100 — " +
-          "the grid-exact LONG distance fold assumes near-unit-scale " +
-          "embeddings; normalize the input first")
-    if (updates == 0)
-      gate(ed.select(maxAbsCol).head().getDouble(0))
+    // per-dim q ≤ 2e8 and Σq² ≤ 2.6e18 at dims ≤ 64 — fail here instead
+    // of silently overflowing the fold on out-of-scale input. One extra
+    // flat pass, once per fit. (r19 tried folding this scan onto round
+    // 1's job via `observe`; the CollectMetrics node cost MORE than the
+    // job it saved — q138 +20% in an alternating same-box A/B — so the
+    // eager pass stays. ExactKMeansSpec pins the loud failure.)
+    val maxAbs = ed.select(max(expr(
+      "aggregate(ed, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))")))
+      .head().getDouble(0)
+    require(maxAbs <= 100.0,
+      s"ExactKMeans input out of scale: max |embedding dim| = $maxAbs > 100 — " +
+        "the grid-exact LONG distance fold assumes near-unit-scale " +
+        "embeddings; normalize the input first")
     var cents: Array[Array[Double]] = ed.orderBy($"vec_id").limit(k)
       .select($"ed").as[Seq[Double]].collect().map(_.toArray)
     var u = 0
     while (u < updates) {
-      val obs =
-        if (u == 0) Some(org.apache.spark.sql.Observation("kmeans_scale_gate"))
-        else None
-      val assigned = withAssign(ed, cents)
-      val upd = obs.fold(assigned)(o => assigned.observe(o, maxAbsCol.as("m")))
+      val upd = withAssign(ed, cents)
         .select($"cluster", posexplode($"ed").as(Seq("d", "x")))
         .groupBy($"cluster", $"d")
         .agg(((sum(graft.queries.Det.qfloor($"x", 1e9).cast(dec0))
           .cast("double") / 1e9) / count(lit(1))).as("c"))
         .collect()
-      // max over an EMPTY input observes null — nothing to gate
-      obs.foreach(o => Option(o.get("m")).foreach(m =>
-        gate(m.asInstanceOf[Double])))
       val next = cents.map(_.clone()) // an empty cluster keeps its centroid
       upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       cents = next

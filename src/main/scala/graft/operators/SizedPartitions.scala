@@ -18,15 +18,17 @@ import org.apache.spark.sql.DataFrame
   * hits the session cap immediately — at cluster scale this is exactly
   * the old `shuffle.partitions` behavior, configured where it always
   * was. Only a small input (estimated ≪ cap × target) gets fewer, fuller
-  * partitions. `targetBytes` defaults to 512 KB of PLAN-estimated size
+  * partitions. `targetBytes` defaults to 256 KB of PLAN-estimated size
   * (parquet-compressed for scans — several× smaller than in-memory), the
   * measured balance point where per-task fixed cost stops dominating
   * per-row work for the engine's compute-dense kernels while keeping a
-  * few-MB input multi-core.
+  * few-MB input multi-core (512 KB read ~0.2 s slower on q11/q17 in the
+  * alternating A/B — the moment kernel still wants ~10 partitions on a
+  * 2 MB input).
   */
 object SizedPartitions {
 
-  def of(df: DataFrame, targetBytes: Long = 512L << 10): Int = {
+  def of(df: DataFrame, targetBytes: Long = 256L << 10): Int = {
     val cap = df.sparkSession.sessionState.conf.numShufflePartitions
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = (bytes + targetBytes - 1) / targetBytes

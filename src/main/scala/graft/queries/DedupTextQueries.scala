@@ -27,27 +27,24 @@ object DedupTextQueries extends QueryModule {
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSql = stop.map(s => s"'$s'").mkString(", ")
 
-  /** 3-gram shingles per document: (doc_id, sh), DISTINCT by default.
-    * `distinct = false` skips the set-dedup shuffle — every row of the
-    * full shingle stream crosses the exchange just to be deduplicated —
-    * for consumers whose aggregates are duplicate-insensitive:
-    * [[lshCandidates]]' 32 per-doc MINs satisfy min(multiset) =
-    * min(set), so q52/q203 (which use the shingles ONLY through the
-    * signature) produce identical candidates from the raw stream while
-    * their only full-width shuffle becomes the map-side-combined
-    * signature aggregation (one partial row per doc per map task, not
-    * one row per shingle). q90-family callers keep the distinct: their
-    * size/shared-count joins need set semantics, and the distinct
-    * exchange is then shared by every consumer. */
+  /** Distinct 3-gram shingles per document: (doc_id, sh).
+    *
+    * Perf note (r19, measured): consumers that only need the MinHash
+    * signature (q52/q203) pay NO set-dedup shuffle despite the
+    * distinct() here — Catalyst's RemoveRedundantAggregates collapses a
+    * distinct under a duplicate-insensitive aggregation (the 32 per-doc
+    * MINs), so their committed plans carry a single map-side-combined
+    * signature exchange already. q90-family consumers genuinely need
+    * the set semantics (size/shared-count joins) and share the one
+    * distinct exchange. */
   private def shingleSet(s: org.apache.spark.sql.SparkSession,
-      dir: String, distinct: Boolean = true): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val raw = graft.Tables.load(s, dir, "documents")
+    graft.Tables.load(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("t"))
       .select($"doc_id", explode(expr(
         graft.functions.TextGrams.gramsSql(3)))
-        .as("sh"))
-    if (distinct) raw.distinct() else raw
+        .as("sh")).distinct()
   }
 
   /** MinHash (32 perms) + LSH banding (8 bands × 4 rows) candidate pairs
@@ -135,11 +132,7 @@ object DedupTextQueries extends QueryModule {
     // near-dup pairs via band-bucket join — the 100 TB-safe dedup path.
     // Base hash = low 60 bits of md5 (engine-portable, so the full
     // pipeline is DuckDB-oracled hash-exact; xxhash64 was not).
-    "q52_minhash_lsh" -> ((s, dir) =>
-      // raw (non-distinct) shingle stream: min-hash mins are duplicate-
-      // insensitive, so the set-dedup shuffle bought nothing here — see
-      // shingleSet. Identical candidate set, one full-width exchange less.
-      lshCandidates(shingleSet(s, dir, distinct = false))),
+    "q52_minhash_lsh" -> ((s, dir) => lshCandidates(shingleSet(s, dir))),
 
     // PRIMARY near-dup operator: LSH band candidates (q52's generator)
     // verified with EXACT shingle Jaccard on the candidate set only —
@@ -737,9 +730,7 @@ object DedupTextQueries extends QueryModule {
     "q203_fuzzy_refine" -> ((s, dir) => {
       import s.implicits._
       val docs = graft.Tables.load(s, dir, "documents")
-      // raw shingle stream — q52's duplicate-insensitive rationale; the
-      // candidates here feed only the broadcast
-      val cand = lshCandidates(shingleSet(s, dir, distinct = false))
+      val cand = lshCandidates(shingleSet(s, dir))
       val ta = docs.select($"doc_id".as("da"), $"text".as("ta"))
       val tb = docs.select($"doc_id".as("db"), $"text".as("tb"))
       ta.join(broadcast(cand), "da").join(tb, "db")

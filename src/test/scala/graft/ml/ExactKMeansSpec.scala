@@ -34,12 +34,11 @@ class ExactKMeansSpec extends AnyFunSuite with TestSpark {
     s.toDouble / 1e12
   }
 
-  test("out-of-scale input fails loud on the observe-folded gate (r19)") {
+  test("out-of-scale input fails loud from fit() on every update count") {
     val s = spark; import s.implicits._
-    // |x| > 100 violates the LONG-fold bound; the r19 fold moved the
-    // gate scan onto round 1's own job (observe) — it must still throw
-    // from fit() before any result escapes, on both the updates >= 1
-    // (observed) and updates = 0 (eager) paths.
+    // |x| > 100 violates the LONG-fold bound; fit() must throw before
+    // any result escapes, whatever the update count (r19 pinned this
+    // while experimenting with the gate's placement).
     val bad = Seq((1L, Seq(0.1, 250.0)), (2L, Seq(0.2, 0.3)))
       .toDF("vec_id", "embedding")
     val e1 = intercept[IllegalArgumentException] {
