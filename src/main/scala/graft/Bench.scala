@@ -81,11 +81,22 @@ object Bench {
     // comparisons divide by it to normalize for host contention (the
     // r8 cc_soak read 3-13× under load); excluded from the headline
     // total — it measures the box, not the engine.
-    def calibJob(): Unit =
+    //
+    // Every calib execution ACROSS the run (round-robin reps + the
+    // per-phase soak brackets) self-records its duration, and the JSON
+    // emits calib_min/calib_max/calib_n: the box-state spread over the
+    // whole run, so PERF adjudication can noise-correct mechanically
+    // instead of forensically (VERDICT r19 Next #8 — r19 burned most of
+    // its judging signal reconstructing exactly this from fragments).
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibJob(): Unit = {
+      val t0 = System.nanoTime()
       spark.range(50000000L)
         .selectExpr("pmod(id * 2654435761, 1024) AS k", "id AS v")
         .groupBy("k").sum("v")
         .write.format("noop").mode("overwrite").save()
+      calibSamples += (System.nanoTime() - t0) / 1e9
+    }
     work += "calib" -> (() => calibJob())
     if (only.isEmpty) {
       val etlTmp = java.nio.file.Files.createTempDirectory("graft_bench_etl").toString
@@ -570,16 +581,41 @@ object Bench {
       if (soakNorm.isEmpty) ""
       else soakNorm.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString(""","soaks_x":{""", ",", "}")
-    val headFields = s""""metric":"total","value":${fmt(total)},"total_gate":${fmt(totalGate)},"total_serve":${fmt(totalServe)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}$failedField$soaksXField"""
+    // calib box-state spread across the whole run (round-robin reps +
+    // soak brackets) — see calibJob
+    val calibField =
+      if (calibSamples.isEmpty) ""
+      else s""","calib_min":${fmt(calibSamples.min)},"calib_max":${fmt(calibSamples.max)},"calib_n":${calibSamples.size}"""
+    val headFields = s""""metric":"total","value":${fmt(total)},"total_gate":${fmt(totalGate)},"total_serve":${fmt(totalServe)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}$failedField$soaksXField$calibField"""
     println(s"""{"queries":$qs,$headFields}""")
+    // The compact (parsed) line's key set must be STABLE round over
+    // round (VERDICT r19 Next #2): a pure top-N print churns with the
+    // ranking, and the driver's PERF comparator then reports the churn
+    // as dropped_from_bench (8 phantom drops in r19 — all still passing
+    // the oracle, just below the print cutoff). The documented stable
+    // set = every key that has EVER appeared in a parsed tail (r18/r19)
+    // plus the fixed-name soak/calib/sketch entries; the top-30 of the
+    // current run is ADDED on top, so a newly-slow query still surfaces.
+    // Additions-only: nothing that printed before can disappear while
+    // the query itself exists.
+    val pinnedKeys = Set(
+      // qNNN keys present in the r18/r19 parsed tails
+      "q17", "q51", "q90", "q95", "q112", "q127", "q135", "q137", "q138",
+      "q139", "q143", "q147", "q157", "q158", "q202", "q203", "q207",
+      "q215", "q216",
+      // fixed-name bench arms
+      "etl_pipeline_2012", "sk136", "dxe", "dxa")
     val slowest = results.sortBy(-_._2).take(30)
-    val compactEntries = (slowest ++ results.filter(_._1.startsWith("calib")))
+    val compactEntries = (slowest
+        ++ results.filter(_._1.startsWith("calib"))
+        ++ results.filter(r => pinnedKeys(shortName(r._1)))
+        ++ soakVals ++ soakNorm)
       .distinctBy(_._1)
     val compact = compactEntries
       .map { case (k, v) => "\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // omitted = what the compact map actually dropped (calib entries
-    // outside the top-30 are IN the map, so subtract the real size)
+    // omitted = what the compact map actually dropped (pinned/calib/soak
+    // entries outside the top-30 are IN the map, so subtract the real size)
     println(s"""{$headFields,"queries":$compact,"queries_omitted":${results.size - compactEntries.size}}""")
   }
 }

@@ -52,7 +52,7 @@ object ConnectedComponents {
     // q95's LSH pair generation) input pipeline twice at persist
     // materialization and doubled the cached partition count, so every
     // propagation round downstream paid 2× the tasks for the same rows.
-    val sym = e.select(explode(array(
+    val symBase = e.select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("p"))
       .select(col("p.s").as("src"), col("p.d").as("dst"))
@@ -60,16 +60,31 @@ object ConnectedComponents {
     // one bounded count on the persisted frame — the materialization the
     // loop (or the labels init) would pay anyway, surfaced as the
     // local-finish gate
-    val nSym = sym.count()
+    val nSym = symBase.count()
     if (nSym <= 2L * localFinishEdges) {
       // ≤ 2·bound symmetrized rows — the same explicit driver bound as
       // runStars' local finish (~1.6 MB of longs per 100k edges)
-      val rows = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
-      sym.unpersist()
+      val rows = symBase.collect().map(r => (r.getLong(0), r.getLong(1)))
+      symBase.unpersist()
       val s = edges.sparkSession
       import s.implicits._
       return minRootLabels(rows).toSeq.toDF("node", "component")
     }
+    // Distributed path only (r20, guide §2.4 "two operations keyed the
+    // same way can share one exchange"): every propagation round joins
+    // the edge set on src, and each round is a separate job, so the
+    // un-partitioned cache paid a full-width Exchange (plus the
+    // sort-merge sort) of the ENTIRE edge set per round — O(rounds)
+    // re-shuffles of the largest frame in the loop. Re-cache the frame
+    // hash-partitioned on src (the same partitioning the per-round
+    // Exchange produced) and sorted, so every round's join consumes the
+    // cache directly and the per-round Exchange + sort disappear for
+    // the edge side. The one-off shuffle here replaces round 1's own
+    // exchange; the local-finish path above never pays it.
+    val sym = symBase
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Each round's labels are EAGERLY localCheckpoint'ed rather than
     // persisted: a round references its input twice (propagation join +
     // union), so the LOGICAL plan doubles per round even under persist
@@ -81,6 +96,10 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // the labels init just materialized the partitioned cache; the
+    // un-partitioned base cache has no further reader — release it now
+    // rather than carrying both through the rounds
+    symBase.unpersist()
     var converged = false
     var i = 0
     // convergence witness: per-node labels are monotone non-increasing,
